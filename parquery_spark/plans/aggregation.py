@@ -1,0 +1,207 @@
+"""Spark logical-plan builder for the parquery aggregation contract.
+
+The reference dispatches a normalized query spec to one of two single-node
+engines (reference: parquery/aggregate.py:185-206).  Here the "engine" is a
+declarative Spark DataFrame plan: Catalyst provides predicate pushdown,
+column pruning, and two-phase hash aggregation (partial per input split +
+final after shuffle) for free — including for non-decomposable ops like
+``mean``/``stddev``, which the reference's PyArrow engine had to special-case
+via SAFE_PREAGGREGATE gating (reference: parquery/tool.py:37,
+parquery/aggregate_pyarrow.py:135-138).
+
+Scale notes (design target: 1000 executors, 100 TB):
+
+* All pre-flight tolerant-schema checks (missing file / missing columns /
+  missing filter columns) read only the Parquet footer on the driver — no
+  Spark job, no scan (reference does the same: parquery/tool.py:123-142).
+* The returned plan is **lazy**; nothing is collected here.  Callers choose
+  the materialization boundary (``toArrow``/``toPandas``/``write``).
+* The group-by shuffles only the requested dimensions; low-cardinality
+  dimension shuffles are coalesced at runtime by AQE.
+* ``count_distinct`` plans as Spark's Expand + partial aggregation — the
+  scalable distributed strategy; no driver-side distinct set.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import reduce
+from typing import Any, Sequence
+
+import pyarrow.parquet as papq
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from parquery_spark import tool
+
+# op name → Spark aggregate expression builder.
+# Semantics pinned in SURVEY.md §2.3 (divergences documented there):
+#  * std/stddev  → sample stddev (ddof=1), matching the reference's DuckDB
+#    engine (reference: parquery/aggregate_duckdb.py:308-309); its PyArrow
+#    engine used population stddev — the engines disagreed.
+#  * count_na    → count of nulls per the reference README.md:61; the
+#    reference implementation was broken in both engines (mapped to plain
+#    COUNT / raised ArrowKeyError).
+#  * one         → deterministic MIN, matching the reference's DuckDB engine
+#    (reference: parquery/aggregate_duckdb.py:316); F.first would be
+#    nondeterministic under parallel execution.
+_AGG_BUILDERS = {
+    "sum": F.sum,
+    "mean": F.avg,
+    "avg": F.avg,
+    "std": F.stddev_samp,
+    "stddev": F.stddev_samp,
+    "count": F.count,
+    "count_na": lambda c: F.count(F.when(F.col(c).isNull(), F.lit(1))),
+    "count_distinct": F.countDistinct,
+    "sorted_count_distinct": F.countDistinct,
+    "min": F.min,
+    "max": F.max,
+    "one": F.min,
+}
+
+
+def agg_expr(col: str, op: str, output: str) -> Column:
+    """Build one aliased Spark aggregate expression from a measure triple."""
+    try:
+        builder = _AGG_BUILDERS[op.lower()]
+    except KeyError:
+        raise NotImplementedError(
+            f"Aggregation operation {op!r} is not supported; valid operations: "
+            f"{sorted(_AGG_BUILDERS)}"
+        ) from None
+    return builder(col).alias(output)
+
+
+def filter_expr(col: str, op: str, value: Any) -> Column:
+    """One filter triple → a typed Column predicate.
+
+    Unlike the reference's DuckDB engine — which interpolated raw ``str(v)``
+    into SQL, breaking string literals and inviting injection (reference:
+    parquery/aggregate_duckdb.py:371-402; SURVEY.md §4 caveat) — ``lit()``
+    binds values as typed expressions, so string/date filters are safe.
+    """
+    c = F.col(col)
+    if op == "in":
+        return c.isin(list(value))
+    if op in ("not in", "nin"):
+        return ~c.isin(list(value))
+    if op in ("=", "=="):
+        return c == F.lit(value)
+    if op == "!=":
+        return c != F.lit(value)
+    if op == ">":
+        return c > F.lit(value)
+    if op == ">=":
+        return c >= F.lit(value)
+    if op == "<":
+        return c < F.lit(value)
+    if op == "<=":
+        return c <= F.lit(value)
+    raise NotImplementedError(
+        f"Filter operator {op!r} is not supported; valid operators: "
+        f"{list(tool.VALID_FILTER_OPS)}"
+    )
+
+
+def combined_filter(data_filter: Sequence[Sequence[Any]]) -> Column | None:
+    """AND-fold filter triples (reference: parquery/aggregate_pyarrow.py:336-341)."""
+    if not data_filter:
+        return None
+    return reduce(
+        lambda a, b: a & b, (filter_expr(col, op, v) for col, op, v in data_filter)
+    )
+
+
+def empty_result_plan(spark: SparkSession, result_cols: Sequence[str]) -> DataFrame:
+    """Zero-row result with null-typed columns
+    (reference: parquery/tool.py:222-237 — ``pa.null()`` schema)."""
+    schema = T.StructType([T.StructField(c, T.NullType()) for c in result_cols])
+    return spark.createDataFrame([], schema)
+
+
+def build_aggregation_plan(
+    spark: SparkSession,
+    file_name: str,
+    groupby_cols: Sequence[str],
+    measure_cols: Sequence[Any],
+    data_filter: Sequence[Sequence[Any]] | None = None,
+    aggregate: bool = True,
+    standard_missing_id: int = tool.STANDARD_MISSING_ID,
+    handle_missing_file: bool = True,
+) -> DataFrame:
+    """Build the lazy Spark plan implementing ``aggregate_pq`` semantics.
+
+    Mirrors the reference lifecycle steps 1-6 (SURVEY.md §3;
+    reference: parquery/aggregate.py:142-215):
+    normalize → plan result schema → pre-flight footer checks →
+    filter/group plan → missing-column splice.
+    """
+    groupby_cols = list(groupby_cols)
+    measures = tool.normalize_measure_cols(measure_cols)
+    filters = tool.normalize_data_filter(data_filter)
+    result_cols = tool.get_result_columns(groupby_cols, measures)
+
+    # -- pre-flight, driver-side, footer-only (no Spark job) ---------------
+    if not os.path.exists(file_name):
+        if not handle_missing_file:
+            raise OSError(f"File {file_name} does not exist")
+        return empty_result_plan(spark, result_cols)
+
+    requested = {*groupby_cols, *(m[0] for m in measures), *(f[0] for f in filters)}
+    try:
+        existing = set(papq.read_schema(file_name).names) & requested
+    except Exception:
+        existing = set()
+    if not existing:
+        return empty_result_plan(spark, result_cols)
+    if any(f[0] not in existing for f in filters):
+        # "the real value for the dimension is unknown for the file, the
+        # result should also be zero" (reference: parquery/tool.py:145-178)
+        return empty_result_plan(spark, result_cols)
+
+    live_groupby = [c for c in groupby_cols if c in existing]
+    live_measures = [m for m in measures if m[0] in existing]
+    if not live_groupby and not live_measures and aggregate:
+        return empty_result_plan(spark, result_cols)
+
+    # -- the Spark plan -----------------------------------------------------
+    scan_cols = sorted(
+        {*live_groupby, *(m[0] for m in live_measures), *(f[0] for f in filters)}
+    )
+    df = spark.read.parquet(file_name).select(*scan_cols)
+
+    predicate = combined_filter(filters)
+    if predicate is not None:
+        df = df.filter(predicate)
+
+    if aggregate:
+        if live_measures:
+            aggs = [agg_expr(col, op, out) for col, op, out in live_measures]
+            df = df.groupBy(*live_groupby).agg(*aggs)
+        else:
+            df = df.select(*live_groupby).distinct()
+    else:
+        # pass-through mode: sorted distinct input columns, raw rows
+        # (reference: parquery/aggregate_duckdb.py:337-341); the
+        # missing-column splice below still applies (reference:
+        # parquery/aggregate.py:209-215 runs in both modes)
+        out_cols = sorted({*live_groupby, *(m[0] for m in live_measures)})
+        df = df.select(*out_cols)
+
+    # -- splice missing columns post-engine ---------------------------------
+    # Order matches the reference: engine columns first, then missing
+    # measures (0.0), then missing dims (standard_missing_id)
+    # (reference: parquery/tool.py:240-301).
+    live_outputs = {out for _, _, out in live_measures}
+    for _, _, out in measures:
+        if out not in live_outputs and out not in df.columns:
+            df = df.withColumn(out, F.lit(tool.STANDARD_MISSING_MEASURE))
+    for col in groupby_cols:
+        if col not in df.columns:
+            df = df.withColumn(col, F.lit(standard_missing_id))
+    extras = [c for c in df.columns if c not in result_cols]
+    if extras:
+        df = df.drop(*extras)
+    return df

@@ -1,0 +1,133 @@
+"""Shared fixtures: one SparkSession per test run, deterministic synthetic
+Parquet fixtures, and a DuckDB oracle helper for differential testing
+(test strategy per SURVEY.md §5: golden recomputation + engine
+differential, with order-insensitive comparison)."""
+
+from __future__ import annotations
+
+import math
+import os
+import random
+
+import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+os.environ.setdefault("PARQUERY_SPARK_SHUFFLE_PARTITIONS", "8")
+os.environ.setdefault("PARQUERY_SPARK_MASTER", "local[4]")
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from parquery_spark.session import get_spark
+
+    return get_spark("parquery_spark_tests")
+
+
+@pytest.fixture(scope="session")
+def sf_dir():
+    return SF_DIR
+
+
+@pytest.fixture(scope="session")
+def duck():
+    con = duckdb.connect()
+    for name in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        path = os.path.join(SF_DIR, f"{name}.parquet")
+        if os.path.exists(path):
+            con.execute(
+                f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{path}')"
+            )
+    return con
+
+
+def make_synthetic_table(num_rows: int = 1000, with_nulls: bool = False) -> pa.Table:
+    """Deterministic 7-column fixture in the spirit of the reference's
+    canonical test schema (reference: tests/test_parquery.py:170-178):
+    string dim, int dims, double measures, with optional nulls."""
+    rng = random.Random(1)
+    f0 = [f"g{rng.randint(0, 4)}" for _ in range(num_rows)]
+    f1 = [rng.randint(0, 9) for _ in range(num_rows)]
+    f2 = [rng.randint(0, 2) for _ in range(num_rows)]
+    f3 = [round(rng.uniform(0, 100), 3) for _ in range(num_rows)]
+    f4 = [float(rng.randint(0, 50)) for _ in range(num_rows)]
+    f5 = [rng.randint(20240101, 20241231) for _ in range(num_rows)]
+    f6 = [rng.choice(["x", "y", "z"]) for _ in range(num_rows)]
+    if with_nulls:
+        f4 = [None if rng.random() < 0.2 else v for v in f4]
+        f3 = [None if rng.random() < 0.1 else v for v in f3]
+    return pa.table(
+        {
+            "f0": pa.array(f0, pa.string()),
+            "f1": pa.array(f1, pa.int64()),
+            "f2": pa.array(f2, pa.int32()),
+            "f3": pa.array(f3, pa.float64()),
+            "f4": pa.array(f4, pa.float64()),
+            "f5": pa.array(f5, pa.int64()),
+            "f6": pa.array(f6, pa.string()),
+        }
+    )
+
+
+@pytest.fixture(scope="session")
+def synthetic_pq(tmp_path_factory):
+    path = tmp_path_factory.mktemp("data") / "synthetic.parquet"
+    pq.write_table(make_synthetic_table(2000), path, compression="zstd")
+    return str(path)
+
+
+@pytest.fixture(scope="session")
+def synthetic_nulls_pq(tmp_path_factory):
+    path = tmp_path_factory.mktemp("data") / "synthetic_nulls.parquet"
+    pq.write_table(make_synthetic_table(2000, with_nulls=True), path, compression="zstd")
+    return str(path)
+
+
+def rows_sorted(obj) -> list[tuple]:
+    """Order-insensitive canonical rows: sorted column names, sorted rows,
+    floats rounded (row order is unspecified in the contract —
+    reference: tests/test_parquery.py:62-69)."""
+    if isinstance(obj, pa.Table):
+        cols = sorted(obj.column_names)
+        data = {c: obj.column(c).to_pylist() for c in cols}
+        rows = list(zip(*(data[c] for c in cols))) if cols else []
+    elif hasattr(obj, "toPandas"):  # Spark DataFrame
+        return rows_sorted(obj.toArrow())
+    else:  # duckdb relation / pandas
+        pdf = obj.df() if hasattr(obj, "df") else obj
+        cols = sorted(pdf.columns)
+        rows = [tuple(r) for r in pdf[cols].itertuples(index=False)]
+
+    def canon(v):
+        if isinstance(v, float):
+            if math.isnan(v):
+                return "nan"
+            return round(v, 6)
+        return v
+
+    return sorted(
+        (tuple(canon(v) for v in row) for row in rows),
+        key=lambda r: tuple((x is None, str(x)) for x in r),
+    )
+
+
+def assert_matches_duckdb(result, con: duckdb.DuckDBPyConnection, sql: str):
+    """Differential assertion: engine result == DuckDB oracle result."""
+    expected = rows_sorted(con.sql(sql))
+    actual = rows_sorted(result)
+    assert len(actual) == len(expected), (
+        f"row count {len(actual)} != oracle {len(expected)}"
+    )
+    for a, e in zip(actual, expected):
+        assert len(a) == len(e)
+        for av, ev in zip(a, e):
+            if isinstance(av, float) and isinstance(ev, (int, float)):
+                assert av == pytest.approx(float(ev), rel=1e-9, abs=1e-6), (a, e)
+            else:
+                assert av == ev, (a, e)

@@ -1,0 +1,87 @@
+"""Unit tests for the pure-Python semantics layer (reference test model:
+tests/test_tool.py + spec-normalization behavior in tests/test_parquery.py)."""
+
+import pyarrow as pa
+import pytest
+
+from parquery_spark import tool
+
+
+class TestNormalizeMeasureCols:
+    def test_plain_strings_default_to_sum(self):
+        assert tool.normalize_measure_cols(["m1", "m2"]) == [
+            ["m1", "sum", "m1"],
+            ["m2", "sum", "m2"],
+        ]
+
+    def test_single_element_list(self):
+        assert tool.normalize_measure_cols([["m1"]]) == [["m1", "sum", "m1"]]
+
+    def test_col_op(self):
+        assert tool.normalize_measure_cols([["m1", "count"]]) == [
+            ["m1", "count", "m1"]
+        ]
+
+    def test_full_triple_unchanged(self):
+        assert tool.normalize_measure_cols([["m1", "sum", "out"]]) == [
+            ["m1", "sum", "out"]
+        ]
+
+    def test_duplicate_input_multiple_outputs(self):
+        assert tool.normalize_measure_cols(
+            [["m1", "sum", "a"], ["m1", "count", "b"]]
+        ) == [["m1", "sum", "a"], ["m1", "count", "b"]]
+
+
+class TestResultColumns:
+    def test_sorted_union(self):
+        cols = tool.get_result_columns(
+            ["d2", "d1"], [["m1", "sum", "z_out"], ["m2", "sum", "a_out"]]
+        )
+        assert cols == ["a_out", "d1", "d2", "z_out"]
+
+    def test_dedup(self):
+        cols = tool.get_result_columns(["d"], [["m", "sum", "d"]])
+        assert cols == ["d"]
+
+
+class TestNormalizeDataFilter:
+    def test_scalar_in_wrapped_to_list(self):
+        assert tool.normalize_data_filter([["c", "in", 5]]) == [["c", "in", [5]]]
+
+    def test_invalid_op_raises_not_implemented(self):
+        with pytest.raises(NotImplementedError, match="valid operators"):
+            tool.normalize_data_filter([["c", "like", "x%"]])
+
+    def test_none_is_empty(self):
+        assert tool.normalize_data_filter(None) == []
+
+    def test_all_valid_ops_accepted(self):
+        for op in tool.VALID_FILTER_OPS:
+            v = [1, 2] if op in ("in", "not in", "nin") else 1
+            assert tool.normalize_data_filter([["c", op, v]])
+
+
+class TestNaturalNames:
+    def test_roundtrip(self):
+        assert tool.to_natural_name("a-b-c") == "a_n_b_n_c"
+        assert tool.to_original_name("a_n_b_n_c") == "a-b-c"
+
+    def test_arrow_table_rename(self):
+        t = pa.table({"d-1": [1], "m": [2.0]})
+        nat = tool.df_to_natural_name(t)
+        assert nat.column_names == ["d_n_1", "m"]
+        back = tool.df_to_original_name(nat)
+        assert back.column_names == ["d-1", "m"]
+
+    def test_pandas_rename(self):
+        import pandas as pd
+
+        df = pd.DataFrame({"d-1": [1]})
+        assert list(tool.df_to_natural_name(df).columns) == ["d_n_1"]
+
+    def test_spark_rename(self, spark):
+        df = spark.createDataFrame([(1, 2.0)], ["d-1", "m"])
+        nat = tool.df_to_natural_name(df)
+        assert nat.columns == ["d_n_1", "m"]
+        assert tool.df_to_original_name(nat).columns == ["d-1", "m"]
