@@ -1,0 +1,153 @@
+"""Text-analysis operators for training-data pipelines: tokenization, token
+counting, quality scoring, language ID, document fingerprinting.
+
+Everything here is built from JVM-side Column expressions
+(``pyspark.sql.functions``) — no Python UDFs in the hot path, so the whole
+stage stays inside whole-stage codegen and scales linearly with executors.
+At 100 TB these run as a single narrow map stage over the scan: no shuffle,
+no Python worker round-trips.
+
+The reference has no text operators (single-table OLAP only, SURVEY.md
+§2.4); these are the beyond-reference pipeline capabilities the engine adds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Tokens: runs of word characters (a BPE-ish lower bound on token count).
+TOKEN_RE = r"[A-Za-z0-9_']+"
+
+#: Tiny per-language stopword marker sets for the n-gram/stopword language
+#: heuristic.  Deliberately small and deterministic.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "de": ["der", "die", "und", "das", "ein"],
+    "es": ["el", "los", "que", "de", "una"],
+}
+
+
+def tokens(text: Column | str) -> Column:
+    """Array of word tokens (whitespace+punctuation split, regex-based)."""
+    c = F.col(text) if isinstance(text, str) else text
+    # split on non-token runs; filter the empty strings split() leaves at edges
+    return F.filter(F.split(c, r"[^A-Za-z0-9_']+"), lambda t: t != F.lit(""))
+
+
+def token_count(text: Column | str) -> Column:
+    """Number of word tokens (regexp_count — one pass, no array build)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_count(c, F.lit(TOKEN_RE))
+
+
+def whitespace_token_count(text: Column | str) -> Column:
+    """Whitespace-split token count (the cruder classic)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.filter(F.split(c, r"\s+"), lambda t: t != F.lit("")))
+
+
+def char_count(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.length(c)
+
+
+def punct_ratio(text: Column | str) -> Column:
+    """Fraction of characters that are punctuation."""
+    c = F.col(text) if isinstance(text, str) else text
+    n_punct = F.length(c) - F.length(F.regexp_replace(c, r"[!-/:-@\[-`{-~]", ""))
+    return F.when(F.length(c) > 0, n_punct / F.length(c)).otherwise(F.lit(0.0))
+
+
+def uppercase_ratio(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    n_upper = F.length(c) - F.length(F.regexp_replace(c, r"[A-Z]", ""))
+    return F.when(F.length(c) > 0, n_upper / F.length(c)).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(text: Column | str, stopwords: list[str] | None = None) -> Column:
+    """Fraction of tokens that are (English, by default) stopwords."""
+    stopwords = stopwords or LANG_MARKERS["en"]
+    c = F.col(text) if isinstance(text, str) else text
+    pattern = r"\b(" + "|".join(stopwords) + r")\b"
+    hits = F.regexp_count(F.lower(c), F.lit(pattern))
+    total = token_count(c)
+    return F.when(total > 0, hits / total).otherwise(F.lit(0.0))
+
+
+def mean_word_length(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    toks = tokens(c)
+    total_len = F.aggregate(
+        toks, F.lit(0), lambda acc, t: acc + F.length(t)
+    )
+    return F.when(F.size(toks) > 0, total_len / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def quality_score(text: Column | str) -> Column:
+    """Composite [0,1] quality heuristic: length band + low punctuation +
+    sane mean word length.  Deterministic, explainable, shuffle-free."""
+    c = F.col(text) if isinstance(text, str) else text
+    n = token_count(c)
+    len_ok = F.when((n >= 10) & (n <= 100_000), F.lit(1.0)).otherwise(
+        n / F.lit(10.0)
+    )
+    punct_ok = F.lit(1.0) - F.least(punct_ratio(c) * 4, F.lit(1.0))
+    mwl = mean_word_length(c)
+    mwl_ok = F.when((mwl >= 2.0) & (mwl <= 12.0), F.lit(1.0)).otherwise(F.lit(0.5))
+    return F.round((len_ok + punct_ok + mwl_ok) / 3.0, 6)
+
+
+def lang_scores(text: Column | str) -> dict[str, Column]:
+    """Per-language stopword-marker hit counts."""
+    c = F.col(text) if isinstance(text, str) else text
+    lowered = F.lower(c)
+    return {
+        lang: F.regexp_count(lowered, F.lit(r"\b(" + "|".join(ws) + r")\b"))
+        for lang, ws in LANG_MARKERS.items()
+    }
+
+
+def lang_id(text: Column | str) -> Column:
+    """Deterministic argmax over marker scores; ties and zero-score →
+    'unknown'.  A real system plugs a model in here; the operator shape
+    (narrow map, no shuffle) is identical."""
+    scores = lang_scores(text)
+    langs = list(scores)
+    best = F.greatest(*scores.values())
+    expr = F.lit("unknown")
+    # reversed so earlier languages win ties deterministically
+    for lang in reversed(langs):
+        expr = F.when((scores[lang] == best) & (best > 0), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def normalized_text(text: Column | str) -> Column:
+    """Canonical form for fingerprinting: lowercase, strip punctuation,
+    collapse whitespace."""
+    c = F.col(text) if isinstance(text, str) else text
+    cleaned = F.regexp_replace(F.lower(c), r"[^a-z0-9\s]", " ")
+    return F.trim(F.regexp_replace(cleaned, r"\s+", " "))
+
+
+def fingerprint(text: Column | str) -> Column:
+    """128-bit content fingerprint (md5 of normalized text) — the rolling
+    document fingerprint used for near-exact dedup."""
+    return F.md5(normalized_text(text))
+
+
+def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach the full per-document analysis column set."""
+    c = F.col(text_col)
+    return df.select(
+        "*",
+        token_count(c).alias("n_tokens"),
+        char_count(c).alias("n_chars_computed"),
+        F.round(punct_ratio(c), 6).alias("punct_ratio"),
+        F.round(stopword_ratio(c), 6).alias("stopword_ratio"),
+        F.round(mean_word_length(c), 6).alias("mean_word_len"),
+        quality_score(c).alias("quality"),
+        lang_id(c).alias("lang_guess"),
+        fingerprint(c).alias("fingerprint"),
+    )

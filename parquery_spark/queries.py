@@ -41,6 +41,17 @@ def _path(sf_dir: str, table: str) -> str:
     return os.path.join(sf_dir, f"{table}.parquet")
 
 
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.ts is parquet TIMESTAMP(NANOS), which Spark's reader rejects;
+    read it as long (runtime-settable legacy conf) and truncate ns→µs —
+    bit-identical to how DuckDB/Arrow down-convert nanos."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = load(spark, sf_dir, "events")
+    if dict(df.dtypes)["ts"] == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df
+
+
 # ===========================================================================
 # Core parity surface (SURVEY.md §2.2-2.3) — via the aggregate_pq plan builder
 # ===========================================================================
@@ -294,4 +305,788 @@ def q10_groupby_only_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         _path(sf_dir, "lineitem"),
         ["l_returnflag", "l_linestatus"],
         [],
+    )
+
+
+# ===========================================================================
+# Extension surface: joins, windows, sorts, set ops, scalar functions
+# (all absent from the reference — SURVEY.md §2.4)
+# ===========================================================================
+
+@query(
+    "q20_join_broadcast",
+    """
+    SELECT c_mktsegment,
+           COUNT(o_orderkey)              AS n_orders,
+           ROUND(SUM(o_totalprice), 2)    AS revenue,
+           COUNT(DISTINCT o_custkey)      AS n_customers
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def q20_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact ⋈ broadcast dimension: the dim side ships to every executor, so
+    the join is shuffle-free; only the aggregation shuffles (on 5 segments,
+    AQE-coalesced)."""
+    from parquery_spark.operators.joins import join_tables
+
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    j = join_tables(
+        orders, customer,
+        on=orders.o_custkey == customer.c_custkey,
+        broadcast_right=True,
+    )
+    return j.groupBy("c_mktsegment").agg(
+        F.count("o_orderkey").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+    )
+
+
+@query(
+    "q21_join_multi_star",
+    """
+    SELECT r_name, n_name,
+           COUNT(l_orderkey)                                        AS n_items,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)        AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey  = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+    GROUP BY r_name, n_name
+    """,
+)
+def q21_join_multi_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema chain join (TPC-H Q5 shape): fact table joins broadcast
+    dims; the only large shuffle is lineitem⋈orders on orderkey."""
+    lineitem = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp")
+    )
+    customer = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    j = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return j.groupBy("r_name", "n_name").agg(
+        F.count("l_orderkey").alias("n_items"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+    )
+
+
+@query(
+    "q22_semi_anti_join",
+    """
+    SELECT 'with_orders' AS cohort, COUNT(c_custkey) AS n FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    UNION ALL
+    SELECT 'without_orders' AS cohort, COUNT(c_custkey) AS n FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def q22_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi + left-anti joins (EXISTS / NOT EXISTS)."""
+    from parquery_spark.operators.joins import anti_join, semi_join
+
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    on = customer.c_custkey == orders.o_custkey
+    with_o = semi_join(customer, orders, on).agg(
+        F.count("c_custkey").alias("n")
+    ).select(F.lit("with_orders").alias("cohort"), "n")
+    without_o = anti_join(customer, orders, on).agg(
+        F.count("c_custkey").alias("n")
+    ).select(F.lit("without_orders").alias("cohort"), "n")
+    return with_o.unionByName(without_o)
+
+
+@query(
+    "q23_window_topn",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey
+               ) AS rn
+        FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+def q23_window_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer (ranking window; Spark's WindowGroupLimit
+    prunes to n rows per key before the full sort)."""
+    from pyspark.sql import Window
+
+    from parquery_spark.operators.windows import top_n_per_group
+
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    top = top_n_per_group(
+        orders.select("o_custkey", "o_orderkey", "o_totalprice"),
+        ["o_custkey"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey")],
+        3,
+    )
+    return top.withColumn("rn", F.row_number().over(w))
+
+
+@query(
+    "q24_window_running_sum",
+    """
+    SELECT user_id, event_id,
+           ROUND(SUM(value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ), 4) AS running_value,
+           LAG(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ) AS prev_type
+    FROM events
+    """,
+)
+def q24_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running sum + lag (analytic windows over an event stream)."""
+    from pyspark.sql import Window
+
+    events = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return events.select(
+        "user_id",
+        "event_id",
+        F.round(F.sum("value").over(wf), 4).alias("running_value"),
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+
+
+@query(
+    "q25_topk_global",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+)
+def q25_topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: plans as TakeOrderedAndProject (per-partition heaps,
+    no full sort — scales to any row count)."""
+    return (
+        load(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "q26_set_ops",
+    """
+    WITH rich AS (SELECT c_custkey AS k FROM customer WHERE c_acctbal > 5000),
+         urgent AS (SELECT DISTINCT o_custkey AS k FROM orders
+                    WHERE o_orderpriority = '1-URGENT')
+    SELECT 'union' AS op, COUNT(k) AS n FROM (SELECT k FROM rich UNION SELECT k FROM urgent)
+    UNION ALL
+    SELECT 'intersect' AS op, COUNT(k) AS n FROM (SELECT k FROM rich INTERSECT SELECT k FROM urgent)
+    UNION ALL
+    SELECT 'except' AS op, COUNT(k) AS n FROM (SELECT k FROM rich EXCEPT SELECT k FROM urgent)
+    """,
+)
+def q26_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION / INTERSECT / EXCEPT (distinct set semantics)."""
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    rich = customer.filter(F.col("c_acctbal") > 5000).select(
+        F.col("c_custkey").alias("k")
+    )
+    urgent = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("k"))
+        .distinct()
+    )
+    def count_of(df, label):
+        return df.agg(F.count("k").alias("n")).select(
+            F.lit(label).alias("op"), "n"
+        )
+    return (
+        count_of(rich.union(urgent).distinct(), "union")
+        .unionByName(count_of(rich.intersect(urgent), "intersect"))
+        .unionByName(count_of(rich.exceptAll(urgent).distinct(), "except"))
+    )
+
+
+@query(
+    "q27_having",
+    """
+    SELECT c_nationkey, COUNT(c_custkey) AS n_customers,
+           ROUND(AVG(c_acctbal), 4) AS avg_bal
+    FROM customer
+    GROUP BY c_nationkey
+    HAVING COUNT(c_custkey) >= 5
+    """,
+)
+def q27_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-aggregation predicate (HAVING)."""
+    return (
+        load(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("c_custkey").alias("n_customers"),
+            F.round(F.avg("c_acctbal"), 4).alias("avg_bal"),
+        )
+        .filter(F.col("n_customers") >= 5)
+    )
+
+
+@query(
+    "q28_rollup",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(o_orderkey) AS n, ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def q28_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets (subtotals + grand total)."""
+    return (
+        load(spark, sf_dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("o_orderkey").alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
+@query(
+    "q29_scalar_functions",
+    """
+    SELECT CAST(year(o_orderdate) AS INT)         AS yr,
+           upper(substr(o_orderpriority, 3))       AS prio,
+           COUNT(o_orderkey)                       AS n,
+           ROUND(SUM(abs(o_totalprice)), 2)        AS total,
+           ROUND(AVG(length(o_orderstatus) + (o_orderkey % 7)), 6) AS weird_avg
+    FROM orders
+    GROUP BY 1, 2
+    """,
+)
+def q29_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar expression surface: date extraction, string ops, math, modulo."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.select(
+            F.year("o_orderdate").alias("yr"),
+            F.upper(F.substring("o_orderpriority", 3, 2_000_000)).alias("prio"),
+            "o_orderkey",
+            "o_totalprice",
+            (F.length("o_orderstatus") + F.col("o_orderkey") % 7).alias("w"),
+        )
+        .groupBy("yr", "prio")
+        .agg(
+            F.count("o_orderkey").alias("n"),
+            F.round(F.sum(F.abs(F.col("o_totalprice"))), 2).alias("total"),
+            F.round(F.avg("w"), 6).alias("weird_avg"),
+        )
+    )
+
+
+@query(
+    "q30_time_bucket",
+    """
+    SELECT CAST(time_bucket(INTERVAL '1 day', ts) AS DATE) AS day,
+           event_type,
+           COUNT(event_id)            AS n,
+           ROUND(SUM(value), 4)       AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q30_time_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling time-window aggregation (batch form of the streaming
+    windowed agg — same F.window operator Structured Streaming uses)."""
+    events = load_events(spark, sf_dir)
+    return (
+        events.groupBy(
+            F.window("ts", "1 day").start.cast("date").alias("day"),
+            "event_type",
+        )
+        .agg(
+            F.count("event_id").alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )
+
+
+@query(
+    "q31_asof_join",
+    """
+    WITH right_dedup AS (
+        SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS last_orderkey
+        FROM orders GROUP BY o_custkey, o_orderdate
+    )
+    SELECT e.event_id, e.user_id, r.last_orderkey
+    FROM events e
+    ASOF LEFT JOIN right_dedup r
+      ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
+    """,
+)
+def q31_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of (most-recent-match) join: events pick up the latest prior order
+    per user.  Distributed as union + window carry-forward — one shuffle,
+    no range cross-product."""
+    from parquery_spark.operators.joins import asof_join
+
+    events = load_events(spark, sf_dir).select("event_id", "user_id", "ts")
+    orders = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("last_orderkey"))
+    )
+    out = asof_join(
+        events, orders,
+        on="user_id", right_on="o_custkey",
+        left_ts="ts", right_ts="o_orderdate",
+        right_cols=["last_orderkey"],
+        direction="backward",
+    )
+    return out.select("event_id", "user_id", "last_orderkey")
+
+
+@query(
+    "q32_range_join",
+    """
+    WITH bands(band_name, lo, hi) AS (
+        VALUES ('low', 0.0, 15.0), ('mid', 15.0, 35.0), ('high', 35.0, 51.0)
+    )
+    SELECT band_name, COUNT(l_orderkey) AS n, SUM(l_quantity) AS sum_qty
+    FROM lineitem JOIN bands ON l_quantity >= lo AND l_quantity < hi
+    GROUP BY band_name
+    """,
+)
+def q32_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval range join, bucketized to an equi-join."""
+    from parquery_spark.operators.joins import range_join
+
+    lineitem = load(spark, sf_dir, "lineitem")
+    bands = spark.createDataFrame(
+        [("low", 0.0, 15.0), ("mid", 15.0, 35.0), ("high", 35.0, 51.0)],
+        ["band_name", "lo", "hi"],
+    )
+    # interval semantics here are [lo, hi) — exact predicate applied after
+    # the bucket equi-join; hi is exclusive so drop bucket-edge equality
+    joined = range_join(
+        lineitem.select("l_orderkey", "l_quantity"),
+        bands, "l_quantity", "lo", "hi", bucket_width=10.0,
+    ).filter(F.col("l_quantity") < F.col("hi"))
+    return joined.groupBy("band_name").agg(
+        F.count("l_orderkey").alias("n"),
+        F.sum("l_quantity").alias("sum_qty"),
+    )
+
+
+# ===========================================================================
+# Training-data pipeline surface: dedup, similarity search, text analysis
+# (beyond-reference capabilities; BASELINE.json north star)
+# ===========================================================================
+
+#: shared SQL fragments replicating the md5 hash family + tokenization used
+#: by parquery_spark.operators.dedup — so the probabilistic operators are
+#: differentially testable bit-for-bit.
+_SQL_TOKS = (
+    "SELECT doc_id, list_filter(string_split_regex(lower(text),"
+    " '[^a-z0-9'']+'), t -> t != '') AS w FROM documents"
+)
+
+
+def _sql_shingles(k: int) -> str:
+    if k == 1:
+        return f"WITH toks AS ({_SQL_TOKS}) SELECT doc_id, w AS shingles FROM toks"
+    return (
+        f"WITH toks AS ({_SQL_TOKS}) "
+        f"SELECT doc_id, CASE WHEN len(w) >= {k} THEN "
+        f"[array_to_string(w[i+1:i+{k}], ' ') for i in range(len(w)-{k}+1)] "
+        f"ELSE [] END AS shingles FROM toks"
+    )
+
+
+def _sql_hash64(expr: str, seed: int) -> str:
+    return f"('0x' || substr(md5({expr} || '#{seed}'), 1, 15))::BIGINT"
+
+
+def _sql_minhash_lsh(num_hashes: int, bands: int, shingle_k: int,
+                     max_bucket: int) -> str:
+    rows = num_hashes // bands
+    sig_exprs = ", ".join(
+        f"list_min(list_transform(shingles, s -> {_sql_hash64('s', i)})) AS h{i}"
+        for i in range(num_hashes)
+    )
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, md5("
+        + " || ',' || ".join(f"h{b * rows + r}::VARCHAR" for r in range(rows))
+        + ") AS band_key FROM sig"
+        for b in range(bands)
+    )
+    n_eq = " + ".join(
+        f"CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END"
+        for i in range(num_hashes)
+    )
+    return f"""
+    WITH sh AS ({_sql_shingles(shingle_k)}),
+    sig AS (SELECT doc_id, {sig_exprs} FROM sh),
+    banded AS (
+        SELECT * FROM ({band_selects})
+        QUALIFY COUNT(*) OVER (PARTITION BY band, band_key) <= {max_bucket}
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, ROUND(({n_eq}) / {float(num_hashes)}, 6) AS est_jaccard
+    FROM pairs
+    JOIN sig sa ON sa.doc_id = id_a
+    JOIN sig sb ON sb.doc_id = id_b
+    """
+
+
+def _sql_simhash(bits: int, bands: int, max_hamming: int) -> str:
+    band_bits = bits // bands
+    mask = (1 << band_bits) - 1
+    sh_expr = " + ".join(
+        f"CASE WHEN list_sum(list_transform(hs, h -> ((h >> {j}) & 1)*2 - 1)) > 0 "
+        f"THEN {1 << j}::BIGINT ELSE 0::BIGINT END"
+        for j in range(bits)
+    )
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, sh, {b} AS band, (sh >> {b * band_bits}) & {mask} AS chunk FROM sim"
+        for b in range(bands)
+    )
+    return f"""
+    WITH toks AS ({_SQL_TOKS}),
+    hh AS (SELECT doc_id, list_transform(w, t ->
+           ('0x' || substr(md5(t), 1, 8))::BIGINT) AS hs FROM toks),
+    sim AS (SELECT doc_id, ({sh_expr}) AS sh FROM hh),
+    banded AS ({band_selects}),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+               a.sh AS sh_a, b.sh AS sh_b
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, bit_count(xor(sh_a, sh_b)) AS hamming
+    FROM pairs WHERE bit_count(xor(sh_a, sh_b)) <= {max_hamming}
+    """
+
+
+_SQL_NORMALIZED_TEXT = (
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'),"
+    " '\\s+', ' ', 'g'))"
+)
+
+
+@query(
+    "q40_dedup_exact",
+    """
+    SELECT md5(text) AS text_hash, MIN(doc_id) AS doc_id,
+           COUNT(*) AS dup_count
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def q40_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via hash group-by: one shuffle on the content hash,
+    map-side partial aggregation; survivor = lowest doc_id."""
+    from parquery_spark.operators.dedup import exact_dedup
+
+    docs = load(spark, sf_dir, "documents").select(
+        F.md5("text").alias("text_hash"), "doc_id"
+    )
+    return exact_dedup(docs, ["text_hash"], "doc_id")
+
+
+@query(
+    "q41_fingerprint_dedup",
+    f"""
+    SELECT md5({_SQL_NORMALIZED_TEXT}) AS fingerprint,
+           MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
+    FROM documents GROUP BY 1
+    """,
+)
+def q41_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-exact dedup on the md5 fingerprint of normalized text
+    (case/punctuation/whitespace-insensitive)."""
+    from parquery_spark.operators.dedup import fingerprint_dedup
+
+    return fingerprint_dedup(load(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@query(
+    "q42_jaccard_pairs",
+    f"""
+    WITH t AS (
+        SELECT doc_id, lang,
+               list_distinct(list_filter(string_split_regex(lower(text),
+                   '[^a-z0-9'']+'), x -> x != '')) AS s
+        FROM documents
+    ),
+    scored AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               ROUND(len(list_intersect(a.s, b.s)) /
+                     len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+        FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.6
+    """,
+)
+def q42_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram (word-set) Jaccard near-dup pairs, blocked by language —
+    quadratic only within blocks."""
+    from parquery_spark.operators.dedup import jaccard_pairs
+
+    return jaccard_pairs(
+        load(spark, sf_dir, "documents"),
+        "text", "doc_id", block_cols=["lang"], threshold=0.6, shingle_k=1,
+    )
+
+
+@query("q43_minhash_lsh", _sql_minhash_lsh(16, 4, 2, 1000))
+def q43_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16) + LSH(4 bands × 4 rows) candidate pairs over 2-word
+    shingles with estimated Jaccard.  Signature is a narrow map; candidates
+    come from the band-key shuffle join — never all pairs.  The md5-based
+    hash family is replicated bit-for-bit by the SQL oracle."""
+    from parquery_spark.operators.dedup import lsh_candidate_pairs
+
+    return lsh_candidate_pairs(
+        load(spark, sf_dir, "documents"),
+        "text", "doc_id",
+        num_hashes=16, bands=4, shingle_k=2, max_bucket_size=1000,
+    )
+
+
+@query("q44_simhash", _sql_simhash(32, 4, 6))
+def q44_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash(32-bit) near-dup candidates: pigeonhole banding on 8-bit
+    chunks, hamming-distance verification ≤ 6."""
+    from parquery_spark.operators.dedup import simhash_candidates
+
+    return simhash_candidates(
+        load(spark, sf_dir, "documents"),
+        "text", "doc_id", bits=32, bands=4, max_hamming=6,
+    )
+
+
+@query(
+    "q45_embedding_topk",
+    """
+    WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id,
+           ROUND(list_dot_product(embedding::DOUBLE[], qv) /
+                 (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(qv, qv))), 6) AS cosine_sim
+    FROM embeddings, q
+    ORDER BY cosine_sim DESC, vec_id LIMIT 20
+    """,
+)
+def q45_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k (exact ANN baseline): narrow map +
+    TakeOrderedAndProject — no full sort, no corpus shuffle."""
+    from parquery_spark.operators.similarity import cosine_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    return cosine_topk(emb, [float(x) for x in qvec], k=20)
+
+
+def _sql_lsh_topk(num_planes: int, probe_hamming: int, k: int, seed: int) -> str:
+    from parquery_spark.operators.similarity import hyperplanes
+
+    planes = hyperplanes(64, num_planes, seed)
+    def bucket_expr(vec: str) -> str:
+        return " + ".join(
+            f"CASE WHEN list_dot_product({vec}, "
+            f"[{', '.join(repr(float(x)) for x in p)}]::DOUBLE[]) > 0 "
+            f"THEN {1 << j}::BIGINT ELSE 0::BIGINT END"
+            for j, p in enumerate(planes)
+        )
+    return f"""
+    WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+    qb AS (SELECT qv, ({bucket_expr('qv')}) AS qsig FROM q),
+    bucketed AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v,
+               ({bucket_expr('embedding::DOUBLE[]')}) AS bucket
+        FROM embeddings
+    )
+    SELECT vec_id,
+           ROUND(list_dot_product(v, qv) /
+                 (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))),
+                 6) AS cosine_sim
+    FROM bucketed, qb
+    WHERE bit_count(xor(bucket, qsig)) <= {probe_hamming}
+    ORDER BY cosine_sim DESC, vec_id LIMIT {k}
+    """
+
+
+@query("q46_embedding_topk_lsh", _sql_lsh_topk(12, 2, 20, 7))
+def q46_embedding_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate cosine top-k via random-hyperplane LSH: probe only
+    buckets within hamming 2 of the query signature, exact cosine on the
+    candidates.  At scale the bucket is a partition key → partition
+    pruning on the scan."""
+    from parquery_spark.operators.similarity import cosine_topk_lsh
+
+    emb = load(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    return cosine_topk_lsh(
+        emb, [float(x) for x in qvec], k=20,
+        num_planes=12, probe_hamming=2, seed=7,
+    )
+
+
+def _sql_near_dup(num_planes: int, threshold: float, seed: int) -> str:
+    from parquery_spark.operators.similarity import hyperplanes
+
+    planes = hyperplanes(64, num_planes, seed)
+    bucket_expr = " + ".join(
+        f"CASE WHEN list_dot_product(v, "
+        f"[{', '.join(repr(float(x)) for x in p)}]::DOUBLE[]) > 0 "
+        f"THEN {1 << j}::BIGINT ELSE 0::BIGINT END"
+        for j, p in enumerate(planes)
+    )
+    return f"""
+    WITH bucketed AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    wb AS (SELECT vec_id, v, ({bucket_expr}) AS bucket FROM bucketed),
+    pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               ROUND(list_dot_product(a.v, b.v) /
+                     (sqrt(list_dot_product(a.v, a.v)) *
+                      sqrt(list_dot_product(b.v, b.v))), 6) AS cosine_sim
+        FROM wb a JOIN wb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, cosine_sim FROM pairs WHERE cosine_sim >= {threshold}
+    """
+
+
+@query("q47_embedding_near_dup", _sql_near_dup(4, 0.3, 7))
+def q47_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: LSH bucket join (quadratic
+    only within buckets), exact cosine verification ≥ 0.3."""
+    from parquery_spark.operators.similarity import near_dup_pairs
+
+    return near_dup_pairs(
+        load(spark, sf_dir, "embeddings"),
+        threshold=0.3, num_planes=4, seed=7,
+    )
+
+
+_LANG_SCORE_SQL = {
+    lang: f"len(regexp_extract_all(lower(text), '\\b({'|'.join(ws)})\\b'))"
+    for lang, ws in {
+        "en": ["the", "and", "of", "to", "a"],
+        "fr": ["le", "la", "et", "les", "des"],
+        "de": ["der", "die", "und", "das", "ein"],
+        "es": ["el", "los", "que", "de", "una"],
+    }.items()
+}
+
+_SQL_TEXT_PROFILE = f"""
+    WITH base AS (
+        SELECT doc_id, text,
+               len(regexp_extract_all(text, '[A-Za-z0-9_'']+'))       AS n_tokens,
+               length(text)                                            AS n_chars_c,
+               length(text) - length(regexp_replace(text,
+                   '[!-/:-@\\[-`{{-~]', '', 'g'))                      AS n_punct,
+               list_filter(regexp_extract_all(text, '[A-Za-z0-9_'']+'),
+                           t -> t != '')                               AS toks,
+               {_LANG_SCORE_SQL["en"]} AS s_en,
+               {_LANG_SCORE_SQL["fr"]} AS s_fr,
+               {_LANG_SCORE_SQL["de"]} AS s_de,
+               {_LANG_SCORE_SQL["es"]} AS s_es
+        FROM documents
+    ),
+    derived AS (
+        SELECT doc_id, n_tokens,
+               CASE WHEN n_chars_c > 0 THEN n_punct / n_chars_c ELSE 0.0 END AS praw,
+               CASE WHEN n_tokens > 0 THEN {_LANG_SCORE_SQL["en"].replace("text", "text")} / n_tokens ELSE 0.0 END AS sw_raw,
+               CASE WHEN len(toks) > 0
+                    THEN list_sum(list_transform(toks, t -> length(t))) / len(toks)
+                    ELSE 0.0 END AS mwl,
+               s_en, s_fr, s_de, s_es,
+               greatest(s_en, s_fr, s_de, s_es) AS best,
+               text
+        FROM base
+    )
+    SELECT doc_id, n_tokens,
+           ROUND(praw, 6) AS punct_ratio,
+           ROUND(sw_raw, 6) AS stopword_ratio,
+           ROUND(mwl, 6) AS mean_word_len,
+           ROUND((
+               (CASE WHEN n_tokens >= 10 AND n_tokens <= 100000 THEN 1.0
+                     ELSE n_tokens / 10.0 END)
+             + (1.0 - least(praw * 4, 1.0))
+             + (CASE WHEN mwl >= 2.0 AND mwl <= 12.0 THEN 1.0 ELSE 0.5 END)
+           ) / 3.0, 6) AS quality,
+           CASE WHEN s_en = best AND best > 0 THEN 'en'
+                WHEN s_fr = best AND best > 0 THEN 'fr'
+                WHEN s_de = best AND best > 0 THEN 'de'
+                WHEN s_es = best AND best > 0 THEN 'es'
+                ELSE 'unknown' END AS lang_guess,
+           md5({_SQL_NORMALIZED_TEXT}) AS fingerprint
+    FROM derived
+"""
+
+
+@query("q48_text_profile", _SQL_TEXT_PROFILE)
+def q48_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document text analysis: token count, punctuation/stopword
+    ratios, mean word length, composite quality score, language ID,
+    content fingerprint — all JVM Column expressions, zero UDFs."""
+    from parquery_spark.functions.text import text_profile
+
+    docs = load(spark, sf_dir, "documents")
+    return text_profile(docs, "text").select(
+        "doc_id", "n_tokens", "punct_ratio", "stopword_ratio",
+        "mean_word_len", "quality", "lang_guess", "fingerprint",
+    )
+
+
+@query(
+    "q49_lang_quality_summary",
+    f"""
+    WITH prof AS ({_SQL_TEXT_PROFILE})
+    SELECT d.lang, COUNT(p.doc_id) AS n_docs,
+           SUM(p.n_tokens) AS total_tokens,
+           ROUND(AVG(p.quality), 6) AS avg_quality,
+           SUM(CASE WHEN p.lang_guess = d.lang THEN 1 ELSE 0 END) AS n_guessed_right
+    FROM prof p JOIN documents d ON p.doc_id = d.doc_id
+    GROUP BY d.lang
+    """,
+)
+def q49_lang_quality_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus roll-up of the text profile per labeled language (profile →
+    broadcast-join back to labels → aggregate)."""
+    from parquery_spark.functions.text import text_profile
+
+    docs = load(spark, sf_dir, "documents")
+    prof = text_profile(docs, "text")
+    return prof.groupBy("lang").agg(
+        F.count("doc_id").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(F.avg("quality"), 6).alias("avg_quality"),
+        F.sum(
+            F.when(F.col("lang_guess") == F.col("lang"), 1).otherwise(0)
+        ).alias("n_guessed_right"),
     )
