@@ -1,3 +1,3 @@
-from parquery_spark.operators import dedup, joins, similarity, windows
+from parquery_spark.operators import dedup, joins, multimodal, similarity, windows
 
-__all__ = ["dedup", "similarity", "joins", "windows"]
+__all__ = ["dedup", "similarity", "joins", "windows", "multimodal"]

@@ -1090,3 +1090,38 @@ def q49_lang_quality_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("lang_guess") == F.col("lang"), 1).otherwise(0)
         ).alias("n_guessed_right"),
     )
+
+
+@query(
+    "q50_multimodal_features",
+    """
+    SELECT doc_id,
+           octet_length(encode(text))                               AS n_bytes,
+           md5(text)                                                AS content_hash,
+           CAST(64 + (('0x' || substr(md5(text), 1, 8))::BIGINT % 1024) AS INT)
+                                                                    AS width,
+           CAST(64 + ((('0x' || substr(md5(text), 1, 8))::BIGINT >> 10) % 1024) AS INT)
+                                                                    AS height,
+           CAST(1 AS INT)                                           AS n_frames,
+           TRUE                                                     AS decode_ok
+    FROM documents
+    """,
+)
+def q50_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: documents' text bytes as an opaque binary
+    payload column → Arrow-batched mapInPandas feature extraction (decode
+    STUB — deterministic md5-derived fake features; the batching, schema,
+    and partition behavior are the real contract).  The stub's determinism
+    makes even the Python path oracle-checkable."""
+    from parquery_spark.operators.multimodal import (
+        attach_binary_payload,
+        extract_media_features,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    media = attach_binary_payload(docs, "text", "image")
+    feats = extract_media_features(media.drop("text"))
+    return feats.select(
+        "doc_id", "n_bytes", "content_hash", "width", "height",
+        "n_frames", "decode_ok",
+    )

@@ -1,0 +1,7 @@
+from parquery_spark.sources.parquet import (
+    read_parquet_dataset,
+    read_parquet_files,
+    write_partitioned,
+)
+
+__all__ = ["read_parquet_files", "read_parquet_dataset", "write_partitioned"]

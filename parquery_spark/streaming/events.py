@@ -1,0 +1,137 @@
+"""Structured Streaming operators over the event stream: watermarked
+tumbling-window aggregation and stateful sessionization.
+
+The reference is batch-only — its docs' "streaming execution" means
+pipelined batch reads (reference: parquery/aggregate_duckdb.py:81-86;
+SURVEY.md §2.4) — so this module is a beyond-reference capability, built on
+the real streaming engine:
+
+* ``readStream`` file source over a parquet directory (at scale: Kafka/
+  Kinesis — the transformation graph is identical).
+* Event-time watermarks bound state: late rows beyond the watermark are
+  dropped, so state size is O(windows in flight), not O(stream length).
+* The windowed aggregation is the same ``F.window`` expression the batch
+  query q30 uses — one definition of correctness for both modes.
+* Sessionization uses ``applyInPandasWithState`` (per-key timeout state),
+  the custom-stateful-operator escape hatch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def _window_agg(events: DataFrame, window: str) -> DataFrame:
+    return (
+        events.groupBy(F.window("ts", window).alias("win"), "event_type")
+        .agg(
+            F.count("event_id").alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def windowed_event_counts(
+    spark: SparkSession,
+    source_dir: str,
+    schema: T.StructType,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming tumbling-window counts with an event-time watermark.
+    Returns the streaming DataFrame; attach ``.writeStream`` to run."""
+    stream = (
+        spark.readStream.schema(schema).parquet(source_dir)
+        .withWatermark("ts", watermark)
+    )
+    return _window_agg(stream, window)
+
+
+def windowed_event_counts_batch(events: DataFrame, window: str = "1 hour") -> DataFrame:
+    """Batch twin of :func:`windowed_event_counts` — identical expression
+    graph, so batch backfill and the live stream agree by construction."""
+    return _window_agg(events, window)
+
+
+SESSION_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_start", T.TimestampType()),
+        T.StructField("session_end", T.TimestampType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("start_ms", T.LongType()),
+        T.StructField("end_ms", T.LongType()),
+        T.StructField("n", T.LongType()),
+    ]
+)
+
+
+def _session_fn(key, pdfs, state: GroupState):
+    """Emit a session row when a user's event gap exceeds the timeout."""
+    import pandas as pd
+
+    if state.hasTimedOut:
+        start_ms, end_ms, n = state.get
+        state.remove()
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "session_start": [pd.Timestamp(start_ms, unit="ms")],
+                "session_end": [pd.Timestamp(end_ms, unit="ms")],
+                "n_events": [n],
+            }
+        )
+        return
+
+    ts_min, ts_max, count = None, None, 0
+    for pdf in pdfs:
+        if len(pdf) == 0:
+            continue
+        batch_min, batch_max = pdf["ts"].min(), pdf["ts"].max()
+        ts_min = batch_min if ts_min is None else min(ts_min, batch_min)
+        ts_max = batch_max if ts_max is None else max(ts_max, batch_max)
+        count += len(pdf)
+    if count:
+        if state.exists:
+            start_ms, end_ms, n = state.get
+        else:
+            start_ms, end_ms, n = ts_min.value // 1_000_000, 0, 0
+        state.update((start_ms, ts_max.value // 1_000_000, n + count))
+        state.setTimeoutDuration(30 * 60 * 1000)  # 30 min inactivity
+    yield from ()
+
+
+def sessionize_stream(
+    spark: SparkSession,
+    source_dir: str,
+    schema: T.StructType,
+) -> DataFrame:
+    """Custom stateful operator: per-user session assembly with a 30-minute
+    inactivity timeout via ``applyInPandasWithState``.  State per key is a
+    3-tuple — constant memory per active user regardless of stream length."""
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    return (
+        stream.groupBy("user_id")
+        .applyInPandasWithState(
+            _session_fn,
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )

@@ -1,0 +1,131 @@
+"""Multimodal plumbing (mapInPandas over binary columns) and Structured
+Streaming (watermarked windows, stateful sessionization) tests."""
+
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from parquery_spark.operators import multimodal
+from parquery_spark.streaming import (
+    windowed_event_counts,
+    windowed_event_counts_batch,
+)
+
+
+@pytest.fixture(scope="module")
+def media_df(spark):
+    docs = spark.createDataFrame(
+        [(1, "img-one"), (2, "img-two"), (3, "img-three")], ["media_id", "name"]
+    )
+    return multimodal.attach_binary_payload(docs, "name", "image")
+
+
+class TestMultimodal:
+    def test_payload_is_binary(self, media_df):
+        assert dict(media_df.dtypes)["payload"] == "binary"
+
+    def test_feature_extraction_schema_and_determinism(self, media_df):
+        out = multimodal.extract_media_features(media_df)
+        assert "payload" not in out.columns  # bytes dropped before shuffle
+        rows1 = {r["media_id"]: r.asDict() for r in out.collect()}
+        rows2 = {r["media_id"]: r.asDict() for r in out.collect()}
+        assert rows1 == rows2  # deterministic stub
+        r = rows1[1]
+        assert r["decode_ok"] and r["n_bytes"] == len(b"img-one")
+        assert isinstance(r["width"], int) and isinstance(r["height"], int)
+
+    def test_unknown_media_type_raises(self, spark, media_df):
+        bad = media_df.withColumn("media_type", F.lit("hologram"))
+        with pytest.raises(Exception, match="hologram"):
+            multimodal.extract_media_features(bad).collect()
+
+    def test_resize_stub_roundtrip(self, media_df):
+        out = multimodal.resize_stub(media_df)
+        assert out.schema == media_df.schema
+        assert all(len(r["payload"]) == 16 for r in out.collect())  # md5 bytes
+
+    def test_frame_sampling_fanout(self, media_df):
+        vids = media_df.withColumn("media_type", F.lit("video"))
+        out = multimodal.frame_sample_stub(vids, every_n=10)
+        rows = out.collect()
+        assert len(rows) >= 3  # ≥1 frame per video
+        assert {"frame_idx", "frame_hash"} <= set(out.columns)
+
+    def test_partitioned_batches(self, media_df):
+        # plumbing works across repartition (several Arrow batches)
+        out = multimodal.extract_media_features(media_df.repartition(3))
+        assert out.count() == 3
+
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+@pytest.fixture(scope="module")
+def event_dir(spark, tmp_path_factory):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, base + dt.timedelta(minutes=7 * i), i % 3, "click", float(i))
+        for i in range(40)
+    ]
+    path = str(tmp_path_factory.mktemp("stream") / "events")
+    spark.createDataFrame(rows, EVENT_SCHEMA).coalesce(1).write.parquet(path)
+    return path
+
+
+class TestStreaming:
+    def test_stream_matches_batch(self, spark, event_dir, tmp_path_factory):
+        stream_df = windowed_event_counts(
+            spark, event_dir, EVENT_SCHEMA, window="1 hour", watermark="2 hours"
+        )
+        assert stream_df.isStreaming
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName("win_counts")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            (r["window_start"], r["event_type"]): (r["n"], r["total_value"])
+            for r in spark.sql("SELECT * FROM win_counts").collect()
+        }
+        batch = windowed_event_counts_batch(
+            spark.read.parquet(event_dir), "1 hour"
+        )
+        want = {
+            (r["window_start"], r["event_type"]): (r["n"], r["total_value"])
+            for r in batch.collect()
+        }
+        assert got == want and len(want) > 0
+
+    def test_sessionization_state_shape(self, spark, event_dir):
+        from parquery_spark.streaming import sessionize_stream
+
+        out = sessionize_stream(spark, event_dir, EVENT_SCHEMA)
+        assert out.isStreaming
+        assert set(out.columns) == {
+            "user_id", "session_start", "session_end", "n_events"
+        }
+        # run one availableNow pass to prove the stateful operator executes
+        q = (
+            out.writeStream.format("memory").queryName("sessions")
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        # sessions only emit on timeout; zero rows after one pass is valid —
+        # the assertion is that the stateful query ran to completion
+        assert not q.isActive or q.exception() is None

@@ -1,0 +1,189 @@
+"""Operator-level tests: joins (as-of, range), windows, dedup family,
+similarity — small deterministic fixtures with hand-computable answers,
+complementing the DuckDB-differential query gate."""
+
+import pyarrow as pa
+import pytest
+from pyspark.sql import functions as F
+
+from parquery_spark.operators import dedup, joins, similarity, windows
+
+
+@pytest.fixture(scope="module")
+def trades(spark):
+    return spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (1, 35, "c"), (2, 5, "d"), (3, 9, "e")],
+        ["key", "t", "trade"],
+    )
+
+
+@pytest.fixture(scope="module")
+def quotes(spark):
+    return spark.createDataFrame(
+        [(1, 8, 100.0), (1, 20, 101.0), (1, 30, 102.0), (2, 6, 200.0)],
+        ["key", "qt", "price"],
+    )
+
+
+class TestAsofJoin:
+    def test_backward(self, trades, quotes):
+        out = joins.asof_join(
+            trades, quotes, on="key", left_ts="t", right_ts="qt",
+            right_cols=["price"], direction="backward",
+        )
+        got = {r["trade"]: r["price"] for r in out.collect()}
+        # t=10 → quote@8; t=20 → quote@20 (exact ts matches); t=35 → quote@30
+        # key=2 t=5 → no quote ≤ 5 → null; key=3 → no quotes at all → null
+        assert got == {"a": 100.0, "b": 101.0, "c": 102.0, "d": None, "e": None}
+
+    def test_forward(self, trades, quotes):
+        out = joins.asof_join(
+            trades, quotes, on="key", left_ts="t", right_ts="qt",
+            right_cols=["price"], direction="forward",
+        )
+        got = {r["trade"]: r["price"] for r in out.collect()}
+        assert got == {"a": 101.0, "b": 101.0, "c": None, "d": 200.0, "e": None}
+
+    def test_bad_direction(self, trades, quotes):
+        with pytest.raises(ValueError):
+            joins.asof_join(trades, quotes, "key", "t", "qt", ["price"],
+                            direction="sideways")
+
+
+class TestRangeJoin:
+    def test_point_in_interval(self, spark):
+        points = spark.createDataFrame(
+            [(1, 5.0), (2, 15.0), (3, 25.0), (4, 99.0)], ["pid", "x"]
+        )
+        intervals = spark.createDataFrame(
+            [("lo", 0.0, 10.0), ("hi", 10.0, 30.0)], ["name", "lo", "hi"]
+        )
+        out = joins.range_join(points, intervals, "x", "lo", "hi", bucket_width=7.0)
+        got = sorted((r["pid"], r["name"]) for r in out.collect())
+        # inclusive bounds: x=5→lo; x=15→hi; x=25→hi; x=99→none; x=10 n/a
+        assert got == [(1, "lo"), (2, "hi"), (3, "hi")]
+
+
+class TestWindows:
+    def test_top_n_per_group(self, spark):
+        df = spark.createDataFrame(
+            [("a", i) for i in range(5)] + [("b", i) for i in range(3)],
+            ["g", "v"],
+        )
+        out = windows.top_n_per_group(df, ["g"], [F.col("v").desc()], 2)
+        got = sorted((r["g"], r["v"]) for r in out.collect())
+        assert got == [("a", 3), ("a", 4), ("b", 1), ("b", 2)]
+
+    def test_running_agg(self, spark):
+        df = spark.createDataFrame(
+            [("a", 1, 10.0), ("a", 2, 5.0), ("a", 3, 1.0)], ["g", "t", "v"]
+        )
+        out = windows.running_agg(df, ["g"], [F.col("t")], "v", "sum", "rs")
+        assert [r["rs"] for r in out.orderBy("t").collect()] == [10.0, 15.0, 16.0]
+
+    def test_lag_lead(self, spark):
+        df = spark.createDataFrame([("a", 1, "x"), ("a", 2, "y")], ["g", "t", "v"])
+        row = (
+            windows.lag_lead(df, ["g"], [F.col("t")], "v")
+            .filter(F.col("t") == 2).collect()[0]
+        )
+        assert row["v_lag"] == "x" and row["v_lead"] is None
+
+
+class TestDedup:
+    @pytest.fixture(scope="class")
+    def docs(self, spark):
+        rows = [
+            (1, "the quick brown fox jumps over the lazy dog", "en"),
+            (2, "the quick brown fox jumps over the lazy dog", "en"),   # exact dup
+            (3, "The quick brown fox jumps over the lazy dog!!", "en"),  # fingerprint dup
+            (4, "the quick brown fox leaps over the lazy dog", "en"),    # near dup
+            (5, "completely different words about spark engines here", "en"),
+            (6, "der schnelle braune fuchs springt", "de"),
+        ]
+        return spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+
+    def test_exact_dedup(self, docs):
+        out = dedup.exact_dedup(
+            docs.select(F.md5("text").alias("h"), "doc_id"), ["h"], "doc_id"
+        )
+        dups = {r["doc_id"]: r["dup_count"] for r in out.collect()}
+        assert dups[1] == 2  # docs 1+2 merged, survivor = 1
+        assert 2 not in dups
+
+    def test_fingerprint_dedup_ignores_case_punct(self, docs):
+        out = dedup.fingerprint_dedup(docs, "text", "doc_id")
+        groups = {r["keep_id"]: r["dup_count"] for r in out.collect()}
+        assert groups[1] == 3  # 1, 2, and 3 share a fingerprint
+
+    def test_jaccard_near_dup(self, docs):
+        pairs = dedup.jaccard_pairs(
+            docs, "text", "doc_id", block_cols=["lang"], threshold=0.5
+        ).collect()
+        pairset = {(r["id_a"], r["id_b"]) for r in pairs}
+        assert (1, 4) in pairset       # near-dup found
+        assert (1, 5) not in pairset   # unrelated text not paired
+        exact = [r for r in pairs if (r["id_a"], r["id_b"]) == (1, 2)]
+        assert exact and exact[0]["jaccard"] == 1.0
+
+    def test_minhash_identical_docs_agree(self, docs):
+        sigs = {
+            r["doc_id"]: list(r["sig"])
+            for r in dedup.minhash_signatures(docs, "text", "doc_id", 8).collect()
+        }
+        assert sigs[1] == sigs[2]          # identical text → identical sig
+        assert sigs[1] != sigs[5]          # different text → different sig
+
+    def test_lsh_finds_exact_dups(self, docs):
+        pairs = dedup.lsh_candidate_pairs(
+            docs, "text", "doc_id", num_hashes=8, bands=4
+        ).collect()
+        got = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in pairs}
+        assert got.get((1, 2)) == 1.0
+
+    def test_simhash_near_for_near_text(self, docs):
+        out = {
+            r["doc_id"]: r["sh"]
+            for r in docs.select(
+                "doc_id", dedup.simhash("text").alias("sh")
+            ).collect()
+        }
+        assert out[1] == out[2]
+        ham_near = bin(out[1] ^ out[4]).count("1")
+        ham_far = bin(out[1] ^ out[6]).count("1")
+        assert ham_near < ham_far
+
+
+class TestSimilarity:
+    @pytest.fixture(scope="class")
+    def vectors(self, spark):
+        rows = [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [0.9, 0.1, 0.0]),   # close to 0
+            (2, [0.0, 1.0, 0.0]),   # orthogonal
+            (3, [-1.0, 0.0, 0.0]),  # opposite
+            (4, [0.8, 0.2, 0.1]),   # close-ish
+        ]
+        return spark.createDataFrame(rows, ["vec_id", "embedding"]).withColumn(
+            "embedding", F.col("embedding").cast("array<float>")
+        )
+
+    def test_brute_force_ordering(self, vectors):
+        out = similarity.cosine_topk(vectors, [1.0, 0.0, 0.0], k=3)
+        ids = [r["vec_id"] for r in out.collect()]
+        assert ids[0] == 0 and set(ids) == {0, 1, 4}
+
+    def test_lsh_recalls_self(self, vectors):
+        out = similarity.cosine_topk_lsh(
+            vectors, [1.0, 0.0, 0.0], k=3, num_planes=6, probe_hamming=2
+        )
+        ids = [r["vec_id"] for r in out.collect()]
+        assert 0 in ids
+
+    def test_near_dup_pairs(self, vectors):
+        pairs = similarity.near_dup_pairs(
+            vectors, threshold=0.9, num_planes=2
+        ).collect()
+        pairset = {(r["id_a"], r["id_b"]) for r in pairs}
+        assert (0, 1) in pairset
+        assert (0, 3) not in pairset
