@@ -85,14 +85,29 @@ def shingle_tokens(text: Column | str) -> Column:
 
 
 def word_shingles(text: Column | str, k: int = 3) -> Column:
-    """k-word shingles as strings; empty array when the doc has < k words."""
+    """k-word shingles as strings; empty array when the doc has < k words.
+
+    Built by zipping the token array with its own k-1 shifted copies —
+    NOT by ``slice`` inside a ``transform`` lambda: higher-order-function
+    lambdas are interpreted per element without subexpression hoisting, so
+    an embedded ``slice(tokens, i, k)`` re-evaluates the tokenizer once per
+    shingle position (O(n) full-text splits per doc — measured ~10× slower
+    at corpus scale).  ``zip_with`` evaluates its collection inputs once
+    per row."""
     w = shingle_tokens(text)
+    if k == 1:
+        return w
+    arr = w
+    for j in range(1, k):
+        # zip_with pads the shorter side with null; concat_ws skips nulls,
+        # leaving short partial shingles at the tail — sliced off below
+        arr = F.zip_with(
+            arr,
+            F.slice(w, j + 1, F.greatest(F.size(w) - j, F.lit(0))),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
     return F.when(
-        F.size(w) >= k,
-        F.transform(
-            F.sequence(F.lit(0), F.size(w) - k),
-            lambda i: F.concat_ws(" ", F.slice(w, i + 1, k)),
-        ),
+        F.size(w) >= k, F.slice(arr, 1, F.size(w) - k + 1)
     ).otherwise(F.array().cast("array<string>"))
 
 
@@ -104,7 +119,14 @@ def minhash_signature(
     text: Column | str, num_hashes: int = 16, shingle_k: int = 3
 ) -> Column:
     """Array of ``num_hashes`` minima over the shingle set — the classic
-    MinHash signature; E[fraction of equal positions] = Jaccard."""
+    MinHash signature; E[fraction of equal positions] = Jaccard.
+
+    Column-expression form for single-row/ad-hoc use.  For corpus-scale
+    signature computation use :func:`minhash_signatures`, which plans as
+    explode → hash → partial aggregation instead of nested array lambdas
+    (Catalyst re-inlines shared lambda subexpressions, so the expression
+    form recomputes the shingle array once per hash seed — measured 30×
+    slower at corpus scale)."""
     sh = word_shingles(text, shingle_k)
 
     # NB: the hash seed must be bound via closure, not a defaulted second
@@ -124,9 +146,29 @@ def minhash_signatures(
     num_hashes: int = 16,
     shingle_k: int = 3,
 ) -> DataFrame:
-    return df.select(
+    """Corpus-scale MinHash signatures, explode-shaped:
+
+    scan → shingle (once per doc) → explode to (id, shingle) rows → all
+    ``num_hashes`` hashes per row (one md5 each) → groupBy(id).min per seed.
+
+    The group-by partial-aggregates map-side, so the shuffle carries one
+    ``num_hashes``-wide row per doc per task — not per shingle.  Docs with
+    fewer than ``shingle_k`` words have no shingles and are omitted (their
+    signature is undefined; the LSH layer treats them as unpairable, which
+    matches SQL-oracle NULL-key semantics)."""
+    exploded = df.select(
         F.col(id_col),
-        minhash_signature(text_col, num_hashes, shingle_k).alias("sig"),
+        F.explode(word_shingles(text_col, shingle_k)).alias("__shingle"),
+    )
+    mins = exploded.groupBy(id_col).agg(
+        *[
+            F.min(hash64(F.col("__shingle"), i)).alias(f"__h{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    return mins.select(
+        F.col(id_col),
+        F.array(*[f"__h{i}" for i in range(num_hashes)]).alias("sig"),
     )
 
 
@@ -212,34 +254,54 @@ def jaccard_pairs(
     threshold: float = 0.5,
     shingle_k: int = 1,
 ) -> DataFrame:
-    """Exact Jaccard similarity over word (or k-shingle) sets for pairs
-    inside the same block.  Blocking keys (e.g. language + length bucket)
-    keep the self-join quadratic only within blocks — the standard
-    scale-out for exact verification."""
+    """Exact Jaccard similarity over word (or k-shingle) sets, computed by
+    inverted-index co-occurrence — the scalable exact-verification plan:
+
+    1. one row per (block, doc, distinct gram)  — explode, narrow
+    2. self-equi-join on (block, gram)          — pairs sharing ≥1 gram;
+       pairs sharing nothing never materialize at all
+    3. groupBy(pair).count                      — |A∩B| via partial-agg
+    4. join per-doc set sizes back              — |A∪B| = |A|+|B|-|A∩B|
+
+    Compared to an all-pairs block join with per-pair ``array_intersect``,
+    this ships only (gram, id) rows through the shuffle — never the gram
+    arrays — and its cost is Σ_g df(g)² within blocks, not |block|².
+    A pathologically common gram is the skew hazard: AQE skew-join
+    splitting handles moderate cases (at corpus scale, drop stop-grams
+    with df above a cap before step 2 — at the cost of exactness).
+    Only pairs with ``jaccard >= threshold`` (after 6-digit rounding) are
+    returned; pairs with zero overlap are definitionally below any
+    positive threshold."""
     grams = (
         word_shingles(text_col, shingle_k) if shingle_k > 1
         else shingle_tokens(text_col)
     )
+    blocks = list(block_cols or [])
     base = df.select(
-        *(block_cols or []), F.col(id_col),
-        F.array_distinct(grams).alias("gram_set"),
+        *blocks, F.col(id_col), F.array_distinct(grams).alias("gram_set")
+    ).withColumn("n_grams", F.size("gram_set"))
+    sizes = base.select(F.col(id_col), F.col("n_grams"))
+    exploded = base.select(
+        *blocks, F.col(id_col), F.explode("gram_set").alias("g")
     )
-    a = base.select(
-        *(block_cols or []),
-        F.col(id_col).alias("id_a"), F.col("gram_set").alias("set_a"),
+    a = exploded.select(*blocks, F.col(id_col).alias("id_a"), "g")
+    b = exploded.select(*blocks, F.col(id_col).alias("id_b"), "g")
+    co = (
+        a.join(b, [*blocks, "g"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
     )
-    b = base.select(
-        *(block_cols or []),
-        F.col(id_col).alias("id_b"), F.col("gram_set").alias("set_b"),
-    )
-    joined = (
-        a.join(b, block_cols) if block_cols else a.crossJoin(b)
-    ).filter(F.col("id_a") < F.col("id_b"))
-    jac = F.size(F.array_intersect("set_a", "set_b")) / F.size(
-        F.array_union("set_a", "set_b")
-    )
+    # sizes is one row per doc — small here, but at corpus scale it is NOT
+    # broadcastable; leave the strategy to Catalyst/AQE (it broadcasts when
+    # the statistics say it fits)
+    na = sizes.select(F.col(id_col).alias("id_a"), F.col("n_grams").alias("n_a"))
+    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_grams").alias("n_b"))
+    jac = F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
     return (
-        joined.select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+        co.join(na, "id_a")
+        .join(nb, "id_b")
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
 
@@ -248,9 +310,44 @@ def jaccard_pairs(
 # SimHash
 # ---------------------------------------------------------------------------
 
+def simhash_table(
+    df: DataFrame, text_col: str, id_col: str, bits: int = 32
+) -> DataFrame:
+    """Corpus-scale SimHash, explode-shaped: one md5 per token (explode →
+    hash32 once), then ``bits`` partial-aggregated sign-votes per doc —
+    instead of the expression form's per-bit re-traversal of the token
+    array.  Docs with zero tokens get simhash 0 (rejoined, matching the
+    SQL convention that an empty vote sum sets no bits)."""
+    exploded = df.select(
+        F.col(id_col), F.explode(shingle_tokens(text_col)).alias("__t")
+    ).select(F.col(id_col), hash32(F.col("__t")).alias("__h"))
+    votes = exploded.groupBy(id_col).agg(
+        *[
+            F.sum(F.shiftright("__h", j).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"__v{j}")
+            for j in range(bits)
+        ]
+    )
+    sh = sum(
+        F.when(F.col(f"__v{j}") > 0, F.lit(1 << j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        for j in range(bits)
+    )
+    hashed = votes.select(F.col(id_col), sh.alias("sh"))
+    return (
+        df.select(id_col)
+        .join(hashed, id_col, "left")
+        .select(F.col(id_col), F.coalesce("sh", F.lit(0).cast("long")).alias("sh"))
+    )
+
+
 def simhash(text: Column | str, bits: int = 32) -> Column:
     """SimHash over word tokens (with multiplicity): bit j is set when the
-    sum over tokens of ±1 (sign of token-hash bit j) is positive."""
+    sum over tokens of ±1 (sign of token-hash bit j) is positive.
+
+    Column-expression form for ad-hoc use; at corpus scale prefer
+    :func:`simhash_table` (explode-shaped — the expression form re-walks
+    the token array once per bit)."""
     hashes = F.transform(shingle_tokens(text), lambda t: hash32(t))
 
     def voter(bit):
@@ -280,7 +377,7 @@ def simhash_candidates(
     join on (band, chunk), verify hamming distance ≤ ``max_hamming``."""
     band_bits = bits // bands
     mask = (1 << band_bits) - 1
-    sh = df.select(F.col(id_col), simhash(text_col, bits).alias("sh"))
+    sh = simhash_table(df, text_col, id_col, bits)
     banded = sh.select(
         id_col, "sh",
         F.explode(F.array(*[
@@ -301,4 +398,54 @@ def simhash_candidates(
     return (
         pairs.select("id_a", "id_b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def lsh_verified_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 15,
+    bands: int = 5,
+    shingle_k: int = 2,
+    threshold: float = 0.5,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Two-stage near-dup detection — the corpus-scale production pattern:
+
+    1. **recall stage**: MinHash-LSH candidate generation
+       (:func:`lsh_candidate_pairs`) — cost scales with band collisions,
+       never with |corpus|².
+    2. **precision stage**: exact Jaccard verification of the candidates
+       only — per-pair set intersection is affordable because the
+       candidate set is orders of magnitude smaller than all pairs.
+
+    Returns (id_a, id_b, jaccard) for candidates whose exact Jaccard (over
+    distinct ``shingle_k``-word shingles, rounded to 6 digits) meets the
+    threshold.  Recall is governed by the banding: P(candidate) =
+    1-(1-j^rows)^bands.
+    """
+    cands = lsh_candidate_pairs(
+        df, text_col, id_col,
+        num_hashes=num_hashes, bands=bands, shingle_k=shingle_k,
+        max_bucket_size=max_bucket_size,
+    ).select("id_a", "id_b")
+    grams = (
+        word_shingles(text_col, shingle_k) if shingle_k > 1
+        else shingle_tokens(text_col)
+    )
+    sets = df.select(
+        F.col(id_col), F.array_distinct(grams).alias("s")
+    ).withColumn("n", F.size("s"))
+    sa = sets.select(F.col(id_col).alias("id_a"), F.col("s").alias("s_a"),
+                     F.col("n").alias("n_a"))
+    sb = sets.select(F.col(id_col).alias("id_b"), F.col("s").alias("s_b"),
+                     F.col("n").alias("n_b"))
+    inter = F.size(F.array_intersect("s_a", "s_b"))
+    jac = inter / (F.col("n_a") + F.col("n_b") - inter)
+    return (
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
     )

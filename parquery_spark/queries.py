@@ -831,32 +831,71 @@ def q41_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint_dedup(load(spark, sf_dir, "documents"), "text", "doc_id")
 
 
-@query(
-    "q42_jaccard_pairs",
-    f"""
-    WITH t AS (
-        SELECT doc_id, lang,
-               list_distinct(list_filter(string_split_regex(lower(text),
-                   '[^a-z0-9'']+'), x -> x != '')) AS s
-        FROM documents
+def _sql_lsh_core(num_hashes: int, bands: int, shingle_k: int,
+                  max_bucket: int) -> str:
+    """Shared CTE chain: shingles → minhash signatures → banded buckets →
+    distinct candidate pairs (replicates lsh_candidate_pairs bit-for-bit)."""
+    rows = num_hashes // bands
+    sig_exprs = ", ".join(
+        f"list_min(list_transform(shingles, s -> {_sql_hash64('s', i)})) AS h{i}"
+        for i in range(num_hashes)
+    )
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, md5("
+        + " || ',' || ".join(f"h{b * rows + r}::VARCHAR" for r in range(rows))
+        + ") AS band_key FROM sig"
+        for b in range(bands)
+    )
+    return f"""
+    sh AS ({_sql_shingles(shingle_k)}),
+    sig AS (SELECT doc_id, {sig_exprs} FROM sh),
+    banded AS (
+        SELECT * FROM ({band_selects})
+        QUALIFY COUNT(*) OVER (PARTITION BY band, band_key) <= {max_bucket}
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+    )"""
+
+
+def _sql_lsh_verified(num_hashes: int, bands: int, shingle_k: int,
+                      max_bucket: int, threshold: float) -> str:
+    return f"""
+    WITH {_sql_lsh_core(num_hashes, bands, shingle_k, max_bucket)},
+    sets AS (
+        SELECT doc_id, list_distinct(shingles) AS s,
+               len(list_distinct(shingles)) AS n
+        FROM sh
     ),
     scored AS (
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-               ROUND(len(list_intersect(a.s, b.s)) /
-                     len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
-        FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        SELECT id_a, id_b,
+               ROUND(len(list_intersect(sa.s, sb.s)) /
+                     (sa.n + sb.n - len(list_intersect(sa.s, sb.s))),
+                     6) AS jaccard
+        FROM pairs
+        JOIN sets sa ON sa.doc_id = id_a
+        JOIN sets sb ON sb.doc_id = id_b
     )
-    SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.6
-    """,
-)
-def q42_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram (word-set) Jaccard near-dup pairs, blocked by language —
-    quadratic only within blocks."""
-    from parquery_spark.operators.dedup import jaccard_pairs
+    SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= {threshold}
+    """
 
-    return jaccard_pairs(
+
+@query("q42_jaccard_pairs", _sql_lsh_verified(15, 5, 2, 1000, 0.5))
+def q42_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage near-dup detection over bigram shingles: MinHash-LSH
+    candidate recall (5 bands x 3 rows), then EXACT Jaccard verification of
+    candidates only - the production shape for corpus-scale dedup (the
+    all-pairs exact operator jaccard_pairs stays available for
+    within-block exact work)."""
+    from parquery_spark.operators.dedup import lsh_verified_pairs
+
+    return lsh_verified_pairs(
         load(spark, sf_dir, "documents"),
-        "text", "doc_id", block_cols=["lang"], threshold=0.6, shingle_k=1,
+        "text", "doc_id",
+        num_hashes=15, bands=5, shingle_k=2, threshold=0.5,
     )
 
 
@@ -875,15 +914,15 @@ def q43_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q44_simhash", _sql_simhash(32, 4, 6))
+@query("q44_simhash", _sql_simhash(32, 4, 2))
 def q44_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash(32-bit) near-dup candidates: pigeonhole banding on 8-bit
-    chunks, hamming-distance verification ≤ 6."""
+    chunks, hamming-distance verification ≤ 2."""
     from parquery_spark.operators.dedup import simhash_candidates
 
     return simhash_candidates(
         load(spark, sf_dir, "documents"),
-        "text", "doc_id", bits=32, bands=4, max_hamming=6,
+        "text", "doc_id", bits=32, bands=4, max_hamming=2,
     )
 
 
