@@ -31,8 +31,15 @@ def main():
 
     spark = get_spark("parquery_spark_bench")
 
-    # warm up JVM, parquet reader, codegen paths once
-    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+    # warm up JVM, parquet reader, codegen, shuffle, and Python-worker paths
+    # once — one-time process costs, not per-query costs
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    li.groupBy("l_returnflag").agg(F.sum("l_quantity")).collect()
+    spark.range(8).repartition(2).mapInPandas(
+        lambda it: it, schema="id long"
+    ).collect()
 
     timings: dict[str, float] = {}
     for name, fn in entrymod.queries().items():

@@ -123,6 +123,7 @@ def range_join(
     right_hi: str,
     bucket_width: float,
     extra_on: Sequence[str] = (),
+    broadcast_intervals: bool = False,
 ) -> DataFrame:
     """Point-in-interval join, bucketized: explode each right interval to
     the coarse buckets it spans, equi-join on bucket (+ optional keys),
@@ -141,6 +142,11 @@ def range_join(
         ),
     )
     on = ["__bucket", *extra_on]
+    # interval tables are usually tiny next to the point side; without the
+    # hint Catalyst may broadcast the (locally small) fact side instead —
+    # backwards at scale
+    if broadcast_intervals:
+        rb = F.broadcast(rb)
     return (
         lb.join(rb, on)
         .filter(

@@ -688,6 +688,7 @@ def q32_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = range_join(
         lineitem.select("l_orderkey", "l_quantity"),
         bands, "l_quantity", "lo", "hi", bucket_width=10.0,
+        broadcast_intervals=True,
     ).filter(F.col("l_quantity") < F.col("hi"))
     return joined.groupBy("band_name").agg(
         F.count("l_orderkey").alias("n"),
