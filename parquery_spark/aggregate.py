@@ -33,7 +33,7 @@ from parquery_spark.session import get_spark
 
 
 def aggregate_plan(
-    file_name: str,
+    file_name: str | Sequence[str],
     groupby_cols: Sequence[str],
     measure_cols: Sequence[Any],
     data_filter: Sequence[Sequence[Any]] | None = None,
@@ -57,7 +57,7 @@ def aggregate_plan(
 
 
 def aggregate_pq(
-    file_name: str,
+    file_name: str | Sequence[str],
     groupby_cols: Sequence[str],
     measure_cols: Sequence[Any],
     data_filter: Sequence[Sequence[Any]] | None = None,
@@ -74,7 +74,10 @@ def aggregate_pq(
     Args:
         file_name: path to one Parquet file (the reference's unit of
             distribution is one file per query; reference:
-            parquery/aggregate.py:72-83).
+            parquery/aggregate.py:72-83) — or a LIST of paths, which the
+            reference handled as one process per file + caller-side
+            recombination and is here a single distributed query
+            (mergeSchema reconciles footer drift between files).
         groupby_cols: dimension column names.
         measure_cols: ``['m']`` | ``[['m','op']]`` | ``[['m','op','out']]``;
             default op is ``sum``.  Ops: sum, mean/avg, std/stddev, count,

@@ -59,6 +59,10 @@ _AGG_BUILDERS = {
     "min": F.min,
     "max": F.max,
     "one": F.min,
+    # beyond-reference aggregate extensions (absent from the reference's
+    # 10-op whitelist, SURVEY.md §2.3):
+    "median": F.median,
+    "approx_count_distinct": F.approx_count_distinct,
 }
 
 
@@ -123,7 +127,7 @@ def empty_result_plan(spark: SparkSession, result_cols: Sequence[str]) -> DataFr
 
 def build_aggregation_plan(
     spark: SparkSession,
-    file_name: str,
+    file_name: str | Sequence[str],
     groupby_cols: Sequence[str],
     measure_cols: Sequence[Any],
     data_filter: Sequence[Sequence[Any]] | None = None,
@@ -144,16 +148,30 @@ def build_aggregation_plan(
     result_cols = tool.get_result_columns(groupby_cols, measures)
 
     # -- pre-flight, driver-side, footer-only (no Spark job) ---------------
-    if not os.path.exists(file_name):
-        if not handle_missing_file:
-            raise OSError(f"File {file_name} does not exist")
+    # Multi-file form: the reference's production pattern is one process per
+    # file with results recombined by the caller (reference: README.md:4,159);
+    # here the file list is ONE distributed query.  Missing files are
+    # skipped (or raise, per handle_missing_file); a column missing from
+    # only some files surfaces as nulls via mergeSchema, so filters on it
+    # exclude those files' rows — the per-file "unknown dimension
+    # contributes nothing" contract, preserved across the dataset.
+    paths = [file_name] if isinstance(file_name, str) else list(file_name)
+    live_paths = []
+    for p in paths:
+        if os.path.exists(p):
+            live_paths.append(p)
+        elif not handle_missing_file:
+            raise OSError(f"File {p} does not exist")
+    if not live_paths:
         return empty_result_plan(spark, result_cols)
 
     requested = {*groupby_cols, *(m[0] for m in measures), *(f[0] for f in filters)}
-    try:
-        existing = set(papq.read_schema(file_name).names) & requested
-    except Exception:
-        existing = set()
+    existing: set[str] = set()
+    for p in live_paths:
+        try:
+            existing |= set(papq.read_schema(p).names) & requested
+        except Exception:
+            pass
     if not existing:
         return empty_result_plan(spark, result_cols)
     if any(f[0] not in existing for f in filters):
@@ -170,7 +188,10 @@ def build_aggregation_plan(
     scan_cols = sorted(
         {*live_groupby, *(m[0] for m in live_measures), *(f[0] for f in filters)}
     )
-    df = spark.read.parquet(file_name).select(*scan_cols)
+    reader = spark.read
+    if len(live_paths) > 1:
+        reader = reader.option("mergeSchema", "true")
+    df = reader.parquet(*live_paths).select(*scan_cols)
 
     predicate = combined_filter(filters)
     if predicate is not None:

@@ -1165,3 +1165,49 @@ def q50_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n_bytes", "content_hash", "width", "height",
         "n_frames", "decode_ok",
     )
+
+
+@query(
+    "q51_median_approx",
+    """
+    SELECT l_returnflag,
+           ROUND(median(l_extendedprice), 6)          AS med_price,
+           ROUND(quantile_cont(l_quantity, 0.25), 6)  AS q25_qty,
+           ROUND(quantile_cont(l_quantity, 0.75), 6)  AS q75_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q51_median_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beyond-reference aggregates: exact median and interpolated
+    percentiles (the reference's op whitelist stops at stddev;
+    approx_count_distinct is also registered in _AGG_BUILDERS but has no
+    cross-engine-stable value to oracle-check)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.median("l_extendedprice"), 6).alias("med_price"),
+        F.round(F.percentile("l_quantity", F.lit(0.25)), 6).alias("q25_qty"),
+        F.round(F.percentile("l_quantity", F.lit(0.75)), 6).alias("q75_qty"),
+    )
+
+
+@query(
+    "q52_multifile_dataset",
+    """
+    SELECT o_orderstatus, COUNT(o_orderkey) AS n,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM (SELECT * FROM orders UNION ALL SELECT * FROM orders)
+    GROUP BY o_orderstatus
+    """,
+)
+def q52_multifile_dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-file aggregation through the parity API: a file LIST is one
+    distributed query (the reference ran one process per file and made the
+    caller recombine partials over Arrow IPC).  Reading the same file
+    twice doubles every group — a deliberate, oracle-checkable shape."""
+    df = build_aggregation_plan(
+        spark,
+        [_path(sf_dir, "orders"), _path(sf_dir, "orders")],
+        ["o_orderstatus"],
+        [["o_orderkey", "count", "n"], ["o_totalprice", "sum", "total"]],
+    )
+    return df.withColumn("total", F.round("total", 2))

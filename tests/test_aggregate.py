@@ -114,7 +114,13 @@ class TestGroupbyOps:
 
     def test_invalid_op_raises(self, synthetic_pq):
         with pytest.raises(NotImplementedError, match="valid operations"):
-            aggregate_pq(synthetic_pq, ["f0"], [["f3", "median"]])
+            aggregate_pq(synthetic_pq, ["f0"], [["f3", "frobnicate"]])
+
+    def test_median_extension_op(self, synthetic_pq, syn):
+        r = aggregate_pq(synthetic_pq, ["f0"], [["f3", "median", "med"]])
+        assert_matches_duckdb(
+            r, syn, "SELECT f0, median(f3) AS med FROM t GROUP BY f0"
+        )
 
 
 class TestFilters:

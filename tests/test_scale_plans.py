@@ -1,0 +1,141 @@
+"""Plan-quality tests: assert the PHYSICAL PLAN shapes that matter at
+100 TB — pushdown, pruning, broadcast, top-k without full sort, bucketed
+shuffle-free joins — not just result correctness."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from parquery_spark import aggregate_pq, aggregate_plan
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+class TestAggregationPlans:
+    def test_filter_pushed_to_scan(self, spark, sf_dir):
+        df = aggregate_plan(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            ["l_returnflag"],
+            [["l_quantity", "sum", "s"]],
+            data_filter=[["l_quantity", ">", 30]],
+            spark=spark,
+        )
+        plan = plan_of(df)
+        assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,30" in plan
+
+    def test_column_pruning_reaches_scan(self, spark, sf_dir):
+        df = aggregate_plan(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            ["l_returnflag"],
+            [["l_quantity", "sum", "s"]],
+            spark=spark,
+        )
+        plan = plan_of(df)
+        scan = next(l for l in plan.splitlines() if "FileScan" in l)
+        # the scan must read exactly the 2 needed columns of the 11
+        assert "l_returnflag" in scan and "l_quantity" in scan
+        assert "l_extendedprice" not in scan and "l_shipdate" not in scan
+
+    def test_partial_aggregation_before_shuffle(self, spark, sf_dir):
+        df = aggregate_plan(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            ["l_returnflag"],
+            [["l_quantity", "sum", "s"]],
+            spark=spark,
+        )
+        plan = plan_of(df)
+        # two-phase hash agg: partial_sum on the map side
+        assert "partial_sum" in plan
+
+    def test_no_python_in_aggregation_path(self, spark, sf_dir):
+        df = aggregate_plan(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            ["l_returnflag", "l_linestatus"],
+            [["l_quantity", "mean"], ["l_extendedprice", "std"]],
+            data_filter=[["l_returnflag", "in", ["A", "R"]]],
+            spark=spark,
+        )
+        assert "EvalPython" not in plan_of(df)
+
+    def test_multifile_single_query(self, spark, sf_dir):
+        path = os.path.join(sf_dir, "orders.parquet")
+        single = aggregate_pq(path, [], [["o_totalprice", "count", "n"]])
+        double = aggregate_pq([path, path], [], [["o_totalprice", "count", "n"]])
+        assert double.column("n").to_pylist()[0] == 2 * single.column("n").to_pylist()[0]
+
+    def test_multifile_schema_drift_splice(self, spark, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        f1 = str(tmp_path / "a.parquet")
+        f2 = str(tmp_path / "b.parquet")
+        pq.write_table(pa.table({"d": [1, 1], "m": [10.0, 20.0]}), f1)
+        pq.write_table(pa.table({"d": [2]}), f2)  # m missing here
+        r = aggregate_pq([f1, f2], ["d"], [["m", "sum", "s"]])
+        got = {row["d"]: row["s"] for row in r.to_pylist()}
+        assert got == {1: 30.0, 2: None}  # mergeSchema: absent → null → sum null
+
+    def test_multifile_missing_file_skipped_or_raises(self, spark, sf_dir):
+        path = os.path.join(sf_dir, "orders.parquet")
+        r = aggregate_pq([path, "/nope.parquet"], [], [["o_totalprice", "count", "n"]])
+        assert r.num_rows == 1
+        with pytest.raises(OSError):
+            aggregate_pq(
+                [path, "/nope.parquet"], [], [["o_totalprice", "count", "n"]],
+                handle_missing_file=False,
+            )
+
+
+class TestTopKAndJoins:
+    def test_topk_has_no_global_sort(self, spark, sf_dir):
+        df = (
+            spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+            .orderBy(F.col("o_totalprice").desc())
+            .limit(5)
+        )
+        assert "TakeOrderedAndProject" in plan_of(df)
+
+    def test_dim_join_broadcasts(self, spark, sf_dir):
+        cust = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+        nat = spark.read.parquet(os.path.join(sf_dir, "nation.parquet"))
+        j = cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        assert "BroadcastHashJoin" in plan_of(j)
+
+    def test_bucketed_join_is_shuffle_free(self, spark, sf_dir, tmp_path_factory):
+        """Bucketing both sides on the join key pre-partitions data so the
+        join needs no Exchange at all — the co-located-join strategy for
+        repeatedly-joined 100 TB tables."""
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_customer")
+        orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+        cust = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+        (orders.write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+         .mode("overwrite").saveAsTable("b_orders"))
+        (cust.write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+         .mode("overwrite").saveAsTable("b_customer"))
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            j = spark.table("b_orders").join(
+                spark.table("b_customer"),
+                F.col("o_custkey") == F.col("c_custkey"),
+            )
+            plan = plan_of(j)
+            assert "SortMergeJoin" in plan
+            assert "Exchange" not in plan  # bucketing removed the shuffle
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
+            spark.sql("DROP TABLE IF EXISTS b_orders")
+            spark.sql("DROP TABLE IF EXISTS b_customer")
+
+    def test_aqe_coalesces_small_shuffles(self, spark, sf_dir):
+        df = (
+            spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+            .groupBy("l_returnflag")
+            .agg(F.sum("l_quantity"))
+        )
+        df.collect()
+        final = df._jdf.queryExecution().executedPlan().toString()
+        assert "AQEShuffleRead coalesced" in final or "coalesced" in final
