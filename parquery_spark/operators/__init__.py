@@ -1,3 +1,10 @@
-from parquery_spark.operators import dedup, joins, multimodal, similarity, windows
+from parquery_spark.operators import (
+    dedup,
+    joins,
+    multimodal,
+    similarity,
+    skew,
+    windows,
+)
 
-__all__ = ["dedup", "similarity", "joins", "windows", "multimodal"]
+__all__ = ["dedup", "similarity", "joins", "windows", "multimodal", "skew"]

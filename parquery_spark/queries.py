@@ -1211,3 +1211,27 @@ def q52_multifile_dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
         [["o_orderkey", "count", "n"], ["o_totalprice", "sum", "total"]],
     )
     return df.withColumn("total", F.round("total", 2))
+
+
+_Q53_SQL = """
+    SELECT o_orderkey,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                          CAST(1 - l_discount AS DECIMAL(9,4))), 2)
+                AS DOUBLE) AS revenue,
+           COUNT(l_orderkey) AS n_items
+    FROM customer
+    JOIN orders   ON c_custkey  = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+    GROUP BY o_orderkey
+    """
+
+
+@query("q53_sql_interface", _Q53_SQL)
+def q53_sql_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL API surface: the IDENTICAL ANSI SQL text runs on Spark (over
+    registered temp views) and on the DuckDB oracle — one query string,
+    two engines, hash-equal results (TPC-H Q3 shape)."""
+    for t in ("customer", "orders", "lineitem"):
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_Q53_SQL)

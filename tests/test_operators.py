@@ -187,3 +187,53 @@ class TestSimilarity:
         pairset = {(r["id_a"], r["id_b"]) for r in pairs}
         assert (0, 1) in pairset
         assert (0, 3) not in pairset
+
+
+class TestSkew:
+    @pytest.fixture(scope="class")
+    def skewed(self, spark):
+        # 90% of rows share one hot key
+        rows = [(0 if i % 10 else i % 7 + 1, float(i % 100)) for i in range(5000)]
+        return spark.createDataFrame(rows, ["k", "v"])
+
+    def test_salted_groupby_matches_direct(self, skewed):
+        from parquery_spark.operators.skew import salted_groupby
+
+        direct = {
+            r["k"]: (r["s"], r["n"], r["mx"])
+            for r in skewed.groupBy("k").agg(
+                F.sum("v").alias("s"), F.count("v").alias("n"),
+                F.max("v").alias("mx"),
+            ).collect()
+        }
+        salted = {
+            r["k"]: (r["s"], r["n"], r["mx"])
+            for r in salted_groupby(
+                skewed, ["k"],
+                [["v", "sum", "s"], ["v", "count", "n"], ["v", "max", "mx"]],
+                salt_buckets=8,
+            ).collect()
+        }
+        assert salted == direct
+
+    def test_salted_groupby_rejects_mean(self, skewed):
+        from parquery_spark.operators.skew import salted_groupby
+
+        with pytest.raises(NotImplementedError, match="decomposable"):
+            salted_groupby(skewed, ["k"], [["v", "mean", "m"]])
+
+    def test_salted_join_matches_direct(self, spark, skewed):
+        from parquery_spark.operators.skew import salted_join
+
+        dim = spark.createDataFrame(
+            [(i, f"name{i}") for i in range(8)], ["dk", "name"]
+        )
+        direct = sorted(
+            (r["k"], r["name"])
+            for r in skewed.join(dim, skewed.k == dim.dk).collect()
+        )
+        salted = sorted(
+            (r["k"], r["name"])
+            for r in salted_join(skewed, dim, "k", "dk", salt_buckets=4).collect()
+        )
+        assert salted == direct
