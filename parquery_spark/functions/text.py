@@ -39,13 +39,15 @@ def tokens(text: Column | str) -> Column:
 def token_count(text: Column | str) -> Column:
     """Number of word tokens (regexp_count — one pass, no array build)."""
     c = F.col(text) if isinstance(text, str) else text
-    return F.regexp_count(c, F.lit(TOKEN_RE))
+    return F.regexp_count(c, F.lit(TOKEN_RE)).cast("long")
 
 
 def whitespace_token_count(text: Column | str) -> Column:
     """Whitespace-split token count (the cruder classic)."""
     c = F.col(text) if isinstance(text, str) else text
-    return F.size(F.filter(F.split(c, r"\s+"), lambda t: t != F.lit("")))
+    return F.size(
+        F.filter(F.split(c, r"\s+"), lambda t: t != F.lit(""))
+    ).cast("long")
 
 
 def char_count(text: Column | str) -> Column:

@@ -439,7 +439,7 @@ def q23_window_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         [F.col("o_totalprice").desc(), F.col("o_orderkey")],
         3,
     )
-    return top.withColumn("rn", F.row_number().over(w))
+    return top.withColumn("rn", F.row_number().over(w).cast("long"))
 
 
 @query(
@@ -786,7 +786,7 @@ def _sql_simhash(bits: int, bands: int, max_hamming: int) -> str:
         FROM banded a JOIN banded b
           ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id
     )
-    SELECT id_a, id_b, bit_count(xor(sh_a, sh_b)) AS hamming
+    SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
     FROM pairs WHERE bit_count(xor(sh_a, sh_b)) <= {max_hamming}
     """
 
@@ -1108,9 +1108,9 @@ def q48_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH prof AS ({_SQL_TEXT_PROFILE})
     SELECT d.lang, COUNT(p.doc_id) AS n_docs,
-           SUM(p.n_tokens) AS total_tokens,
+           CAST(SUM(p.n_tokens) AS BIGINT) AS total_tokens,
            ROUND(AVG(p.quality), 6) AS avg_quality,
-           SUM(CASE WHEN p.lang_guess = d.lang THEN 1 ELSE 0 END) AS n_guessed_right
+           CAST(SUM(CASE WHEN p.lang_guess = d.lang THEN 1 ELSE 0 END) AS BIGINT) AS n_guessed_right
     FROM prof p JOIN documents d ON p.doc_id = d.doc_id
     GROUP BY d.lang
     """,

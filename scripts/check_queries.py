@@ -73,8 +73,11 @@ def main():
             continue
         try:
             rel = con.sql(oracles[name])
-            duck_cols = list(rel.columns)
-            duck_rows = rel.fetchall()
+            duck_arrow = rel.arrow()
+            duck_cols = list(duck_arrow.column_names)
+            duck_rows = rel.fetchall() if False else [
+                tuple(r) for r in zip(*[c.to_pylist() for c in duck_arrow.columns])
+            ] if duck_arrow.num_columns else []
         except Exception as e:
             print(f"FAIL {name}: oracle raised {type(e).__name__}: {e}")
             n_fail += 1
@@ -82,6 +85,16 @@ def main():
         problems = []
         if sorted(cols) != sorted(duck_cols):
             problems.append(f"columns {sorted(cols)} != {sorted(duck_cols)}")
+        else:
+            try:
+                spark_arrow = df.limit(0).toArrow()
+                for c in cols:
+                    st = spark_arrow.schema.field(c).type
+                    dt = duck_arrow.schema.field(c).type
+                    if str(st) != str(dt):
+                        problems.append(f"type[{c}]: spark {st} != oracle {dt}")
+            except Exception as e:
+                problems.append(f"schema introspection failed: {e}")
         if len(spark_rows) != len(duck_rows):
             problems.append(f"rowcount {len(spark_rows)} != {len(duck_rows)}")
         if not problems:
