@@ -49,6 +49,26 @@ def hash32(c: Column) -> Column:
     return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")
 
 
+#: Mersenne prime modulus for the affine MinHash family.
+MINHASH_P = (1 << 31) - 1
+
+
+def minhash_coefficients(num_hashes: int, seed: int = 9) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for the affine hash family
+    ``h_i(x) = (a_i * x + b_i) mod P`` over the base md5 hash.  One md5 per
+    shingle + ``num_hashes`` integer transforms — instead of ``num_hashes``
+    md5 evaluations — is the classic MinHash construction and ~an order of
+    magnitude cheaper.  All operands stay < 2^62, so the arithmetic is
+    exact in int64 on any engine (oracle-replicable)."""
+    import random
+
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, MINHASH_P), rng.randrange(0, MINHASH_P))
+        for _ in range(num_hashes)
+    ]
+
+
 # ---------------------------------------------------------------------------
 # exact + fingerprint dedup
 # ---------------------------------------------------------------------------
@@ -128,14 +148,18 @@ def minhash_signature(
     form recomputes the shingle array once per hash seed — measured 30×
     slower at corpus scale)."""
     sh = word_shingles(text, shingle_k)
+    base = F.transform(sh, lambda s: hash32(s) % F.lit(MINHASH_P))
 
-    # NB: the hash seed must be bound via closure, not a defaulted second
+    # NB: coefficients must be bound via closure, not a defaulted second
     # lambda arg — F.transform passes the ELEMENT INDEX to 2-arg lambdas.
-    def hasher(seed):
-        return lambda s: hash64(s, seed)
+    def affine(a, b):
+        return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_P)
 
     return F.array(
-        *[F.array_min(F.transform(sh, hasher(i))) for i in range(num_hashes)]
+        *[
+            F.array_min(F.transform(base, affine(a, b)))
+            for a, b in minhash_coefficients(num_hashes)
+        ]
     )
 
 
@@ -156,14 +180,20 @@ def minhash_signatures(
     fewer than ``shingle_k`` words have no shingles and are omitted (their
     signature is undefined; the LSH layer treats them as unpairable, which
     matches SQL-oracle NULL-key semantics)."""
+    coeffs = minhash_coefficients(num_hashes)
     exploded = df.select(
         F.col(id_col),
         F.explode(word_shingles(text_col, shingle_k)).alias("__shingle"),
+    ).select(
+        F.col(id_col),
+        (hash32(F.col("__shingle")) % F.lit(MINHASH_P)).alias("__h"),
     )
     mins = exploded.groupBy(id_col).agg(
         *[
-            F.min(hash64(F.col("__shingle"), i)).alias(f"__h{i}")
-            for i in range(num_hashes)
+            F.min((F.lit(a) * F.col("__h") + F.lit(b)) % F.lit(MINHASH_P)).alias(
+                f"__h{i}"
+            )
+            for i, (a, b) in enumerate(coeffs)
         ]
     )
     return mins.select(

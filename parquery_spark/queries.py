@@ -725,13 +725,28 @@ def _sql_hash64(expr: str, seed: int) -> str:
     return f"('0x' || substr(md5({expr} || '#{seed}'), 1, 15))::BIGINT"
 
 
+def _sql_minhash_sig_exprs(num_hashes: int) -> str:
+    """Affine MinHash family over one md5 base hash — replicates
+    parquery_spark.operators.dedup.minhash_signatures bit-for-bit."""
+    from parquery_spark.operators.dedup import MINHASH_P, minhash_coefficients
+
+    return ", ".join(
+        f"list_min(list_transform(hs, h -> ({a} * h + {b}) % {MINHASH_P}))"
+        f" AS h{i}"
+        for i, (a, b) in enumerate(minhash_coefficients(num_hashes))
+    )
+
+
+_SQL_BASE_HASH = (
+    "list_transform(shingles, s ->"
+    " ('0x' || substr(md5(s), 1, 8))::BIGINT % 2147483647)"
+)
+
+
 def _sql_minhash_lsh(num_hashes: int, bands: int, shingle_k: int,
                      max_bucket: int) -> str:
     rows = num_hashes // bands
-    sig_exprs = ", ".join(
-        f"list_min(list_transform(shingles, s -> {_sql_hash64('s', i)})) AS h{i}"
-        for i in range(num_hashes)
-    )
+    sig_exprs = _sql_minhash_sig_exprs(num_hashes)
     band_selects = " UNION ALL ".join(
         f"SELECT doc_id, {b} AS band, md5("
         + " || ',' || ".join(f"h{b * rows + r}::VARCHAR" for r in range(rows))
@@ -744,7 +759,8 @@ def _sql_minhash_lsh(num_hashes: int, bands: int, shingle_k: int,
     )
     return f"""
     WITH sh AS ({_sql_shingles(shingle_k)}),
-    sig AS (SELECT doc_id, {sig_exprs} FROM sh),
+    hashed AS (SELECT doc_id, {_SQL_BASE_HASH} AS hs FROM sh),
+    sig AS (SELECT doc_id, {sig_exprs} FROM hashed),
     banded AS (
         SELECT * FROM ({band_selects})
         QUALIFY COUNT(*) OVER (PARTITION BY band, band_key) <= {max_bucket}
@@ -837,10 +853,7 @@ def _sql_lsh_core(num_hashes: int, bands: int, shingle_k: int,
     """Shared CTE chain: shingles → minhash signatures → banded buckets →
     distinct candidate pairs (replicates lsh_candidate_pairs bit-for-bit)."""
     rows = num_hashes // bands
-    sig_exprs = ", ".join(
-        f"list_min(list_transform(shingles, s -> {_sql_hash64('s', i)})) AS h{i}"
-        for i in range(num_hashes)
-    )
+    sig_exprs = _sql_minhash_sig_exprs(num_hashes)
     band_selects = " UNION ALL ".join(
         f"SELECT doc_id, {b} AS band, md5("
         + " || ',' || ".join(f"h{b * rows + r}::VARCHAR" for r in range(rows))
@@ -849,7 +862,8 @@ def _sql_lsh_core(num_hashes: int, bands: int, shingle_k: int,
     )
     return f"""
     sh AS ({_sql_shingles(shingle_k)}),
-    sig AS (SELECT doc_id, {sig_exprs} FROM sh),
+    hashed AS (SELECT doc_id, {_SQL_BASE_HASH} AS hs FROM sh),
+    sig AS (SELECT doc_id, {sig_exprs} FROM hashed),
     banded AS (
         SELECT * FROM ({band_selects})
         QUALIFY COUNT(*) OVER (PARTITION BY band, band_key) <= {max_bucket}
