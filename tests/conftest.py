@@ -99,8 +99,14 @@ def rows_sorted(obj) -> list[tuple]:
         rows = list(zip(*(data[c] for c in cols))) if cols else []
     elif hasattr(obj, "toPandas"):  # Spark DataFrame
         return rows_sorted(obj.toArrow())
-    else:  # duckdb relation / pandas
-        pdf = obj.df() if hasattr(obj, "df") else obj
+    elif hasattr(obj, "fetchall"):  # duckdb relation — NOT via .df(), which
+        # coerces NULL to NaN in float columns and breaks null comparisons
+        all_cols = list(obj.columns)
+        order = sorted(range(len(all_cols)), key=lambda i: all_cols[i])
+        rows = [tuple(r[i] for i in order) for r in obj.fetchall()]
+        cols = sorted(all_cols)
+    else:  # pandas
+        pdf = obj
         cols = sorted(pdf.columns)
         rows = [tuple(r) for r in pdf[cols].itertuples(index=False)]
 

@@ -1,0 +1,105 @@
+"""Property-based differential testing: Hypothesis generates random query
+specs (dims × measures × filters), and every generated query must match
+the DuckDB oracle on the same data.  This is the coverage style the
+reference lacked entirely (SURVEY.md §5: "No property-based testing")."""
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from parquery_spark import aggregate_pq
+from tests.conftest import assert_matches_duckdb
+
+DIMS = ["f0", "f1", "f2", "f6"]
+MEASURES = ["f3", "f4", "f5"]
+# ops whose oracle translation is unambiguous (float-rounding-free check:
+# the comparison helper uses approx for floats anyway)
+OPS = {
+    "sum": "SUM({c})",
+    "mean": "AVG({c})",
+    "count": "COUNT({c})",
+    "count_distinct": "COUNT(DISTINCT {c})",
+    "min": "MIN({c})",
+    "max": "MAX({c})",
+    "one": "MIN({c})",
+}
+FILTER_OPS = {
+    ">": "{c} > {v}",
+    ">=": "{c} >= {v}",
+    "<": "{c} < {v}",
+    "<=": "{c} <= {v}",
+    "==": "{c} = {v}",
+    "!=": "{c} != {v}",
+}
+
+
+@st.composite
+def query_spec(draw):
+    dims = draw(st.lists(st.sampled_from(DIMS), max_size=3, unique=True))
+    n_measures = draw(st.integers(1, 3))
+    measures = []
+    for i in range(n_measures):
+        col = draw(st.sampled_from(MEASURES))
+        op = draw(st.sampled_from(sorted(OPS)))
+        measures.append([col, op, f"out_{i}"])
+    filters = []
+    for _ in range(draw(st.integers(0, 2))):
+        fcol = draw(st.sampled_from(["f1", "f2", "f5"]))
+        fop = draw(st.sampled_from(sorted(FILTER_OPS)))
+        fval = draw(st.integers(0, 10)) if fcol != "f5" else draw(
+            st.integers(20240101, 20241231)
+        )
+        filters.append([fcol, fop, fval])
+    return dims, measures, filters
+
+
+@pytest.fixture(scope="module")
+def syn_con(synthetic_pq):
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW t AS SELECT * FROM read_parquet('{synthetic_pq}')")
+    return con
+
+
+class TestAggregationProperties:
+    @settings(
+        max_examples=25,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(spec=query_spec())
+    def test_random_query_matches_oracle(self, synthetic_pq, syn_con, spec):
+        dims, measures, filters = spec
+        result = aggregate_pq(synthetic_pq, dims, measures, filters or None)
+
+        select_parts = list(dims) + [
+            OPS[op].format(c=col) + f" AS {out}" for col, op, out in measures
+        ]
+        sql = f"SELECT {', '.join(select_parts)} FROM t"
+        if filters:
+            sql += " WHERE " + " AND ".join(
+                FILTER_OPS[op].format(c=c, v=v) for c, op, v in filters
+            )
+        if dims:
+            sql += " GROUP BY " + ", ".join(dims)
+        # duplicate output names across measures are possible only if the
+        # spec generator produced them; out_{i} names are unique
+        assert_matches_duckdb(result, syn_con, sql)
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        vals=st.lists(st.integers(-5, 15), min_size=1, max_size=8, unique=True)
+    )
+    def test_in_filter_matches_oracle(self, synthetic_pq, syn_con, vals):
+        result = aggregate_pq(
+            synthetic_pq, ["f0"], [["f4", "sum", "s"]], [["f1", "in", vals]]
+        )
+        sql = (
+            "SELECT f0, SUM(f4) AS s FROM t WHERE f1 IN "
+            f"({', '.join(map(str, vals))}) GROUP BY f0"
+        )
+        assert_matches_duckdb(result, syn_con, sql)
