@@ -1,3 +1,3 @@
-from parquery_spark.functions import text
+from parquery_spark.functions import sketches, text
 
-__all__ = ["text"]
+__all__ = ["text", "sketches"]

@@ -107,3 +107,66 @@ class TestTextFunctions:
         prof = text.text_profile(sample, "text")
         plan = prof._jdf.queryExecution().executedPlan().toString()
         assert "EvalPython" not in plan
+
+
+class TestSketches:
+    def test_hll_estimate_within_error_bound(self, spark, sf_dir):
+        import os as _os
+
+        from parquery_spark.functions.sketches import distinct_sketch_rollup
+
+        orders = spark.read.parquet(_os.path.join(sf_dir, "orders.parquet"))
+        est = {
+            r["o_orderstatus"]: r["estimate"]
+            for r in distinct_sketch_rollup(
+                orders, ["o_orderstatus"], "o_custkey"
+            ).collect()
+        }
+        exact = {
+            r["o_orderstatus"]: r["n"]
+            for r in orders.groupBy("o_orderstatus")
+            .agg(F.countDistinct("o_custkey").alias("n"))
+            .collect()
+        }
+        for k, true_n in exact.items():
+            assert abs(est[k] - true_n) <= max(3, 0.05 * true_n), (k, est[k], true_n)
+
+    def test_sketch_merge_equals_direct(self, spark, sf_dir):
+        """Sketches built per fine key and merged must estimate the same
+        as a sketch built directly at the coarse key — mergeability is the
+        contract that makes incremental rollups sound."""
+        import os as _os
+
+        from parquery_spark.functions.sketches import (
+            distinct_sketch_rollup,
+            merge_sketch_rollups,
+        )
+
+        orders = spark.read.parquet(_os.path.join(sf_dir, "orders.parquet"))
+        fine = distinct_sketch_rollup(
+            orders, ["o_orderstatus", "o_orderpriority"], "o_custkey"
+        )
+        merged = {
+            r["o_orderstatus"]: r["estimate"]
+            for r in merge_sketch_rollups(fine, ["o_orderstatus"]).collect()
+        }
+        direct = {
+            r["o_orderstatus"]: r["estimate"]
+            for r in distinct_sketch_rollup(
+                orders, ["o_orderstatus"], "o_custkey"
+            ).collect()
+        }
+        assert merged == direct  # HLL union is exact over sketch state
+
+    def test_approx_quantiles_shape(self, spark, sf_dir):
+        import os as _os
+
+        from parquery_spark.functions.sketches import approx_quantiles
+
+        li = spark.read.parquet(_os.path.join(sf_dir, "lineitem.parquet"))
+        rows = approx_quantiles(
+            li, ["l_returnflag"], "l_extendedprice", (0.5, 0.99)
+        ).collect()
+        for r in rows:
+            q50, q99 = r["quantiles"]
+            assert q50 <= q99
