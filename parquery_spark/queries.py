@@ -1249,3 +1249,24 @@ def q53_sql_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("customer", "orders", "lineitem"):
         load(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(_Q53_SQL)
+
+
+@query("q54_hll_sketch_rollup", None)  # sketch binaries are engine-specific:
+# no SQL oracle exists — the driver records a rows-only check; exactness-
+# within-error-bound is asserted in tests/test_sources_text.py instead
+def q54_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL rollup: per-(status, priority) distinct-customer
+    sketches, unioned up to status WITHOUT rescanning raw data — the
+    incremental-rollup pattern for 100 TB aggregation."""
+    from parquery_spark.functions.sketches import (
+        distinct_sketch_rollup,
+        merge_sketch_rollups,
+    )
+
+    orders = load(spark, sf_dir, "orders")
+    fine = distinct_sketch_rollup(
+        orders, ["o_orderstatus", "o_orderpriority"], "o_custkey"
+    )
+    return merge_sketch_rollups(fine, ["o_orderstatus"]).select(
+        "o_orderstatus", "estimate"
+    )
