@@ -8,12 +8,14 @@ Design for 100 TB:
   (b) a shuffle keyed on a *bucket* (LSH band, simhash band, or blocking
   key), and (c) pair verification only inside buckets.  Candidate volume is
   controlled by band/row parameters, not data size.
-* **Deterministic md5-based hash family.**  ``h_i(s) = int64(md5(s + '#' + i)
-  [:15 hex])`` — chosen because both Spark (``conv(substring(md5(..)))``)
-  and standard SQL engines can compute it bit-identically, making the
-  probabilistic operators differentially testable against a SQL oracle.
-  (A production deployment would swap in xxhash64 for speed; the operator
-  shape is identical.)
+* **Deterministic md5-based hash family.**  Base hash = first 8 hex chars
+  of md5 as int64, reduced mod 2^31-1; the MinHash family is the classic
+  affine ``h_i(x) = (a_i * x + b_i) mod 2^31-1`` over that base — one md5
+  per shingle total.  Chosen because both Spark
+  (``conv(substring(md5(..)))``) and standard SQL engines compute it
+  bit-identically, making the probabilistic operators differentially
+  testable against a SQL oracle.  (A production deployment would swap the
+  base for xxhash64 for speed; the operator shape is identical.)
 * Skewed buckets (a shingle that appears in every doc) are the classic LSH
   hazard; AQE skew-join handles moderate skew, and ``max_bucket_size``
   drops degenerate buckets outright — standard practice at corpus scale.
@@ -348,9 +350,10 @@ def simhash_table(
     instead of the expression form's per-bit re-traversal of the token
     array.  Docs with zero tokens get simhash 0 (rejoined, matching the
     SQL convention that an empty vote sum sets no bits)."""
+    token_hash = hash32 if bits <= 32 else hash64
     exploded = df.select(
         F.col(id_col), F.explode(shingle_tokens(text_col)).alias("__t")
-    ).select(F.col(id_col), hash32(F.col("__t")).alias("__h"))
+    ).select(F.col(id_col), token_hash(F.col("__t")).alias("__h"))
     votes = exploded.groupBy(id_col).agg(
         *[
             F.sum(F.shiftright("__h", j).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"__v{j}")
@@ -378,7 +381,9 @@ def simhash(text: Column | str, bits: int = 32) -> Column:
     Column-expression form for ad-hoc use; at corpus scale prefer
     :func:`simhash_table` (explode-shaped — the expression form re-walks
     the token array once per bit)."""
-    hashes = F.transform(shingle_tokens(text), lambda t: hash32(t))
+    hashes = F.transform(
+        shingle_tokens(text), hash32 if bits <= 32 else hash64
+    )
 
     def voter(bit):
         return lambda acc, h: acc + (
