@@ -1268,3 +1268,73 @@ def q54_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merge_sketch_rollups(fine, ["o_orderstatus"]).select(
         "o_orderstatus", "estimate"
     )
+
+
+@query(
+    "q55_pivot",
+    """
+    SELECT o_orderpriority,
+           CAST(COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT) AS F,
+           CAST(COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS BIGINT) AS O,
+           CAST(COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS BIGINT) AS P
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q55_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (cross-tab): order counts by priority × status.  Explicit
+    pivot values keep the plan a single pass (no distinct-values pre-query
+    — at 100 TB an unbounded pivot column is a driver OOM, not a plan)."""
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+        .fillna(0, ["F", "O", "P"])
+    )
+
+
+@query(
+    "q56_vector_dimension_stats",
+    """
+    SELECT i AS dim,
+           ROUND(AVG(embedding[i + 1]), 6)         AS dim_mean,
+           ROUND(STDDEV_SAMP(embedding[i + 1]), 6) AS dim_std
+    FROM embeddings, range(64) t(i)
+    GROUP BY i
+    """,
+)
+def q56_vector_dimension_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding statistics (the normalization-stats pass of
+    an embedding pipeline): posexplode → partial-aggregated mean/std per
+    dimension index.  One narrow explode + one 64-key shuffle."""
+    emb = load(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "v")
+    )
+    return ex.groupBy("dim").agg(
+        F.round(F.avg("v"), 6).alias("dim_mean"),
+        F.round(F.stddev_samp("v"), 6).alias("dim_std"),
+    ).withColumn("dim", F.col("dim").cast("long"))
+
+
+@query(
+    "q57_group_concat",
+    """
+    SELECT c_nationkey,
+           string_agg(c_custkey::VARCHAR, ',' ORDER BY c_custkey) AS members
+    FROM customer
+    WHERE c_acctbal > 8000
+    GROUP BY c_nationkey
+    """,
+)
+def q57_group_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered group concatenation (collect → sort → join): deterministic
+    regardless of partitioning because the collected array is sorted
+    before serialization."""
+    cust = load(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 8000)
+    return cust.groupBy("c_nationkey").agg(
+        F.array_join(
+            F.array_sort(F.collect_list(F.col("c_custkey"))).cast("array<string>"),
+            ",",
+        ).alias("members")
+    )
