@@ -49,17 +49,183 @@ def main():
         timings[name] = round(time.perf_counter() - t0, 4)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
-    m = re.search(r"sf([0-9.]+)", sf_dir)
-    sf = float(m.group(1)) if m else None
-    print(json.dumps({
+    core = {k: v for k, v in timings.items() if k < "q20"}
+    result = {
         "metric": "total_query_wall_seconds",
         "value": round(sum(timings.values()), 4),
         "unit": "sec",
         "queries": timings,
-        "sf": sf,
+        "sf": None,
         "cpus": int(cpus),
         "n_queries": len(timings),
-    }))
+        "core_parity_seconds": round(sum(core.values()), 4),
+    }
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    if m:
+        result["sf"] = float(m.group(1))
+
+    # Head-to-head vs the reference implementation on an identical workload
+    # (specs the reference API can express — numeric filters only: its
+    # DuckDB engine generates invalid SQL for string/date filter values,
+    # SURVEY.md §4).  Guarded: absence of the reference skips the block.
+    try:
+        result["parity_workload"] = _reference_head_to_head(spark, sf_dir)
+    except Exception as exc:  # pragma: no cover
+        result["parity_workload_error"] = f"{type(exc).__name__}: {exc}"
+
+    print(json.dumps(result))
+
+
+#: (name, table, groupby, measures, filter) — expressible by BOTH engines.
+PARITY_SPECS = [
+    ("p01_groupby_sums", "lineitem", ["l_returnflag", "l_linestatus"],
+     [["l_quantity", "sum", "sum_qty"], ["l_extendedprice", "sum", "sum_price"],
+      ["l_quantity", "mean", "avg_qty"], ["l_orderkey", "count", "n"]], None),
+    ("p02_global", "lineitem", [],
+     [["l_quantity", "sum", "s"], ["l_discount", "mean", "m"],
+      ["l_quantity", "min", "lo"], ["l_quantity", "max", "hi"]], None),
+    ("p03_numeric_filter", "lineitem", ["l_returnflag"],
+     [["l_orderkey", "count", "n"], ["l_quantity", "sum", "s"]],
+     [["l_quantity", ">", 10], ["l_quantity", "<=", 40],
+      ["l_discount", ">=", 0.02]]),
+    ("p04_in_filter", "lineitem", ["l_linestatus"],
+     [["l_quantity", "sum", "s"]], [["l_linenumber", "in", [1, 2, 3]]]),
+    ("p05_count_distinct", "orders", ["o_orderstatus"],
+     [["o_custkey", "count", "n"], ["o_custkey", "count_distinct", "d"]], None),
+    ("p06_min_max_std", "part", ["p_brand"],
+     [["p_retailprice", "min", "lo"], ["p_retailprice", "max", "hi"],
+      ["p_retailprice", "std", "sd"], ["p_type", "one", "t"]], None),
+    ("p07_passthrough", "customer", ["c_custkey", "c_mktsegment"],
+     [["c_acctbal"], ["c_nationkey"]], [["c_acctbal", ">", 0]]),
+    ("p08_missing_splice", "lineitem", ["l_returnflag", "ghost_dim"],
+     [["l_quantity", "sum", "s"], ["ghost_m", "sum", "g"]], None),
+]
+
+
+def _reference_head_to_head(spark, sf_dir: str) -> dict:
+    """Time the SAME aggregation workload on this engine and on the
+    reference implementation (visualfabriq/parquery, DuckDB engine — its
+    default and faster path), same process, same files."""
+    import time
+
+    sys.path.insert(0, "/root/reference")
+    # the reference resolves its version via installed package metadata,
+    # which doesn't exist for a source-tree import — shim it
+    import importlib.metadata as _md
+
+    _orig_version = _md.version
+
+    def _version(name):
+        if name == "parquery":
+            return "2.2.1"
+        return _orig_version(name)
+
+    _md.version = _version
+    try:
+        from parquery.aggregate import aggregate_pq as reference_aggregate_pq
+    finally:
+        _md.version = _orig_version
+
+    from parquery_spark import aggregate_pq as spark_aggregate_pq
+
+    def run(fn, label):
+        per = {}
+        for name, table, dims, measures, filt in PARITY_SPECS:
+            path = os.path.join(sf_dir, f"{table}.parquet")
+            aggregate = not name.endswith("passthrough")
+            t0 = time.perf_counter()
+            out = fn(path, dims, measures, data_filter=filt, aggregate=aggregate)
+            n = out.num_rows
+            per[name] = round(time.perf_counter() - t0, 4)
+            print(f"# {label} {name}: {per[name]:.3f}s ({n} rows)",
+                  file=sys.stderr)
+        return per
+
+    spark_times = run(spark_aggregate_pq, "spark")
+
+    # the reference's default DuckDB engine calls fetch_arrow_reader APIs
+    # removed in duckdb 1.0, so it cannot run here; its PyArrow engine is
+    # the one measured.  A hand-built plain-DuckDB-SQL run of the same
+    # specs stands in for what its DuckDB engine would achieve.
+    reference_engine = "duckdb"
+    try:
+        reference_aggregate_pq(
+            os.path.join(sf_dir, "part.parquet"), ["p_brand"],
+            [["p_retailprice", "sum", "s"]], engine="duckdb",
+        )
+    except Exception:
+        reference_engine = "pyarrow"
+
+    def ref(path, dims, measures, data_filter=None, aggregate=True):
+        return reference_aggregate_pq(
+            path, dims, measures, data_filter=data_filter,
+            aggregate=aggregate, engine=reference_engine,
+        )
+
+    ref_times = run(ref, f"reference[{reference_engine}]")
+    duck_times = _plain_duckdb_run(sf_dir)
+    return {
+        "specs": [s[0] for s in PARITY_SPECS],
+        "spark_sec": round(sum(spark_times.values()), 4),
+        "reference_sec": round(sum(ref_times.values()), 4),
+        "reference_engine": reference_engine,
+        "plain_duckdb_sql_sec": round(sum(duck_times.values()), 4),
+        "spark_per_query": spark_times,
+        "reference_per_query": ref_times,
+        "plain_duckdb_per_query": duck_times,
+    }
+
+
+_DUCK_OPS = {
+    "sum": "SUM({c})", "mean": "AVG({c})", "count": "COUNT({c})",
+    "count_distinct": "COUNT(DISTINCT {c})", "min": "MIN({c})",
+    "max": "MAX({c})", "std": "STDDEV_SAMP({c})", "one": "MIN({c})",
+}
+
+
+def _plain_duckdb_run(sf_dir: str) -> dict:
+    """The PARITY_SPECS workload as straight DuckDB SQL (fresh in-memory
+    connection per query, matching the reference's per-query lifecycle)."""
+    import time
+
+    import duckdb
+    import pyarrow.parquet as papq
+
+    per = {}
+    for name, table, dims, measures, filt in PARITY_SPECS:
+        path = os.path.join(sf_dir, f"{table}.parquet")
+        file_cols = set(papq.read_schema(path).names)
+        t0 = time.perf_counter()
+        live = [m for m in measures if (m + [m[0], m[0]])[0] in file_cols]
+        live_dims = [d for d in dims if d in file_cols]
+        if name.endswith("passthrough"):
+            sel = ", ".join(sorted({*live_dims, *(m[0] for m in live)}))
+            group = ""
+        else:
+            aggs = [
+                _DUCK_OPS[(m + ["sum"])[1]].format(c=m[0])
+                + f" AS {(m + [m[0], m[0]])[2] if len(m) > 2 else m[0]}"
+                for m in live
+            ]
+            sel = ", ".join([*live_dims, *aggs])
+            group = (
+                " GROUP BY " + ", ".join(live_dims) if live_dims else ""
+            )
+        where = ""
+        if filt:
+            where = " WHERE " + " AND ".join(
+                f"{c} IN ({', '.join(map(str, v))})" if op == "in"
+                else f"{c} {op.replace('==', '=')} {v}"
+                for c, op, v in filt
+            )
+        con = duckdb.connect()
+        con.sql(
+            f"SELECT {sel} FROM read_parquet('{path}'){where}{group}"
+        ).arrow()
+        con.close()
+        per[name] = round(time.perf_counter() - t0, 4)
+        print(f"# duckdb-sql {name}: {per[name]:.3f}s", file=sys.stderr)
+    return per
 
 
 if __name__ == "__main__":
