@@ -294,3 +294,37 @@ class TestRealData:
                WHERE l_shipdate <= TIMESTAMP '1998-09-01'
                GROUP BY l_returnflag, l_linestatus""",
         )
+
+
+class TestDashedColumnNames:
+    """The reference's natural-name tests accidentally only exercised the
+    empty-result path (SURVEY.md §5 caveats); these hit the real one."""
+
+    @pytest.fixture(scope="class")
+    def dashed_pq(self, tmp_path_factory):
+        import pyarrow.parquet as pq
+
+        path = str(tmp_path_factory.mktemp("dashed") / "d.parquet")
+        pq.write_table(
+            pa.table({"d-1": [1, 1, 2], "m-x": [10.0, 20.0, 5.0]}), path
+        )
+        return path
+
+    def test_aggregate_on_dashed_columns(self, dashed_pq):
+        r = aggregate_pq(dashed_pq, ["d-1"], [["m-x", "sum", "total"]])
+        got = {row["d-1"]: row["total"] for row in r.to_pylist()}
+        assert got == {1: 30.0, 2: 5.0}
+
+    def test_natural_name_roundtrip_against_file(self, dashed_pq):
+        from parquery_spark import df_to_natural_name, to_natural_name
+
+        r = aggregate_pq(dashed_pq, ["d-1"], [["m-x", "sum"]])
+        nat = df_to_natural_name(r)
+        assert nat.column_names == ["d_n_1", "m_n_x"]
+        assert to_natural_name("d-1") == "d_n_1"
+
+    def test_filter_on_dashed_column(self, dashed_pq):
+        r = aggregate_pq(
+            dashed_pq, ["d-1"], [["m-x", "sum", "t"]], [["d-1", "==", 1]]
+        )
+        assert r.to_pylist() == [{"d-1": 1, "t": 30.0}]
