@@ -342,6 +342,17 @@ def jaccard_pairs(
 # SimHash
 # ---------------------------------------------------------------------------
 
+def _check_simhash_bits(bits: int) -> None:
+    """The md5-derived ``hash64`` base supplies 60 usable bits (15 hex
+    chars); bits 61-63 would always vote -1, and bits=64 would build
+    ``1 << 63`` which overflows Spark LongType."""
+    if not 1 <= bits <= 60:
+        raise ValueError(
+            f"simhash bits must be in [1, 60] (got {bits}): the md5-derived "
+            "64-bit hash base provides 60 usable bits"
+        )
+
+
 def simhash_table(
     df: DataFrame, text_col: str, id_col: str, bits: int = 32
 ) -> DataFrame:
@@ -350,6 +361,7 @@ def simhash_table(
     instead of the expression form's per-bit re-traversal of the token
     array.  Docs with zero tokens get simhash 0 (rejoined, matching the
     SQL convention that an empty vote sum sets no bits)."""
+    _check_simhash_bits(bits)
     token_hash = hash32 if bits <= 32 else hash64
     exploded = df.select(
         F.col(id_col), F.explode(shingle_tokens(text_col)).alias("__t")
@@ -381,6 +393,7 @@ def simhash(text: Column | str, bits: int = 32) -> Column:
     Column-expression form for ad-hoc use; at corpus scale prefer
     :func:`simhash_table` (explode-shaped — the expression form re-walks
     the token array once per bit)."""
+    _check_simhash_bits(bits)
     hashes = F.transform(
         shingle_tokens(text), hash32 if bits <= 32 else hash64
     )

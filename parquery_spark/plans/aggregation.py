@@ -215,9 +215,13 @@ def build_aggregation_plan(
     # Order matches the reference: engine columns first, then missing
     # measures (0.0), then missing dims (standard_missing_id)
     # (reference: parquery/tool.py:240-301).
-    live_outputs = {out for _, _, out in live_measures}
+    # The single `out not in df.columns` test covers both modes: aggregated
+    # outputs are already df columns, and in pass-through mode a renamed
+    # output (['m','op','out']) is absent from df even when 'm' is live —
+    # the reference still splices 'out' = 0.0 there while dropping 'm'
+    # (reference: parquery/tool.py:240-301 runs identically in both modes).
     for _, _, out in measures:
-        if out not in live_outputs and out not in df.columns:
+        if out not in df.columns:
             df = df.withColumn(out, F.lit(tool.STANDARD_MISSING_MEASURE))
     for col in groupby_cols:
         if col not in df.columns:

@@ -44,7 +44,15 @@ def _path(sf_dir: str, table: str) -> str:
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.ts is parquet TIMESTAMP(NANOS), which Spark's reader rejects;
     read it as long (runtime-settable legacy conf) and truncate ns→µs —
-    bit-identical to how DuckDB/Arrow down-convert nanos."""
+    bit-identical to how DuckDB/Arrow down-convert nanos.
+
+    The conf is intentionally NOT restored: the returned plan is lazy, and
+    the scan re-reads the conf at action time — restoring it here would
+    break later materialization.  It is therefore a documented session-wide
+    contract (also set in ``session._DEFAULTS``): TIMESTAMP(NANOS) columns
+    surface as raw nanosecond longs; truncate via ``timestamp_micros(ts DIV
+    1000)`` as below.
+    """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = load(spark, sf_dir, "events")
     if dict(df.dtypes)["ts"] == "bigint":

@@ -43,6 +43,11 @@ _DEFAULTS = {
     "spark.sql.parquet.compression.codec": "zstd",
     "spark.ui.enabled": "false",
     "spark.sql.autoBroadcastJoinThreshold": "64m",
+    # Session-wide contract: parquet TIMESTAMP(NANOS) columns read as raw
+    # nanosecond longs instead of erroring (Spark has no nanos timestamp
+    # type).  Documented in queries.load_events, which shows the ns→µs
+    # truncation recipe.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 
 

@@ -34,7 +34,11 @@ def deserialize_pa_table_bytes(buf: bytes) -> pa.Table:
 
 def serialize_pa_table_base64(table: pa.Table) -> str:
     """pyarrow.Table → base64 string (for JSON/SQS envelopes)."""
-    return binascii.b2a_base64(serialize_pa_table_bytes(table)).decode("ascii")
+    # newline=False keeps the wire format byte-identical to the reference
+    # (reference: parquery/transport.py:49-52 — no trailing '\n').
+    return binascii.b2a_base64(
+        serialize_pa_table_bytes(table), newline=False
+    ).decode("ascii")
 
 
 def deserialize_pa_table_base64(payload: str) -> pa.Table:

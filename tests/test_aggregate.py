@@ -183,6 +183,15 @@ class TestPassThrough:
         r = aggregate_pq(synthetic_pq, ["f1", "f0"], ["f4"], aggregate=False)
         assert r.column_names == ["f0", "f1", "f4"]
 
+    def test_renamed_measure_spliced(self, synthetic_pq):
+        # Pass-through with a renamed output: the raw input column is
+        # dropped and the renamed output is spliced in as 0.0, matching
+        # _add_missing_columns_after_engine (reference: parquery/tool.py:
+        # 240-301 — 'out' is an expected measure col, 'f4' is not).
+        r = aggregate_pq(synthetic_pq, ["f0"], [["f4", "sum", "out"]], aggregate=False)
+        assert sorted(r.column_names) == ["f0", "out"]
+        assert set(r.column("out").to_pylist()) == {0.0}
+
 
 class TestTolerantSchema:
     def test_missing_file_returns_empty(self):

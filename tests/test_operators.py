@@ -153,6 +153,17 @@ class TestDedup:
         ham_far = bin(out[1] ^ out[6]).count("1")
         assert ham_near < ham_far
 
+    def test_simhash_bits_bounds(self, docs):
+        # md5-derived 64-bit base provides only 60 usable bits; 64 would
+        # also overflow LongType via 1 << 63.
+        for bad in (0, 61, 64):
+            with pytest.raises(ValueError, match="simhash bits"):
+                dedup.simhash("text", bits=bad)
+            with pytest.raises(ValueError, match="simhash bits"):
+                dedup.simhash_table(docs, "text", "doc_id", bits=bad)
+        out = docs.select(dedup.simhash("text", bits=60).alias("sh")).first()
+        assert out["sh"] is not None
+
 
 class TestSimilarity:
     @pytest.fixture(scope="class")

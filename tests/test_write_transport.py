@@ -86,6 +86,12 @@ class TestTransport:
         assert isinstance(payload, str)
         assert deserialize_pa_table_base64(payload).equals(sample_table)
 
+    def test_base64_no_trailing_newline(self, sample_table):
+        # Wire format parity: the reference passes newline=False, so strict
+        # JSON/SQS payload comparisons must see no trailing '\n'.
+        payload = serialize_pa_table_base64(sample_table)
+        assert not payload.endswith("\n")
+
     def test_spark_df_bridge(self, spark, sample_table):
         df = spark.createDataFrame(sample_table)
         buf = df_to_ipc_bytes(df)
