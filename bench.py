@@ -40,6 +40,8 @@ def main():
     spark.range(8).repartition(2).mapInPandas(
         lambda it: it, schema="id long"
     ).collect()
+    # Arrow collect path (toArrow jars/classes) is a one-time process cost
+    spark.sql("select 1 as x").toArrow()
 
     timings: dict[str, float] = {}
     for name, fn in entrymod.queries().items():

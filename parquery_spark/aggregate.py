@@ -24,14 +24,13 @@ join it, feed it onward) — no driver materialization.
 from __future__ import annotations
 
 import os
-from contextlib import contextmanager
 from typing import Any, Sequence
 
 import pyarrow as pa
 from pyspark.sql import DataFrame, SparkSession
 
 from parquery_spark.plans.aggregation import build_aggregation_plan
-from parquery_spark.session import get_spark
+from parquery_spark.session import get_small_query_session, get_spark
 
 
 def aggregate_plan(
@@ -43,8 +42,14 @@ def aggregate_plan(
     standard_missing_id: int = -1,
     handle_missing_file: bool = True,
     spark: SparkSession | None = None,
+    use_relation_cache: bool = True,
 ) -> DataFrame:
-    """Lazy-DataFrame variant of :func:`aggregate_pq` — the scale path."""
+    """Lazy-DataFrame variant of :func:`aggregate_pq` — the scale path.
+
+    ``use_relation_cache=False`` forces the streaming parquet scan (full
+    predicate pushdown, nothing persisted) even for small inputs — the plan
+    shape a 100 TB table always gets.
+    """
     spark = spark or get_spark()
     return build_aggregation_plan(
         spark,
@@ -55,6 +60,7 @@ def aggregate_plan(
         aggregate=aggregate,
         standard_missing_id=standard_missing_id,
         handle_missing_file=handle_missing_file,
+        use_relation_cache=use_relation_cache,
     )
 
 
@@ -97,7 +103,15 @@ def aggregate_pq(
         raise ValueError(
             f"Unknown engine: {engine}. Must be 'auto', 'spark', 'duckdb', or 'pyarrow'"
         )
-    df = aggregate_plan(
+    spark = get_spark()
+    if _is_small_input(file_name):
+        # Execute under the dedicated small-query session (AQE off, single
+        # reduce partition, interpreted codegen) instead of mutating the
+        # shared session's conf — thread-safe by construction: a concurrent
+        # large query on the parent session keeps AQE/codegen untouched.
+        spark = get_small_query_session(spark)
+    df = build_aggregation_plan(
+        spark,
         file_name,
         groupby_cols,
         measure_cols,
@@ -106,10 +120,9 @@ def aggregate_pq(
         standard_missing_id=standard_missing_id,
         handle_missing_file=handle_missing_file,
     )
-    with _small_input_fast_path(df.sparkSession, file_name):
-        if as_df:
-            return df.toPandas()
-        return _to_arrow(df)
+    if as_df:
+        return df.toPandas()
+    return _to_arrow(df)
 
 
 #: below this total input size, per-query latency is dominated by fixed
@@ -118,40 +131,13 @@ def aggregate_pq(
 SMALL_INPUT_BYTES = 256 << 20
 
 
-@contextmanager
-def _small_input_fast_path(spark: SparkSession, file_name):
-    """Temporarily narrow the shuffle and skip AQE when the input is small.
-
-    Applies only to this synchronous materialization (the reference's
-    model: one query per call over one file); the lazy :func:`aggregate_plan`
-    path never touches session conf — cluster-scale pipelines keep AQE.
-    """
+def _is_small_input(file_name) -> bool:
     paths = [file_name] if isinstance(file_name, str) else list(file_name)
     try:
         total = sum(os.path.getsize(p) for p in paths if os.path.exists(p))
     except OSError:
-        total = SMALL_INPUT_BYTES
-    if total >= SMALL_INPUT_BYTES:
-        yield
-        return
-    old = {
-        k: spark.conf.get(k, d)
-        for k, d in (
-            ("spark.sql.adaptive.enabled", "true"),
-            ("spark.sql.shuffle.partitions", "32"),
-            ("spark.sql.codegen.wholeStage", "true"),
-        )
-    }
-    # codegen compilation costs more than it saves below ~1M rows: measured
-    # 0.46-1.35s/query compiled vs 0.20-0.27s interpreted at 600k rows
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    spark.conf.set("spark.sql.codegen.wholeStage", "false")
-    try:
-        yield
-    finally:
-        for k, v in old.items():
-            spark.conf.set(k, v)
+        return False
+    return total < SMALL_INPUT_BYTES
 
 
 def _to_arrow(df: DataFrame) -> pa.Table:

@@ -33,7 +33,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from parquery_spark import tool
+from parquery_spark import relations, tool
 
 # op name → Spark aggregate expression builder.
 # Semantics pinned in SURVEY.md §2.3 (divergences documented there):
@@ -134,6 +134,7 @@ def build_aggregation_plan(
     aggregate: bool = True,
     standard_missing_id: int = tool.STANDARD_MISSING_ID,
     handle_missing_file: bool = True,
+    use_relation_cache: bool = True,
 ) -> DataFrame:
     """Build the lazy Spark plan implementing ``aggregate_pq`` semantics.
 
@@ -188,10 +189,12 @@ def build_aggregation_plan(
     scan_cols = sorted(
         {*live_groupby, *(m[0] for m in live_measures), *(f[0] for f in filters)}
     )
-    reader = spark.read
-    if len(live_paths) > 1:
-        reader = reader.option("mergeSchema", "true")
-    df = reader.parquet(*live_paths).select(*scan_cols)
+    # small inputs resolve through the hot-relation cache (columnar
+    # in-memory, re-sliced for parallelism); large inputs stream lazily with
+    # full parquet pushdown — relations.get_relation applies the size gate
+    df = relations.get_relation(
+        spark, live_paths, cache=use_relation_cache
+    ).select(*scan_cols)
 
     predicate = combined_filter(filters)
     if predicate is not None:

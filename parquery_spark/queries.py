@@ -21,6 +21,7 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from parquery_spark import relations
 from parquery_spark.plans.aggregation import build_aggregation_plan
 
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}
@@ -34,7 +35,9 @@ def query(name: str, sql: str | None = None):
 
 
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))
+    # hot-relation cache: small tables come back columnar-cached and
+    # re-sliced; large ones stream (size gate inside get_relation)
+    return relations.get_relation(spark, os.path.join(sf_dir, f"{table}.parquet"))
 
 
 def _path(sf_dir: str, table: str) -> str:

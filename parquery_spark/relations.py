@@ -1,0 +1,193 @@
+"""Hot-relation cache: the engine's buffer-pool analog for small tables.
+
+The reference opens the Parquet file fresh on every ``aggregate_pq`` call and
+leans on the OS page cache for re-reads (reference: parquery/
+aggregate_pyarrow.py:60-74 — ``pq.ParquetFile`` per query).  Spark's
+equivalent of "the file is hot" is an ``InMemoryRelation``: this module keeps
+an LRU of persisted, columnar-cached DataFrames for *small* inputs so that
+repeated queries over the same file skip listing, footer decode, and the
+parquet scan entirely.
+
+Two scale-aware rules:
+
+* **Only small inputs are cached** (default < 256 MiB total).  A 100 TB
+  table never lands here — the lazy plan path streams it with full predicate
+  pushdown; caching is a small-hot-table optimization, exactly like keeping
+  dimension tables in a buffer pool.
+* **Single-row-group files are re-sliced.**  Parquet assigns whole row
+  groups to tasks, so a 600 k-row single-row-group file caps every
+  downstream partial aggregation at parallelism 1 no matter how many cores
+  exist.  The cache build repartitions to ``rows // ROWS_PER_SLICE`` slices
+  (bounded by the scheduler's default parallelism) once, and every
+  subsequent query runs its map stage in parallel over cached columnar
+  batches.
+
+Staleness: entries are keyed by ``(abspath, mtime_ns, size)`` per file.  A
+replaced file (``os.replace``) produces a new key — and the stale entry is
+**eagerly unpersisted** before the new one is built, because Spark's shared
+``CacheManager`` matches plans structurally (path-based, not
+mtime-based): without the eviction, a fresh read of the replaced file would
+silently resolve to the stale in-memory copy.
+
+Sessions: cached data lives in the SparkContext-wide ``SharedState`` cache
+manager, so a relation persisted through one ``SparkSession`` is picked up
+by plan-equality from every other session of the same context (the
+small-query session in :mod:`parquery_spark.aggregate` relies on this).
+DataFrame handles themselves are per-session; the cache stores one per
+``(key, session)``.
+"""
+
+from __future__ import annotations
+
+import os
+import threading
+from collections import OrderedDict
+from typing import Sequence
+
+import pyarrow.parquet as papq
+from pyspark.sql import DataFrame, SparkSession
+
+#: Inputs at or above this total size are never cached (scale path).
+MAX_CACHED_INPUT_BYTES = int(
+    os.environ.get("PARQUERY_SPARK_RELATION_CACHE_MAX_FILE_BYTES", str(256 << 20))
+)
+
+#: LRU capacity — number of distinct (path-set, stat) entries kept persisted.
+MAX_CACHED_RELATIONS = int(
+    os.environ.get("PARQUERY_SPARK_RELATION_CACHE_ENTRIES", "16")
+)
+
+#: Target rows per cached partition slice; chosen so a partial aggregation
+#: over one slice is a few milliseconds of work (scheduling overhead and
+#: per-slice work stay balanced in local mode and on executors alike).
+ROWS_PER_SLICE = 40_000
+
+_ENABLED = os.environ.get("PARQUERY_SPARK_RELATION_CACHE", "1") not in ("0", "false")
+
+_lock = threading.RLock()
+
+
+class _Entry:
+    __slots__ = ("slices", "by_session", "persisted_df")
+
+    def __init__(self, slices: int):
+        self.slices = slices
+        self.by_session: dict[int, DataFrame] = {}
+        self.persisted_df: DataFrame | None = None
+
+
+#: stat-key -> _Entry (LRU: most-recently-used last)
+_relations: "OrderedDict[tuple, _Entry]" = OrderedDict()
+#: path-set -> last seen stat-key (to detect replaced files)
+_by_paths: dict[tuple, tuple] = {}
+
+
+def _stat_key(paths: Sequence[str]) -> tuple:
+    parts = tuple(
+        (os.path.abspath(p), (st := os.stat(p)).st_mtime_ns, st.st_size)
+        for p in paths
+    )
+    return parts
+
+
+def _read(spark: SparkSession, paths: Sequence[str]) -> DataFrame:
+    reader = spark.read
+    if len(paths) > 1:
+        reader = reader.option("mergeSchema", "true")
+    return reader.parquet(*paths)
+
+
+def _plan_slices(paths: Sequence[str]) -> int:
+    """Driver-side, footer-only: how many partitions the cached relation
+    should have.  More slices than row groups → repartition once at build."""
+    rows = 0
+    groups = 0
+    for p in paths:
+        md = papq.read_metadata(p)
+        rows += md.num_rows
+        groups += md.num_row_groups
+    want = max(1, min(rows // ROWS_PER_SLICE, os.cpu_count() or 8))
+    return want if want > groups else 0  # 0 → keep natural partitioning
+
+
+def get_relation(
+    spark: SparkSession, paths: str | Sequence[str], cache: bool = True
+) -> DataFrame:
+    """Resolve a parquet path list to a DataFrame, through the hot cache.
+
+    Large inputs (≥ :data:`MAX_CACHED_INPUT_BYTES`) and disabled-cache calls
+    go straight to ``spark.read`` — fully lazy, nothing persisted.
+    """
+    path_list = [paths] if isinstance(paths, str) else list(paths)
+    if not (_ENABLED and cache):
+        return _read(spark, path_list)
+    try:
+        total = sum(os.path.getsize(p) for p in path_list)
+    except OSError:
+        return _read(spark, path_list)
+    if total >= MAX_CACHED_INPUT_BYTES:
+        return _read(spark, path_list)
+
+    try:
+        key = _stat_key(path_list)
+    except OSError:
+        return _read(spark, path_list)
+    paths_id = tuple(os.path.abspath(p) for p in path_list)
+
+    with _lock:
+        stale_key = _by_paths.get(paths_id)
+        if stale_key is not None and stale_key != key:
+            # file replaced in place: evict BEFORE building the new relation,
+            # or the shared CacheManager would resolve the new (structurally
+            # identical) plan to the stale in-memory copy
+            _evict(stale_key)
+        _by_paths[paths_id] = key
+
+        entry = _relations.get(key)
+        if entry is None:
+            entry = _Entry(_plan_slices(path_list))
+            _relations[key] = entry
+        _relations.move_to_end(key)
+
+        sid = id(spark)
+        df = entry.by_session.get(sid)
+        if df is None:
+            df = _read(spark, path_list)
+            if entry.slices:
+                df = df.repartition(entry.slices)
+            entry.by_session[sid] = df
+            if entry.persisted_df is None:
+                # persist once; every session's equivalent plan hits the
+                # shared CacheManager by structural plan matching
+                entry.persisted_df = df.persist()
+
+        while len(_relations) > MAX_CACHED_RELATIONS:
+            oldest = next(iter(_relations))
+            if oldest == key:
+                break
+            _evict(oldest)
+    return df
+
+
+def _evict(key: tuple) -> None:
+    entry = _relations.pop(key, None)
+    if entry is not None and entry.persisted_df is not None:
+        try:
+            entry.persisted_df.unpersist(blocking=False)
+        except Exception:
+            pass  # session may already be stopped
+
+
+def invalidate(paths: str | Sequence[str] | None = None) -> None:
+    """Drop cached relations — all of them, or just the given path set."""
+    with _lock:
+        if paths is None:
+            for key in list(_relations):
+                _evict(key)
+            _by_paths.clear()
+            return
+        path_list = [paths] if isinstance(paths, str) else list(paths)
+        paths_id = tuple(os.path.abspath(p) for p in path_list)
+        key = _by_paths.pop(paths_id, None)
+        if key is not None:
+            _evict(key)

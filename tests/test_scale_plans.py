@@ -22,6 +22,7 @@ class TestAggregationPlans:
             [["l_quantity", "sum", "s"]],
             data_filter=[["l_quantity", ">", 30]],
             spark=spark,
+            use_relation_cache=False,
         )
         plan = plan_of(df)
         assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,30" in plan
@@ -32,6 +33,7 @@ class TestAggregationPlans:
             ["l_returnflag"],
             [["l_quantity", "sum", "s"]],
             spark=spark,
+            use_relation_cache=False,
         )
         plan = plan_of(df)
         scan = next(l for l in plan.splitlines() if "FileScan" in l)
@@ -45,6 +47,7 @@ class TestAggregationPlans:
             ["l_returnflag"],
             [["l_quantity", "sum", "s"]],
             spark=spark,
+            use_relation_cache=False,
         )
         plan = plan_of(df)
         # two-phase hash agg: partial_sum on the map side
@@ -57,8 +60,21 @@ class TestAggregationPlans:
             [["l_quantity", "mean"], ["l_extendedprice", "std"]],
             data_filter=[["l_returnflag", "in", ["A", "R"]]],
             spark=spark,
+            use_relation_cache=False,
         )
         assert "EvalPython" not in plan_of(df)
+
+    def test_small_input_uses_cached_relation(self, spark, sf_dir):
+        """Small inputs resolve to the hot-relation cache: columnar
+        InMemoryTableScan, re-sliced past the single-row-group parallelism
+        cap.  (Large inputs keep the streaming scan — previous tests.)"""
+        df = aggregate_plan(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            ["l_returnflag"],
+            [["l_quantity", "sum", "s"]],
+            spark=spark,
+        )
+        assert "InMemoryTableScan" in plan_of(df)
 
     def test_multifile_single_query(self, spark, sf_dir):
         path = os.path.join(sf_dir, "orders.parquet")
