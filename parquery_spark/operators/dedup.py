@@ -165,12 +165,42 @@ def minhash_signature(
     )
 
 
+def gram_sets(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_k: int = 3,
+    partition_by_id: bool = True,
+) -> DataFrame:
+    """One row per doc: ``(id, s = distinct shingles, n = |s|)`` — the
+    shared input of signature computation AND exact-Jaccard verification.
+
+    ``partition_by_id`` inserts an explicit hash-repartition on the id.
+    That exchange is the sharing point: every consumer of the returned
+    DataFrame (the signature explode, each side of a verification
+    self-join) references a structurally identical exchange subtree, so
+    Spark's ReusedExchange computes the shingle pass ONCE at runtime and
+    replays the shuffle files for the other consumers — no persist needed,
+    and downstream ``groupBy(id)`` / joins on the id need no re-shuffle."""
+    grams = (
+        word_shingles(text_col, shingle_k) if shingle_k > 1
+        else shingle_tokens(text_col)
+    )
+    sets = df.select(
+        F.col(id_col), F.array_distinct(grams).alias("s")
+    ).withColumn("n", F.size("s"))
+    if partition_by_id:
+        sets = sets.repartition(F.col(id_col))
+    return sets
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str,
     id_col: str,
     num_hashes: int = 16,
     shingle_k: int = 3,
+    sets: DataFrame | None = None,
 ) -> DataFrame:
     """Corpus-scale MinHash signatures, explode-shaped:
 
@@ -181,11 +211,16 @@ def minhash_signatures(
     ``num_hashes``-wide row per doc per task — not per shingle.  Docs with
     fewer than ``shingle_k`` words have no shingles and are omitted (their
     signature is undefined; the LSH layer treats them as unpairable, which
-    matches SQL-oracle NULL-key semantics)."""
+    matches SQL-oracle NULL-key semantics).
+
+    Pass a precomputed :func:`gram_sets` DataFrame via ``sets`` to share
+    the shingle pass with other consumers (MinHash over the distinct set
+    equals MinHash over the multiset — min ignores duplicates)."""
     coeffs = minhash_coefficients(num_hashes)
-    exploded = df.select(
-        F.col(id_col),
-        F.explode(word_shingles(text_col, shingle_k)).alias("__shingle"),
+    if sets is None:
+        sets = gram_sets(df, text_col, id_col, shingle_k, partition_by_id=False)
+    exploded = sets.select(
+        F.col(id_col), F.explode("s").alias("__shingle")
     ).select(
         F.col(id_col),
         (hash32(F.col("__shingle")) % F.lit(MINHASH_P)).alias("__h"),
@@ -212,6 +247,7 @@ def lsh_candidate_pairs(
     bands: int = 4,
     shingle_k: int = 3,
     max_bucket_size: int = 1000,
+    sets: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash-LSH candidate pairs with estimated Jaccard.
 
@@ -225,7 +261,7 @@ def lsh_candidate_pairs(
     bands.
     """
     rows = num_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k, sets=sets)
 
     banded = sigs.select(
         id_col,
@@ -468,23 +504,23 @@ def lsh_verified_pairs(
        only — per-pair set intersection is affordable because the
        candidate set is orders of magnitude smaller than all pairs.
 
+    The distinct-shingle sets are computed ONCE (:func:`gram_sets`, with a
+    repartition-by-id exchange): the signature pass and both sides of the
+    verification join consume the same exchange, which ReusedExchange
+    materializes a single time — the corpus is shingled once, not three
+    times.
+
     Returns (id_a, id_b, jaccard) for candidates whose exact Jaccard (over
     distinct ``shingle_k``-word shingles, rounded to 6 digits) meets the
     threshold.  Recall is governed by the banding: P(candidate) =
     1-(1-j^rows)^bands.
     """
+    sets = gram_sets(df, text_col, id_col, shingle_k, partition_by_id=True)
     cands = lsh_candidate_pairs(
         df, text_col, id_col,
         num_hashes=num_hashes, bands=bands, shingle_k=shingle_k,
-        max_bucket_size=max_bucket_size,
+        max_bucket_size=max_bucket_size, sets=sets,
     ).select("id_a", "id_b")
-    grams = (
-        word_shingles(text_col, shingle_k) if shingle_k > 1
-        else shingle_tokens(text_col)
-    )
-    sets = df.select(
-        F.col(id_col), F.array_distinct(grams).alias("s")
-    ).withColumn("n", F.size("s"))
     sa = sets.select(F.col(id_col).alias("id_a"), F.col("s").alias("s_a"),
                      F.col("n").alias("n_a"))
     sb = sets.select(F.col(id_col).alias("id_b"), F.col("s").alias("s_b"),
