@@ -7,7 +7,7 @@ Public API parity surface (reference: parquery/__init__.py:31-47) plus
 extensions.
 """
 
-from parquery_spark.aggregate import aggregate_plan, aggregate_pq
+from parquery_spark.aggregate import aggregate_plan, aggregate_pq, finalize_group_by
 from parquery_spark.session import get_spark
 from parquery_spark.transport import (
     deserialize_pa_table_base64,
@@ -18,8 +18,12 @@ from parquery_spark.transport import (
 from parquery_spark.write import create_full_filename, df_to_parquet
 from parquery_spark.tool import (
     FILTER_CUTOVER_LENGTH,
+    HAS_DUCKDB,
     SAFE_PREAGGREGATE,
     VALID_FILTER_OPS,
+    DataFilter,
+    FilterCondition,
+    FilterOperator,
     FilterValueError,
     df_to_natural_name,
     df_to_original_name,
@@ -34,7 +38,12 @@ __version__ = "0.1.0"
 __all__ = [
     "aggregate_pq",
     "aggregate_plan",
+    "finalize_group_by",
     "get_spark",
+    "HAS_DUCKDB",
+    "FilterOperator",
+    "FilterCondition",
+    "DataFilter",
     "df_to_parquet",
     "create_full_filename",
     "serialize_pa_table_bytes",

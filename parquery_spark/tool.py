@@ -15,10 +15,23 @@ Everything engine-facing (Spark plans) lives in ``parquery_spark.plans``.
 
 from __future__ import annotations
 
-from typing import Any, Sequence
+from typing import Any, Literal, Sequence
+
+try:  # capability flag exposed for API parity (reference: parquery/tool.py:12-19)
+    import duckdb  # noqa: F401
+
+    HAS_DUCKDB = True
+except ImportError:  # pragma: no cover - env-dependent
+    HAS_DUCKDB = False
 
 #: Filter operators accepted by ``aggregate_pq`` (reference: parquery/tool.py:38).
 VALID_FILTER_OPS = ("in", "not in", "nin", "=", "==", "!=", ">", ">=", "<=", "<")
+
+#: Typed filter aliases (reference: parquery/tool.py:38-41) — a user porting
+#: ``from parquery import DataFilter`` keeps working.
+FilterOperator = Literal["in", "not in", "nin", "=", "==", "!=", ">", ">=", "<=", "<"]
+FilterCondition = tuple[str, FilterOperator, Any]  # (column, operator, value(s))
+DataFilter = list[FilterCondition] | list[list[Any]]  # typed or legacy format
 
 #: Aggregation ops whose partial results can safely be re-aggregated.
 #: Kept for API/documentation parity (reference: parquery/tool.py:37); Spark's

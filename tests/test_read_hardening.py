@@ -1,0 +1,186 @@
+"""Read-hardening parity: transient-OSError retry (S4) and snapshot-pinned
+reads under concurrent ``os.replace`` (S3).
+
+Mirrors the reference's tests/test_duckdb_read_hardening.py:40-146 — same
+failure modes, Spark-side mechanics: the snapshot pin is a hardlink to the
+source inode (vs the reference's ``/dev/fd``), and the retry invalidates the
+hot-relation cache before re-running.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+import parquery_spark.aggregate as agg
+from parquery_spark import aggregate_pq
+
+
+def _write(path, dates):
+    pq.write_table(
+        pa.table({"a-31": dates, "g": [1] * len(dates), "m1": [1.0] * len(dates)}),
+        path,
+    )
+
+
+def _result_map(res):
+    return dict(zip(res.column("a-31").to_pylist(), res.column("m1").to_pylist()))
+
+
+def _no_snapshot_litter(tmp_path):
+    return glob.glob(str(tmp_path / "*.snapshot-*")) == []
+
+
+class TestPinnedSnapshot:
+    def test_pinned_read_survives_concurrent_replace(self, spark, tmp_path, monkeypatch):
+        target = str(tmp_path / "shard.parquet")
+        _write(target, [20251201, 20251202])  # consistent OLD content
+        newfile = str(tmp_path / "new.parquet")
+        _write(newfile, [99999999])  # content a concurrent rename would expose
+
+        # the hook fires after the hardlink pins the old inode but before the
+        # read — the worst-case writer timing
+        def swap(_paths):
+            os.replace(newfile, target)
+
+        monkeypatch.setattr(agg, "_post_snapshot_hook", swap)
+        res = aggregate_pq(target, ["a-31"], [["m1", "sum"]], pin_snapshot=True)
+
+        assert _result_map(res) == {20251201: 1.0, 20251202: 1.0}
+        assert _no_snapshot_litter(tmp_path)
+
+    def test_without_pin_replace_is_visible(self, spark, tmp_path):
+        """Control: without the pin the same rename shows the new content —
+        proves the pin (not test setup) is what isolates the read above."""
+        target = str(tmp_path / "shard.parquet")
+        _write(target, [20251201, 20251202])
+        aggregate_pq(target, ["a-31"], [["m1", "sum"]])
+        newfile = str(tmp_path / "new.parquet")
+        _write(newfile, [99999999])
+        os.replace(newfile, target)
+
+        res = aggregate_pq(target, ["a-31"], [["m1", "sum"]])
+        assert _result_map(res) == {99999999: 1.0}
+
+    def test_pin_on_missing_file_keeps_missing_semantics(self, spark, tmp_path):
+        ghost = str(tmp_path / "ghost.parquet")
+        res = aggregate_pq(ghost, ["a-31"], [["m1", "sum"]], pin_snapshot=True)
+        assert res.num_rows == 0
+        with pytest.raises(OSError):
+            aggregate_pq(
+                ghost, ["a-31"], [["m1", "sum"]],
+                pin_snapshot=True, handle_missing_file=False,
+            )
+
+    def test_multifile_pin(self, spark, tmp_path, monkeypatch):
+        p1 = str(tmp_path / "s1.parquet")
+        p2 = str(tmp_path / "s2.parquet")
+        _write(p1, [20251201])
+        _write(p2, [20251202])
+        newfile = str(tmp_path / "new.parquet")
+        _write(newfile, [99999999])
+
+        def swap(_paths):
+            os.replace(newfile, p2)
+
+        monkeypatch.setattr(agg, "_post_snapshot_hook", swap)
+        res = aggregate_pq([p1, p2], ["a-31"], [["m1", "sum"]], pin_snapshot=True)
+        assert _result_map(res) == {20251201: 1.0, 20251202: 1.0}
+        assert _no_snapshot_litter(tmp_path)
+
+
+class TestTransientRetry:
+    def test_oserror_retried_once(self, spark, tmp_path, monkeypatch):
+        target = str(tmp_path / "shard.parquet")
+        _write(target, [20251201, 20251202])
+
+        real = agg.build_aggregation_plan
+        calls = {"n": 0}
+
+        def flaky(*args, **kwargs):
+            calls["n"] += 1
+            if calls["n"] == 1:
+                raise OSError("transient stale handle")
+            return real(*args, **kwargs)
+
+        monkeypatch.setattr(agg, "build_aggregation_plan", flaky)
+        res = aggregate_pq(target, ["a-31"], [["m1", "sum"]])
+
+        assert calls["n"] == 2  # failed once, retried once
+        assert _result_map(res) == {20251201: 1.0, 20251202: 1.0}
+
+    def test_oserror_second_failure_propagates(self, spark, tmp_path, monkeypatch):
+        target = str(tmp_path / "shard.parquet")
+        _write(target, [20251201])
+
+        def always_raise(*args, **kwargs):
+            raise OSError("persistent")
+
+        monkeypatch.setattr(agg, "build_aggregation_plan", always_raise)
+        with pytest.raises(OSError, match="persistent"):
+            aggregate_pq(target, ["a-31"], [["m1", "sum"]])
+
+    def test_retry_with_pin_takes_fresh_snapshot(self, spark, tmp_path, monkeypatch):
+        """Each attempt pins a FRESH snapshot (the reference opens a fresh fd
+        per attempt) and every snapshot is cleaned up, including the failing
+        attempt's."""
+        target = str(tmp_path / "shard.parquet")
+        _write(target, [20251201])
+
+        seen_snapshots: list[str] = []
+
+        def record(_paths):
+            seen_snapshots.extend(glob.glob(str(tmp_path / "*.snapshot-*")))
+
+        real = agg.build_aggregation_plan
+        calls = {"n": 0}
+
+        def flaky(*args, **kwargs):
+            calls["n"] += 1
+            if calls["n"] == 1:
+                raise OSError("transient")
+            return real(*args, **kwargs)
+
+        monkeypatch.setattr(agg, "_post_snapshot_hook", record)
+        monkeypatch.setattr(agg, "build_aggregation_plan", flaky)
+        res = aggregate_pq(target, ["a-31"], [["m1", "sum"]], pin_snapshot=True)
+
+        assert _result_map(res) == {20251201: 1.0}
+        assert len(seen_snapshots) == 2  # one per attempt
+        assert len(set(seen_snapshots)) == 2  # distinct snapshot files
+        assert _no_snapshot_litter(tmp_path)
+
+    def test_retry_invalidates_stale_cached_relation(self, spark, tmp_path, monkeypatch):
+        """The retry must not replay the failing attempt against a stale
+        cached relation: invalidation happens between attempts."""
+        from parquery_spark import relations
+
+        target = str(tmp_path / "shard.parquet")
+        _write(target, [20251201])
+        aggregate_pq(target, ["a-31"], [["m1", "sum"]])  # populate cache
+
+        invalidated = []
+        real_invalidate = relations.invalidate
+
+        def spy(paths=None):
+            invalidated.append(paths)
+            return real_invalidate(paths)
+
+        real = agg.build_aggregation_plan
+        calls = {"n": 0}
+
+        def flaky(*args, **kwargs):
+            calls["n"] += 1
+            if calls["n"] == 1:
+                raise OSError("stale handle")
+            return real(*args, **kwargs)
+
+        monkeypatch.setattr(agg.relations, "invalidate", spy)
+        monkeypatch.setattr(agg, "build_aggregation_plan", flaky)
+        res = aggregate_pq(target, ["a-31"], [["m1", "sum"]])
+        assert _result_map(res) == {20251201: 1.0}
+        assert invalidated == [target]

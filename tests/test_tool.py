@@ -85,3 +85,65 @@ class TestNaturalNames:
         nat = tool.df_to_natural_name(df)
         assert nat.columns == ["d_n_1", "m"]
         assert tool.df_to_original_name(nat).columns == ["d-1", "m"]
+
+
+class TestReferenceApiParity:
+    """Every name the reference exports from `parquery` must import from
+    `parquery_spark` (reference: parquery/__init__.py:31-47) — a user
+    porting `from parquery import X` never breaks."""
+
+    REFERENCE_ALL = [
+        "aggregate_pq",
+        "finalize_group_by",
+        "HAS_DUCKDB",
+        "SAFE_PREAGGREGATE",
+        "FilterValueError",
+        "FilterOperator",
+        "FilterCondition",
+        "DataFilter",
+        "serialize_pa_table_bytes",
+        "deserialize_pa_table_bytes",
+        "serialize_pa_table_base64",
+        "deserialize_pa_table_base64",
+        "df_to_parquet",
+        "df_to_natural_name",
+        "df_to_original_name",
+    ]
+
+    def test_reference_all_is_subset(self):
+        import parquery_spark
+
+        missing = set(self.REFERENCE_ALL) - set(parquery_spark.__all__)
+        assert not missing, f"missing reference exports: {sorted(missing)}"
+        for name in self.REFERENCE_ALL:
+            assert getattr(parquery_spark, name, None) is not None, name
+
+    def test_finalize_group_by_merges_partials(self):
+        import pyarrow as pa
+
+        from parquery_spark import finalize_group_by
+
+        t1 = pa.table({"g": ["a", "b"], "m": [1.0, 2.0]})
+        t2 = pa.table({"g": ["a", "c"], "m": [3.0, 4.0]})
+        out = finalize_group_by([t1, t2], ["g"], {"m": "sum"}, aggregate=True)
+        got = dict(zip(out.column("g").to_pylist(), out.column("m").to_pylist()))
+        assert got == {"a": 4.0, "b": 2.0, "c": 4.0}
+        assert out.column_names == ["g", "m"]
+
+    def test_finalize_group_by_no_aggregate_concats(self):
+        import pyarrow as pa
+
+        from parquery_spark import finalize_group_by
+
+        t1 = pa.table({"g": ["a"], "m": [1.0]})
+        t2 = pa.table({"g": ["b"], "m": [2.0]})
+        out = finalize_group_by([t1, t2], ["g"], {"m": "sum"}, aggregate=False)
+        assert out.num_rows == 2
+
+    def test_finalize_group_by_single_table_passthrough(self):
+        import pyarrow as pa
+
+        from parquery_spark import finalize_group_by
+
+        t = pa.table({"g": ["a"], "m": [1.0]})
+        assert finalize_group_by([t], ["g"], {}, aggregate=True) is t
