@@ -175,13 +175,14 @@ def gram_sets(
     """One row per doc: ``(id, s = distinct shingles, n = |s|)`` — the
     shared input of signature computation AND exact-Jaccard verification.
 
-    ``partition_by_id`` inserts an explicit hash-repartition on the id.
-    That exchange is the sharing point: every consumer of the returned
-    DataFrame (the signature explode, each side of a verification
-    self-join) references a structurally identical exchange subtree, so
-    Spark's ReusedExchange computes the shingle pass ONCE at runtime and
-    replays the shuffle files for the other consumers — no persist needed,
-    and downstream ``groupBy(id)`` / joins on the id need no re-shuffle."""
+    ``partition_by_id`` inserts an explicit hash-repartition on the id, so
+    a downstream ``groupBy(id)`` (the signature partial-agg) needs no
+    further shuffle.  NOTE: multiple consumers of the returned DataFrame
+    each re-execute the shingle pass — Catalyst pushes the consumers'
+    differing column renames below the exchange, so ReusedExchange never
+    unifies the subtrees.  A caller fanning the sets out to several
+    consumers must ``persist()`` (as :func:`lsh_verified_pairs` does) or
+    stage them to storage."""
     grams = (
         word_shingles(text_col, shingle_k) if shingle_k > 1
         else shingle_tokens(text_col)
@@ -504,18 +505,25 @@ def lsh_verified_pairs(
        only — per-pair set intersection is affordable because the
        candidate set is orders of magnitude smaller than all pairs.
 
-    The distinct-shingle sets are computed ONCE (:func:`gram_sets`, with a
-    repartition-by-id exchange): the signature pass and both sides of the
-    verification join consume the same exchange, which ReusedExchange
-    materializes a single time — the corpus is shingled once, not three
-    times.
+    The distinct-shingle sets are computed ONCE (:func:`gram_sets`) and
+    **persisted** (MEMORY_AND_DISK, one compact row per doc): the signature
+    pass and both sides of the verification join all read the cached sets,
+    so the corpus is shingled exactly once, not three times.  At cluster
+    scale this is the stage-to-storage pattern — the per-doc set relation
+    is a few KB/doc and spills to disk if it outgrows executor memory.
+    (Exchange reuse cannot do this implicitly: each consumer's column
+    renames get pushed below the repartition, so the exchange subtrees are
+    not canonically identical and ReusedExchange never fires.)
 
     Returns (id_a, id_b, jaccard) for candidates whose exact Jaccard (over
     distinct ``shingle_k``-word shingles, rounded to 6 digits) meets the
     threshold.  Recall is governed by the banding: P(candidate) =
     1-(1-j^rows)^bands.
     """
+    from pyspark import StorageLevel
+
     sets = gram_sets(df, text_col, id_col, shingle_k, partition_by_id=True)
+    sets = sets.persist(StorageLevel.MEMORY_AND_DISK)
     cands = lsh_candidate_pairs(
         df, text_col, id_col,
         num_hashes=num_hashes, bands=bands, shingle_k=shingle_k,

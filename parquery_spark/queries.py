@@ -1260,13 +1260,30 @@ def q53_sql_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_Q53_SQL)
 
 
-@query("q54_hll_sketch_rollup", None)  # sketch binaries are engine-specific:
-# no SQL oracle exists — the driver records a rows-only check; exactness-
-# within-error-bound is asserted in tests/test_sources_text.py instead
+@query(
+    "q54_hll_sketch_rollup",
+    # The sketch binaries themselves are engine-specific, so the gate is on
+    # what they CLAIM: the exact distinct count (hash-matched vs DuckDB) plus
+    # a boolean asserting the merged-sketch estimate landed inside the HLL
+    # error bound.  The oracle emits TRUE — an out-of-bound estimate flips
+    # the boolean on the Spark side and hash-mismatches the round.
+    """
+    SELECT o_orderstatus,
+           COUNT(DISTINCT o_custkey) AS exact_distinct,
+           TRUE AS estimate_within_bound
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
 def q54_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable HLL rollup: per-(status, priority) distinct-customer
     sketches, unioned up to status WITHOUT rescanning raw data — the
-    incremental-rollup pattern for 100 TB aggregation."""
+    incremental-rollup pattern for 100 TB aggregation.
+
+    Gated end-to-end: the merged estimate is checked against the exact
+    count (computed in the same plan) within 5 × the lg_k=12 standard
+    error (1.04/sqrt(2^12) ≈ 1.6%); small cardinalities run in HLL sparse
+    mode and are exact, so 5σ never fires unless the sketch is broken.
+    """
     from parquery_spark.functions.sketches import (
         distinct_sketch_rollup,
         merge_sketch_rollups,
@@ -1276,8 +1293,20 @@ def q54_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     fine = distinct_sketch_rollup(
         orders, ["o_orderstatus", "o_orderpriority"], "o_custkey"
     )
-    return merge_sketch_rollups(fine, ["o_orderstatus"]).select(
+    merged = merge_sketch_rollups(fine, ["o_orderstatus"]).select(
         "o_orderstatus", "estimate"
+    )
+    exact = orders.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("exact_distinct")
+    )
+    rel_err = 5 * 1.04 / (2 ** 12) ** 0.5
+    return exact.join(merged, "o_orderstatus").select(
+        "o_orderstatus",
+        "exact_distinct",
+        (
+            F.abs(F.col("estimate") - F.col("exact_distinct"))
+            <= F.lit(rel_err) * F.col("exact_distinct")
+        ).alias("estimate_within_bound"),
     )
 
 
