@@ -322,6 +322,7 @@ def jaccard_pairs(
     block_cols: list[str] | None = None,
     threshold: float = 0.5,
     shingle_k: int = 1,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard similarity over word (or k-shingle) sets, computed by
     inverted-index co-occurrence — the scalable exact-verification plan:
@@ -336,8 +337,15 @@ def jaccard_pairs(
     this ships only (gram, id) rows through the shuffle — never the gram
     arrays — and its cost is Σ_g df(g)² within blocks, not |block|².
     A pathologically common gram is the skew hazard: AQE skew-join
-    splitting handles moderate cases (at corpus scale, drop stop-grams
-    with df above a cap before step 2 — at the cost of exactness).
+    splitting handles moderate cases; for adversarial corpora set
+    ``max_df`` to drop stop-grams whose within-block document frequency
+    exceeds the cap BEFORE the self-join.  The pair-volume contribution of
+    a gram is df(g)², so capping bounds step 2 at Σ_g min(df(g), max_df)²
+    — a ubiquitous token (df = |corpus|) goes from |corpus|² to zero.
+    With ``max_df`` set, ``jaccard`` is computed over the capped
+    vocabulary on BOTH sides of the ratio (stop-grams leave the union as
+    well as the intersection): the result is exact Jaccard of the
+    *informative* grams, the standard stop-word-filtered similarity.
     Only pairs with ``jaccard >= threshold`` (after 6-digit rounding) are
     returned; pairs with zero overlap are definitionally below any
     positive threshold."""
@@ -353,6 +361,18 @@ def jaccard_pairs(
     exploded = base.select(
         *blocks, F.col(id_col), F.explode("gram_set").alias("g")
     )
+    if max_df is not None:
+        # document frequency via a window on (block, gram) — partitions
+        # exactly like the self-join key, so the exchange is shared with
+        # step 2 rather than adding one; per-doc sizes are recomputed over
+        # the surviving grams (capped-vocabulary Jaccard, see docstring)
+        exploded = exploded.withColumn(
+            "__df",
+            F.count(F.lit(1)).over(Window.partitionBy(*blocks, "g")),
+        ).filter(F.col("__df") <= max_df).drop("__df")
+        sizes = exploded.groupBy(id_col).agg(
+            F.count(F.lit(1)).alias("n_grams")
+        )
     a = exploded.select(*blocks, F.col(id_col).alias("id_a"), "g")
     b = exploded.select(*blocks, F.col(id_col).alias("id_b"), "g")
     co = (

@@ -135,12 +135,25 @@ def near_dup_pairs(
     num_planes: int = 8,
     seed: int = 7,
     digits: int = 6,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via LSH bucketing: vectors in
     the same sign-bit bucket are verified with exact cosine.  High
     thresholds ⇒ near-identical vectors ⇒ same bucket with high
-    probability; join is quadratic only within buckets."""
-    dim = len(df.select(vec_col).first()[0])
+    probability; join is quadratic only within buckets.
+
+    Pass ``dim`` (the embedding width) explicitly when known: it is needed
+    driver-side to generate the hyperplanes, and without it an extra
+    Spark job (``first()``) probes the data — which also fails on an
+    empty corpus."""
+    if dim is None:
+        first = df.select(vec_col).first()
+        if first is None:
+            raise ValueError(
+                f"cannot infer embedding dim from an empty corpus; pass "
+                f"dim= explicitly (vec_col={vec_col!r})"
+            )
+        dim = len(first[0])
     planes = hyperplanes(dim, num_planes, seed)
     bucketed = df.select(
         F.col(id_col),
@@ -160,3 +173,85 @@ def near_dup_pairs(
         .filter(F.col("cosine_sim") >= threshold)
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+# ---------------------------------------------------------------------------
+# Persisted ANN index: hive layout partitioned by LSH bucket
+# ---------------------------------------------------------------------------
+
+def hamming_ball(center: int, num_planes: int, radius: int) -> list[int]:
+    """All bucket ids within ``radius`` bit-flips of ``center`` — the
+    multi-probe set, enumerated driver-side (|ball| = Σ C(num_planes, r),
+    e.g. 79 buckets for num_planes=12, radius=2)."""
+    from itertools import combinations
+
+    out = []
+    for r in range(radius + 1):
+        for flips in combinations(range(num_planes), r):
+            b = center
+            for j in flips:
+                b ^= 1 << j
+            out.append(b)
+    return out
+
+
+def write_ann_index(
+    df: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    num_planes: int = 12,
+    seed: int = 7,
+    dim: int | None = None,
+    mode: str = "overwrite",
+) -> str:
+    """Persist the corpus hive-partitioned by sign-bit LSH bucket — the
+    end-to-end ANN layout: one directory per bucket, so a probe query's
+    bucket predicate becomes a **PartitionFilter** and the scan never opens
+    non-probed buckets' files.  At 100 TB that turns every query from a
+    full-corpus scan into |ball|/2^num_planes of the input (≈0.6 % for
+    12 planes, radius 2).
+
+    The hyperplanes are regenerated from (dim, num_planes, seed) at query
+    time, so the layout is self-describing given those three parameters —
+    persist them alongside the index in real deployments."""
+    from parquery_spark.sources.parquet import write_partitioned
+
+    if dim is None:
+        first = df.select(vec_col).first()
+        if first is None:
+            raise ValueError("cannot infer dim from an empty corpus; pass dim=")
+        dim = len(first[0])
+    planes = hyperplanes(dim, num_planes, seed)
+    bucketed = df.withColumn("bucket", lsh_bucket(vec_col, planes))
+    return write_partitioned(bucketed, path, ["bucket"], mode=mode)
+
+
+def cosine_topk_indexed(
+    spark,
+    index_path: str,
+    query: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    num_planes: int = 12,
+    probe_hamming: int = 2,
+    seed: int = 7,
+    digits: int = 6,
+) -> DataFrame:
+    """Approximate cosine top-k against a :func:`write_ann_index` layout.
+
+    The probe buckets are enumerated driver-side (:func:`hamming_ball`)
+    and applied as ``bucket IN (...)`` — an In predicate on the partition
+    column, which Spark turns into directory-level pruning (verify with
+    ``.explain``: ``PartitionFilters: [bucket#.. IN (..)]``).  Exact cosine
+    then ranks only the surviving ≤ |ball| buckets."""
+    planes = hyperplanes(len(query), num_planes, seed)
+    qsig = sum(
+        (1 << j) for j, p in enumerate(planes) if float(np.dot(p, query)) > 0
+    )
+    probes = hamming_ball(qsig, num_planes, probe_hamming)
+    candidates = spark.read.parquet(index_path).filter(
+        F.col("bucket").isin(probes)
+    )
+    return cosine_topk(candidates, query, k, vec_col, id_col, digits)

@@ -1051,7 +1051,7 @@ def q47_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return near_dup_pairs(
         load(spark, sf_dir, "embeddings"),
-        threshold=0.3, num_planes=4, seed=7,
+        threshold=0.3, num_planes=4, seed=7, dim=64,
     )
 
 

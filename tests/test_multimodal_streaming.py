@@ -112,6 +112,61 @@ class TestStreaming:
         }
         assert got == want and len(want) > 0
 
+    def test_checkpoint_restart_exactly_once(self, spark, tmp_path):
+        """Kill/restart recovery: run 1 ingests hours 0-4 and emits only the
+        watermark-finalized windows; run 2 restarts from the SAME checkpoint
+        with hours 5-8 added and must emit the remaining finalized windows
+        exactly once — including windows whose rows were ingested in run 1
+        but only finalized in run 2 (proves window state survives restart,
+        not just source offsets)."""
+        import datetime as dt
+
+        base = dt.datetime(2024, 1, 1)
+        src = str(tmp_path / "src")
+        sink = str(tmp_path / "sink")
+        ckpt = str(tmp_path / "ckpt")
+
+        def add_hours(hours):
+            rows = [
+                (h * 100 + m, base + dt.timedelta(hours=h, minutes=m), 1,
+                 "click", 1.0)
+                for h in hours for m in (0, 30)
+            ]
+            (spark.createDataFrame(rows, EVENT_SCHEMA)
+             .coalesce(1).write.mode("append").parquet(src))
+
+        def run_to_completion():
+            sdf = windowed_event_counts(
+                spark, src, EVENT_SCHEMA, window="1 hour", watermark="2 hours"
+            )
+            q = (
+                sdf.writeStream.format("parquet").option("path", sink)
+                .option("checkpointLocation", ckpt).outputMode("append")
+                .trigger(availableNow=True).start()
+            )
+            q.awaitTermination(120)
+            assert q.exception() is None
+            return spark.read.parquet(sink)
+
+        add_hours(range(0, 5))  # max ts 4:30 → watermark 2:30
+        run1 = {
+            r["window_start"]: (r["n"], r["total_value"])
+            for r in run_to_completion().collect()
+        }
+        # only windows closed by the watermark are emitted
+        assert sorted(w.hour for w in run1) == [0, 1]
+
+        add_hours(range(5, 9))  # max ts 8:30 → watermark 6:30
+        rows2 = run_to_completion().collect()
+        # exactly-once: no (window, event_type) emitted twice across runs
+        keys = [(r["window_start"], r["event_type"]) for r in rows2]
+        assert len(keys) == len(set(keys))
+        got = {r["window_start"]: (r["n"], r["total_value"]) for r in rows2}
+        # windows 2-4 were fed ONLY by run-1 files: their counts require the
+        # aggregation state (or source replay) recovered from the checkpoint
+        assert sorted(w.hour for w in got) == [0, 1, 2, 3, 4, 5]
+        assert all(n == 2 for n, _ in got.values())
+
     def test_sessionization_state_shape(self, spark, event_dir):
         from parquery_spark.streaming import sessionize_stream
 

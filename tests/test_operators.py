@@ -126,6 +126,27 @@ class TestDedup:
         exact = [r for r in pairs if (r["id_a"], r["id_b"]) == (1, 2)]
         assert exact and exact[0]["jaccard"] == 1.0
 
+    def test_jaccard_max_df_bounds_adversarial_corpus(self, spark):
+        """Stop-gram capping: every doc shares one ubiquitous token, so the
+        uncapped inverted index materializes all C(n,2) pairs; with
+        max_df the stop-gram is dropped and only genuinely-similar pairs
+        surface, with Jaccard computed over the capped vocabulary."""
+        n = 30
+        rows = [(i, f"common u{i}a u{i}b u{i}c") for i in range(n)]
+        rows.append((n, "common u0a u0b u0c"))  # true near-dup of doc 0
+        docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+        uncapped = dedup.jaccard_pairs(docs, "text", "doc_id", threshold=0.0)
+        assert uncapped.count() == (n + 1) * n // 2  # every pair co-occurs
+
+        capped = dedup.jaccard_pairs(
+            docs, "text", "doc_id", threshold=0.5, max_df=5
+        ).collect()
+        # "common" (df=31) is dropped: only the real dup pair remains, and
+        # its Jaccard over the surviving grams {u0a,u0b,u0c} is exactly 1
+        assert {(r["id_a"], r["id_b"]) for r in capped} == {(0, n)}
+        assert capped[0]["jaccard"] == 1.0
+
     def test_minhash_identical_docs_agree(self, docs):
         sigs = {
             r["doc_id"]: list(r["sig"])

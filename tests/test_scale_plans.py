@@ -155,3 +155,40 @@ class TestTopKAndJoins:
         df.collect()
         final = df._jdf.queryExecution().executedPlan().toString()
         assert "AQEShuffleRead coalesced" in final or "coalesced" in final
+
+
+class TestAnnIndexLayout:
+    def test_probe_prunes_partitions_end_to_end(self, spark, sf_dir,
+                                                tmp_path_factory):
+        """write_ann_index → cosine_topk_indexed: the probe's bucket IN-list
+        must surface as a PartitionFilter (directory-level pruning — the
+        scan never opens non-probed buckets), and the indexed result must
+        equal the unindexed LSH path on the same corpus."""
+        from parquery_spark.operators import similarity
+
+        emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        idx = str(tmp_path_factory.mktemp("ann") / "index")
+        similarity.write_ann_index(
+            emb, idx, num_planes=6, seed=7, dim=64
+        )
+        query = [float((i * 7) % 13 - 6) for i in range(64)]
+        probe = similarity.cosine_topk_indexed(
+            spark, idx, query, k=5, num_planes=6, probe_hamming=1, seed=7
+        )
+        plan = plan_of(probe)
+        scan = next(l for l in plan.splitlines() if "FileScan" in l)
+        assert "PartitionFilters" in scan and "bucket" in scan.split(
+            "PartitionFilters", 1)[1]
+        # pruning is real: the scan reads |ball|=7 of the 2^6 buckets
+        n_buckets = (
+            spark.read.parquet(idx).select("bucket").distinct().count()
+        )
+        ball = similarity.hamming_ball(0, 6, 1)
+        assert len(ball) == 7 < n_buckets
+        # parity with the unindexed multi-probe path
+        baseline = similarity.cosine_topk_lsh(
+            emb, query, k=5, num_planes=6, probe_hamming=1, seed=7
+        )
+        assert [tuple(r) for r in probe.collect()] == [
+            tuple(r) for r in baseline.collect()
+        ]
