@@ -37,7 +37,9 @@ def main():
 
     li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
     li.groupBy("l_returnflag").agg(F.sum("l_quantity")).collect()
-    spark.range(8).repartition(2).mapInPandas(
+    # spawn the full Python-worker pool once (process start + pandas import
+    # per worker is a per-PROCESS cost, not a per-query cost)
+    spark.range(int(cpus) * 4).repartition(int(cpus)).mapInPandas(
         lambda it: it, schema="id long"
     ).collect()
     # Arrow collect path (toArrow jars/classes) is a one-time process cost

@@ -140,7 +140,13 @@ def fingerprint(text: Column | str) -> Column:
 
 
 def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Attach the full per-document analysis column set."""
+    """Attach the full per-document analysis column set.
+
+    The profile is a pure narrow map (regex + hashing per row); an
+    under-split source is fanned out first so it runs on all cores."""
+    from parquery_spark.operators.util import fan_out
+
+    df = fan_out(df)
     c = F.col(text_col)
     return df.select(
         "*",

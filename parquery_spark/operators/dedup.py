@@ -30,6 +30,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from parquery_spark.functions.text import fingerprint, normalized_text
+from parquery_spark.operators.util import fan_out
 
 # ---------------------------------------------------------------------------
 # shared hash family
@@ -175,24 +176,28 @@ def gram_sets(
     """One row per doc: ``(id, s = distinct shingles, n = |s|)`` — the
     shared input of signature computation AND exact-Jaccard verification.
 
-    ``partition_by_id`` inserts an explicit hash-repartition on the id, so
-    a downstream ``groupBy(id)`` (the signature partial-agg) needs no
-    further shuffle.  NOTE: multiple consumers of the returned DataFrame
-    each re-execute the shingle pass — Catalyst pushes the consumers'
-    differing column renames below the exchange, so ReusedExchange never
-    unifies the subtrees.  A caller fanning the sets out to several
-    consumers must ``persist()`` (as :func:`lsh_verified_pairs` does) or
-    stage them to storage."""
+    ``partition_by_id`` applies :func:`~parquery_spark.operators.util.
+    fan_out` on the raw ``(id, text)`` rows BEFORE shingling: on an
+    under-split local corpus (one small parquet file → one task) it
+    hash-repartitions on the id so the shingle compute runs on all cores
+    AND the downstream ``groupBy(id)`` partial-agg needs no further
+    shuffle; on a well-split cluster-scale corpus it is a no-op (no
+    gratuitous full-text shuffle).  NOTE: multiple consumers of the
+    returned DataFrame each re-execute the shingle pass — Catalyst pushes
+    the consumers' differing column renames below the exchange, so
+    ReusedExchange never unifies the subtrees.  A caller fanning the sets
+    out to several consumers must ``persist()`` (as
+    :func:`lsh_verified_pairs` does) or stage them to storage."""
     grams = (
         word_shingles(text_col, shingle_k) if shingle_k > 1
         else shingle_tokens(text_col)
     )
-    sets = df.select(
+    src = df.select(F.col(id_col), F.col(text_col))
+    if partition_by_id:
+        src = fan_out(src, id_col)
+    return src.select(
         F.col(id_col), F.array_distinct(grams).alias("s")
     ).withColumn("n", F.size("s"))
-    if partition_by_id:
-        sets = sets.repartition(F.col(id_col))
-    return sets
 
 
 def minhash_signatures(
@@ -219,7 +224,10 @@ def minhash_signatures(
     equals MinHash over the multiset — min ignores duplicates)."""
     coeffs = minhash_coefficients(num_hashes)
     if sets is None:
-        sets = gram_sets(df, text_col, id_col, shingle_k, partition_by_id=False)
+        # partition_by_id also fans the shingle/hash compute out to all
+        # cores on an under-split corpus; the groupBy(id) below then
+        # re-uses that partitioning instead of adding a shuffle
+        sets = gram_sets(df, text_col, id_col, shingle_k, partition_by_id=True)
     exploded = sets.select(
         F.col(id_col), F.explode("s").alias("__shingle")
     ).select(
@@ -354,7 +362,9 @@ def jaccard_pairs(
         else shingle_tokens(text_col)
     )
     blocks = list(block_cols or [])
-    base = df.select(
+    base = fan_out(
+        df.select(*blocks, F.col(id_col), F.col(text_col)), id_col
+    ).select(
         *blocks, F.col(id_col), F.array_distinct(grams).alias("gram_set")
     ).withColumn("n_grams", F.size("gram_set"))
     sizes = base.select(F.col(id_col), F.col("n_grams"))
@@ -420,7 +430,8 @@ def simhash_table(
     SQL convention that an empty vote sum sets no bits)."""
     _check_simhash_bits(bits)
     token_hash = hash32 if bits <= 32 else hash64
-    exploded = df.select(
+    src = fan_out(df.select(F.col(id_col), F.col(text_col)), id_col)
+    exploded = src.select(
         F.col(id_col), F.explode(shingle_tokens(text_col)).alias("__t")
     ).select(F.col(id_col), token_hash(F.col("__t")).alias("__h"))
     votes = exploded.groupBy(id_col).agg(

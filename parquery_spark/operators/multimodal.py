@@ -30,6 +30,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from parquery_spark.operators.util import fan_out
+
 #: Schema of the feature struct produced per media payload.
 MEDIA_FEATURES_SCHEMA = T.StructType(
     [
@@ -76,7 +78,12 @@ def extract_media_features(
     Output: all input columns except the payload, plus the
     :data:`MEDIA_FEATURES_SCHEMA` fields.  The payload column is dropped on
     output so the (large) bytes don't travel through downstream shuffles.
+
+    An under-split source (one small file → one task → ONE Python worker)
+    is fanned out first so the Arrow batches stream to every core's
+    worker; on a well-split corpus this is a no-op.
     """
+    df = fan_out(df)
     passthrough = [c for c in df.columns if c != payload_col]
     out_schema = T.StructType(
         [df.schema[c] for c in passthrough] + list(MEDIA_FEATURES_SCHEMA)

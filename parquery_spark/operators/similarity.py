@@ -24,6 +24,8 @@ import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from parquery_spark.operators.util import fan_out
+
 
 def _as_double(vec: Column | str) -> Column:
     c = F.col(vec) if isinstance(vec, str) else vec
@@ -74,7 +76,8 @@ def cosine_topk(
     v = _as_double(vec_col)
     sim = F.round(dot_literal(v, query) / (norm(v) * F.lit(qn)), digits)
     return (
-        df.select(F.col(id_col), sim.alias("cosine_sim"))
+        fan_out(df, id_col)
+        .select(F.col(id_col), sim.alias("cosine_sim"))
         .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
         .limit(k)
     )
@@ -118,7 +121,7 @@ def cosine_topk_lsh(
     qsig = sum(
         (1 << j) for j, p in enumerate(planes) if float(np.dot(p, query)) > 0
     )
-    bucketed = df.select(
+    bucketed = fan_out(df, id_col).select(
         F.col(id_col), F.col(vec_col), lsh_bucket(vec_col, planes).alias("bucket")
     )
     candidates = bucketed.filter(
@@ -155,7 +158,7 @@ def near_dup_pairs(
             )
         dim = len(first[0])
     planes = hyperplanes(dim, num_planes, seed)
-    bucketed = df.select(
+    bucketed = fan_out(df, id_col).select(
         F.col(id_col),
         _as_double(vec_col).alias("v"),
         lsh_bucket(vec_col, planes).alias("bucket"),

@@ -118,6 +118,73 @@ def combined_filter(data_filter: Sequence[Sequence[Any]]) -> Column | None:
     )
 
 
+# op name → SQL aggregate template for the single-roundtrip SQL fast path.
+# MUST stay semantically identical to _AGG_BUILDERS (same Spark engine, same
+# expressions — only the construction surface differs).
+_SQL_AGGS = {
+    "sum": "SUM({c})",
+    "mean": "AVG({c})",
+    "avg": "AVG({c})",
+    "std": "STDDEV_SAMP({c})",
+    "stddev": "STDDEV_SAMP({c})",
+    "count": "COUNT({c})",
+    "count_na": "COUNT(CASE WHEN {c} IS NULL THEN 1 END)",
+    "count_distinct": "COUNT(DISTINCT {c})",
+    "sorted_count_distinct": "COUNT(DISTINCT {c})",
+    "min": "MIN({c})",
+    "max": "MAX({c})",
+    "one": "MIN({c})",
+    "median": "MEDIAN({c})",
+    "approx_count_distinct": "APPROX_COUNT_DISTINCT({c})",
+}
+
+_SQL_FILTER_OPS = {
+    "=": "=", "==": "=", "!=": "!=", ">": ">", ">=": ">=", "<": "<", "<=": "<=",
+}
+
+
+def _qi(ident: str) -> str:
+    """Backquote-quote an identifier for Spark SQL."""
+    return "`" + ident.replace("`", "``") + "`"
+
+
+def _sql_where(
+    filters: Sequence[Sequence[Any]],
+) -> tuple[str, dict[str, Any]]:
+    """Filter triples → (WHERE clause, named parameters).
+
+    Values are bound as **named parameters** (``spark.sql(..., args=...)``),
+    never interpolated — the same injection-safety contract as the Column
+    path's ``lit()`` (the reference's DuckDB engine interpolated ``str(v)``
+    and was injectable; SURVEY.md §4)."""
+    if not filters:
+        return "", {}
+    parts: list[str] = []
+    args: dict[str, Any] = {}
+    for i, (col, op, value) in enumerate(filters):
+        c = _qi(col)
+        if op in ("in", "not in", "nin"):
+            values = list(value)
+            neg = op != "in"
+            if not values:
+                # isin([]) semantics: empty IN-list matches nothing
+                parts.append("1=1" if neg else "1=0")
+                continue
+            names = [f"f{i}_{j}" for j in range(len(values))]
+            args.update(dict(zip(names, values)))
+            inlist = ", ".join(f":{n}" for n in names)
+            parts.append(f"{c} {'NOT IN' if neg else 'IN'} ({inlist})")
+        elif op in _SQL_FILTER_OPS:
+            args[f"f{i}"] = value
+            parts.append(f"{c} {_SQL_FILTER_OPS[op]} :f{i}")
+        else:
+            raise NotImplementedError(
+                f"Filter operator {op!r} is not supported; valid operators: "
+                f"{list(tool.VALID_FILTER_OPS)}"
+            )
+    return " WHERE " + " AND ".join(parts), args
+
+
 def empty_result_plan(spark: SparkSession, result_cols: Sequence[str]) -> DataFrame:
     """Zero-row result with null-typed columns
     (reference: parquery/tool.py:222-237 — ``pa.null()`` schema)."""
@@ -185,51 +252,72 @@ def build_aggregation_plan(
     if not live_groupby and not live_measures and aggregate:
         return empty_result_plan(spark, result_cols)
 
-    # -- the Spark plan -----------------------------------------------------
-    scan_cols = sorted(
-        {*live_groupby, *(m[0] for m in live_measures), *(f[0] for f in filters)}
-    )
-    # small inputs resolve through the hot-relation cache (columnar
-    # in-memory, re-sliced for parallelism); large inputs stream lazily with
-    # full parquet pushdown — relations.get_relation applies the size gate
-    df = relations.get_relation(
-        spark, live_paths, cache=use_relation_cache
-    ).select(*scan_cols)
+    # -- the Spark plan: ONE generated SQL statement over a registered view -
+    # Semantics identical to the Column-API construction this replaces (same
+    # Catalyst plan); the SQL surface exists because building the plan
+    # expression-by-expression costs dozens of Py4J roundtrips (~0.7 ms
+    # each, measured ~90 ms/query) while spark.sql() costs one.  Small
+    # inputs resolve through the hot-relation cache (columnar in-memory,
+    # re-sliced for parallelism); large inputs stream lazily with full
+    # parquet pushdown — relations.get_relation_view applies the size gate.
+    view = relations.get_relation_view(spark, live_paths, cache=use_relation_cache)
+    where, args = _sql_where(filters)
 
-    predicate = combined_filter(filters)
-    if predicate is not None:
-        df = df.filter(predicate)
-
+    # engine columns, in the engine's output order
     if aggregate:
         if live_measures:
-            aggs = [agg_expr(col, op, out) for col, op, out in live_measures]
-            df = df.groupBy(*live_groupby).agg(*aggs)
+            for _, op, _ in live_measures:
+                if op.lower() not in _SQL_AGGS:
+                    raise NotImplementedError(
+                        f"Aggregation operation {op!r} is not supported; "
+                        f"valid operations: {sorted(_AGG_BUILDERS)}"
+                    )
+            select = [_qi(c) for c in live_groupby] + [
+                f"{_SQL_AGGS[op.lower()].format(c=_qi(col))} AS {_qi(out)}"
+                for col, op, out in live_measures
+            ]
+            group = (
+                " GROUP BY " + ", ".join(_qi(c) for c in live_groupby)
+                if live_groupby else ""
+            )
+            distinct = ""
+            engine_cols = live_groupby + [m[2] for m in live_measures]
         else:
-            df = df.select(*live_groupby).distinct()
+            select = [_qi(c) for c in live_groupby]
+            group = ""
+            distinct = "DISTINCT "
+            engine_cols = list(live_groupby)
     else:
         # pass-through mode: sorted distinct input columns, raw rows
         # (reference: parquery/aggregate_duckdb.py:337-341); the
         # missing-column splice below still applies (reference:
         # parquery/aggregate.py:209-215 runs in both modes)
-        out_cols = sorted({*live_groupby, *(m[0] for m in live_measures)})
-        df = df.select(*out_cols)
+        engine_cols = sorted({*live_groupby, *(m[0] for m in live_measures)})
+        select = [_qi(c) for c in engine_cols]
+        group = ""
+        distinct = ""
 
     # -- splice missing columns post-engine ---------------------------------
-    # Order matches the reference: engine columns first, then missing
-    # measures (0.0), then missing dims (standard_missing_id)
-    # (reference: parquery/tool.py:240-301).
-    # The single `out not in df.columns` test covers both modes: aggregated
-    # outputs are already df columns, and in pass-through mode a renamed
-    # output (['m','op','out']) is absent from df even when 'm' is live —
-    # the reference still splices 'out' = 0.0 there while dropping 'm'
-    # (reference: parquery/tool.py:240-301 runs identically in both modes).
+    # Order matches the reference: engine columns first (extras dropped),
+    # then missing measures (0.0), then missing dims (standard_missing_id)
+    # (reference: parquery/tool.py:240-301).  The `out not in engine_cols`
+    # test covers both modes: aggregated outputs are engine columns, and in
+    # pass-through mode a renamed output (['m','op','out']) is absent even
+    # when 'm' is live — the reference still splices 'out' = 0.0 there
+    # while dropping 'm'.
+    keep = set(result_cols)
+    final = [s for c, s in zip(engine_cols, select) if c in keep]
     for _, _, out in measures:
-        if out not in df.columns:
-            df = df.withColumn(out, F.lit(tool.STANDARD_MISSING_MEASURE))
+        if out not in engine_cols:
+            final.append(
+                f"CAST({float(tool.STANDARD_MISSING_MEASURE)!r} AS DOUBLE) "
+                f"AS {_qi(out)}"
+            )
     for col in groupby_cols:
-        if col not in df.columns:
-            df = df.withColumn(col, F.lit(standard_missing_id))
-    extras = [c for c in df.columns if c not in result_cols]
-    if extras:
-        df = df.drop(*extras)
-    return df
+        if col not in engine_cols:
+            final.append(f"{int(standard_missing_id)} AS {_qi(col)}")
+
+    sql = (
+        f"SELECT {distinct}{', '.join(final)} FROM {_qi(view)}{where}{group}"
+    )
+    return spark.sql(sql, args=args) if args else spark.sql(sql)

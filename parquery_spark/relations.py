@@ -169,8 +169,44 @@ def get_relation(
     return df
 
 
+#: (stat-key-or-paths-id, session id) -> registered temp-view name
+_views: dict[tuple, str] = {}
+_view_seq = 0
+
+
+def get_relation_view(
+    spark: SparkSession, paths: str | Sequence[str], cache: bool = True
+) -> str:
+    """Resolve a parquet path list to a registered temp-view name — the
+    single-Py4J-roundtrip query surface: ``spark.sql`` over the view costs
+    one gateway call, where the equivalent Column-API plan construction
+    costs dozens (~0.7 ms each).
+
+    The view is registered once per (relation identity, session); replaced
+    files get a fresh relation through :func:`get_relation`'s staleness key,
+    and the view is re-pointed at it."""
+    global _view_seq
+    path_list = [paths] if isinstance(paths, str) else list(paths)
+    df = get_relation(spark, path_list, cache=cache)
+    try:
+        ident = _stat_key(path_list)
+    except OSError:
+        ident = tuple(os.path.abspath(p) for p in path_list)
+    vkey = (ident, id(spark))
+    with _lock:
+        name = _views.get(vkey)
+        if name is None:
+            _view_seq += 1
+            name = f"__pq_rel_{_view_seq}"
+            df.createOrReplaceTempView(name)
+            _views[vkey] = name
+    return name
+
+
 def _evict(key: tuple) -> None:
     entry = _relations.pop(key, None)
+    for vkey in [k for k in _views if k[0] == key]:
+        _views.pop(vkey, None)
     if entry is not None and entry.persisted_df is not None:
         try:
             entry.persisted_df.unpersist(blocking=False)

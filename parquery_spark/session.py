@@ -129,9 +129,17 @@ def get_spark(app_name: str = "parquery_spark") -> SparkSession:
     conf["spark.sql.shuffle.partitions"] = os.environ.get(
         "PARQUERY_SPARK_SHUFFLE_PARTITIONS", str(min(cpus, 32))
     )
+    # In local mode the driver JVM IS the executor: Spark's 1g default heap
+    # GC-thrashes as soon as 32 task threads + columnar caches + shuffle
+    # buffers coexist (measured: 32 trivial tasks crawling at ~1/s, OOM on a
+    # 32M-row sum).  Default to a heap sized for the advertised local target
+    # (local[32] / 128 GiB box); real clusters set executor memory and never
+    # hit this branch.
     mem = os.environ.get("PARQUERY_SPARK_MEMORY")
     if mem:
         conf["spark.driver.memory"] = mem
+    elif master.startswith("local"):
+        conf["spark.driver.memory"] = "16g"
     for key, value in os.environ.items():
         if key.startswith("PARQUERY_SPARK_CONF_"):
             conf[key[len("PARQUERY_SPARK_CONF_"):].replace("__", ".")] = value
