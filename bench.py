@@ -133,14 +133,21 @@ def _reference_head_to_head(spark, sf_dir: str) -> dict:
     from parquery_spark import aggregate_pq as spark_aggregate_pq
 
     def run(fn, label):
+        # median of 3 runs per spec, same for every engine: single-shot
+        # timings on a shared box are dominated by scheduler/GC noise
+        # (observed 2-4x swings between identical runs)
         per = {}
         for name, table, dims, measures, filt in PARITY_SPECS:
             path = os.path.join(sf_dir, f"{table}.parquet")
             aggregate = not name.endswith("passthrough")
-            t0 = time.perf_counter()
-            out = fn(path, dims, measures, data_filter=filt, aggregate=aggregate)
-            n = out.num_rows
-            per[name] = round(time.perf_counter() - t0, 4)
+            times = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                out = fn(path, dims, measures, data_filter=filt,
+                         aggregate=aggregate)
+                n = out.num_rows
+                times.append(time.perf_counter() - t0)
+            per[name] = round(sorted(times)[1], 4)
             print(f"# {label} {name}: {per[name]:.3f}s ({n} rows)",
                   file=sys.stderr)
         return per
@@ -199,7 +206,7 @@ def _plain_duckdb_run(sf_dir: str) -> dict:
     for name, table, dims, measures, filt in PARITY_SPECS:
         path = os.path.join(sf_dir, f"{table}.parquet")
         file_cols = set(papq.read_schema(path).names)
-        t0 = time.perf_counter()
+        times = []
         live = [m for m in measures if (m + [m[0], m[0]])[0] in file_cols]
         live_dims = [d for d in dims if d in file_cols]
         if name.endswith("passthrough"):
@@ -222,12 +229,15 @@ def _plain_duckdb_run(sf_dir: str) -> dict:
                 else f"{c} {op.replace('==', '=')} {v}"
                 for c, op, v in filt
             )
-        con = duckdb.connect()
-        con.sql(
-            f"SELECT {sel} FROM read_parquet('{path}'){where}{group}"
-        ).arrow()
-        con.close()
-        per[name] = round(time.perf_counter() - t0, 4)
+        for _ in range(3):
+            t0 = time.perf_counter()
+            con = duckdb.connect()
+            con.sql(
+                f"SELECT {sel} FROM read_parquet('{path}'){where}{group}"
+            ).arrow()
+            con.close()
+            times.append(time.perf_counter() - t0)
+        per[name] = round(sorted(times)[1], 4)
         print(f"# duckdb-sql {name}: {per[name]:.3f}s", file=sys.stderr)
     return per
 

@@ -1,5 +1,6 @@
 from parquery_spark.operators import (
     dedup,
+    ivf,
     joins,
     multimodal,
     similarity,
@@ -7,4 +8,6 @@ from parquery_spark.operators import (
     windows,
 )
 
-__all__ = ["dedup", "similarity", "joins", "windows", "multimodal", "skew"]
+__all__ = [
+    "dedup", "similarity", "ivf", "joins", "windows", "multimodal", "skew",
+]

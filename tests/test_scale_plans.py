@@ -192,3 +192,50 @@ class TestAnnIndexLayout:
         assert [tuple(r) for r in probe.collect()] == [
             tuple(r) for r in baseline.collect()
         ]
+
+
+class TestIvfIndexLayout:
+    def test_ivf_probe_prunes_and_recalls(self, spark, sf_dir,
+                                          tmp_path_factory):
+        """Train → assign → write partitioned by cell → probe: the probe's
+        cell IN-list must be a PartitionFilter, nprobe=k must equal exact
+        brute-force top-k (recall 1.0 by construction), and a small nprobe
+        must recall most of it."""
+        from parquery_spark.operators import ivf, similarity
+
+        emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        cents = ivf.train_ivf_centroids(emb, k=8, max_iter=10, seed=7)
+        assert cents.shape == (8, 64)
+        idx = str(tmp_path_factory.mktemp("ivf") / "index")
+        ivf.write_ivf_index(emb, idx, cents)
+
+        query = [float((i * 5) % 11 - 5) for i in range(64)]
+        probe = ivf.ivf_topk(spark, idx, cents, query, k=10, nprobe=2)
+        plan = plan_of(probe)
+        scan = next(l for l in plan.splitlines() if "FileScan" in l)
+        assert "PartitionFilters" in scan and "cell" in scan.split(
+            "PartitionFilters", 1)[1]
+
+        exact = {
+            r["vec_id"]
+            for r in similarity.cosine_topk(emb, query, k=10).collect()
+        }
+        # nprobe = all cells ⇒ identical to brute force
+        full = ivf.ivf_topk(spark, idx, cents, query, k=10, nprobe=8)
+        assert {r["vec_id"] for r in full.collect()} == exact
+        # nprobe=2 of 8 cells still recalls most of the true top-10
+        got = {r["vec_id"] for r in probe.collect()}
+        assert len(got & exact) >= 5
+
+    def test_ivf_assignment_deterministic(self, spark, sf_dir):
+        from parquery_spark.operators import ivf
+
+        emb = spark.read.parquet(
+            os.path.join(sf_dir, "embeddings.parquet")
+        ).limit(50)
+        cents = ivf.train_ivf_centroids(emb, k=4, max_iter=5, seed=7)
+        a = {r["vec_id"]: r["cell"]
+             for r in ivf.ivf_assign(emb, cents).collect()}
+        b = {r["vec_id"]: r["cell"]
+             for r in ivf.ivf_assign(emb, cents).collect()}
+        assert a == b and len(set(a.values())) > 1
