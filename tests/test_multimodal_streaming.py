@@ -184,3 +184,53 @@ class TestStreaming:
         # sessions only emit on timeout; zero rows after one pass is valid —
         # the assertion is that the stateful query ran to completion
         assert not q.isActive or q.exception() is None
+
+
+class TestStreamingSoak:
+    def test_rate_source_continuous_windows(self, spark, tmp_path):
+        """Continuous-trigger soak on the built-in rate source: the same
+        windowed-aggregation graph that runs over files keeps up with a
+        live generator — several microbatches, watermark advancing, no
+        query exception, rows flowing end-to-end."""
+        import time as _time
+
+        from parquery_spark.streaming.events import _window_agg
+
+        rate = (
+            spark.readStream.format("rate")
+            .option("rowsPerSecond", 500).load()
+            .select(
+                F.col("value").alias("event_id"),
+                F.col("timestamp").alias("ts"),
+                (F.col("value") % 7).alias("user_id"),
+                F.when(F.col("value") % 2 == 0, "click")
+                 .otherwise("view").alias("event_type"),
+                (F.col("value") % 10).cast("double").alias("value"),
+            )
+            .withWatermark("ts", "5 seconds")
+        )
+        out = _window_agg(rate, "2 seconds")
+        q = (
+            out.writeStream.format("memory").queryName("rate_soak")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        try:
+            deadline = _time.time() + 60
+            rows = 0
+            batches = 0
+            while _time.time() < deadline:
+                _time.sleep(2)
+                assert q.exception() is None
+                rows = spark.sql("SELECT COUNT(*) c FROM rate_soak").first()["c"]
+                batches = len(q.recentProgress)
+                if rows >= 10 and batches >= 5:
+                    break
+            assert rows >= 10, f"only {rows} finalized rows after soak"
+            assert batches >= 5, f"only {batches} microbatches ran"
+            # watermark advanced past epoch → state is being evicted
+            wm = q.lastProgress["eventTime"].get("watermark", "")
+            assert wm and not wm.startswith("1970")
+        finally:
+            q.stop()
