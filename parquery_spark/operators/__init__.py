@@ -3,11 +3,13 @@ from parquery_spark.operators import (
     ivf,
     joins,
     multimodal,
+    sampling,
     similarity,
     skew,
     windows,
 )
 
 __all__ = [
-    "dedup", "similarity", "ivf", "joins", "windows", "multimodal", "skew",
+    "dedup", "similarity", "ivf", "joins", "windows", "multimodal",
+    "sampling", "skew",
 ]

@@ -1378,3 +1378,58 @@ def q57_group_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
             ",",
         ).alias("members")
     )
+
+
+_SAMPLE_HASH = "('0x' || substr(md5(CAST({k} AS VARCHAR) || '#0'), 1, 15))::BIGINT"
+_Q59_THRESHOLD = int(0.1 * (1 << 60))  # same float math as hash_sample
+
+
+@query(
+    "q58_stratified_sample",
+    f"""
+    SELECT lang, doc_id FROM (
+        SELECT lang, doc_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY {_SAMPLE_HASH.format(k='doc_id')}, doc_id
+               ) AS rk
+        FROM documents
+    ) WHERE rk <= 20
+    """,
+)
+def q58_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: exactly 20 docs per language,
+    membership decided by content hash — reproducible across runs,
+    engines, partition layouts, and corpus growth (the contract
+    ``df.sample`` cannot give).  One window over (stratum, hash)."""
+    from parquery_spark.operators.sampling import top_n_per_stratum
+
+    docs = load(spark, sf_dir, "documents")
+    return top_n_per_stratum(docs, ["lang"], "doc_id", 20).select(
+        "lang", "doc_id"
+    )
+
+
+@query(
+    "q59_hash_sample_rollup",
+    f"""
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           SUM(l_quantity) AS sum_qty
+    FROM lineitem
+    WHERE {_SAMPLE_HASH.format(k='l_orderkey')} < {_Q59_THRESHOLD}
+    GROUP BY l_returnflag
+    """,
+)
+def q59_hash_sample_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~10% deterministic sample BY ORDER KEY (orders stay atomic — every
+    lineitem of a sampled order survives together), then a rollup over the
+    sample.  The sample is a pure narrow filter: no shuffle, no state,
+    and the same orders survive on every engine and every run."""
+    from parquery_spark.operators.sampling import hash_sample
+
+    li = load(spark, sf_dir, "lineitem")
+    return hash_sample(li, "l_orderkey", 0.1).groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("l_quantity").alias("sum_qty"),
+    )

@@ -269,3 +269,37 @@ class TestSkew:
             for r in salted_join(skewed, dim, "k", "dk", salt_buckets=4).collect()
         )
         assert salted == direct
+
+
+class TestSampling:
+    def test_hash_sample_partition_invariant(self, spark):
+        from parquery_spark.operators import sampling
+
+        df = spark.range(2000).withColumnRenamed("id", "k")
+        a = {r["k"] for r in sampling.hash_sample(df, "k", 0.2).collect()}
+        b = {
+            r["k"]
+            for r in sampling.hash_sample(df.repartition(7), "k", 0.2).collect()
+        }
+        assert a == b                      # membership is content-addressed
+        assert 0.15 < len(a) / 2000 < 0.25  # ~20%
+        with pytest.raises(ValueError, match="fraction"):
+            sampling.hash_sample(df, "k", 1.5)
+
+    def test_top_n_per_stratum_exact_and_stable(self, spark):
+        from parquery_spark.operators import sampling
+
+        df = spark.range(500).select(
+            (F.col("id") % 5).alias("g"), F.col("id").alias("k")
+        )
+        out = sampling.top_n_per_stratum(df, ["g"], "k", 7)
+        rows = out.collect()
+        per = {}
+        for r in rows:
+            per.setdefault(r["g"], set()).add(r["k"])
+        assert all(len(v) == 7 for v in per.values()) and len(per) == 5
+        again = sampling.top_n_per_stratum(df.repartition(11), ["g"], "k", 7)
+        per2 = {}
+        for r in again.collect():
+            per2.setdefault(r["g"], set()).add(r["k"])
+        assert per == per2  # reproducible under any layout
