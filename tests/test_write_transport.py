@@ -7,6 +7,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
+from pyspark.sql import functions as F
 
 from parquery_spark import (
     aggregate_pq,
@@ -102,3 +103,22 @@ class TestTransport:
     def test_aggregate_result_ships(self, synthetic_pq):
         r = aggregate_pq(synthetic_pq, ["f0"], [["f4", "sum"]])
         assert deserialize_pa_table_bytes(serialize_pa_table_bytes(r)).equals(r)
+
+
+class TestCompaction:
+    def test_compact_small_files(self, spark, tmp_path):
+        from parquery_spark.sources.parquet import compact_dataset
+
+        path = str(tmp_path / "frag")
+        # fragmented layout: 40 files of ~50 rows
+        spark.range(2000).withColumn("v", F.col("id") * 2) \
+            .repartition(40).write.parquet(path)
+        import glob
+        assert len(glob.glob(f"{path}/*.parquet")) == 40
+        before = spark.read.parquet(path).groupBy().sum("v").first()[0]
+
+        n = compact_dataset(spark, path, target_file_bytes=1 << 30)
+        files = glob.glob(f"{path}/*.parquet")
+        assert n == len(files) == 1          # tiny data → one file
+        after = spark.read.parquet(path).groupBy().sum("v").first()[0]
+        assert before == after               # content identical
