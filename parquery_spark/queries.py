@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from parquery_spark import relations
+from parquery_spark.operators.util import fan_out
 from parquery_spark.plans.aggregation import build_aggregation_plan
 
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}
@@ -1432,4 +1433,73 @@ def q59_hash_sample_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hash_sample(li, "l_orderkey", 0.1).groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("l_quantity").alias("sum_qty"),
+    )
+
+
+@query(
+    "q60_vocab_topk",
+    f"""
+    SELECT token, n FROM (
+        SELECT t.token, COUNT(*) AS n
+        FROM ({_SQL_TOKS.replace("AS w FROM", "AS toks FROM")}) d,
+             unnest(d.toks) AS t(token)
+        GROUP BY t.token
+    ) ORDER BY n DESC, token LIMIT 100
+    """,
+)
+def q60_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: token frequencies → top 100 — the vocabulary-
+    building pass of a tokenizer pipeline.  Explode → partial-agged count
+    (map-side combine carries one row per distinct token per task) →
+    TakeOrderedAndProject; ties broken by token so the result is total-
+    ordered and engine-portable."""
+    from parquery_spark.operators.dedup import shingle_tokens
+
+    docs = load(spark, sf_dir, "documents")
+    toks = fan_out(docs.select("doc_id", "text"), "doc_id").select(
+        F.explode(shingle_tokens("text")).alias("token")
+    )
+    return (
+        toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token"))
+        .limit(100)
+    )
+
+
+@query(
+    "q61_contamination_check",
+    """
+    WITH fp AS (
+        SELECT doc_id, lang,
+               md5(array_to_string(list_filter(string_split_regex(
+                   lower(text), '[^a-z0-9'']+'), t -> t != '')[1:5], ' '))
+                   AS fp
+        FROM documents
+    )
+    SELECT t.lang,
+           COUNT(DISTINCT t.doc_id) AS contaminated
+    FROM fp t JOIN fp e ON t.fp = e.fp
+    WHERE e.doc_id % 10 = 0 AND t.doc_id % 10 != 0
+    GROUP BY t.lang
+    """,
+)
+def q61_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval contamination: training docs whose 5-token-prefix
+    fingerprint collides with any held-out doc (doc_id % 10 = 0 stands in
+    for the eval split).  Prefix fingerprints catch templated/boilerplate
+    leakage that exact-content fingerprints (q41's dedup domain) miss.
+    Digest semi-join — at corpus scale this is the shuffle-on-digest plan,
+    never a text comparison; the eval side is distinct digests only, so it
+    broadcasts when the held-out split is small."""
+    from parquery_spark.operators.dedup import shingle_tokens
+
+    docs = load(spark, sf_dir, "documents")
+    pfp = F.md5(F.concat_ws(" ", F.slice(shingle_tokens("text"), 1, 5)))
+    fp = docs.select("doc_id", "lang", pfp.alias("fp"))
+    train = fp.filter(F.col("doc_id") % 10 != 0)
+    eval_ = fp.filter(F.col("doc_id") % 10 == 0).select("fp").distinct()
+    return (
+        train.join(eval_, "fp", "left_semi")
+        .groupBy("lang")
+        .agg(F.countDistinct("doc_id").alias("contaminated"))
     )
