@@ -153,3 +153,93 @@ class TestSmallQuerySession:
             t.join()
         assert not errors
         assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+
+
+class TestPlanCache:
+    """Prepared-plan cache (`relations.cached_sql`): repeats skip
+    parse/analysis; staleness is keyed away by per-file-version view names."""
+
+    def test_repeat_returns_memoized_dataframe(self, spark, tmp_path):
+        p = str(tmp_path / "pc.parquet")
+        _write(p, [1, 2, 2], [1.0, 2.0, 3.0])
+        view = relations.get_relation_view(spark, p)
+        sql = f"SELECT d, SUM(m) AS s FROM {view} GROUP BY d"
+        df1 = relations.cached_sql(spark, sql)
+        df2 = relations.cached_sql(spark, sql)
+        assert df1 is df2
+        # args are part of the key: a different bound literal is a new plan
+        psql = f"SELECT d FROM {view} WHERE m > :lo"
+        a = relations.cached_sql(spark, psql, {"lo": 1.5})
+        b = relations.cached_sql(spark, psql, {"lo": 2.5})
+        assert a is not b
+        assert a.count() == 2 and b.count() == 1
+
+    def test_replaced_file_never_serves_stale_plan(self, spark, tmp_path):
+        """os.replace → new stat identity → new view name → new SQL text →
+        the memoized plan for the old version can never be keyed to."""
+        p = str(tmp_path / "pc2.parquet")
+        _write(p, [1], [10.0])
+        r1 = aggregate_pq(p, ["d"], [["m", "sum", "s"]])
+        tmp = str(tmp_path / "new.parquet")
+        _write(tmp, [1], [99.0])
+        os.replace(tmp, p)
+        r2 = aggregate_pq(p, ["d"], [["m", "sum", "s"]])
+        assert r1.column("s").to_pylist() == [10.0]
+        assert r2.column("s").to_pylist() == [99.0]
+
+    def test_cached_and_uncached_views_are_separate(self, spark, sf_dir):
+        """The cached and uncached read paths register DISJOINT view names,
+        so the memoized plan for one can never be keyed to by the other —
+        in particular a use_relation_cache=True plan built after an earlier
+        uncached call must still resolve through the persisted relation.
+        (Spark's CacheManager may still substitute the in-memory copy into a
+        structurally-equal uncached scan at physical-planning time; that is
+        its own correctness-preserving behavior, not view aliasing.)"""
+        from parquery_spark import aggregate_plan
+
+        path = os.path.join(sf_dir, "orders.parquet")
+        vraw = relations.get_relation_view(spark, path, cache=False)
+        vhot = relations.get_relation_view(spark, path, cache=True)
+        assert vraw != vhot and vraw.endswith("_raw")
+        spec = (["o_orderstatus"], [["o_totalprice", "sum", "s"]])
+        cached = aggregate_plan(path, *spec, spark=spark)
+        cached.count()  # materialize the persisted relation
+        cached_plan = cached._jdf.queryExecution().executedPlan().toString()
+        assert "InMemoryTableScan" in cached_plan
+
+
+class TestCountDistinctRewrite:
+    """Small cached inputs plan COUNT(DISTINCT) as SIZE(COLLECT_SET(..)) —
+    one exchange instead of Expand + two; semantics and BIGINT type must be
+    identical, and the scale path must keep the distributed Expand plan."""
+
+    def test_small_path_matches_scale_path(self, spark, tmp_path):
+        p = str(tmp_path / "cd.parquet")
+        pq.write_table(
+            pa.table({"d": [1, 1, 1, 2, 2], "m": [5.0, 5.0, 7.0, None, 3.0]}), p
+        )
+        small = aggregate_pq(p, ["d"], [["m", "count_distinct", "u"]])
+        from parquery_spark import aggregate_plan
+
+        big = (
+            aggregate_plan(p, ["d"], [["m", "count_distinct", "u"]],
+                           spark=spark, use_relation_cache=False)
+            .toArrow()
+        )
+        assert small.schema.field("u").type == pa.int64()
+        got = {r["d"]: r["u"] for r in small.to_pylist()}
+        ref = {r["d"]: r["u"] for r in big.to_pylist()}
+        assert got == ref == {1: 2, 2: 1}  # nulls excluded, exact distinct
+
+    def test_scale_path_keeps_expand_plan(self, spark, sf_dir):
+        from parquery_spark import aggregate_plan
+
+        df = aggregate_plan(
+            os.path.join(sf_dir, "orders.parquet"),
+            ["o_orderstatus"],
+            [["o_custkey", "count_distinct", "u"]],
+            spark=spark,
+            use_relation_cache=False,
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "collect_set" not in plan.lower()
