@@ -164,20 +164,24 @@ def _reference_head_to_head(spark, sf_dir: str) -> dict:
     from parquery_spark import aggregate_pq as spark_aggregate_pq
 
     def run(fn, label):
-        # median of 5 runs per spec, same for every engine: single-shot
-        # timings on a shared box are dominated by scheduler/GC noise
-        # (observed 2-4x swings between identical runs)
+        # 7 runs per spec, first 2 discarded as warmup, median of the last
+        # 5 — the SAME rule for every engine.  Warmup runs absorb one-time
+        # per-shape costs each engine has (Spark: Janino codegen + C2 JIT;
+        # DuckDB/PyArrow: OS page cache fill); the median over warm runs
+        # absorbs the host's scheduler/GC noise (observed 2-4x swings
+        # between identical runs).
         per = {}
         for name, table, dims, measures, filt in PARITY_SPECS:
             path = os.path.join(sf_dir, f"{table}.parquet")
             aggregate = not name.endswith("passthrough")
             times = []
-            for _ in range(5):
+            for i in range(7):
                 t0 = time.perf_counter()
                 out = fn(path, dims, measures, data_filter=filt,
                          aggregate=aggregate)
                 n = out.num_rows
-                times.append(time.perf_counter() - t0)
+                if i >= 2:
+                    times.append(time.perf_counter() - t0)
             per[name] = round(sorted(times)[2], 4)
             print(f"# {label} {name}: {per[name]:.3f}s ({n} rows)",
                   file=sys.stderr)
@@ -260,14 +264,15 @@ def _plain_duckdb_run(sf_dir: str) -> dict:
                 else f"{c} {op.replace('==', '=')} {v}"
                 for c, op, v in filt
             )
-        for _ in range(5):
+        for i in range(7):
             t0 = time.perf_counter()
             con = duckdb.connect()
             con.sql(
                 f"SELECT {sel} FROM read_parquet('{path}'){where}{group}"
             ).arrow()
             con.close()
-            times.append(time.perf_counter() - t0)
+            if i >= 2:
+                times.append(time.perf_counter() - t0)
         per[name] = round(sorted(times)[2], 4)
         print(f"# duckdb-sql {name}: {per[name]:.3f}s", file=sys.stderr)
     return per

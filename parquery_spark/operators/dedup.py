@@ -295,6 +295,15 @@ def lsh_candidate_pairs(
         F.count(F.lit(1)).over(Window.partitionBy("band", "band_key")),
     ).filter(F.col("bucket_n") <= max_bucket_size)
 
+    # Both sides of the self-join read `sized`; persist it or the whole
+    # shingle → explode → 16-way min-agg → banding → window subtree runs
+    # twice (consumer renames are pushed below the exchanges, so
+    # ReusedExchange never unifies the sides).  One compact row per
+    # (doc, band) — bands × corpus rows, disk-spilling past memory.
+    from pyspark import StorageLevel
+
+    sized = sized.persist(StorageLevel.MEMORY_AND_DISK)
+
     left = sized.select(
         F.col("band"), F.col("band_key"),
         F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"),
@@ -357,16 +366,23 @@ def jaccard_pairs(
     Only pairs with ``jaccard >= threshold`` (after 6-digit rounding) are
     returned; pairs with zero overlap are definitionally below any
     positive threshold."""
+    from pyspark import StorageLevel
+
     grams = (
         word_shingles(text_col, shingle_k) if shingle_k > 1
         else shingle_tokens(text_col)
     )
     blocks = list(block_cols or [])
+    # `base` fans out to the size relation AND both sides of the inverted-
+    # index self-join — persist it so the corpus is shingled once, not
+    # three times (one array row per doc, the gram_sets shape).
     base = fan_out(
         df.select(*blocks, F.col(id_col), F.col(text_col)), id_col
     ).select(
         *blocks, F.col(id_col), F.array_distinct(grams).alias("gram_set")
-    ).withColumn("n_grams", F.size("gram_set"))
+    ).withColumn("n_grams", F.size("gram_set")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     sizes = base.select(F.col(id_col), F.col("n_grams"))
     exploded = base.select(
         *blocks, F.col(id_col), F.explode("gram_set").alias("g")
@@ -376,10 +392,14 @@ def jaccard_pairs(
         # exactly like the self-join key, so the exchange is shared with
         # step 2 rather than adding one; per-doc sizes are recomputed over
         # the surviving grams (capped-vocabulary Jaccard, see docstring)
+        # the capped index feeds the size recount AND both join sides —
+        # persist past the window so the df-count shuffle runs once
         exploded = exploded.withColumn(
             "__df",
             F.count(F.lit(1)).over(Window.partitionBy(*blocks, "g")),
-        ).filter(F.col("__df") <= max_df).drop("__df")
+        ).filter(F.col("__df") <= max_df).drop("__df").persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
         sizes = exploded.groupBy(id_col).agg(
             F.count(F.lit(1)).alias("n_grams")
         )
@@ -493,7 +513,17 @@ def simhash_candidates(
     join on (band, chunk), verify hamming distance ≤ ``max_hamming``."""
     band_bits = bits // bands
     mask = (1 << band_bits) - 1
-    sh = simhash_table(df, text_col, id_col, bits)
+    # The banded table feeds BOTH sides of the self-join; without a
+    # materialization boundary Spark computes the whole tokenize + 60-vote
+    # aggregation subtree once per consumer (ReusedExchange never unifies
+    # the two renamed sides).  The signature relation is one (id, long) row
+    # per doc — persisting it is the stage-to-storage pattern, ~16 bytes/doc
+    # at any corpus scale, spilling to disk past executor memory.
+    from pyspark import StorageLevel
+
+    sh = simhash_table(df, text_col, id_col, bits).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     banded = sh.select(
         id_col, "sh",
         F.explode(F.array(*[

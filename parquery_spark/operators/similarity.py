@@ -4,10 +4,20 @@ scale path, and embedding near-duplicate pairs.
 
 Design for 100 TB:
 
-* Vector math stays in JVM expressions (``zip_with`` + ``aggregate``) — no
-  Python in the hot path; each row's cosine is a fused codegen loop.
-* Brute-force top-k against one query is a narrow map + ``TakeOrderedAndProject``
-  (no full sort, no shuffle of the corpus).
+* Vector math stays in the JVM — no Python in the hot path.  Bulk paths
+  (top-k scans, bucket signatures) are **explode-shaped**: ``posexplode``
+  the vector once, then every dot product is a whole-stage-codegen
+  ``SUM(x * element_at(const_array, pos))`` partial aggregation.  Spark's
+  higher-order functions (``aggregate``/``zip_with``) are CodegenFallback —
+  interpreted per element, ~1000× slower per row for a 12-plane signature —
+  so they are kept only for per-PAIR expressions where each row carries two
+  different vectors (no shared explode possible).  The explode keeps a
+  row's elements contiguous in one partition, so per-id partial sums fold
+  left-to-right — float-identical to a sequential dot product.
+* Brute-force top-k against one query is explode → partial-agg →
+  ``TakeOrderedAndProject`` (no full sort, no shuffle of the corpus when
+  the source is id-partitioned; ``fan_out`` repairs under-split local
+  corpora).
 * The LSH path buckets vectors by sign-bit signature against a fixed set of
   deterministic hyperplanes; queries probe only matching buckets.  Recall is
   tuned by ``num_planes`` and multi-probe hamming radius.  Hyperplanes are
@@ -58,6 +68,35 @@ def dot_literal(vec: Column, q: list[float]) -> Column:
     return dot(_as_double(vec), arr)
 
 
+def _lit_array(vals) -> Column:
+    """Constant ``array<double>`` literal (constant-folded by Catalyst)."""
+    return F.array(*[F.lit(float(v)) for v in vals])
+
+
+def _explode_sums(
+    df: DataFrame, vec_col: str, id_col: str, terms: dict
+) -> DataFrame:
+    """One row per id with ``SUM(term(x, pos))`` for every named term —
+    the codegen-friendly bulk form of per-vector dot products.
+
+    ``posexplode`` emits a vector's elements contiguously inside one
+    partition, so each per-id partial sum accumulates left-to-right —
+    float-identical to a sequential fold (and to the SQL oracles'
+    ``list_dot_product``).  ``fan_out`` id-partitions an under-split local
+    corpus so the groupBy reuses that partitioning (no second exchange);
+    at cluster scale the exploded shuffle is why the partitioned ANN index
+    (:func:`write_ann_index`) is the preferred probe path.  Ids with empty
+    vectors produce no rows (a 0-dim embedding has no defined direction).
+    """
+    pos = fan_out(df, id_col).select(
+        F.col(id_col), F.posexplode(_as_double(vec_col)).alias("__p", "__x")
+    )
+    x, p = F.col("__x"), F.col("__p")
+    return pos.groupBy(id_col).agg(
+        *[F.sum(make(x, p)).alias(name) for name, make in terms.items()]
+    )
+
+
 def cosine_topk(
     df: DataFrame,
     query: list[float],
@@ -68,16 +107,24 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact brute-force cosine top-k against a constant query vector.
 
-    Plans as scan → narrow map (cosine) → global top-k (Spark's
-    TakeOrderedAndProject: per-partition heap + driver merge of k rows —
-    no full sort even at 10^10 rows).
+    Plans as scan → posexplode → codegen partial-agg (dot, ‖v‖²) → global
+    top-k (Spark's TakeOrderedAndProject: per-partition heap + driver
+    merge of k rows — no full sort even at 10^10 rows).
     """
     qn = float(np.linalg.norm(query))
-    v = _as_double(vec_col)
-    sim = F.round(dot_literal(v, query) / (norm(v) * F.lit(qn)), digits)
+    qlit = _lit_array(query)
+    sums = _explode_sums(
+        df, vec_col, id_col,
+        {
+            "__dot": lambda x, p: x * F.element_at(qlit, p + 1),
+            "__nn": lambda x, p: x * x,
+        },
+    )
+    sim = F.round(
+        F.col("__dot") / (F.sqrt(F.col("__nn")) * F.lit(qn)), digits
+    )
     return (
-        fan_out(df, id_col)
-        .select(F.col(id_col), sim.alias("cosine_sim"))
+        sums.select(F.col(id_col), sim.alias("cosine_sim"))
         .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
         .limit(k)
     )
@@ -90,7 +137,11 @@ def hyperplanes(dim: int, num_planes: int = 16, seed: int = 7) -> np.ndarray:
 
 
 def lsh_bucket(vec: Column | str, planes: np.ndarray) -> Column:
-    """Sign-bit signature: bit j set iff dot(vec, plane_j) > 0."""
+    """Sign-bit signature: bit j set iff dot(vec, plane_j) > 0.
+
+    Expression form (interpreted HOF dots) — fine for ad-hoc single rows;
+    bulk paths use :func:`lsh_bucket_table`, whose explode-shaped plane
+    sums stay inside whole-stage codegen."""
     v = _as_double(vec)
     expr = F.lit(0).cast("long")
     for j, plane in enumerate(planes):
@@ -98,6 +149,39 @@ def lsh_bucket(vec: Column | str, planes: np.ndarray) -> Column:
             dot_literal(v, plane.tolist()) > 0, F.lit(1 << j).cast("long")
         ).otherwise(F.lit(0).cast("long"))
     return expr
+
+
+def _bucket_from_sums(num_planes: int) -> Column:
+    return sum(
+        F.when(F.col(f"__d{j}") > 0, F.lit(1 << j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        for j in range(num_planes)
+    )
+
+
+def lsh_bucket_table(
+    df: DataFrame,
+    planes: np.ndarray,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, bucket) for the whole corpus, explode-shaped: one posexplode,
+    then every plane's dot is a codegen ``SUM(x * element_at(plane, pos))``
+    partial aggregation — ~1000× less per-row interpreter overhead than
+    evaluating ``num_planes`` HOF folds per vector."""
+
+    def term(plane):
+        lit = _lit_array(plane)
+        return lambda x, p: x * F.element_at(lit, p + 1)
+
+    sums = _explode_sums(
+        df, vec_col, id_col,
+        {f"__d{j}": term(plane) for j, plane in enumerate(planes)},
+    )
+    return sums.select(
+        F.col(id_col), _bucket_from_sums(len(planes)).alias("bucket")
+    )
 
 
 def cosine_topk_lsh(
@@ -121,11 +205,15 @@ def cosine_topk_lsh(
     qsig = sum(
         (1 << j) for j, p in enumerate(planes) if float(np.dot(p, query)) > 0
     )
-    bucketed = fan_out(df, id_col).select(
-        F.col(id_col), F.col(vec_col), lsh_bucket(vec_col, planes).alias("bucket")
-    )
-    candidates = bucketed.filter(
+    probe_ids = lsh_bucket_table(df, planes, vec_col, id_col).filter(
         F.bit_count(F.col("bucket").bitwiseXOR(F.lit(qsig))) <= probe_hamming
+    )
+    # the probe id set is |ball|/2^planes of the corpus — broadcast it and
+    # semi-join to prune the exact-cosine pass.  (With the persisted index
+    # layout, cosine_topk_indexed replaces this second scan with directory-
+    # level partition pruning.)
+    candidates = df.join(
+        F.broadcast(probe_ids.select(id_col)), id_col, "left_semi"
     )
     return cosine_topk(candidates, query, k, vec_col, id_col, digits)
 
@@ -158,19 +246,44 @@ def near_dup_pairs(
             )
         dim = len(first[0])
     planes = hyperplanes(dim, num_planes, seed)
-    bucketed = fan_out(df, id_col).select(
-        F.col(id_col),
-        _as_double(vec_col).alias("v"),
-        lsh_bucket(vec_col, planes).alias("bucket"),
+
+    # bucket + ‖v‖² in ONE explode pass (codegen partial-aggs); the vector
+    # itself is joined back for the per-pair verification.  Persisted: the
+    # relation feeds both sides of the bucket self-join, and per-id norms
+    # computed here mean the per-pair expression is a single dot product.
+    from pyspark import StorageLevel
+
+    def term(plane):
+        lit = _lit_array(plane)
+        return lambda x, p: x * F.element_at(lit, p + 1)
+
+    terms = {f"__d{j}": term(plane) for j, plane in enumerate(planes)}
+    terms["__nn"] = lambda x, p: x * x
+    sums = _explode_sums(df, vec_col, id_col, terms)
+    bucketed = (
+        sums.select(
+            F.col(id_col),
+            _bucket_from_sums(num_planes).alias("bucket"),
+            F.sqrt("__nn").alias("nrm"),
+        )
+        .join(df.select(F.col(id_col), _as_double(vec_col).alias("v")), id_col)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     a = bucketed.select(
-        "bucket", F.col(id_col).alias("id_a"), F.col("v").alias("v_a")
+        "bucket", F.col(id_col).alias("id_a"),
+        F.col("v").alias("v_a"), F.col("nrm").alias("n_a"),
     )
     b = bucketed.select(
-        "bucket", F.col(id_col).alias("id_b"), F.col("v").alias("v_b")
+        "bucket", F.col(id_col).alias("id_b"),
+        F.col("v").alias("v_b"), F.col("nrm").alias("n_b"),
     )
     pairs = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
-    sim = F.round(cosine(F.col("v_a"), F.col("v_b")), digits)
+    # per-pair: each row carries two DIFFERENT vectors, so there is no
+    # shared explode — the one HOF dot per candidate pair stays; candidate
+    # volume (bucket-quadratic, threshold-pruned) bounds the cost
+    sim = F.round(
+        dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b")), digits
+    )
     return (
         pairs.select("id_a", "id_b", sim.alias("cosine_sim"))
         .filter(F.col("cosine_sim") >= threshold)
@@ -226,7 +339,9 @@ def write_ann_index(
             raise ValueError("cannot infer dim from an empty corpus; pass dim=")
         dim = len(first[0])
     planes = hyperplanes(dim, num_planes, seed)
-    bucketed = df.withColumn("bucket", lsh_bucket(vec_col, planes))
+    bucketed = df.join(
+        lsh_bucket_table(df, planes, vec_col, id_col), id_col
+    )
     return write_partitioned(bucketed, path, ["bucket"], mode=mode)
 
 
