@@ -79,12 +79,16 @@ def stopword_ratio(text: Column | str, stopwords: list[str] | None = None) -> Co
 
 
 def mean_word_length(text: Column | str) -> Column:
+    """Mean token length = (total token characters) / (token count).
+
+    Total token characters is the text length after deleting every
+    non-token character — one regexp_replace pass, identical value to
+    summing per-token lengths but with no array build and no interpreted
+    higher-order fold (``F.aggregate`` is CodegenFallback)."""
     c = F.col(text) if isinstance(text, str) else text
-    toks = tokens(c)
-    total_len = F.aggregate(
-        toks, F.lit(0), lambda acc, t: acc + F.length(t)
-    )
-    return F.when(F.size(toks) > 0, total_len / F.size(toks)).otherwise(F.lit(0.0))
+    total_len = F.length(F.regexp_replace(c, r"[^A-Za-z0-9_']+", ""))
+    n = F.regexp_count(c, F.lit(TOKEN_RE))
+    return F.when(n > 0, total_len / n).otherwise(F.lit(0.0))
 
 
 def quality_score(text: Column | str) -> Column:
