@@ -163,3 +163,59 @@ def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
         lang_id(c).alias("lang_guess"),
         fingerprint(c).alias("fingerprint"),
     )
+
+
+def repetition_profile(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher/C4-style repetition signals per document — the standard
+    "is this boilerplate / degenerate text?" filter battery for training
+    corpora:
+
+    * ``n_tokens``          — total word tokens
+    * ``type_token_ratio``  — distinct / total tokens (low ⇒ repetitive)
+    * ``top_unigram_frac``  — share of the most frequent token
+    * ``top_bigram_frac``   — share of the most frequent word bigram
+
+    Plan shape: explode tokens (and bigrams) → two partial-aggregated
+    group-bys — ``(id, gram)`` counts, then per-id max/sum/count.  Both
+    shuffles carry counted grams, never raw text; an under-split local
+    corpus is id-fanned-out first so the explode runs on all cores and the
+    group-bys reuse that partitioning.  Docs with zero tokens are dropped
+    (no denominators); docs with one token get ``top_bigram_frac = 0``.
+    """
+    from parquery_spark.operators.dedup import shingle_tokens, word_shingles
+    from parquery_spark.operators.util import fan_out
+
+    src = fan_out(df.select(F.col(id_col), F.col(text_col)), id_col)
+
+    def gram_stats(gram_col: Column, prefix: str) -> DataFrame:
+        counts = (
+            src.select(F.col(id_col), F.explode(gram_col).alias("__g"))
+            .groupBy(id_col, "__g")
+            .agg(F.count(F.lit(1)).alias("__c"))
+        )
+        return counts.groupBy(id_col).agg(
+            F.sum("__c").alias(f"{prefix}_total"),
+            F.max("__c").alias(f"{prefix}_top"),
+            F.count(F.lit(1)).alias(f"{prefix}_distinct"),
+        )
+
+    uni = gram_stats(shingle_tokens(text_col), "u")
+    big = gram_stats(word_shingles(text_col, 2), "b")
+    return (
+        uni.join(big, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("u_total").alias("n_tokens"),
+            F.round(F.col("u_distinct") / F.col("u_total"), 6).alias(
+                "type_token_ratio"
+            ),
+            F.round(F.col("u_top") / F.col("u_total"), 6).alias(
+                "top_unigram_frac"
+            ),
+            F.round(
+                F.coalesce(F.col("b_top") / F.col("b_total"), F.lit(0.0)), 6
+            ).alias("top_bigram_frac"),
+        )
+    )

@@ -1,0 +1,144 @@
+"""Distributed connected components — near-duplicate CLUSTER assignment.
+
+Candidate-pair generators (MinHash-LSH, SimHash, embedding near-dup) emit
+EDGES; production dedup needs the transitive closure: every document labeled
+with a canonical cluster id so one representative per cluster survives.
+
+Algorithm: iterated **hash-to-min** label propagation (the dataflow variant
+of Kiveris et al.'s star-contraction family):
+
+* ``label(v)`` starts as ``v``;
+* each round every vertex takes the min of its own and its neighbors'
+  labels (edges join labels → groupBy(vertex).min — two shuffles/round,
+  both partial-aggregated map-side);
+* converged when no label changes.
+
+Rounds needed ≈ O(log(diameter)).  Near-dup clusters are dense and shallow
+(diameter 2-4 in practice), so 3-5 rounds close almost any corpus; a chain
+of pairwise-similar documents is the worst case, bounded by ``max_iter``.
+
+Scale properties (the 100 TB contract):
+
+* state per round is one ``(vertex, label)`` row per vertex — 16 bytes; the
+  edge list is read repeatedly but never mutated (persisted once).
+* every round's lineage is truncated with ``localCheckpoint`` — without it
+  the logical plan doubles per iteration and the driver's analysis time
+  explodes long before the data does.  (On a cluster with dynamic
+  allocation, configure a reliable ``checkpoint`` dir instead; executor
+  loss discards localCheckpoint blocks.)
+* the convergence test is one aggregated count per round — a scalar to the
+  driver, not a collect.
+
+The reference has no graph operators (SURVEY.md §2.4 — single-table OLAP
+only); this is part of the beyond-reference training-pipeline surface.
+"""
+
+from __future__ import annotations
+
+from pyspark import StorageLevel
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Resolve an edge list to ``(v, cluster_id)`` — cluster id is the
+    minimum vertex id reachable from ``v`` (a canonical, deterministic
+    representative).  Only vertices that appear in ``pairs`` are returned;
+    singletons are their own cluster (splice them with a left join, as
+    :func:`dedup_clusters` does).
+
+    Raises ``RuntimeError`` if ``max_iter`` rounds don't converge — that
+    means a pathological similarity chain, and silently returning
+    half-merged clusters would corrupt the dedup downstream.
+    """
+    edges = pairs.select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    )
+    # undirected: keep both orientations so one join per round sees every
+    # neighbor; self-loops are harmless (min(label, own label) is a no-op)
+    edges = (
+        edges.union(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+    labels = (
+        edges.select(F.col("src").alias("v"))
+        .distinct()
+        .select(F.col("v"), F.col("v").alias("lbl"))
+        .localCheckpoint()
+    )
+
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels, edges["dst"] == labels["v"])
+            .select(F.col("src").alias("v"), F.col("lbl"))
+        )
+        new_labels = (
+            labels.unionByName(nbr)
+            .groupBy("v")
+            .agg(F.min("lbl").alias("lbl"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "v")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            edges.unpersist(blocking=False)
+            return labels.select(F.col("v"), F.col("lbl").alias("cluster_id"))
+
+    edges.unpersist(blocking=False)
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds — "
+        "pathological similarity chain; raise max_iter or pre-partition "
+        "the candidate graph"
+    )
+
+
+def dedup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Every document labeled with its near-dup cluster: transitive closure
+    over ``pairs``, singletons as their own cluster, plus the cluster size
+    and a ``is_kept`` flag for the canonical representative (the minimum
+    id — deterministic, so re-runs keep the same survivors).
+
+    Output: ``(id_col, cluster_id, cluster_size, is_kept)``.
+    """
+    cc = connected_components(pairs, id_a, id_b, max_iter)
+    ids = docs.select(F.col(id_col))
+    labeled = (
+        ids.join(cc, ids[id_col] == cc["v"], "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id"),
+        )
+    )
+    sized = labeled.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        labeled.join(sized, "cluster_id")
+        .select(
+            F.col(id_col),
+            F.col("cluster_id"),
+            F.col("cluster_size"),
+            (F.col(id_col) == F.col("cluster_id")).alias("is_kept"),
+        )
+    )

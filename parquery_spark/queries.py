@@ -1503,3 +1503,216 @@ def q61_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang")
         .agg(F.countDistinct("doc_id").alias("contaminated"))
     )
+
+
+@query(
+    "q62_dedup_clusters",
+    f"""
+    WITH RECURSIVE verified AS ({_sql_lsh_verified(15, 5, 2, 1000, 0.5)}),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM verified
+        UNION
+        SELECT id_b AS src, id_a AS dst FROM verified
+    ),
+    reach(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    cluster AS (
+        SELECT src AS v, LEAST(src, MIN(dst)) AS cluster_id
+        FROM reach GROUP BY src
+    ),
+    labeled AS (
+        SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+        FROM documents d LEFT JOIN cluster c ON c.v = d.doc_id
+    ),
+    sized AS (
+        SELECT cluster_id, COUNT(*) AS cluster_size
+        FROM labeled GROUP BY cluster_id
+    )
+    SELECT l.doc_id, l.cluster_id, s.cluster_size,
+           (l.doc_id = l.cluster_id) AS is_kept
+    FROM labeled l JOIN sized s USING (cluster_id)
+    """,
+)
+def q62_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup DEDUP: LSH-verified pairs (q42's edges) resolved
+    to transitive-closure clusters by distributed hash-to-min label
+    propagation, every doc labeled (singletons = own cluster), minimum id
+    kept as the deterministic survivor.  The oracle computes the same
+    closure with a recursive CTE — exact cluster parity, not just counts."""
+    from parquery_spark.operators.dedup import lsh_verified_pairs
+    from parquery_spark.operators.graph import dedup_clusters
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = lsh_verified_pairs(
+        docs, "text", "doc_id",
+        num_hashes=15, bands=5, shingle_k=2, threshold=0.5,
+    )
+    return dedup_clusters(docs, pairs, "doc_id")
+
+
+@query(
+    "q63_repetition_profile",
+    """
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'),
+                           t -> t != '') AS w
+        FROM documents
+    ),
+    ucnt AS (
+        SELECT doc_id, g, COUNT(*) AS c
+        FROM toks, unnest(w) AS u(g)
+        GROUP BY doc_id, g
+    ),
+    ustat AS (
+        SELECT doc_id, CAST(SUM(c) AS BIGINT) AS total,
+               CAST(MAX(c) AS BIGINT) AS top, COUNT(*) AS n_distinct
+        FROM ucnt GROUP BY doc_id
+    ),
+    bcnt AS (
+        SELECT doc_id, g, COUNT(*) AS c
+        FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(w)),
+                                         i -> w[i] || ' ' || w[i + 1])) AS g
+            FROM toks
+        )
+        GROUP BY doc_id, g
+    ),
+    bstat AS (
+        SELECT doc_id, CAST(SUM(c) AS BIGINT) AS total,
+               CAST(MAX(c) AS BIGINT) AS top
+        FROM bcnt GROUP BY doc_id
+    )
+    SELECT u.doc_id,
+           u.total AS n_tokens,
+           ROUND(u.n_distinct / u.total, 6) AS type_token_ratio,
+           ROUND(u.top / u.total, 6) AS top_unigram_frac,
+           ROUND(COALESCE(b.top / b.total, 0.0), 6) AS top_bigram_frac
+    FROM ustat u LEFT JOIN bstat b USING (doc_id)
+    """,
+)
+def q63_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style repetition filters per document: type-token ratio,
+    top-unigram share, top-bigram share — the degenerate-text battery a
+    training pipeline runs before dedup.  Explode → counted-gram shuffles
+    only (raw text never crosses the wire)."""
+    from parquery_spark.functions.text import repetition_profile
+
+    return repetition_profile(load(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+_PII_INJECT_SQL = (
+    "text || CASE WHEN doc_id % 3 = 0 THEN"
+    " ' contact user' || CAST(doc_id AS VARCHAR)"
+    " || '@mail.example.com phone 555-'"
+    " || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'"
+    " || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+    " || ' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR)"
+    " || '.' || CAST(doc_id % 100 + 1 AS VARCHAR)"
+    " ELSE '' END"
+)
+
+
+def _pii_oracle() -> str:
+    from parquery_spark.functions.pii import PII_PATTERNS
+
+    counts = ", ".join(
+        f"CAST(SUM(len(regexp_extract_all(enriched, '{pat}'))) AS BIGINT)"
+        f" AS n_{name}"
+        for name, pat in PII_PATTERNS.items()
+    )
+    any_hit = " + ".join(
+        f"len(regexp_extract_all(enriched, '{pat}'))"
+        for pat in PII_PATTERNS.values()
+    )
+    return f"""
+    WITH enr AS (SELECT lang, {_PII_INJECT_SQL} AS enriched FROM documents)
+    SELECT lang, COUNT(*) AS n_docs, {counts},
+           CAST(SUM(({any_hit})) AS BIGINT) AS n_pii,
+           CAST(SUM(CASE WHEN ({any_hit}) > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS docs_with_pii
+    FROM enr GROUP BY lang
+    """
+
+
+@query("q64_pii_audit", _pii_oracle())
+def q64_pii_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detect + redact audit.  The synthetic corpus carries no PII, so
+    the query spec first plants deterministic email/phone/IP strings on
+    every third doc (the SAME construction on the Spark and oracle sides),
+    then runs the detector battery and aggregates hits per language.  The
+    redaction pass is asserted behaviorally in pytest (planted PII must
+    vanish); here the per-pattern counts are value-exact against DuckDB's
+    RE2 engine — i.e. the patterns live in the Java∩RE2 semantic subset."""
+    from parquery_spark.functions import pii
+
+    docs = load(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    inject = F.concat(
+        F.lit(" contact user"), d.cast("string"),
+        F.lit("@mail.example.com phone 555-"),
+        F.lpad((d % 1000).cast("string"), 3, "0"), F.lit("-"),
+        F.lpad((d % 10000).cast("string"), 4, "0"),
+        F.lit(" ip 10.0."), (d % 256).cast("string"),
+        F.lit("."), (d % 100 + 1).cast("string"),
+    )
+    enriched = docs.select(
+        "doc_id", "lang",
+        F.concat(
+            F.col("text"),
+            F.when(d % 3 == 0, inject).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    profiled = pii.pii_profile(enriched, "text", "doc_id")
+    count_cols = [f"n_{name}" for name in pii.PII_PATTERNS]
+    return profiled.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        *[F.sum(c).alias(c) for c in count_cols],
+        F.sum("n_pii").alias("n_pii"),
+        F.sum((F.col("n_pii") > 0).cast("long")).alias("docs_with_pii"),
+    )
+
+
+def _profile_oracle(table: str, cols: list[tuple[str, bool]]) -> str:
+    parts = []
+    for name, numeric in cols:
+        if numeric:
+            mn = f"CAST(MIN({name}) AS DOUBLE)"
+            mx = f"CAST(MAX({name}) AS DOUBLE)"
+            ms, xs = "CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)"
+        else:
+            mn, mx = "CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)"
+            ms = f"CAST(MIN({name}) AS VARCHAR)"
+            xs = f"CAST(MAX({name}) AS VARCHAR)"
+        parts.append(
+            f"SELECT '{name}' AS \"column\", COUNT(*) AS n_rows,"
+            f" CAST(SUM(CASE WHEN {name} IS NULL THEN 1 ELSE 0 END) AS BIGINT)"
+            f" AS n_null,"
+            f" COUNT(DISTINCT {name}) AS n_distinct,"
+            f" {mn} AS min_num, {mx} AS max_num,"
+            f" {ms} AS min_str, {xs} AS max_str FROM {table}"
+        )
+    return " UNION ALL ".join(parts)
+
+
+@query(
+    "q65_column_profile",
+    _profile_oracle(
+        "orders",
+        [("o_orderkey", True), ("o_custkey", True), ("o_orderstatus", False),
+         ("o_totalprice", True), ("o_orderdate", False),
+         ("o_orderpriority", False)],
+    ),
+)
+def q65_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style single-pass column profiler over ``orders``: row/null/
+    distinct counts and typed min/max per column, one scan for the whole
+    table (exact distincts here; ``exact_distinct=False`` switches to HLL
+    sketches for corpus-scale profiling)."""
+    from parquery_spark.operators.profile import column_profile
+
+    return column_profile(load(spark, sf_dir, "orders"))

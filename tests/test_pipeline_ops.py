@@ -1,0 +1,128 @@
+"""Round-3 pipeline operators: connected-component dedup clusters,
+repetition profile, PII detect/redact, single-pass column profiler."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pytest
+from pyspark.sql import functions as F
+
+from parquery_spark.functions.pii import PII_PATTERNS, pii_profile, redact
+from parquery_spark.functions.text import repetition_profile
+from parquery_spark.operators.graph import connected_components, dedup_clusters
+from parquery_spark.operators.profile import column_profile
+
+
+class TestConnectedComponents:
+    def test_two_components_and_chain(self, spark):
+        # component {1,2,3,4} is a chain (worst diameter), {10,11} a pair
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (10, 11)], ["id_a", "id_b"]
+        )
+        got = {
+            r["v"]: r["cluster_id"]
+            for r in connected_components(pairs).collect()
+        }
+        assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+    def test_dedup_clusters_splices_singletons(self, spark):
+        docs = spark.createDataFrame([(i,) for i in range(6)], ["doc_id"])
+        pairs = spark.createDataFrame([(0, 3), (3, 5)], ["id_a", "id_b"])
+        rows = {r["doc_id"]: r for r in dedup_clusters(docs, pairs).collect()}
+        assert rows[0]["cluster_id"] == 0 and rows[0]["is_kept"]
+        assert rows[3]["cluster_id"] == 0 and not rows[3]["is_kept"]
+        assert rows[5]["cluster_id"] == 0 and rows[5]["cluster_size"] == 3
+        for singleton in (1, 2, 4):
+            r = rows[singleton]
+            assert r["cluster_id"] == singleton and r["cluster_size"] == 1
+            assert r["is_kept"]
+
+    def test_nonconvergence_raises(self, spark):
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(20)], ["id_a", "id_b"]
+        )
+        with pytest.raises(RuntimeError, match="did not converge"):
+            connected_components(pairs, max_iter=1)
+
+
+class TestRepetitionProfile:
+    def test_known_ratios(self, spark):
+        docs = spark.createDataFrame(
+            [
+                (1, "a a a b"),          # 4 tokens, 2 types, top 'a'=3
+                (2, "x y z"),            # all distinct
+                (3, "solo"),             # one token, no bigrams
+            ],
+            ["doc_id", "text"],
+        )
+        rows = {
+            r["doc_id"]: r
+            for r in repetition_profile(docs, "text", "doc_id").collect()
+        }
+        assert rows[1]["n_tokens"] == 4
+        assert rows[1]["type_token_ratio"] == 0.5
+        assert rows[1]["top_unigram_frac"] == 0.75
+        assert rows[1]["top_bigram_frac"] == pytest.approx(2 / 3, abs=1e-6)
+        assert rows[2]["top_unigram_frac"] == pytest.approx(1 / 3, abs=1e-6)
+        assert rows[3]["top_bigram_frac"] == 0.0
+
+
+class TestPII:
+    def test_redaction_removes_planted_pii(self, spark):
+        text = (
+            "reach me at jane.doe+spam@corp.example.org or 555-123-4567; "
+            "server 192.168.0.1, ssn 123-45-6789"
+        )
+        df = spark.createDataFrame([(1, text), (2, "clean text")],
+                                   ["doc_id", "text"])
+        rows = {r["doc_id"]: r for r in
+                pii_profile(df, "text", "doc_id").collect()}
+        hit = rows[1]
+        assert hit["n_email"] == 1 and hit["n_phone"] == 1
+        assert hit["n_ipv4"] == 1 and hit["n_ssn"] == 1
+        assert hit["n_pii"] == 4
+        red = hit["redacted_text"]
+        assert "@" not in red and "555" not in red and "192.168" not in red
+        assert red.count("[PII]") == 4
+        clean = rows[2]
+        assert clean["n_pii"] == 0
+        assert clean["redacted_text"] == "clean text"
+
+    def test_patterns_are_java_re2_compatible(self):
+        # the oracle runs the same patterns under RE2 — forbid constructs
+        # with divergent semantics (backrefs, lookaround)
+        for pat in PII_PATTERNS.values():
+            assert "(?=" not in pat and "(?!" not in pat and "\\1" not in pat
+
+
+class TestColumnProfile:
+    def test_mixed_types_single_scan(self, spark):
+        df = spark.createDataFrame(
+            pa.table(
+                {
+                    "k": [1, 2, 2, None],
+                    "price": [1.5, 2.5, None, 4.0],
+                    "tag": ["b", "a", "a", None],
+                }
+            )
+        )
+        rows = {r["column"]: r for r in column_profile(df).collect()}
+        assert rows["k"]["n_rows"] == 4
+        assert rows["k"]["n_null"] == 1
+        assert rows["k"]["n_distinct"] == 2
+        assert rows["k"]["min_num"] == 1.0 and rows["k"]["max_num"] == 2.0
+        assert rows["k"]["min_str"] is None
+        assert rows["price"]["n_null"] == 1
+        assert rows["price"]["max_num"] == 4.0
+        assert rows["tag"]["min_str"] == "a" and rows["tag"]["max_str"] == "b"
+        assert rows["tag"]["min_num"] is None
+
+    def test_approx_distinct_mode(self, spark):
+        df = spark.range(1000).select(F.col("id").alias("k"))
+        r = column_profile(df, exact_distinct=False).collect()[0]
+        assert abs(r["n_distinct"] - 1000) / 1000 < 0.1
+        plan = (
+            column_profile(df, exact_distinct=False)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Expand" not in plan  # HLL path: no Expand blowup
