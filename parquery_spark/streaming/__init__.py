@@ -1,4 +1,5 @@
 from parquery_spark.streaming.events import (
+    dedup_stream,
     sessionize_stream,
     windowed_event_counts,
     windowed_event_counts_batch,
@@ -8,4 +9,5 @@ __all__ = [
     "windowed_event_counts",
     "windowed_event_counts_batch",
     "sessionize_stream",
+    "dedup_stream",
 ]

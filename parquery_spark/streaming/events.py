@@ -135,3 +135,29 @@ def sessionize_stream(
             timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
         )
     )
+
+
+def dedup_stream(
+    spark: SparkSession,
+    source_dir: str,
+    schema: T.StructType,
+    key_cols: list[str] | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming EXACT dedup — the online half of the corpus-dedup surface
+    (the batch half is ``operators.dedup`` / ``operators.graph``).
+
+    ``dropDuplicatesWithinWatermark`` keeps one row per key and expires a
+    key's state once the watermark passes it: state is O(keys inside the
+    watermark window), not O(stream length) — the property that makes
+    streaming dedup viable on an unbounded ingest feed.  Re-deliveries
+    (at-least-once sources) and content re-posts inside the window are
+    dropped; a re-post arriving after the watermark is a NEW row by design
+    (bound the window, bound the state — the batch dedup downstream owns
+    full-history exactness).
+    """
+    stream = (
+        spark.readStream.schema(schema).parquet(source_dir)
+        .withWatermark("ts", watermark)
+    )
+    return stream.dropDuplicatesWithinWatermark(key_cols or ["event_id"])

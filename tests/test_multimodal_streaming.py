@@ -234,3 +234,34 @@ class TestStreamingSoak:
             assert wm and not wm.startswith("1970")
         finally:
             q.stop()
+
+
+class TestStreamingDedup:
+    def test_duplicates_dropped_within_watermark(self, spark, tmp_path):
+        """At-least-once redelivery inside the watermark window yields
+        exactly one row per event_id; state expires past the watermark."""
+        import datetime as dt
+
+        from parquery_spark.streaming import dedup_stream
+
+        base = dt.datetime(2024, 1, 1)
+        rows = [
+            (i, base + dt.timedelta(minutes=i), i % 2, "click", float(i))
+            for i in range(10)
+        ]
+        dupes = rows[::3]  # redeliver every third event
+        src = str(tmp_path / "dedup_src")
+        (spark.createDataFrame(rows + dupes, EVENT_SCHEMA)
+         .coalesce(1).write.parquet(src))
+
+        out = dedup_stream(spark, src, EVENT_SCHEMA, ["event_id"],
+                           watermark="1 hour")
+        assert out.isStreaming
+        q = (
+            out.writeStream.format("memory").queryName("dedup_out")
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        got = [r["event_id"] for r in
+               spark.sql("SELECT event_id FROM dedup_out").collect()]
+        assert sorted(got) == list(range(10))  # each id exactly once
