@@ -60,12 +60,17 @@ def connected_components(
         F.col(id_a).alias("src"), F.col(id_b).alias("dst")
     )
     # undirected: keep both orientations so one join per round sees every
-    # neighbor; self-loops are harmless (min(label, own label) is a no-op)
+    # neighbor; self-loops are harmless (min(label, own label) is a no-op).
+    # Pre-partitioned on the join key (dst): the persisted partitioning
+    # satisfies the join's distribution requirement every round, so only
+    # the (small) label relation shuffles per iteration — the edge list,
+    # the big side, never moves again.
     edges = (
         edges.union(
             edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
         .distinct()
+        .repartition(F.col("dst"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
@@ -76,27 +81,30 @@ def connected_components(
         .localCheckpoint()
     )
 
+    # Convergence test: labels are per-vertex MONOTONE NON-INCREASING, so
+    # the label total strictly decreases iff any label changed — one
+    # scalar aggregate over the just-checkpointed round, instead of a
+    # join-and-count against the previous round.  DECIMAL(38,0) keeps the
+    # total exact (a wrapped BIGINT sum could alias two different states).
+    prev_total = None
     for _ in range(max_iter):
         nbr = (
             edges.join(labels, edges["dst"] == labels["v"])
             .select(F.col("src").alias("v"), F.col("lbl"))
         )
-        new_labels = (
+        labels = (
             labels.unionByName(nbr)
             .groupBy("v")
             .agg(F.min("lbl").alias("lbl"))
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "v")
-            .filter(F.col("n.lbl") != F.col("o.lbl"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        total = labels.agg(
+            F.sum(F.col("lbl").cast("decimal(38,0)")).alias("s")
+        ).first()["s"]
+        if total == prev_total:
             edges.unpersist(blocking=False)
             return labels.select(F.col("v"), F.col("lbl").alias("cluster_id"))
+        prev_total = total
 
     edges.unpersist(blocking=False)
     raise RuntimeError(

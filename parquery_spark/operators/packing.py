@@ -1,0 +1,84 @@
+"""Training-shard packing: assign documents to fixed-token-budget shards in
+a deterministic global order — the step that turns a cleaned corpus into
+the fixed-size shard files a training run streams.
+
+``shard_id = floor(tokens_before / shard_size)`` over the global order:
+documents are never split, shards overflow by at most one document, and the
+assignment is a pure function of (order, sizes) — re-runs give identical
+shards.
+
+The global running sum is computed as a **distributed prefix sum**, not a
+single-partition window (Spark executes an un-partitioned ``SUM OVER
+(ORDER BY)`` in ONE task — correct and fine in an oracle, fatal at corpus
+scale):
+
+1. range-partition by the order column (contiguous, sorted ranges);
+2. per-partition running sums via a window PARTITIONED by the physical
+   partition id — all partitions in parallel;
+3. the per-partition totals (one row per partition) come to the driver and
+   prefix-sum there — a few KB regardless of corpus size;
+4. each row's global prefix = local prefix + its partition's offset
+   (broadcast map-side join).
+
+The reference has no ordering/packing operators (SURVEY.md §2.4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def pack_shards(
+    df: DataFrame,
+    size_col: Column | str,
+    shard_size: int,
+    order_col: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Return ``df``'s columns plus ``shard_id``.
+
+    ``size_col`` is the per-row cost (token count — a Column expression is
+    allowed, e.g. ``token_count("text")``); ``order_col`` is the total
+    order (must be unique — doc id, sort key); ``shard_size`` is the
+    budget per shard in the same unit as ``size_col``.
+    """
+    sz = F.col(size_col) if isinstance(size_col, str) else size_col
+    src = df.withColumn("__sz", sz.cast("long"))
+    if num_partitions:
+        src = src.repartitionByRange(num_partitions, F.col(order_col))
+    else:
+        src = src.repartitionByRange(F.col(order_col))
+    src = src.withColumn("__pid", F.spark_partition_id())
+
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = src.withColumn("__cum", F.sum("__sz").over(w)).persist()
+
+    # one row per partition — a scalar collect, not a data collect
+    totals = {
+        r["__pid"]: r["t"]
+        for r in local.groupBy("__pid").agg(F.max("__cum").alias("t")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(totals):
+        offsets[pid] = acc
+        acc += totals[pid]
+    spark = df.sparkSession
+    offset_df = spark.createDataFrame(
+        [(pid, off) for pid, off in offsets.items()], ["__pid", "__off"]
+    )
+    out = (
+        local.join(F.broadcast(offset_df), "__pid")
+        .withColumn(
+            "__before", F.col("__cum") - F.col("__sz") + F.col("__off")
+        )
+        # integer DIV, not double `/`: exact for any long prefix (a double
+        # quotient would lose ulps past 2^53 total tokens)
+        .withColumn("shard_id", F.expr(f"__before DIV {int(shard_size)}"))
+        .drop("__pid", "__sz", "__cum", "__off", "__before")
+    )
+    return out

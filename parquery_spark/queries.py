@@ -1716,3 +1716,42 @@ def q65_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from parquery_spark.operators.profile import column_profile
 
     return column_profile(load(spark, sf_dir, "orders"))
+
+
+@query(
+    "q66_shard_packing",
+    """
+    WITH sized AS (
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '[A-Za-z0-9_'']+')) AS BIGINT)
+                   AS n_tokens
+        FROM documents
+    ),
+    cum AS (
+        SELECT doc_id, n_tokens,
+               CAST(COALESCE(SUM(n_tokens) OVER (
+                   ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS BIGINT) AS tokens_before
+        FROM sized
+    )
+    SELECT doc_id, n_tokens, tokens_before // 4096 AS shard_id
+    FROM cum
+    """,
+)
+def q66_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-shard assignment: 4096-token shards over
+    doc_id order via a DISTRIBUTED prefix sum (range partition →
+    parallel per-partition running sums → driver-side offset prefix —
+    the oracle's single-task `SUM OVER (ORDER BY)` is exactly what this
+    plan avoids at corpus scale)."""
+    from parquery_spark.functions.text import token_count
+    from parquery_spark.operators.packing import pack_shards
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    packed = pack_shards(docs, token_count("text"), 4096, "doc_id")
+    return packed.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        "shard_id",
+    )

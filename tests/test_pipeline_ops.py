@@ -126,3 +126,35 @@ class TestColumnProfile:
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "Expand" not in plan  # HLL path: no Expand blowup
+
+
+class TestPackShards:
+    def test_prefix_sum_across_partitions(self, spark):
+        from parquery_spark.operators.packing import pack_shards
+
+        # sizes chosen so shard boundaries fall mid-partition and docs
+        # must never split: shard budget 10
+        rows = [(i, 4) for i in range(10)]  # 40 tokens total
+        df = spark.createDataFrame(rows, ["doc_id", "n"])
+        out = pack_shards(df, "n", 10, "doc_id", num_partitions=4)
+        got = {r["doc_id"]: r["shard_id"] for r in out.collect()}
+        # tokens_before = 4*i → shard = (4i) div 10
+        want = {i: (4 * i) // 10 for i in range(10)}
+        assert got == want
+        # shards hold whole docs; each shard's load stays under budget + max doc
+        loads = {}
+        for i, s in got.items():
+            loads[s] = loads.get(s, 0) + 4
+        assert all(load <= 10 + 4 for load in loads.values())
+
+    def test_column_expression_size(self, spark):
+        from parquery_spark.functions.text import token_count
+        from parquery_spark.operators.packing import pack_shards
+
+        df = spark.createDataFrame(
+            [(1, "a b c"), (2, "d e"), (3, "f")], ["doc_id", "text"]
+        )
+        out = pack_shards(df, token_count("text"), 4, "doc_id")
+        got = {r["doc_id"]: r["shard_id"] for r in out.collect()}
+        # before: 0, 3, 5 → shards 0, 0, 1
+        assert got == {1: 0, 2: 0, 3: 1}
