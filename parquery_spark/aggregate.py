@@ -95,6 +95,10 @@ def aggregate_pq(
             reference handled as one process per file + caller-side
             recombination and is here a single distributed query
             (mergeSchema reconciles footer drift between files).
+            Extension surface beyond the reference: ``.csv`` (header +
+            inferred types), ``.json``/``.jsonl`` (JSON lines), and
+            ``.orc`` files run through the same query/tolerant-schema
+            semantics (format by extension; one format per query).
         groupby_cols: dimension column names.
         measure_cols: ``['m']`` | ``[['m','op']]`` | ``[['m','op','out']]``;
             default op is ``sum``.  Ops: sum, mean/avg, std/stddev, count,

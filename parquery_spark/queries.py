@@ -1755,3 +1755,46 @@ def q66_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         token_count("text").alias("n_tokens"),
         "shard_id",
     )
+
+
+@query(
+    "q67_csv_source",
+    """
+    SELECT n_regionkey, COUNT(n_nationkey) AS n,
+           MIN(n_name) AS first_name, MAX(n_nationkey) AS max_key
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+def q67_csv_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-format source surface: the nation table materialized as CSV
+    (lossless — int/string columns only), queried through the SAME
+    ``aggregate_pq`` plan path (header+inference read, tolerant-schema
+    pre-flight, relation cache).  The oracle reads the parquet twin, so
+    format equivalence itself is what's gated."""
+    import csv
+    import hashlib
+    import tempfile
+
+    import pyarrow.parquet as papq
+
+    from parquery_spark.aggregate import aggregate_plan
+
+    src = os.path.join(sf_dir, "nation.parquet")
+    tag = hashlib.md5(os.path.abspath(src).encode()).hexdigest()[:10]
+    dst = os.path.join(tempfile.gettempdir(), f"pqs_nation_{tag}.csv")
+    if not os.path.exists(dst):
+        tbl = papq.read_table(src).sort_by([("n_nationkey", "ascending")])
+        tmp = dst + ".tmp"
+        with open(tmp, "w", newline="") as fh:
+            w = csv.writer(fh)
+            w.writerow(tbl.column_names)
+            for row in zip(*[c.to_pylist() for c in tbl.columns]):
+                w.writerow(row)
+        os.replace(tmp, dst)
+    return aggregate_plan(
+        dst,
+        ["n_regionkey"],
+        [["n_nationkey", "count", "n"], ["n_name", "one", "first_name"],
+         ["n_nationkey", "max", "max_key"]],
+        spark=spark,
+    )

@@ -90,7 +90,11 @@ _MAX_SCHEMA_ENTRIES = 256
 
 
 def schema_names(path: str) -> frozenset:
-    """Column names from the parquet footer, cached by file stat identity."""
+    """Column names, driver-side and cheap, cached by file stat identity:
+    parquet/ORC from the footer, CSV from the header row, JSON-lines from
+    the keys of the first rows (a sample — untyped formats have no footer;
+    columns appearing only deep in the file surface at read time via
+    Spark's own inference)."""
     st = os.stat(path)
     key = (os.path.abspath(path), st.st_mtime_ns, st.st_size)
     with _lock:
@@ -98,7 +102,34 @@ def schema_names(path: str) -> frozenset:
         if names is not None:
             _schema_names.move_to_end(key)
             return names
-    names = frozenset(papq.read_schema(path).names)
+    fmt = format_of(path)
+    if fmt == "csv":
+        import csv as _csv
+
+        with open(path, newline="") as fh:
+            names = frozenset(next(_csv.reader(fh), []))
+    elif fmt == "json":
+        import json as _json
+
+        keys: set[str] = set()
+        with open(path) as fh:
+            for _ in range(100):
+                line = fh.readline()
+                if not line:
+                    break
+                line = line.strip()
+                if line:
+                    try:
+                        keys |= set(_json.loads(line))
+                    except ValueError:
+                        pass
+        names = frozenset(keys)
+    elif fmt == "orc":
+        from pyarrow import orc as _orc
+
+        names = frozenset(_orc.ORCFile(path).schema.names)
+    else:
+        names = frozenset(papq.read_schema(path).names)
     with _lock:
         _schema_names[key] = names
         while len(_schema_names) > _MAX_SCHEMA_ENTRIES:
@@ -114,7 +145,45 @@ def _stat_key(paths: Sequence[str]) -> tuple:
     return parts
 
 
+#: extension → source format.  Parquet is the reference's only format
+#: (SURVEY.md §2.1); CSV / JSON-lines / ORC are extension surface — same
+#: query API, tolerant-schema semantics, and relation cache on top.
+_FORMATS = {
+    "parquet": "parquet", "pq": "parquet",
+    "csv": "csv",
+    "json": "json", "jsonl": "json", "ndjson": "json",
+    "orc": "orc",
+}
+
+
+def format_of(path: str) -> str:
+    return _FORMATS.get(path.rsplit(".", 1)[-1].lower(), "parquet")
+
+
+def _format_of_all(paths: Sequence[str]) -> str:
+    fmts = {format_of(p) for p in paths}
+    if len(fmts) > 1:
+        raise ValueError(
+            f"cannot mix source formats in one query: {sorted(fmts)} ({paths})"
+        )
+    return fmts.pop()
+
+
 def _read(spark: SparkSession, paths: Sequence[str]) -> DataFrame:
+    fmt = _format_of_all(paths)
+    if fmt == "csv":
+        # header + inference: column names from row 1, types from a scan —
+        # acceptable for ad-hoc CSV; at scale callers convert to parquet
+        # (sources.compact_dataset) or pass typed data through parquet
+        return (
+            spark.read.option("header", "true")
+            .option("inferSchema", "true")
+            .csv(list(paths))
+        )
+    if fmt == "json":
+        return spark.read.json(list(paths))
+    if fmt == "orc":
+        return spark.read.orc(*paths)
     reader = spark.read
     if len(paths) > 1:
         reader = reader.option("mergeSchema", "true")
@@ -123,7 +192,12 @@ def _read(spark: SparkSession, paths: Sequence[str]) -> DataFrame:
 
 def _plan_slices(paths: Sequence[str]) -> int:
     """Driver-side, footer-only: how many partitions the cached relation
-    should have.  More slices than row groups → repartition once at build."""
+    should have.  More slices than row groups → repartition once at build.
+    Non-parquet sources have no row metadata; slice by bytes instead
+    (~2 MiB of source text per slice)."""
+    if any(format_of(p) != "parquet" for p in paths):
+        total = sum(os.path.getsize(p) for p in paths)
+        return max(1, min(total // (2 << 20), os.cpu_count() or 8))
     rows = 0
     groups = 0
     for p in paths:

@@ -337,3 +337,73 @@ class TestDashedColumnNames:
             dashed_pq, ["d-1"], [["m-x", "sum", "t"]], [["d-1", "==", 1]]
         )
         assert r.to_pylist() == [{"d-1": 1, "t": 30.0}]
+
+
+class TestMultiFormatSources:
+    """CSV / JSON-lines / ORC through the same aggregate_pq surface
+    (extension beyond the reference's parquet-only reader)."""
+
+    @staticmethod
+    def _expect(spark, path):
+        import parquery_spark as pq_spark
+
+        r = pq_spark.aggregate_pq(
+            path, ["d"], [["m", "sum", "s"], ["m", "count", "n"]],
+            data_filter=[["m", ">", 0]],
+        )
+        got = {row["d"]: (row["s"], row["n"]) for row in r.to_pylist()}
+        assert got == {1: (30.0, 2), 2: (5.0, 1)}
+
+    def test_csv_source(self, spark, tmp_path):
+        p = str(tmp_path / "t.csv")
+        with open(p, "w") as fh:
+            fh.write("d,m\n1,10.0\n1,20.0\n2,5.0\n2,-1.0\n")
+        self._expect(spark, p)
+
+    def test_jsonl_source(self, spark, tmp_path):
+        p = str(tmp_path / "t.jsonl")
+        with open(p, "w") as fh:
+            for d, m in [(1, 10.0), (1, 20.0), (2, 5.0), (2, -1.0)]:
+                fh.write('{"d": %d, "m": %s}\n' % (d, m))
+        self._expect(spark, p)
+
+    def test_orc_source(self, spark, tmp_path):
+        import pyarrow as pa
+        from pyarrow import orc
+
+        p = str(tmp_path / "t.orc")
+        orc.write_table(
+            pa.table({"d": [1, 1, 2, 2], "m": [10.0, 20.0, 5.0, -1.0]}), p
+        )
+        self._expect(spark, p)
+
+    def test_missing_column_semantics_hold_for_csv(self, spark, tmp_path):
+        import parquery_spark as pq_spark
+
+        p = str(tmp_path / "t2.csv")
+        with open(p, "w") as fh:
+            fh.write("d,m\n1,10.0\n")
+        r = pq_spark.aggregate_pq(
+            p, ["d", "ghost_dim"], [["m", "sum", "s"], ["ghost_m", "sum", "g"]]
+        )
+        row = r.to_pylist()[0]
+        assert row["s"] == 10.0 and row["g"] == 0.0 and row["ghost_dim"] == -1
+        # filter on a column absent from the CSV → empty result
+        r2 = pq_spark.aggregate_pq(
+            p, ["d"], [["m", "sum", "s"]], data_filter=[["nope", ">", 0]]
+        )
+        assert r2.num_rows == 0
+
+    def test_mixed_formats_rejected(self, spark, tmp_path):
+        import pytest as _pytest
+
+        import parquery_spark as pq_spark
+
+        c = str(tmp_path / "a.csv")
+        with open(c, "w") as fh:
+            fh.write("d,m\n1,1.0\n")
+        j = str(tmp_path / "b.jsonl")
+        with open(j, "w") as fh:
+            fh.write('{"d": 1, "m": 2.0}\n')
+        with _pytest.raises(ValueError, match="mix source formats"):
+            pq_spark.aggregate_pq([c, j], ["d"], [["m", "sum", "s"]])
