@@ -77,3 +77,34 @@ def top_n_per_stratum(
         .filter(F.col("__rk") <= n)
         .drop("__rk")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: Column | str,
+    k: int,
+    key: str,
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic weighted sample WITHOUT replacement (Efraimidis-
+    Spirakis A-ES): row priority ``ln(u)/w`` with ``u`` drawn from the
+    row's content hash, take the top ``k`` priorities.  Inclusion
+    probability is proportional to weight (length-proportional corpus
+    sampling, quality-weighted curation), yet the draw is a pure function
+    of (key, seed) — reproducible across runs, engines, and partition
+    layouts, like every sampler here.
+
+    Plan shape: narrow map (hash + ln) → ``TakeOrderedAndProject`` — no
+    full sort, no shuffle of the corpus.  Rows with non-positive weight
+    are excluded (their inclusion probability is zero).
+    """
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    u = (hash64(F.col(key).cast("string"), seed) + F.lit(1)) / F.lit(
+        float(_HASH_SPACE)
+    )
+    priority = F.log(u) / w
+    return (
+        df.filter(w > 0)
+        .orderBy(priority.desc(), F.col(key))
+        .limit(k)
+    )

@@ -1798,3 +1798,26 @@ def q67_csv_source(spark: SparkSession, sf_dir: str) -> DataFrame:
          ["n_nationkey", "max", "max_key"]],
         spark=spark,
     )
+
+
+@query(
+    "q68_weighted_sample",
+    """
+    SELECT doc_id, n_chars
+    FROM documents
+    WHERE n_chars > 0
+    ORDER BY ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#0'), 1, 15))
+                 ::BIGINT + 1) / 1152921504606846976.0) / n_chars DESC,
+             doc_id
+    LIMIT 50
+    """,
+)
+def q68_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-proportional deterministic corpus sample (Efraimidis-
+    Spirakis over the md5 hash family): longer documents proportionally
+    likelier, selection a pure function of (doc_id, seed).  Narrow map +
+    TakeOrderedAndProject — reproducible on any engine, any layout."""
+    from parquery_spark.operators.sampling import weighted_sample
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return weighted_sample(docs, "n_chars", 50, "doc_id")

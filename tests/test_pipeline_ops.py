@@ -158,3 +158,32 @@ class TestPackShards:
         got = {r["doc_id"]: r["shard_id"] for r in out.collect()}
         # before: 0, 3, 5 → shards 0, 0, 1
         assert got == {1: 0, 2: 0, 3: 1}
+
+
+class TestWeightedSample:
+    def test_weight_proportional_and_deterministic(self, spark):
+        from parquery_spark.operators.sampling import weighted_sample
+
+        rows = [(i, 100.0 if i < 20 else 1.0) for i in range(200)]
+        df = spark.createDataFrame(rows, ["k", "w"])
+        got1 = sorted(r["k"] for r in weighted_sample(df, "w", 30, "k").collect())
+        got2 = sorted(r["k"] for r in weighted_sample(df, "w", 30, "k").collect())
+        assert got1 == got2  # pure function of (key, seed)
+        heavy = sum(1 for k in got1 if k < 20)
+        # 20 rows carry 100× weight vs 180 light rows — nearly all heavy
+        # rows must be drawn (P[miss] is astronomically small)
+        assert heavy >= 18
+        # different seed → different draw of the light rows
+        got3 = sorted(
+            r["k"] for r in weighted_sample(df, "w", 30, "k", seed=1).collect()
+        )
+        assert got1 != got3
+
+    def test_nonpositive_weights_excluded(self, spark):
+        from parquery_spark.operators.sampling import weighted_sample
+
+        df = spark.createDataFrame(
+            [(1, 0.0), (2, -3.0), (3, 2.0)], ["k", "w"]
+        )
+        got = [r["k"] for r in weighted_sample(df, "w", 10, "k").collect()]
+        assert got == [3]
