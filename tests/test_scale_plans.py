@@ -239,3 +239,52 @@ class TestIvfIndexLayout:
         b = {r["vec_id"]: r["cell"]
              for r in ivf.ivf_assign(emb, cents).collect()}
         assert a == b and len(set(a.values())) > 1
+
+
+class TestRound3PlanShapes:
+    """Plan-shape pins for the round-3 operators: the properties that make
+    them 100 TB-safe must be visible in the physical plan."""
+
+    def test_pack_shards_window_is_partitioned(self, spark, sf_dir):
+        """The prefix sum must be a range-partitioned parallel window, not
+        Spark's single-task global ``SUM OVER (ORDER BY)``."""
+        from parquery_spark.functions.text import token_count
+        from parquery_spark.operators.packing import pack_shards
+
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        out = pack_shards(docs.select("doc_id", "text"),
+                          token_count("text"), 4096, "doc_id")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "rangepartitioning" in plan.lower()
+        # every Window in the plan carries a partition spec (__pid)
+        for line in plan.splitlines():
+            if "Window" in line and "windowspecdefinition" in line.lower():
+                assert "__pid" in line
+
+    def test_similarity_bucket_table_stays_in_codegen(self, spark, sf_dir):
+        """Plane signatures must be explode-shaped partial aggs — no
+        Python eval, no interpreted higher-order folds in the plan."""
+        from parquery_spark.operators import similarity as S
+
+        emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        planes = S.hyperplanes(64, 12, 7)
+        plan = (
+            S.lsh_bucket_table(emb, planes)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "EvalPython" not in plan
+        assert "aggregate(" not in plan  # the HOF fold, not HashAggregate
+        assert "Generate posexplode" in plan or "posexplode" in plan
+
+    def test_repetition_profile_ships_counts_not_text(self, spark, sf_dir):
+        """The gram shuffles must carry counted grams — partial aggregation
+        below every exchange — and never raw document text."""
+        from parquery_spark.functions.text import repetition_profile
+
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        plan = (
+            repetition_profile(docs, "text", "doc_id")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "partial_count" in plan or "partial_sum" in plan
+        assert "EvalPython" not in plan
