@@ -373,3 +373,101 @@ def cosine_topk_indexed(
         F.col("bucket").isin(probes)
     )
     return cosine_topk(candidates, query, k, vec_col, id_col, digits)
+
+
+def ann_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    num_planes: int = 12,
+    probe_hamming: int = 2,
+    seed: int = 7,
+    digits: int = 6,
+) -> DataFrame:
+    """Batch kNN JOIN between two corpora (retrieval eval, embedding-level
+    decontamination): for every query vector, the top-``k`` cosine
+    neighbors among corpus vectors whose LSH bucket lies within
+    ``probe_hamming`` of the query's.
+
+    The non-equi "hamming ≤ r" condition is turned into an EQUI-join by
+    exploding each query row into its hamming ball (|ball| = Σ C(planes,i),
+    e.g. 79 keys for 12 planes / radius 2) — the query side is the small
+    side, so the explode multiplies the cheap relation while the corpus
+    relation joins on its single bucket key, shuffled once, never
+    scanned per query.  Ranking rounds cosine BEFORE the row_number so
+    tie-breaks (then corpus id) are engine-independent.
+    """
+    planes = hyperplanes_for(queries, corpus, vec_col, num_planes, seed)
+
+    def side(df, prefix):
+        def term(plane):
+            lit = _lit_array(plane)
+            return lambda x, p: x * F.element_at(lit, p + 1)
+
+        terms = {f"__d{j}": term(pl) for j, pl in enumerate(planes)}
+        terms["__nn"] = lambda x, p: x * x
+        sums = _explode_sums(df, vec_col, id_col, terms)
+        return sums.select(
+            F.col(id_col).alias(f"{prefix}_id"),
+            _bucket_from_sums(num_planes).alias(f"{prefix}_bucket"),
+            F.sqrt("__nn").alias(f"{prefix}_nrm"),
+        ).join(
+            df.select(
+                F.col(id_col).alias(f"{prefix}_id"),
+                _as_double(vec_col).alias(f"{prefix}_v"),
+            ),
+            f"{prefix}_id",
+        )
+
+    q = side(queries, "q")
+    c = side(corpus, "c")
+
+    masks = [
+        m for m in range(1 << num_planes) if bin(m).count("1") <= probe_hamming
+    ]
+    probed = q.select(
+        "q_id", "q_nrm", "q_v",
+        F.explode(
+            F.array(*[
+                F.col("q_bucket").bitwiseXOR(F.lit(m)) for m in masks
+            ])
+        ).alias("c_bucket"),
+    )
+    sim = F.round(
+        dot(F.col("q_v"), F.col("c_v")) / (F.col("q_nrm") * F.col("c_nrm")),
+        digits,
+    )
+    pairs = (
+        probed.join(c, "c_bucket")
+        .select("q_id", "c_id", sim.alias("cosine_sim"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("c_id")
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def hyperplanes_for(
+    queries: DataFrame,
+    corpus: DataFrame,
+    vec_col: str,
+    num_planes: int,
+    seed: int,
+) -> np.ndarray:
+    """Hyperplanes sized from the schema when possible, else one sample."""
+    for df in (queries, corpus):
+        dt = dict(df.dtypes).get(vec_col, "")
+        m = None
+        if dt.startswith("array"):
+            row = df.select(F.size(vec_col).alias("n")).first()
+            m = row["n"] if row else None
+        if m:
+            return hyperplanes(int(m), num_planes, seed)
+    raise ValueError(f"cannot determine embedding dim from {vec_col!r}")

@@ -1821,3 +1821,110 @@ def q68_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
     return weighted_sample(docs, "n_chars", 50, "doc_id")
+
+
+@query(
+    "q70_quantile_length_filter",
+    """
+    WITH scored AS (
+        SELECT doc_id, lang,
+               CAST(len(regexp_extract_all(text, '[A-Za-z0-9_'']+')) AS BIGINT)
+                   AS n_tokens
+        FROM documents
+    ),
+    thr AS (
+        SELECT lang, ROUND(quantile_cont(n_tokens, 0.75), 6) AS p75
+        FROM scored GROUP BY lang
+    )
+    SELECT s.lang, COUNT(*) AS n_above,
+           CAST(SUM(s.n_tokens) AS BIGINT) AS tokens_kept,
+           ROUND(MAX(t.p75), 6) AS p75_tokens
+    FROM scored s JOIN thr t USING (lang)
+    WHERE s.n_tokens > t.p75
+    GROUP BY s.lang
+    """,
+)
+def q70_quantile_length_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-threshold curation: per-language EXACT 75th-percentile
+    token count (interpolated percentile — two-phase, group-local
+    aggregation), keep documents strictly above their language's p75 (the
+    long-document slice).  The threshold relation is a handful of rows —
+    broadcast back, so the filter is a narrow map over the corpus; at
+    100 TB swap `percentile` for `approx_percentile` to bound the exact-
+    percentile state (same plan shape, documented trade)."""
+    from parquery_spark.functions.text import token_count
+
+    docs = load(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", "lang", token_count(F.col("text")).alias("n_tokens")
+    )
+    thr = scored.groupBy("lang").agg(
+        F.round(F.expr("percentile(n_tokens, 0.75)"), 6).alias("p75")
+    )
+    return (
+        scored.join(F.broadcast(thr), "lang")
+        .filter(F.col("n_tokens") > F.col("p75"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_above"),
+            F.sum("n_tokens").alias("tokens_kept"),
+            F.round(F.max("p75"), 6).alias("p75_tokens"),
+        )
+    )
+
+
+def _sql_ann_join(num_planes: int, probe_hamming: int, k: int, seed: int,
+                  modulus: int) -> str:
+    from parquery_spark.operators.similarity import hyperplanes
+
+    planes = hyperplanes(64, num_planes, seed)
+    bucket = " + ".join(
+        f"CASE WHEN list_dot_product(v, "
+        f"[{', '.join(repr(float(x)) for x in p)}]::DOUBLE[]) > 0 "
+        f"THEN {1 << j}::BIGINT ELSE 0::BIGINT END"
+        for j, p in enumerate(planes)
+    )
+    return f"""
+    WITH base AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    bucketed AS (SELECT vec_id, v, ({bucket}) AS bucket FROM base),
+    q AS (SELECT vec_id AS q_id, v AS qv, bucket AS qb
+          FROM bucketed WHERE vec_id % {modulus} = 0),
+    c AS (SELECT vec_id AS c_id, v AS cv, bucket AS cb
+          FROM bucketed WHERE vec_id % {modulus} != 0),
+    pairs AS (
+        SELECT q_id, c_id,
+               ROUND(list_dot_product(qv, cv) /
+                     (sqrt(list_dot_product(qv, qv)) *
+                      sqrt(list_dot_product(cv, cv))), 6) AS cosine_sim
+        FROM q JOIN c ON bit_count(xor(qb, cb)) <= {probe_hamming}
+    )
+    SELECT q_id, c_id, cosine_sim, CAST(rank AS INTEGER) AS rank FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY q_id ORDER BY cosine_sim DESC, c_id
+        ) AS rank FROM pairs
+    ) WHERE rank <= {k}
+    """
+
+
+@query("q69_ann_join", _sql_ann_join(12, 2, 3, 7, 40))
+def q69_ann_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch kNN JOIN (retrieval eval / embedding decontamination): every
+    held-out query vector (vec_id % 40 = 0) matched to its top-3 cosine
+    neighbors in the remaining corpus, candidates limited to LSH buckets
+    within hamming 2.  The non-equi hamming predicate becomes an EQUI-join
+    by exploding each query into its 79-key hamming ball — the small side
+    multiplies, the corpus shuffles once on its single bucket key.  (The
+    oracle verifies with the quadratic hamming join — exactly the plan
+    this operator exists to avoid.)"""
+    from parquery_spark.operators.similarity import ann_join
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 40 == 0)
+    corpus = emb.filter(F.col("vec_id") % 40 != 0)
+    return ann_join(
+        queries, corpus, k=3, num_planes=12, probe_hamming=2, seed=7
+    ).select(
+        F.col("q_id"), F.col("c_id"), F.col("cosine_sim"), F.col("rank")
+    )
