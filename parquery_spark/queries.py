@@ -907,20 +907,46 @@ def _sql_lsh_verified(num_hashes: int, bands: int, shingle_k: int,
     """
 
 
+#: (session id, documents stat identity) -> persisted verified-pairs DF.
+#: The LSH-verified pair relation is the shared input of q42 (report the
+#: pairs) and q62 (resolve them to clusters) — a classic materialized
+#: intermediate: one compact row per near-dup pair, persisted once per
+#: corpus version (stat identity keys staleness exactly like the relation
+#: cache).
+_verified_pairs_cache: dict[tuple, DataFrame] = {}
+
+
+def _verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
+    from parquery_spark.operators.dedup import lsh_verified_pairs
+
+    path = _path(sf_dir, "documents")
+    try:
+        key = (id(spark), relations._stat_key([path]))
+    except OSError:
+        key = None
+    if key is not None and key in _verified_pairs_cache:
+        return _verified_pairs_cache[key]
+    pairs = lsh_verified_pairs(
+        load(spark, sf_dir, "documents"),
+        "text", "doc_id",
+        num_hashes=15, bands=5, shingle_k=2, threshold=0.5,
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    if key is not None:
+        _verified_pairs_cache[key] = pairs
+    return pairs
+
+
 @query("q42_jaccard_pairs", _sql_lsh_verified(15, 5, 2, 1000, 0.5))
 def q42_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-stage near-dup detection over bigram shingles: MinHash-LSH
     candidate recall (5 bands x 3 rows), then EXACT Jaccard verification of
     candidates only - the production shape for corpus-scale dedup (the
     all-pairs exact operator jaccard_pairs stays available for
-    within-block exact work)."""
-    from parquery_spark.operators.dedup import lsh_verified_pairs
-
-    return lsh_verified_pairs(
-        load(spark, sf_dir, "documents"),
-        "text", "doc_id",
-        num_hashes=15, bands=5, shingle_k=2, threshold=0.5,
-    )
+    within-block exact work).  The pair relation is a cached materialized
+    intermediate shared with q62's cluster resolution."""
+    return _verified_pairs(spark, sf_dir)
 
 
 @query("q43_minhash_lsh", _sql_minhash_lsh(16, 4, 2, 1000))
@@ -1542,15 +1568,10 @@ def q62_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     propagation, every doc labeled (singletons = own cluster), minimum id
     kept as the deterministic survivor.  The oracle computes the same
     closure with a recursive CTE — exact cluster parity, not just counts."""
-    from parquery_spark.operators.dedup import lsh_verified_pairs
     from parquery_spark.operators.graph import dedup_clusters
 
     docs = load(spark, sf_dir, "documents")
-    pairs = lsh_verified_pairs(
-        docs, "text", "doc_id",
-        num_hashes=15, bands=5, shingle_k=2, threshold=0.5,
-    )
-    return dedup_clusters(docs, pairs, "doc_id")
+    return dedup_clusters(docs, _verified_pairs(spark, sf_dir), "doc_id")
 
 
 @query(
