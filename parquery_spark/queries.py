@@ -1949,3 +1949,64 @@ def q69_ann_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.col("q_id"), F.col("c_id"), F.col("cosine_sim"), F.col("rank")
     )
+
+
+@query(
+    "q71_batch_sessionization",
+    """
+    WITH marked AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                      OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+        SELECT user_id, ts,
+               CAST(SUM(new_s) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS BIGINT) AS session_seq
+        FROM marked
+    )
+    SELECT user_id, session_seq, COUNT(*) AS n_events,
+           CAST(epoch_us(MIN(ts)) AS BIGINT) AS session_start_us,
+           CAST(epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS BIGINT)
+               AS duration_us
+    FROM sess GROUP BY user_id, session_seq
+    """,
+)
+def q71_batch_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization — the SQL-expressible twin of the streaming
+    `sessionize_stream` operator (30-minute inactivity gap): lag-gap mark →
+    per-user running sum = session sequence → per-session rollup.  Both
+    windows shuffle once on user_id and sort within; the oracle pins the
+    exact session boundaries, which the streaming operator's pytest can't
+    (its oracle-free state machine is only shape-tested)."""
+    from pyspark.sql import Window
+
+    events = load_events(spark, sf_dir)
+
+    # events.ts may surface as TIMESTAMP_NTZ (µs parquet) or TIMESTAMP
+    # (ns→µs legacy path); epoch arithmetic needs the tz-aware type —
+    # session tz is pinned UTC, so the cast is value-preserving and
+    # matches DuckDB's wall-clock epoch_us exactly.
+    def us(c):
+        return F.unix_micros(c.cast("timestamp"))
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = 30 * 60 * 1_000_000
+    prev = F.lag("ts").over(w)
+    new_s = F.when(
+        prev.isNull() | (us(F.col("ts")) - us(prev) > gap_us), F.lit(1)
+    ).otherwise(F.lit(0))
+    sess = (
+        events.select("user_id", "event_id", "ts")
+        .withColumn("__new", new_s)
+        .withColumn("session_seq", F.sum("__new").over(w))
+    )
+    return sess.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        us(F.min("ts")).alias("session_start_us"),
+        (us(F.max("ts")) - us(F.min("ts"))).alias("duration_us"),
+    )
