@@ -471,3 +471,39 @@ def hyperplanes_for(
         if m:
             return hyperplanes(int(m), num_planes, seed)
     raise ValueError(f"cannot determine embedding dim from {vec_col!r}")
+
+
+def group_centroids(
+    df: DataFrame,
+    group_col: str,
+    vec_col: str = "embedding",
+    digits: int = 6,
+) -> DataFrame:
+    """Per-group centroid (mean vector), DETERMINISTICALLY: one row per
+    (group, dimension) with the mean component.
+
+    Distributed float addition is order-dependent — a plain ``AVG`` over a
+    shuffled explode gives hash-unstable low bits run to run.  Components
+    here are summed in DECIMAL(28,12): exact, associative, commutative —
+    the mean is a pure function of the data regardless of partition
+    layout, which is what makes centroids cachable/oracle-testable.
+    (float32 inputs are exactly representable in 12 fractional decimal
+    digits only after rounding; the cast rounds identically on any
+    engine, so determinism holds end to end.)
+
+    Output: ``(group_col, pos, c, n)`` — dimension index (0-based), the
+    rounded mean component, and the vector count.
+    """
+    pos = df.select(
+        F.col(group_col), F.posexplode(_as_double(vec_col)).alias("pos", "__x")
+    )
+    agg = pos.groupBy(group_col, "pos").agg(
+        F.sum(F.col("__x").cast("decimal(28,12)")).alias("__s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return agg.select(
+        F.col(group_col),
+        F.col("pos"),
+        F.round(F.col("__s").cast("double") / F.col("n"), digits).alias("c"),
+        F.col("n"),
+    )

@@ -2010,3 +2010,93 @@ def q71_batch_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         us(F.min("ts")).alias("session_start_us"),
         (us(F.max("ts")) - us(F.min("ts"))).alias("duration_us"),
     )
+
+
+@query(
+    "q72_label_centroids",
+    """
+    WITH zipped AS (
+        SELECT label,
+               unnest(list_zip(embedding::DOUBLE[],
+                               range(len(embedding)))) AS z
+        FROM embeddings
+    ),
+    expl AS (
+        SELECT label, CAST(z[2] AS INTEGER) AS pos,
+               CAST(z[1] AS DECIMAL(28,12)) AS x
+        FROM zipped
+    )
+    SELECT label, pos,
+           ROUND(CAST(SUM(x) AS DOUBLE) / COUNT(*), 6) AS c,
+           COUNT(*) AS n
+    FROM expl GROUP BY label, pos
+    """,
+)
+def q72_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids (class prototypes) with DETERMINISTIC
+    distributed means: components sum in DECIMAL(28,12) — exact,
+    order-independent — so the centroid is a pure function of the data,
+    not of the partition layout.  (A plain float AVG over a shuffled
+    explode is hash-unstable run to run; the decimal-sum trick is the
+    general recipe for oracle-stable float aggregation.)"""
+    from parquery_spark.operators.similarity import group_centroids
+
+    emb = load(spark, sf_dir, "embeddings")
+    return group_centroids(emb, "label")
+
+
+@query(
+    "q73_tfidf_top_terms",
+    """
+    WITH toks AS (
+        SELECT doc_id, lang,
+               unnest(list_filter(string_split_regex(lower(text),
+                      '[^a-z0-9'']+'), t -> t != '')) AS t
+        FROM documents
+    ),
+    tf AS (SELECT lang, t, COUNT(*) AS tf FROM toks GROUP BY lang, t),
+    dfreq AS (SELECT t, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY t),
+    n AS (SELECT COUNT(*) AS n FROM documents)
+    SELECT lang, token, tf, df, tfidf, CAST(rank AS INTEGER) AS rank FROM (
+        SELECT lang, t AS token, CAST(tf AS BIGINT) AS tf,
+               CAST(df AS BIGINT) AS df,
+               ROUND(tf * ln(n / df), 6) AS tfidf,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY ROUND(tf * ln(n / df), 6) DESC, t
+               ) AS rank
+        FROM tf JOIN dfreq USING (t) CROSS JOIN n
+    ) WHERE rank <= 5
+    """,
+)
+def q73_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF headline terms per language: corpus-wide document frequency
+    (distinct-doc counts), per-language term frequency, top-5 by rounded
+    score.  Both aggregations are partial-aggregated counted-gram
+    shuffles; the doc-count scalar is one aggregate to the driver.
+    Ranking orders by the ROUNDED score so float ulp differences between
+    engines can't flip the tie-break."""
+    from parquery_spark.operators.dedup import shingle_tokens
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    toks = fan_out(docs.select("doc_id", "lang", "text"), "doc_id").select(
+        "doc_id", "lang", F.explode(shingle_tokens("text")).alias("t")
+    )
+    tf = toks.groupBy("lang", "t").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = (
+        toks.select("doc_id", "t").distinct()
+        .groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    )
+    scored = tf.join(dfreq, "t").withColumn(
+        "tfidf", F.round(F.col("tf") * F.log(F.lit(n_docs) / F.col("df")), 6)
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("tfidf").desc(), F.col("t"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "lang", F.col("t").alias("token"), "tf", "df", "tfidf", "rank"
+        )
+    )
