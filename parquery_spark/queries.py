@@ -2100,3 +2100,49 @@ def q73_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lang", F.col("t").alias("token"), "tf", "df", "tfidf", "rank"
         )
     )
+
+
+@query(
+    "q74_unigram_logprob",
+    """
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(lower(text),
+                      '[^a-z0-9'']+'), t -> t != '')) AS t
+        FROM documents
+    ),
+    vocab AS (SELECT t, COUNT(*) AS tf FROM toks GROUP BY t),
+    total AS (SELECT CAST(SUM(tf) AS DOUBLE) AS total FROM vocab),
+    scored AS (
+        SELECT toks.doc_id, ln(v.tf / total.total) AS lp
+        FROM toks JOIN vocab v USING (t) CROSS JOIN total
+    )
+    SELECT doc_id, COUNT(*) AS n_tokens,
+           ROUND(SUM(lp) / COUNT(*), 6) AS avg_logprob
+    FROM scored GROUP BY doc_id
+    """,
+)
+def q74_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model scoring — the cheap stand-in for perplexity
+    filtering: every token joins its corpus probability (broadcast vocab),
+    per-document mean log-probability aggregates map-side.  Low scores
+    flag out-of-distribution / junk documents.  The token rows stay
+    contiguous per doc (explode), so the float sum folds in a fixed order
+    on any engine."""
+    from parquery_spark.operators.dedup import shingle_tokens
+
+    docs = load(spark, sf_dir, "documents")
+    toks = fan_out(docs.select("doc_id", "text"), "doc_id").select(
+        "doc_id", F.explode(shingle_tokens("text")).alias("t")
+    )
+    vocab = toks.groupBy("t").agg(F.count(F.lit(1)).alias("tf"))
+    total = float(
+        vocab.agg(F.sum("tf").alias("s")).first()["s"]
+    )
+    scored = toks.join(F.broadcast(vocab), "t").select(
+        "doc_id", F.log(F.col("tf") / F.lit(total)).alias("lp")
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(F.sum("lp") / F.count(F.lit(1)), 6).alias("avg_logprob"),
+    )
