@@ -2079,11 +2079,16 @@ def q73_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from parquery_spark.operators.dedup import shingle_tokens
     from pyspark.sql import Window
 
+    from pyspark import StorageLevel
+
     docs = load(spark, sf_dir, "documents")
     n_docs = docs.count()
+    # the token relation feeds BOTH the tf and df aggregations — persist
+    # it or the corpus tokenizes twice (same sharing rule as the dedup
+    # signature relations)
     toks = fan_out(docs.select("doc_id", "lang", "text"), "doc_id").select(
         "doc_id", "lang", F.explode(shingle_tokens("text")).alias("t")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     tf = toks.groupBy("lang", "t").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = (
         toks.select("doc_id", "t").distinct()
@@ -2131,10 +2136,13 @@ def q74_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     on any engine."""
     from parquery_spark.operators.dedup import shingle_tokens
 
+    from pyspark import StorageLevel
+
     docs = load(spark, sf_dir, "documents")
+    # token relation feeds the vocab build AND the scoring join — persist
     toks = fan_out(docs.select("doc_id", "text"), "doc_id").select(
         "doc_id", F.explode(shingle_tokens("text")).alias("t")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     vocab = toks.groupBy("t").agg(F.count(F.lit(1)).alias("tf"))
     total = float(
         vocab.agg(F.sum("tf").alias("s")).first()["s"]
