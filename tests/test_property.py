@@ -103,3 +103,74 @@ class TestAggregationProperties:
             f"({', '.join(map(str, vals))}) GROUP BY f0"
         )
         assert_matches_duckdb(result, syn_con, sql)
+
+
+class TestGraphProperties:
+    """connected_components vs a driver-side union-find reference on
+    random edge lists — the distributed label propagation must agree with
+    the textbook algorithm on every graph Hypothesis can draw."""
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        edges=st.lists(
+            st.tuples(st.integers(0, 30), st.integers(0, 30)),
+            min_size=1, max_size=40,
+        )
+    )
+    def test_matches_union_find(self, spark, edges):
+        from parquery_spark.operators.graph import connected_components
+
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        want = {v: find(v) for v in parent}
+
+        pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
+        got = {
+            r["v"]: r["cluster_id"]
+            for r in connected_components(pairs).collect()
+        }
+        assert got == want
+
+
+class TestPackingProperties:
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        sizes=st.lists(st.integers(0, 50), min_size=1, max_size=60),
+        shard=st.integers(1, 100),
+        parts=st.integers(1, 5),
+    )
+    def test_matches_sequential_cumsum(self, spark, sizes, shard, parts):
+        from parquery_spark.operators.packing import pack_shards
+
+        rows = [(i, s) for i, s in enumerate(sizes)]
+        df = spark.createDataFrame(rows, ["k", "n"])
+        got = {
+            r["k"]: r["shard_id"]
+            for r in pack_shards(df, "n", shard, "k",
+                                 num_partitions=parts).collect()
+        }
+        before = 0
+        want = {}
+        for i, s in enumerate(sizes):
+            want[i] = before // shard
+            before += s
+        assert got == want
