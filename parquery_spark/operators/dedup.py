@@ -625,3 +625,82 @@ def lsh_verified_pairs(
         .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def lsh_join(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """INCREMENTAL dedup: MinHash-LSH candidate pairs between a NEW batch
+    and the EXISTING corpus (never within either side) — the ingest-time
+    shape: each arriving batch is checked against the accumulated corpus
+    without ever rebuilding a corpus×corpus self-join.
+
+    Both sides band independently (a doc's band keys depend only on its
+    own signature); the join is band-key equi, with the degenerate-bucket
+    cap applied to the CORPUS side — that bounds fan-out per band key by
+    ``max_bucket_size`` regardless of corpus size.  At scale the corpus
+    side's banded signatures are a persisted index (band_key-partitioned
+    parquet), so each batch join prunes to matching buckets.
+
+    Returns ``(new_id, corpus_id, est_jaccard)``.
+    """
+    from pyspark import StorageLevel
+
+    rows = num_hashes // bands
+
+    def banded(df):
+        sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
+        return sigs.select(
+            id_col,
+            "sig",
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(F.concat_ws(",", *[
+                            F.element_at("sig", b * rows + r + 1).cast("string")
+                            for r in range(rows)
+                        ])).alias("band_key"),
+                    )
+                    for b in range(bands)
+                ])
+            ).alias("bk"),
+        ).select(id_col, "sig", "bk.band", "bk.band_key")
+
+    left = banded(new_df).select(
+        F.col("band"), F.col("band_key"),
+        F.col(id_col).alias("new_id"), F.col("sig").alias("sig_a"),
+    )
+    right = (
+        banded(corpus_df)
+        .withColumn(
+            "bucket_n",
+            F.count(F.lit(1)).over(Window.partitionBy("band", "band_key")),
+        )
+        .filter(F.col("bucket_n") <= max_bucket_size)
+        .select(
+            F.col("band"), F.col("band_key"),
+            F.col(id_col).alias("corpus_id"), F.col("sig").alias("sig_b"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    pairs = (
+        left.join(right, ["band", "band_key"])
+        .select("new_id", "corpus_id", "sig_a", "sig_b")
+        .dropDuplicates(["new_id", "corpus_id"])
+    )
+    n_eq = sum(
+        (F.element_at("sig_a", i + 1) == F.element_at("sig_b", i + 1)).cast("int")
+        for i in range(num_hashes)
+    )
+    return pairs.select(
+        "new_id", "corpus_id",
+        F.round(n_eq / F.lit(float(num_hashes)), 6).alias("est_jaccard"),
+    )

@@ -2154,3 +2154,59 @@ def q74_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_tokens"),
         F.round(F.sum("lp") / F.count(F.lit(1)), 6).alias("avg_logprob"),
     )
+
+
+def _sql_lsh_join(num_hashes: int, bands: int, shingle_k: int,
+                  max_bucket: int, modulus: int) -> str:
+    rows = num_hashes // bands
+    sig_exprs = _sql_minhash_sig_exprs(num_hashes)
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, md5("
+        + " || ',' || ".join(f"h{b * rows + r}::VARCHAR" for r in range(rows))
+        + ") AS band_key FROM sig"
+        for b in range(bands)
+    )
+    n_eq = " + ".join(
+        f"CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END"
+        for i in range(num_hashes)
+    )
+    return f"""
+    WITH sh AS ({_sql_shingles(shingle_k)}),
+    hashed AS (SELECT doc_id, {_SQL_BASE_HASH} AS hs FROM sh),
+    sig AS (SELECT doc_id, {sig_exprs} FROM hashed),
+    banded AS ({band_selects}),
+    corpus_banded AS (
+        SELECT * FROM banded WHERE doc_id % {modulus} != 0
+        QUALIFY COUNT(*) OVER (PARTITION BY band, band_key) <= {max_bucket}
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS corpus_id
+        FROM banded a
+        JOIN corpus_banded b
+          ON a.band = b.band AND a.band_key = b.band_key
+        WHERE a.doc_id % {modulus} = 0
+    )
+    SELECT new_id, corpus_id,
+           ROUND(({n_eq}) / {float(num_hashes)}, 6) AS est_jaccard
+    FROM pairs
+    JOIN sig sa ON sa.doc_id = new_id
+    JOIN sig sb ON sb.doc_id = corpus_id
+    """
+
+
+@query("q75_incremental_dedup", _sql_lsh_join(16, 4, 2, 1000, 5))
+def q75_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time dedup: the arriving batch (doc_id % 5 = 0 stands in for
+    the new partition) LSH-joined against the existing corpus — candidate
+    pairs cross the batch/corpus boundary only, never within either side,
+    so each ingest costs |batch|-side banding plus a band-key equi-join
+    against the corpus's (persistable) banded-signature index."""
+    from parquery_spark.operators.dedup import lsh_join
+
+    docs = load(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    return lsh_join(
+        new, corpus, "text", "doc_id",
+        num_hashes=16, bands=4, shingle_k=2, max_bucket_size=1000,
+    )
