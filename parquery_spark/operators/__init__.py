@@ -1,8 +1,11 @@
 from parquery_spark.operators import (
     dedup,
+    graph,
     ivf,
     joins,
     multimodal,
+    packing,
+    profile,
     sampling,
     similarity,
     skew,
@@ -11,5 +14,5 @@ from parquery_spark.operators import (
 
 __all__ = [
     "dedup", "similarity", "ivf", "joins", "windows", "multimodal",
-    "sampling", "skew",
+    "sampling", "skew", "graph", "packing", "profile",
 ]
