@@ -2210,3 +2210,31 @@ def q75_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         new, corpus, "text", "doc_id",
         num_hashes=16, bands=4, shingle_k=2, max_bucket_size=1000,
     )
+
+
+@query(
+    "q76_json_props",
+    """
+    SELECT event_type,
+           CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+               AS k_sum
+    FROM events
+    WHERE json_extract(props, '$.k') IS NOT NULL
+    GROUP BY event_type, k_bucket
+    """,
+)
+def q76_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured columns: the events table's ``props`` JSON strings
+    parsed in-plan (``get_json_object`` — JVM-side, codegen, no UDF) and
+    aggregated by an extracted field.  At scale prefer parsing ONCE into a
+    struct column with ``from_json`` + persisting the typed layout; the
+    per-query extraction here is the ad-hoc exploration shape."""
+    events = load_events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        events.filter(k.isNotNull())
+        .groupBy("event_type", (k % 10).alias("k_bucket"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(k).alias("k_sum"))
+    )
