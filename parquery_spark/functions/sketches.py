@@ -70,3 +70,84 @@ def approx_quantiles(
             value_col, F.array(*[F.lit(p) for p in probabilities]), F.lit(accuracy)
         ).alias("quantiles")
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed Bloom filter (bitmap aggregation over the md5 hash family)
+# ---------------------------------------------------------------------------
+
+#: Bloom geometry: m bits packed into m/64 longs; k independent positions
+#: per key from the seeded md5 family (oracle-replicable bit for bit).
+BLOOM_BITS_DEFAULT = 1 << 16
+BLOOM_HASHES_DEFAULT = 3
+
+
+def _bloom_positions(key, m: int, k: int):
+    from parquery_spark.operators.dedup import hash64
+
+    return [hash64(key, seed=i) % F.lit(m) for i in range(k)]
+
+
+def bloom_build(
+    df: DataFrame,
+    key_col: str,
+    m: int = BLOOM_BITS_DEFAULT,
+    k: int = BLOOM_HASHES_DEFAULT,
+) -> DataFrame:
+    """Build a Bloom filter over ``key_col`` as a TABLE of (word_idx,
+    word) — m/32 rows of packed words, built by ``bit_or``
+    bitmap aggregation (partial-aggregated map-side like any sum; the
+    shuffle carries ≤ m/64 rows per task regardless of corpus size).
+
+    The result is a first-class mergeable relation: union two corpora's
+    filters with ``bit_or`` over word_idx.  False-positive rate ≈
+    (1 - e^(-k·n/m))^k; size the geometry to the corpus (m ≈ 10 bits/key
+    for ~1% at k=3)."""
+    key = F.col(key_col).cast("string")
+    pos = F.explode(F.array(*_bloom_positions(key, m, k))).alias("p")
+    bits = df.select(pos).select(
+        # 32-bit packing (in 64-bit words): shifts stay < 32, which every
+        # engine's checked signed shift accepts — the oracle replicates
+        # the words exactly
+        (F.col("p") / 32).cast("long").alias("word_idx"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 32 AS INT))").alias(
+            "mask"
+        ),
+    )
+    return bits.groupBy("word_idx").agg(
+        F.expr("bit_or(mask)").alias("word")
+    )
+
+
+def bloom_probe(
+    df: DataFrame,
+    bloom: DataFrame,
+    key_col: str,
+    m: int = BLOOM_BITS_DEFAULT,
+    k: int = BLOOM_HASHES_DEFAULT,
+    flag_col: str = "bloom_hit",
+) -> DataFrame:
+    """Probe: ``flag_col`` is true iff ALL k bit positions for the row's
+    key are set — probable member (false positives by design, never false
+    negatives).  The filter table broadcasts (m/64 rows ≈ KBs), so the
+    probe is a narrow map + broadcast join: the classic pre-filter that
+    spares the exact (expensive) membership join for the ~1% that hit."""
+    key = F.col(key_col).cast("string")
+    probes = df.withColumn(
+        "__p", F.explode(F.array(*_bloom_positions(key, m, k)))
+    ).withColumn("__widx", (F.col("__p") / 32).cast("long")).withColumn(
+        "__mask",
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(__p % 32 AS INT))"),
+    )
+    joined = probes.join(
+        F.broadcast(bloom), probes["__widx"] == bloom["word_idx"], "left"
+    ).withColumn(
+        "__hit",
+        (F.coalesce(F.col("word"), F.lit(0)).bitwiseAND(F.col("__mask")) != 0)
+        .cast("int"),
+    )
+    group_cols = [c for c in df.columns]
+    return (
+        joined.groupBy(*[F.col(c) for c in group_cols])
+        .agg((F.sum("__hit") == F.lit(k)).alias(flag_col))
+    )

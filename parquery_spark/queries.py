@@ -2238,3 +2238,78 @@ def q76_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", (k % 10).alias("k_bucket"))
         .agg(F.count(F.lit(1)).alias("n"), F.sum(k).alias("k_sum"))
     )
+
+
+def _sql_bloom(m: int, k: int, modulus: int) -> str:
+    def pos(i: int) -> str:
+        return (
+            f"(('0x' || substr(md5(fp || '#{i}'), 1, 15))::BIGINT % {m})"
+        )
+
+    probe_hits = " + ".join(
+        f"""(CASE WHEN COALESCE((
+            SELECT word FROM bloom WHERE word_idx = {pos(i)} // 32
+        ), 0) & (1::BIGINT << CAST({pos(i)} % 32 AS INTEGER)) != 0
+        THEN 1 ELSE 0 END)"""
+        for i in range(k)
+    )
+    build_positions = " UNION ALL ".join(
+        f"SELECT {pos(i)} AS p FROM corpus" for i in range(k)
+    )
+    return f"""
+    WITH fps AS (
+        SELECT doc_id, lang, md5({_SQL_NORMALIZED_TEXT}) AS fp
+        FROM documents
+    ),
+    corpus AS (SELECT * FROM fps WHERE doc_id % {modulus} != 0),
+    newb AS (SELECT * FROM fps WHERE doc_id % {modulus} = 0),
+    bloom AS (
+        SELECT p // 32 AS word_idx,
+               bit_or(1::BIGINT << CAST(p % 32 AS INTEGER)) AS word
+        FROM ({build_positions})
+        GROUP BY word_idx
+    ),
+    probed AS (
+        SELECT doc_id, lang, fp, (({probe_hits}) = {k}) AS bloom_hit
+        FROM newb
+    )
+    SELECT lang, COUNT(*) AS n_new,
+           CAST(SUM(CASE WHEN bloom_hit THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_flagged,
+           CAST(SUM(CASE WHEN fp IN (SELECT fp FROM corpus)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_members
+    FROM probed GROUP BY lang
+    """
+
+
+@query("q77_bloom_prefilter", _sql_bloom(1 << 16, 3, 5))
+def q77_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership pre-filter for incremental ingest: build a
+    64 Ki-bit filter over the existing corpus's content fingerprints (a
+    bit_or bitmap aggregation — ≤1024 packed-long rows, mergeable), probe
+    the arriving batch with a broadcast join, and compare the probable-
+    member count against exact membership per language (false positives
+    visible, false negatives impossible — the oracle replicates the
+    filter bit for bit via the shared md5 family)."""
+    from parquery_spark.functions.sketches import bloom_build, bloom_probe
+    from parquery_spark.functions.text import fingerprint
+
+    docs = load(spark, sf_dir, "documents")
+    fps = docs.select(
+        "doc_id", "lang", fingerprint(F.col("text")).alias("fp")
+    )
+    corpus = fps.filter(F.col("doc_id") % 5 != 0)
+    new = fps.filter(F.col("doc_id") % 5 == 0)
+    bloom = bloom_build(corpus, "fp")
+    probed = bloom_probe(new, bloom, "fp")
+    members = corpus.select("fp").distinct()
+    flagged = probed.join(
+        members.withColumn("__m", F.lit(1)), "fp", "left"
+    )
+    return flagged.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_new"),
+        F.sum(F.col("bloom_hit").cast("long")).alias("n_flagged"),
+        F.sum(F.coalesce(F.col("__m"), F.lit(0)).cast("long")).alias(
+            "n_members"
+        ),
+    )

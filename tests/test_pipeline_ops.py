@@ -209,3 +209,44 @@ class TestWriteShards:
         per = {r["shard_id"]: r["n"] for r in
                back.groupBy("shard_id").agg(F.count(F.lit(1)).alias("n")).collect()}
         assert all(n == 4 for n in per.values())  # 4 whole docs per shard
+
+
+class TestBloom:
+    def test_no_false_negatives_and_measurable_fp(self, spark):
+        from parquery_spark.functions.sketches import bloom_build, bloom_probe
+
+        corpus = spark.createDataFrame(
+            [(f"key-{i}",) for i in range(500)], ["fp"]
+        )
+        bloom = bloom_build(corpus, "fp", m=1 << 12, k=3)
+        probe = spark.createDataFrame(
+            [(f"key-{i}",) for i in range(400, 900)], ["fp"]
+        )
+        got = {r["fp"]: r["bloom_hit"]
+               for r in bloom_probe(probe, bloom, "fp", m=1 << 12, k=3).collect()}
+        # every true member flagged (no false negatives — Bloom invariant)
+        assert all(got[f"key-{i}"] for i in range(400, 500))
+        # tiny 4Ki-bit filter over 500 keys: some but not all non-members
+        # may collide; non-members flagged must be a minority
+        fp_rate = sum(got[f"key-{i}"] for i in range(500, 900)) / 400
+        assert fp_rate < 0.5
+
+    def test_filters_are_mergeable(self, spark):
+        from pyspark.sql import functions as F
+
+        from parquery_spark.functions.sketches import bloom_build, bloom_probe
+
+        a = spark.createDataFrame([("a1",), ("a2",)], ["fp"])
+        b = spark.createDataFrame([("b1",), ("b2",)], ["fp"])
+        merged = (
+            bloom_build(a, "fp", m=1 << 10)
+            .unionByName(bloom_build(b, "fp", m=1 << 10))
+            .groupBy("word_idx")
+            .agg(F.expr("bit_or(word)").alias("word"))
+        )
+        probe = spark.createDataFrame(
+            [("a1",), ("b2",), ("c3",)], ["fp"]
+        )
+        got = {r["fp"]: r["bloom_hit"]
+               for r in bloom_probe(probe, merged, "fp", m=1 << 10).collect()}
+        assert got["a1"] and got["b2"]
