@@ -2313,3 +2313,39 @@ def q77_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_members"
         ),
     )
+
+
+@query(
+    "q78_trailing_window_features",
+    """
+    SELECT event_id,
+           COUNT(*) OVER w AS n_1h,
+           ROUND(SUM(value) OVER w, 4) AS v_1h
+    FROM events
+    WINDOW w AS (
+        PARTITION BY user_id ORDER BY ts
+        RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+    )
+    """,
+)
+def q78_trailing_window_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time feature generation: for every event, the user's
+    trailing-1-hour event count and value sum — a RANGE window frame over
+    event time, so features at time t never read past t (leakage-safe by
+    construction).  One shuffle on user_id, sort within; the frame is
+    value-based (peers included), so row-order ties are immaterial."""
+    from pyspark.sql import Window
+
+    events = load_events(spark, sf_dir)
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    base = events.select("event_id", "user_id", ts_us.alias("ts_us"), "value")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return base.select(
+        "event_id",
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+        F.round(F.sum("value").over(w), 4).alias("v_1h"),
+    )
