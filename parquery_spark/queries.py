@@ -2349,3 +2349,96 @@ def q78_trailing_window_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("n_1h"),
         F.round(F.sum("value").over(w), 4).alias("v_1h"),
     )
+
+
+@query(
+    "q79_cumulative_distinct_users",
+    """
+    WITH first_seen AS (
+        SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day
+        FROM events GROUP BY user_id
+    ),
+    per_day AS (
+        SELECT first_day, COUNT(*) AS new_users
+        FROM first_seen GROUP BY first_day
+    )
+    SELECT first_day AS day, new_users,
+           CAST(SUM(new_users) OVER (ORDER BY first_day) AS BIGINT)
+               AS cumulative_users
+    FROM per_day
+    """,
+)
+def q79_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running DISTINCT-user count via the first-touch trick: cumulative
+    distincts need no growing distinct state — each user collapses to one
+    first-seen day (one group-by), and the running total is a window over
+    the tiny per-day relation.  The naive per-day COUNT(DISTINCT ... WHERE
+    ts <= day) is quadratic in days; this is the scalable restatement."""
+    from pyspark.sql import Window
+
+    events = load_events(spark, sf_dir)
+    first_seen = (
+        events.select("user_id", F.col("ts").cast("date").alias("day"))
+        .groupBy("user_id")
+        .agg(F.min("day").alias("first_day"))
+    )
+    per_day = first_seen.groupBy("first_day").agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w = Window.orderBy("first_day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return per_day.select(
+        F.col("first_day").alias("day"),
+        "new_users",
+        F.sum("new_users").over(w).alias("cumulative_users"),
+    )
+
+
+@query(
+    "q80_retention_cohorts",
+    """
+    WITH first_seen AS (
+        SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+        FROM events GROUP BY user_id
+    ),
+    activity AS (
+        SELECT DISTINCT e.user_id, f.cohort_day,
+               datediff('day', f.cohort_day, CAST(e.ts AS DATE)) AS day_offset
+        FROM events e JOIN first_seen f USING (user_id)
+    )
+    SELECT cohort_day, CAST(day_offset AS BIGINT) AS day_offset,
+           COUNT(*) AS active_users
+    FROM activity
+    WHERE day_offset <= 7
+    GROUP BY cohort_day, day_offset
+    """,
+)
+def q80_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention cohorts: users grouped by first-seen day, activity
+    counted at each day offset (first week).  first_seen is one group-by;
+    the cohort join broadcasts it when small and shuffles on user_id when
+    not — either way activity dedups per (user, offset) before counting,
+    so the aggregation never sees raw event volume."""
+    events = load_events(spark, sf_dir)
+    first_seen = (
+        events.select("user_id", F.col("ts").cast("date").alias("day"))
+        .groupBy("user_id")
+        .agg(F.min("day").alias("cohort_day"))
+    )
+    activity = (
+        events.select("user_id", F.col("ts").cast("date").alias("day"))
+        .join(first_seen, "user_id")
+        .select(
+            "user_id", "cohort_day",
+            F.datediff(F.col("day"), F.col("cohort_day")).cast("long").alias(
+                "day_offset"
+            ),
+        )
+        .distinct()
+    )
+    return (
+        activity.filter(F.col("day_offset") <= 7)
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count(F.lit(1)).alias("active_users"))
+    )
