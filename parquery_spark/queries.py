@@ -2442,3 +2442,60 @@ def q80_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_day", "day_offset")
         .agg(F.count(F.lit(1)).alias("active_users"))
     )
+
+
+@query(
+    "q81_funnel",
+    """
+    WITH stages AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+               MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+               MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+               MIN(CASE WHEN event_type = 'purchase' THEN ts END)
+                   AS t_purchase
+        FROM events GROUP BY user_id
+    )
+    SELECT COUNT(*) AS n_users,
+           CAST(SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS viewed,
+           CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                         THEN 1 ELSE 0 END) AS BIGINT) AS clicked_after,
+           CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                          AND t_signup > t_click
+                         THEN 1 ELSE 0 END) AS BIGINT) AS signed_up_after,
+           CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                          AND t_signup > t_click AND t_purchase > t_signup
+                         THEN 1 ELSE 0 END) AS BIGINT) AS purchased_after
+    FROM stages
+    """,
+)
+def q81_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view → click → signup → purchase): each user
+    collapses to one row of first-touch timestamps per stage (conditional
+    MIN aggregation — ONE pass, one shuffle on user_id), then the ordering
+    predicates are a driver-free narrow reduction.  The classic quadratic
+    formulation (self-join per funnel step) never appears: funnel depth
+    adds conditional aggregates, not joins."""
+    events = load_events(spark, sf_dir)
+
+    def first_ts(et):
+        return F.min(F.when(F.col("event_type") == et, F.col("ts")))
+
+    stages = events.groupBy("user_id").agg(
+        first_ts("view").alias("t_view"),
+        first_ts("click").alias("t_click"),
+        first_ts("signup").alias("t_signup"),
+        first_ts("purchase").alias("t_purchase"),
+    )
+    viewed = F.col("t_view").isNotNull()
+    clicked = viewed & (F.col("t_click") > F.col("t_view"))
+    signed = clicked & (F.col("t_signup") > F.col("t_click"))
+    purchased = signed & (F.col("t_purchase") > F.col("t_signup"))
+    return stages.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(viewed.cast("long")).alias("viewed"),
+        F.sum(clicked.cast("long")).alias("clicked_after"),
+        F.sum(signed.cast("long")).alias("signed_up_after"),
+        F.sum(purchased.cast("long")).alias("purchased_after"),
+    )
