@@ -80,7 +80,11 @@ def main():
     # The host this runs on shows multi-minute noise windows (identical
     # workloads swing 2-4x).  Queries that landed in such a window get ONE
     # re-run, keeping the min — the second sample is taken minutes later,
-    # outside the burst.  Bounded: only the slow tail re-runs.
+    # outside the burst.  Bounded: only the slow tail re-runs.  The cold
+    # (first-run) time is kept alongside, so the cold-vs-warm delta —
+    # dominated by Janino codegen for the wide-aggregate queries — is
+    # auditable from the artifact.
+    cold = dict(timings)
     for name in [n for n, t in timings.items() if t > 1.5]:
         t, _ = run_query(fns[name])
         if t < timings[name]:
@@ -108,6 +112,27 @@ def main():
     if parity_err is not None:
         result["parity_workload_error"] = parity_err
 
+    # Full artifact — including cold-run times and per-spec parity detail —
+    # goes to a file next to this script, immune to stdout tail-capture
+    # truncation.  The stdout line keeps every driver-required field but
+    # drops the bulky per-spec parity dicts so it stays well under typical
+    # tail-capture windows.
+    full = dict(result)
+    full["cold_queries"] = {
+        k: cold[k] for k in sorted(cold) if cold[k] != timings[k]
+    }
+    out_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_results.json"
+    )
+    with open(out_path, "w") as fh:
+        json.dump(full, fh, indent=1, sort_keys=True)
+        fh.write("\n")
+    print(f"# full results written to {out_path}", file=sys.stderr)
+
+    if parity is not None:
+        result["parity_workload"] = {
+            k: v for k, v in parity.items() if not k.endswith("per_query")
+        }
     print(json.dumps(result))
 
 

@@ -76,8 +76,10 @@ def approx_quantiles(
 # Distributed Bloom filter (bitmap aggregation over the md5 hash family)
 # ---------------------------------------------------------------------------
 
-#: Bloom geometry: m bits packed into m/64 longs; k independent positions
-#: per key from the seeded md5 family (oracle-replicable bit for bit).
+#: Bloom geometry: m bits packed 32 per 64-bit word (m/32 words — shifts
+#: stay < 32, so every engine's checked signed shift accepts them); k
+#: independent positions per key from the seeded md5 family
+#: (oracle-replicable bit for bit).
 BLOOM_BITS_DEFAULT = 1 << 16
 BLOOM_HASHES_DEFAULT = 3
 
@@ -129,11 +131,17 @@ def bloom_probe(
 ) -> DataFrame:
     """Probe: ``flag_col`` is true iff ALL k bit positions for the row's
     key are set — probable member (false positives by design, never false
-    negatives).  The filter table broadcasts (m/64 rows ≈ KBs), so the
+    negatives).  The filter table broadcasts (m/32 rows ≈ KBs), so the
     probe is a narrow map + broadcast join: the classic pre-filter that
     spares the exact (expensive) membership join for the ~1% that hit."""
     key = F.col(key_col).cast("string")
-    probes = df.withColumn(
+    # per-ROW identity, not the column-value tuple: duplicate input rows
+    # must each come back with their own flag (grouping on the value tuple
+    # would collapse n identical rows into one group whose hit-sum is n*k,
+    # flagging a true member false — a false negative the Bloom contract
+    # forbids — and silently dedup the output)
+    tagged = df.withColumn("__row_id", F.monotonically_increasing_id())
+    probes = tagged.withColumn(
         "__p", F.explode(F.array(*_bloom_positions(key, m, k)))
     ).withColumn("__widx", (F.col("__p") / 32).cast("long")).withColumn(
         "__mask",
@@ -148,6 +156,7 @@ def bloom_probe(
     )
     group_cols = [c for c in df.columns]
     return (
-        joined.groupBy(*[F.col(c) for c in group_cols])
+        joined.groupBy("__row_id", *[F.col(c) for c in group_cols])
         .agg((F.sum("__hit") == F.lit(k)).alias(flag_col))
+        .drop("__row_id")
     )

@@ -38,6 +38,7 @@ from __future__ import annotations
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import NumericType
 
 
 def connected_components(
@@ -81,30 +82,50 @@ def connected_components(
         .localCheckpoint()
     )
 
-    # Convergence test: labels are per-vertex MONOTONE NON-INCREASING, so
-    # the label total strictly decreases iff any label changed — one
-    # scalar aggregate over the just-checkpointed round, instead of a
-    # join-and-count against the previous round.  DECIMAL(38,0) keeps the
-    # total exact (a wrapped BIGINT sum could alias two different states).
+    if labels.isEmpty():
+        edges.unpersist(blocking=False)
+        return labels.select(F.col("v"), F.col("lbl").alias("cluster_id"))
+
+    # Convergence test, two shapes by id type.  Numeric ids: labels are
+    # per-vertex MONOTONE NON-INCREASING, so the label total strictly
+    # decreases iff any label changed — one scalar aggregate per round.
+    # DECIMAL(38,0) keeps the total exact (a wrapped BIGINT sum could
+    # alias two different states).  Non-numeric ids (string doc ids): the
+    # decimal cast would yield NULL and the sum test would "converge" on
+    # round one with half-merged clusters — use an exact changed-label
+    # count instead (join previous vs new on v; both sides are the
+    # checkpointed one-row-per-vertex relations, co-partitioned by the
+    # groupBy, so the join is cheap relative to the propagation join).
+    numeric = isinstance(labels.schema["lbl"].dataType, NumericType)
     prev_total = None
     for _ in range(max_iter):
         nbr = (
             edges.join(labels, edges["dst"] == labels["v"])
             .select(F.col("src").alias("v"), F.col("lbl"))
         )
-        labels = (
+        new_labels = (
             labels.unionByName(nbr)
             .groupBy("v")
             .agg(F.min("lbl").alias("lbl"))
             .localCheckpoint()
         )
-        total = labels.agg(
-            F.sum(F.col("lbl").cast("decimal(38,0)")).alias("s")
-        ).first()["s"]
-        if total == prev_total:
+        if numeric:
+            total = new_labels.agg(
+                F.sum(F.col("lbl").cast("decimal(38,0)")).alias("s")
+            ).first()["s"]
+            converged = total == prev_total and prev_total is not None
+            prev_total = total
+        else:
+            converged = (
+                new_labels.alias("n")
+                .join(labels.alias("p"), "v")
+                .where(F.col("n.lbl") != F.col("p.lbl"))
+                .isEmpty()
+            )
+        labels = new_labels
+        if converged:
             edges.unpersist(blocking=False)
             return labels.select(F.col("v"), F.col("lbl").alias("cluster_id"))
-        prev_total = total
 
     edges.unpersist(blocking=False)
     raise RuntimeError(

@@ -1792,25 +1792,26 @@ def q67_csv_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``aggregate_pq`` plan path (header+inference read, tolerant-schema
     pre-flight, relation cache).  The oracle reads the parquet twin, so
     format equivalence itself is what's gated."""
-    import csv
     import hashlib
     import tempfile
 
+    import pyarrow.csv as pacsv
     import pyarrow.parquet as papq
 
     from parquery_spark.aggregate import aggregate_plan
 
     src = os.path.join(sf_dir, "nation.parquet")
-    tag = hashlib.md5(os.path.abspath(src).encode()).hexdigest()[:10]
+    # cache key includes the source file's stat identity (mtime_ns, size),
+    # mirroring relations._stat_key — a regenerated nation.parquet gets a
+    # fresh CSV instead of silently serving the previous corpus's fixture
+    st = os.stat(src)
+    ident = f"{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}"
+    tag = hashlib.md5(ident.encode()).hexdigest()[:10]
     dst = os.path.join(tempfile.gettempdir(), f"pqs_nation_{tag}.csv")
     if not os.path.exists(dst):
         tbl = papq.read_table(src).sort_by([("n_nationkey", "ascending")])
         tmp = dst + ".tmp"
-        with open(tmp, "w", newline="") as fh:
-            w = csv.writer(fh)
-            w.writerow(tbl.column_names)
-            for row in zip(*[c.to_pylist() for c in tbl.columns]):
-                w.writerow(row)
+        pacsv.write_csv(tbl, tmp)  # vectorized, no per-row Python
         os.replace(tmp, dst)
     return aggregate_plan(
         dst,

@@ -325,6 +325,9 @@ def cached_sql(spark: SparkSession, sql: str, args: dict | None = None) -> DataF
     try:
         akey = tuple(sorted(args.items())) if args else ()
         key = (id(spark), sql, akey)
+        hash(key)  # force now: string keys sort without comparing values,
+        # so an unhashable VALUE (e.g. a list) survives sorted() and would
+        # otherwise blow up inside the cache lookup below
     except TypeError:
         return spark.sql(sql, args=args) if args else spark.sql(sql)
     with _lock:

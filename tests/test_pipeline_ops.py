@@ -44,6 +44,27 @@ class TestConnectedComponents:
         with pytest.raises(RuntimeError, match="did not converge"):
             connected_components(pairs, max_iter=1)
 
+    def test_string_ids_deep_chain(self, spark):
+        # string vertex ids: the numeric sum-based convergence test would
+        # cast to NULL and "converge" on round one with half-merged
+        # clusters — the changed-label-count path must fully close a
+        # diameter-4 chain (regression for the decimal-cast bug)
+        pairs = spark.createDataFrame(
+            [("d", "c"), ("c", "b"), ("b", "a"), ("z", "y")],
+            ["id_a", "id_b"],
+        )
+        got = {
+            r["v"]: r["cluster_id"]
+            for r in connected_components(pairs).collect()
+        }
+        assert got == {
+            "a": "a", "b": "a", "c": "a", "d": "a", "y": "y", "z": "y"
+        }
+
+    def test_empty_edge_list(self, spark):
+        pairs = spark.createDataFrame([], "id_a string, id_b string")
+        assert connected_components(pairs).count() == 0
+
 
 class TestRepetitionProfile:
     def test_known_ratios(self, spark):
@@ -230,6 +251,23 @@ class TestBloom:
         # may collide; non-members flagged must be a minority
         fp_rate = sum(got[f"key-{i}"] for i in range(500, 900)) / 400
         assert fp_rate < 0.5
+
+    def test_duplicate_probe_rows_keep_their_flags(self, spark):
+        # n identical probe rows must come back as n rows, each flagged
+        # true for a member — grouping on the value tuple collapsed them
+        # into one group whose hit-sum was n*k != k (a false NEGATIVE,
+        # which the Bloom contract forbids) and silently deduped output
+        from parquery_spark.functions.sketches import bloom_build, bloom_probe
+
+        corpus = spark.createDataFrame([("m1",), ("m2",)], ["fp"])
+        bloom = bloom_build(corpus, "fp", m=1 << 10, k=3)
+        probe = spark.createDataFrame(
+            [("m1",), ("m1",), ("m1",), ("nope",)], ["fp"]
+        )
+        rows = bloom_probe(probe, bloom, "fp", m=1 << 10, k=3).collect()
+        assert len(rows) == 4  # no silent dedup
+        hits = [r["bloom_hit"] for r in rows if r["fp"] == "m1"]
+        assert hits == [True, True, True]  # every duplicate is a member
 
     def test_filters_are_mergeable(self, spark):
         from pyspark.sql import functions as F
