@@ -1699,6 +1699,10 @@ def q64_pii_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _profile_oracle(table: str, cols: list[tuple[str, bool]]) -> str:
+    # q54-style gate: the oracle emits the EXACT distinct count plus TRUE;
+    # the Spark side emits its own exact count (hash-matched) and a
+    # boolean asserting the HLL estimate landed within the error bound —
+    # an out-of-bound sketch flips the boolean and fails the round.
     parts = []
     for name, numeric in cols:
         if numeric:
@@ -1714,6 +1718,7 @@ def _profile_oracle(table: str, cols: list[tuple[str, bool]]) -> str:
             f" CAST(SUM(CASE WHEN {name} IS NULL THEN 1 ELSE 0 END) AS BIGINT)"
             f" AS n_null,"
             f" COUNT(DISTINCT {name}) AS n_distinct,"
+            f" TRUE AS distinct_within_bound,"
             f" {mn} AS min_num, {mx} AS max_num,"
             f" {ms} AS min_str, {xs} AS max_str FROM {table}"
         )
@@ -1730,13 +1735,46 @@ def _profile_oracle(table: str, cols: list[tuple[str, bool]]) -> str:
     ),
 )
 def q65_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANALYZE-style single-pass column profiler over ``orders``: row/null/
-    distinct counts and typed min/max per column, one scan for the whole
-    table (exact distincts here; ``exact_distinct=False`` switches to HLL
-    sketches for corpus-scale profiling)."""
+    """ANALYZE-style column profiler over ``orders`` in its corpus-scale
+    shape: ONE scan with HLL distinct sketches (``exact_distinct=False``
+    — no Expand; exact multi-column distincts plan k+1 Expand projections,
+    the slowest non-dedup query of round 3 at 2.7s).
+
+    Gate (q54 pattern): per-column EXACT distincts are computed as k
+    separate single-column distinct aggregates over the cached relation —
+    each a plain two-phase distinct, no Expand anywhere in any plan —
+    and the HLL estimate must land within 5× the sketch's relative
+    standard deviation of the exact count, or ``distinct_within_bound``
+    flips and the round hash-mismatches."""
+    import functools
+
     from parquery_spark.operators.profile import column_profile
 
-    return column_profile(load(spark, sf_dir, "orders"))
+    orders = load(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderdate", "o_orderpriority"]
+    prof = column_profile(orders, cols, exact_distinct=False).select(
+        "column", "n_rows", "n_null",
+        F.col("n_distinct").alias("n_distinct_est"),
+        "min_num", "max_num", "min_str", "max_str",
+    )
+    exacts = functools.reduce(
+        DataFrame.unionByName,
+        [
+            orders.agg(F.count_distinct(F.col(c)).alias("n_distinct"))
+            .select(F.lit(c).alias("column"), "n_distinct")
+            for c in cols
+        ],
+    )
+    rel_err = 5 * 0.05  # 5 sigma at approx_count_distinct's default rsd
+    return prof.join(F.broadcast(exacts), "column").select(
+        "column", "n_rows", "n_null", "n_distinct",
+        (
+            F.abs(F.col("n_distinct_est") - F.col("n_distinct"))
+            <= F.lit(rel_err) * F.col("n_distinct")
+        ).alias("distinct_within_bound"),
+        "min_num", "max_num", "min_str", "max_str",
+    )
 
 
 @query(

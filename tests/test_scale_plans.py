@@ -276,6 +276,17 @@ class TestRound3PlanShapes:
         assert "aggregate(" not in plan  # the HOF fold, not HashAggregate
         assert "Generate posexplode" in plan or "posexplode" in plan
 
+    def test_q65_profile_plan_has_no_expand(self, spark, sf_dir):
+        """The oracled column-profile query must run in its corpus-scale
+        shape: HLL sketches for multi-column distincts — an Expand node
+        (k+1 projections, exact multi-distinct) anywhere in the plan is
+        the 100 TB regression this pins against."""
+        from parquery_spark.queries import QUERIES
+
+        df = QUERIES["q65_column_profile"][0](spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Expand" not in plan
+
     def test_repetition_profile_ships_counts_not_text(self, spark, sf_dir):
         """The gram shuffles must carry counted grams — partial aggregation
         below every exchange — and never raw document text."""
