@@ -653,26 +653,8 @@ def lsh_join(
     """
     from pyspark import StorageLevel
 
-    rows = num_hashes // bands
-
     def banded(df):
-        sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
-        return sigs.select(
-            id_col,
-            "sig",
-            F.explode(
-                F.array(*[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.md5(F.concat_ws(",", *[
-                            F.element_at("sig", b * rows + r + 1).cast("string")
-                            for r in range(rows)
-                        ])).alias("band_key"),
-                    )
-                    for b in range(bands)
-                ])
-            ).alias("bk"),
-        ).select(id_col, "sig", "bk.band", "bk.band_key")
+        return band_keys(df, text_col, id_col, num_hashes, bands, shingle_k)
 
     left = banded(new_df).select(
         F.col("band"), F.col("band_key"),
@@ -693,6 +675,161 @@ def lsh_join(
     )
     pairs = (
         left.join(right, ["band", "band_key"])
+        .select("new_id", "corpus_id", "sig_a", "sig_b")
+        .dropDuplicates(["new_id", "corpus_id"])
+    )
+    n_eq = sum(
+        (F.element_at("sig_a", i + 1) == F.element_at("sig_b", i + 1)).cast("int")
+        for i in range(num_hashes)
+    )
+    return pairs.select(
+        "new_id", "corpus_id",
+        F.round(n_eq / F.lit(float(num_hashes)), 6).alias("est_jaccard"),
+    )
+
+
+def band_keys(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """MinHash band keys: ``(id, sig, band, band_key)`` — one row per
+    (document, band).  A document's band keys depend only on its own
+    signature, so each side of an incremental join bands independently,
+    and a corpus's banded rows can be PERSISTED once (see
+    :func:`write_minhash_index`) instead of recomputed per batch."""
+    rows = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
+    return sigs.select(
+        id_col,
+        "sig",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.md5(F.concat_ws(",", *[
+                        F.element_at("sig", b * rows + r + 1).cast("string")
+                        for r in range(rows)
+                    ])).alias("band_key"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bk"),
+    ).select(id_col, "sig", "bk.band", "bk.band_key")
+
+
+# ---------------------------------------------------------------------------
+# Persisted MinHash band-key index: hive layout partitioned by
+# (band, band_key prefix) — the at-scale corpus side of incremental dedup
+# ---------------------------------------------------------------------------
+
+#: hex chars of the band_key used as the partition directory key: 2 chars =
+#: 256 directories per band — coarse enough that a corpus write doesn't
+#: explode into millions of tiny files, fine enough that a small arriving
+#: batch prunes ~99% of the index (its probe set covers few prefixes).
+BAND_PREFIX_CHARS = 2
+
+
+def write_minhash_index(
+    corpus_df: DataFrame,
+    path: str,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    mode: str = "overwrite",
+) -> str:
+    """Persist the corpus's banded MinHash signatures hive-partitioned by
+    ``(band, bk_prefix)`` — the ingest-time layout :func:`lsh_join`'s
+    docstring promises: each arriving batch re-bands only ITSELF, reads
+    only matching index directories (PartitionFilters — verify with
+    ``.explain``), and never re-minhashes the accumulated corpus.
+
+    ``band_key`` itself stays a data column (equi-join key); only its
+    2-hex-char prefix becomes a directory, keeping the file count bounded
+    (bands × 256) while the directory filter still prunes I/O.  Append new
+    batches with ``mode="append"`` after they pass dedup — the layout is
+    stable because a row's partition depends only on its own signature."""
+    from parquery_spark.sources.parquet import write_partitioned
+
+    bk = band_keys(corpus_df, text_col, id_col, num_hashes, bands, shingle_k)
+    bk = bk.withColumn(
+        "bk_prefix", F.substring("band_key", 1, BAND_PREFIX_CHARS)
+    )
+    return write_partitioned(bk, path, ["band", "bk_prefix"], mode=mode)
+
+
+def lsh_join_indexed(
+    spark,
+    index_path: str,
+    new_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Incremental dedup against a :func:`write_minhash_index` layout:
+    band the arriving batch, prune the index read to the batch's
+    ``(band, bk_prefix)`` directories, equi-join on the full band key.
+
+    The probe set is enumerated driver-side from the batch's band keys
+    (distinct ``(band, prefix)`` pairs — bounded by bands × 256 rows, a
+    scalar-sized collect like any dynamic partition pruning), then applied
+    as a disjunction over the two partition columns so the scan never
+    opens non-matching directories.  The degenerate-bucket cap applies to
+    full ``(band, band_key)`` buckets; pruning keeps buckets whole (every
+    row of a band_key shares its prefix), so capped counts are identical
+    to the unindexed :func:`lsh_join`.
+
+    Returns ``(new_id, corpus_id, est_jaccard)`` — same contract and same
+    results as :func:`lsh_join` with the same parameters."""
+    from pyspark import StorageLevel
+
+    left = band_keys(
+        new_df, text_col, id_col, num_hashes, bands, shingle_k
+    ).withColumn(
+        "bk_prefix", F.substring("band_key", 1, BAND_PREFIX_CHARS)
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+
+    by_band: dict[int, set[str]] = {}
+    for r in left.select("band", "bk_prefix").distinct().collect():
+        by_band.setdefault(r["band"], set()).add(r["bk_prefix"])
+    # one IN-list per band (flat, ≤ bands OR terms) — a per-(band,prefix)
+    # OR chain would nest one node per pair and overflow the expression
+    # converter for realistic probe sets
+    pred = None
+    for band, prefixes in sorted(by_band.items()):
+        clause = (F.col("band") == band) & F.col("bk_prefix").isin(
+            sorted(prefixes)
+        )
+        pred = clause if pred is None else (pred | clause)
+
+    index = spark.read.parquet(index_path)
+    if pred is not None:
+        index = index.filter(pred)
+    right = (
+        index.withColumn(
+            "bucket_n",
+            F.count(F.lit(1)).over(Window.partitionBy("band", "band_key")),
+        )
+        .filter(F.col("bucket_n") <= max_bucket_size)
+        .select(
+            "band", "band_key",
+            F.col(id_col).alias("corpus_id"), F.col("sig").alias("sig_b"),
+        )
+    )
+    pairs = (
+        left.select(
+            "band", "band_key",
+            F.col(id_col).alias("new_id"), F.col("sig").alias("sig_a"),
+        )
+        .join(right, ["band", "band_key"])
         .select("new_id", "corpus_id", "sig_a", "sig_b")
         .dropDuplicates(["new_id", "corpus_id"])
     )

@@ -2538,3 +2538,40 @@ def q81_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(signed.cast("long")).alias("signed_up_after"),
         F.sum(purchased.cast("long")).alias("purchased_after"),
     )
+
+
+@query("q82_indexed_dedup_probe", _sql_lsh_join(16, 4, 2, 1000, 5))
+def q82_indexed_dedup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time dedup against the PERSISTED band-key index: the corpus's
+    banded MinHash signatures live as a hive layout partitioned by
+    ``(band, band_key-prefix)`` (built once per corpus version, cached by
+    source stat identity like any relation), and each arriving batch bands
+    only itself, prunes the index read to its probe directories
+    (PartitionFilters — pinned in ``tests/test_scale_plans.py``), and
+    equi-joins on the full band key.  Same oracle as q75: indexing must
+    not change a single candidate pair."""
+    import hashlib
+    import tempfile
+
+    from parquery_spark.operators.dedup import (
+        lsh_join_indexed,
+        write_minhash_index,
+    )
+
+    src = _path(sf_dir, "documents")
+    st = os.stat(src)
+    ident = f"{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}|16|4|2"
+    tag = hashlib.md5(ident.encode()).hexdigest()[:10]
+    idx = os.path.join(tempfile.gettempdir(), f"pqs_mh_idx_{tag}")
+    docs = load(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    if not os.path.exists(os.path.join(idx, "_SUCCESS")):
+        write_minhash_index(
+            corpus.select("doc_id", "text"), idx, "text", "doc_id",
+            num_hashes=16, bands=4, shingle_k=2,
+        )
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    return lsh_join_indexed(
+        spark, idx, new.select("doc_id", "text"), "text", "doc_id",
+        num_hashes=16, bands=4, shingle_k=2, max_bucket_size=1000,
+    )

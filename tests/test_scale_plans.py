@@ -276,6 +276,39 @@ class TestRound3PlanShapes:
         assert "aggregate(" not in plan  # the HOF fold, not HashAggregate
         assert "Generate posexplode" in plan or "posexplode" in plan
 
+    def test_minhash_index_probe_prunes_partitions(self, spark, sf_dir,
+                                                   tmp_path_factory):
+        """The persisted band-key index must serve a batch probe through
+        directory-level pruning: the index FileScan's PartitionFilters
+        carries the batch's (band, bk_prefix) predicate, and the indexed
+        join returns exactly the unindexed lsh_join's pairs."""
+        from parquery_spark.operators import dedup
+
+        docs = spark.read.parquet(
+            os.path.join(sf_dir, "documents.parquet")
+        ).select("doc_id", "text")
+        corpus = docs.filter(F.col("doc_id") % 5 != 0)
+        new = docs.filter(F.col("doc_id") % 5 == 0).limit(25)
+        idx = str(tmp_path_factory.mktemp("mh") / "idx")
+        dedup.write_minhash_index(corpus, idx, "text", "doc_id")
+
+        out = dedup.lsh_join_indexed(spark, idx, new, "text", "doc_id")
+        got = sorted(tuple(r) for r in out.collect())
+        want = sorted(
+            tuple(r)
+            for r in dedup.lsh_join(new, corpus, "text", "doc_id").collect()
+        )
+        assert got == want and got  # identical pairs, non-empty
+
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        idx_scans = [
+            l for l in plan.splitlines()
+            if "FileScan" in l and "idx" in l and "PartitionFilters" in l
+        ]
+        assert idx_scans
+        assert all("PartitionFilters: []" not in l for l in idx_scans)
+        assert any("bk_prefix" in l and "INSET" in l for l in idx_scans)
+
     def test_q65_profile_plan_has_no_expand(self, spark, sf_dir):
         """The oracled column-profile query must run in its corpus-scale
         shape: HLL sketches for multi-column distincts — an Expand node
