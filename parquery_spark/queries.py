@@ -2575,3 +2575,226 @@ def q82_indexed_dedup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, idx, new.select("doc_id", "text"), "text", "doc_id",
         num_hashes=16, bands=4, shingle_k=2, max_bucket_size=1000,
     )
+
+
+_Q83_QUERY_IDS = (0, 1, 2, 3)
+
+
+@query(
+    "q83_ivf_ann",
+    # q54-style gate: the exact brute-force top-1 (id + rounded cosine) is
+    # hash-matched against DuckDB; the IVF path's quality is encoded as a
+    # boolean — recall@10 against the exact top-10 must clear 0.5, or the
+    # Spark side emits FALSE and the round hash-mismatches.  (The index
+    # contents themselves are quantizer-dependent, hence not hashable.)
+    f"""
+    WITH qs AS (
+        SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        FROM embeddings WHERE vec_id IN {_Q83_QUERY_IDS}
+    ),
+    ranked AS (
+        SELECT qs.query_id, e.vec_id,
+               ROUND(list_dot_product(e.embedding::DOUBLE[], qs.qv) /
+                     (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                            e.embedding::DOUBLE[]))
+                      * sqrt(list_dot_product(qs.qv, qs.qv))), 6) AS sim,
+               ROW_NUMBER() OVER (
+                   PARTITION BY qs.query_id
+                   ORDER BY ROUND(list_dot_product(e.embedding::DOUBLE[], qs.qv) /
+                     (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                            e.embedding::DOUBLE[]))
+                      * sqrt(list_dot_product(qs.qv, qs.qv))), 6) DESC,
+                   e.vec_id
+               ) AS rn
+        FROM embeddings e CROSS JOIN qs
+    )
+    SELECT query_id,
+           MAX(CASE WHEN rn = 1 THEN vec_id END) AS top1_id,
+           MAX(CASE WHEN rn = 1 THEN sim END) AS top1_sim,
+           TRUE AS recall_ok
+    FROM ranked WHERE rn <= 10 GROUP BY query_id
+    """,
+)
+def q83_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate nearest neighbor, end to end: k-means coarse
+    quantizer (fixed seed), corpus persisted hive-partitioned by cell,
+    probes pruned to ``nprobe`` directories (PartitionFilters — pinned in
+    ``tests/test_scale_plans.py``), exact cosine ranking the survivors.
+
+    Index + centroids are built once per corpus version (stat-identity
+    cache, centroids stored next to the data as the index metadata —
+    exactly what a production layout persists)."""
+    import hashlib
+    import tempfile
+
+    import numpy as np
+
+    from parquery_spark.operators import ivf
+    from parquery_spark.operators.similarity import cosine_topk
+
+    # nprobe=8 of 16 cells: these synthetic embeddings are near-uniform
+    # (weak cluster structure — the ANN worst case), so honest recall
+    # needs wide probes; measured recall@10 is 0.7-1.0 across SFs, the
+    # 0.5 gate detects a broken quantizer with 2 steps of margin
+    k_cells, nprobe, topk = 16, 8, 10
+
+    src = _path(sf_dir, "embeddings")
+    st = os.stat(src)
+    ident = f"{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}|ivf16"
+    tag = hashlib.md5(ident.encode()).hexdigest()[:10]
+    idx = os.path.join(tempfile.gettempdir(), f"pqs_ivf_idx_{tag}")
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cent_path = os.path.join(idx, "centroids.npy")
+    if not os.path.exists(cent_path):
+        centroids = ivf.train_ivf_centroids(emb, k=k_cells, seed=7)
+        ivf.write_ivf_index(emb, idx, centroids)
+        np.save(cent_path, centroids)
+    centroids = np.load(cent_path)
+
+    qvecs = {
+        r["vec_id"]: list(r["embedding"])
+        for r in emb.filter(F.col("vec_id").isin(list(_Q83_QUERY_IDS))).collect()
+    }
+
+    def tag_q(df, qid):
+        return df.select(
+            F.lit(qid).cast("long").alias("query_id"), "vec_id", "cosine_sim"
+        )
+
+    import functools
+
+    exact = functools.reduce(
+        DataFrame.unionByName,
+        [tag_q(cosine_topk(emb, qvecs[q], topk), q) for q in _Q83_QUERY_IDS],
+    )
+    approx = functools.reduce(
+        DataFrame.unionByName,
+        [
+            tag_q(
+                ivf.ivf_topk(spark, idx, centroids, qvecs[q],
+                             k=topk, nprobe=nprobe),
+                q,
+            )
+            for q in _Q83_QUERY_IDS
+        ],
+    )
+    e = exact.groupBy("query_id").agg(
+        F.max_by("vec_id", F.struct("cosine_sim", (-F.col("vec_id")).alias("t")))
+        .alias("top1_id"),
+        F.max("cosine_sim").alias("top1_sim"),
+        F.collect_set("vec_id").alias("exact_ids"),
+    )
+    a = approx.groupBy("query_id").agg(
+        F.collect_set("vec_id").alias("ivf_ids")
+    )
+    recall = (
+        F.size(F.array_intersect("exact_ids", "ivf_ids"))
+        / F.lit(float(topk))
+    )
+    return e.join(a, "query_id").select(
+        "query_id", "top1_id", "top1_sim",
+        (recall >= F.lit(0.5)).alias("recall_ok"),
+    )
+
+
+def _events_stream_dir(sf_dir: str) -> str:
+    """A directory-shaped streaming source for the events file: hardlink
+    (copy fallback) into a temp dir keyed by the file's stat identity —
+    the file stream source requires a directory, and the link pins the
+    snapshot the same way the batch read hardening does."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    src = _path(sf_dir, "events")
+    st = os.stat(src)
+    ident = f"{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}"
+    tag = hashlib.md5(ident.encode()).hexdigest()[:10]
+    d = os.path.join(tempfile.gettempdir(), f"pqs_events_src_{tag}")
+    dst = os.path.join(d, "events.parquet")
+    if not os.path.exists(dst):
+        os.makedirs(d, exist_ok=True)
+        tmp = dst + ".tmp"
+        try:
+            os.link(src, tmp)
+        except OSError:
+            shutil.copy2(src, tmp)
+        os.replace(tmp, dst)
+    return d
+
+
+@query(
+    "q84_streaming_window_counts",
+    """
+    SELECT CAST(epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT)
+               AS window_start_us,
+           event_type,
+           COUNT(event_id) AS n,
+           ROUND(SUM(value), 4) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q84_streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window aggregation through the REAL streaming
+    engine: the events table drained as a file stream (availableNow
+    trigger — same watermark/state machinery as a live run, finite input)
+    into a memory sink, gated against the batch SQL oracle.  This is the
+    stream/batch consistency contract made a hard gate: the streaming
+    result must be value-identical to the batch twin's."""
+    from parquery_spark.streaming.events import (
+        events_stream,
+        run_available_now,
+    )
+
+    stream = events_stream(spark, _events_stream_dir(sf_dir))
+    windowed = (
+        stream.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count("event_id").alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            # epoch µs as BIGINT: tz-free on every engine (Spark timestamps
+            # carry the session tz through Arrow; the oracle's don't)
+            F.unix_micros(F.col("win.start")).alias("window_start_us"),
+            "event_type", "n", "total_value",
+        )
+    )
+    return run_available_now(windowed, "q84_sink", output_mode="complete")
+
+
+@query(
+    "q85_streaming_dedup",
+    """
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS n_unique,
+           COUNT(*) AS n_raw
+    FROM events GROUP BY event_type
+    """,
+)
+def q85_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup gated end to end: one availableNow pass of
+    ``dropDuplicatesWithinWatermark`` on (user_id, event_type) — all rows
+    fall inside one batch, so state never expires mid-run and the
+    survivor set is EXACTLY one row per key; the oracle's COUNT(DISTINCT)
+    twin makes that a hash-matched contract.  (Mid-stream state expiry —
+    the unbounded-ingest property — is pinned by the multi-batch pytest;
+    this gate pins correctness of the surviving set.)"""
+    from parquery_spark.streaming.events import (
+        events_stream,
+        run_available_now,
+    )
+
+    src_dir = _events_stream_dir(sf_dir)
+    stream = events_stream(spark, src_dir)
+    deduped = stream.dropDuplicatesWithinWatermark(["user_id", "event_type"])
+    survivors = run_available_now(deduped, "q85_sink", output_mode="append")
+    raw = load_events(spark, sf_dir).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_raw")
+    )
+    return (
+        survivors.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_unique"))
+        .join(raw, "event_type")
+        .select("event_type", "n_unique", "n_raw")
+    )

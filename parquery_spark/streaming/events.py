@@ -18,6 +18,8 @@ the real streaming engine:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -161,3 +163,75 @@ def dedup_stream(
         .withWatermark("ts", watermark)
     )
     return stream.dropDuplicatesWithinWatermark(key_cols or ["event_id"])
+
+
+def _events_stream_schema(ts_is_nanos: bool) -> T.StructType:
+    # a file stream needs a user-provided schema; ts mirrors the
+    # ``queries.load_events`` contract — TIMESTAMP(NANOS) surfaces as a
+    # nanosecond long (session-wide ``nanosAsLong``), TIMESTAMP(MICROS)
+    # as a plain timestamp
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField(
+                "ts", T.LongType() if ts_is_nanos else T.TimestampType()
+            ),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+
+
+def events_stream(
+    spark: SparkSession, source_dir: str, watermark: str = "2 hours"
+) -> DataFrame:
+    """The events table as a watermarked file stream.
+
+    The on-disk ``ts`` unit is detected from one file's footer (driver-
+    side metadata read): nanosecond longs are down-converted with INTEGER
+    ``div`` — float division of ~1.7e18 ns values exceeds float64's 2^53
+    exact-integer range and would corrupt microseconds — microsecond
+    timestamps pass through.  Watermark attaches to the derived event
+    time either way."""
+    import glob
+
+    import pyarrow.parquet as papq
+
+    sample = sorted(glob.glob(os.path.join(source_dir, "*.parquet")))
+    ts_is_nanos = bool(sample) and str(
+        papq.read_schema(sample[0]).field("ts").type
+    ).startswith("timestamp[ns")
+    if ts_is_nanos:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = spark.readStream.schema(
+        _events_stream_schema(ts_is_nanos)
+    ).parquet(source_dir)
+    if ts_is_nanos:
+        stream = stream.withColumn(
+            "ts", F.expr("timestamp_micros(ts div 1000)")
+        )
+    return stream.withWatermark("ts", watermark)
+
+
+def run_available_now(
+    stream_df: DataFrame,
+    name: str,
+    output_mode: str = "append",
+    timeout_sec: int = 300,
+):
+    """Drain a bounded stream through the real streaming engine
+    (``availableNow`` trigger → memory sink) and return the static result
+    table — the harness that lets streaming operators sit in the ORACLED
+    query suite: same watermark/state machinery as a live run, finite
+    input, deterministic output."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    return stream_df.sparkSession.table(name)
