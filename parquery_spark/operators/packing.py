@@ -29,21 +29,22 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def pack_shards(
+def prefix_sum(
     df: DataFrame,
-    size_col: Column | str,
-    shard_size: int,
+    value_col: Column | str,
     order_col: str,
+    out_col: str = "prefix_sum",
     num_partitions: int | None = None,
+    inclusive: bool = True,
 ) -> DataFrame:
-    """Return ``df``'s columns plus ``shard_id``.
+    """``df`` plus a global running sum of ``value_col`` in ``order_col``
+    order — the distributed prefix sum (range partition → parallel
+    per-partition windows → driver-side fold of one row per partition),
+    NEVER Spark's single-task un-partitioned ``SUM OVER (ORDER BY)``.
 
-    ``size_col`` is the per-row cost (token count — a Column expression is
-    allowed, e.g. ``token_count("text")``); ``order_col`` is the total
-    order (must be unique — doc id, sort key); ``shard_size`` is the
-    budget per shard in the same unit as ``size_col``.
-    """
-    sz = F.col(size_col) if isinstance(size_col, str) else size_col
+    ``inclusive=False`` gives the exclusive prefix (sum of strictly
+    preceding rows) — what shard packing needs."""
+    sz = F.col(value_col) if isinstance(value_col, str) else value_col
     src = df.withColumn("__sz", sz.cast("long"))
     if num_partitions:
         src = src.repartitionByRange(num_partitions, F.col(order_col))
@@ -71,17 +72,40 @@ def pack_shards(
     offset_df = spark.createDataFrame(
         [(pid, off) for pid, off in offsets.items()], ["__pid", "__off"]
     )
-    out = (
+    prefix = F.col("__cum") + F.col("__off")
+    if not inclusive:
+        prefix = prefix - F.col("__sz")
+    return (
         local.join(F.broadcast(offset_df), "__pid")
-        .withColumn(
-            "__before", F.col("__cum") - F.col("__sz") + F.col("__off")
-        )
+        .withColumn(out_col, prefix)
+        .drop("__pid", "__sz", "__cum", "__off")
+    )
+
+
+def pack_shards(
+    df: DataFrame,
+    size_col: Column | str,
+    shard_size: int,
+    order_col: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Return ``df``'s columns plus ``shard_id``.
+
+    ``size_col`` is the per-row cost (token count — a Column expression is
+    allowed, e.g. ``token_count("text")``); ``order_col`` is the total
+    order (must be unique — doc id, sort key); ``shard_size`` is the
+    budget per shard in the same unit as ``size_col``.
+    """
+    out = prefix_sum(
+        df, size_col, order_col, "__before",
+        num_partitions=num_partitions, inclusive=False,
+    )
+    return (
         # integer DIV, not double `/`: exact for any long prefix (a double
         # quotient would lose ulps past 2^53 total tokens)
-        .withColumn("shard_id", F.expr(f"__before DIV {int(shard_size)}"))
-        .drop("__pid", "__sz", "__cum", "__off", "__before")
+        out.withColumn("shard_id", F.expr(f"__before DIV {int(shard_size)}"))
+        .drop("__before")
     )
-    return out
 
 
 def write_shards(

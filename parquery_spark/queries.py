@@ -2412,8 +2412,11 @@ def q79_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame
     distincts need no growing distinct state — each user collapses to one
     first-seen day (one group-by), and the running total is a window over
     the tiny per-day relation.  The naive per-day COUNT(DISTINCT ... WHERE
-    ts <= day) is quadratic in days; this is the scalable restatement."""
-    from pyspark.sql import Window
+    ts <= day) is quadratic in days; this is the scalable restatement.
+    The running total itself is the q66 distributed prefix sum — no
+    single-partition WindowExec anywhere, even though the per-day relation
+    is only #days rows."""
+    from parquery_spark.operators.packing import prefix_sum
 
     events = load_events(spark, sf_dir)
     first_seen = (
@@ -2424,13 +2427,10 @@ def q79_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame
     per_day = first_seen.groupBy("first_day").agg(
         F.count(F.lit(1)).alias("new_users")
     )
-    w = Window.orderBy("first_day").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    return per_day.select(
-        F.col("first_day").alias("day"),
-        "new_users",
-        F.sum("new_users").over(w).alias("cumulative_users"),
+    return prefix_sum(
+        per_day, "new_users", "first_day", "cumulative_users"
+    ).select(
+        F.col("first_day").alias("day"), "new_users", "cumulative_users"
     )
 
 

@@ -309,6 +309,43 @@ class TestRound3PlanShapes:
         assert all("PartitionFilters: []" not in l for l in idx_scans)
         assert any("bk_prefix" in l and "INSET" in l for l in idx_scans)
 
+    def test_event_analytics_plan_shapes(self, spark, sf_dir):
+        """The round-3 event-analytics set must keep its scale shapes:
+        q71/q78 windows partitioned on user_id (never a global window),
+        q81 funnel as ONE conditional aggregation (no per-stage
+        self-joins), q79's running total as the distributed prefix sum
+        (every window partitioned, range-partitioned input)."""
+        from parquery_spark.queries import QUERIES
+
+        def plan(name):
+            df = QUERIES[name][0](spark, sf_dir)
+            return df._jdf.queryExecution().executedPlan().toString()
+
+        for name in ("q71_batch_sessionization",
+                     "q78_trailing_window_features"):
+            p = plan(name)
+            windows = [l for l in p.splitlines() if "Window" in l
+                       and "windowspecdefinition" in l.lower()]
+            assert windows, name
+            assert all("user_id" in l for l in windows), name
+            assert "SortMergeJoin" not in p and "EvalPython" not in p, name
+
+        p = plan("q78_trailing_window_features")
+        # leakage-safe trailing hour = RANGE frame ending at current row
+        assert "RANGE BETWEEN -3600000000 FOLLOWING AND CURRENT ROW" in p \
+            or "specifiedwindowframe(RangeFrame" in p, p[:500]
+
+        p = plan("q81_funnel")
+        assert "Join" not in p  # funnel depth adds aggregates, not joins
+        # conditional first-touch aggregation: min(CASE WHEN ...) partials
+        assert "partial_min" in p
+
+        p = plan("q79_cumulative_distinct_users")
+        windows = [l for l in p.splitlines() if "Window" in l
+                   and "windowspecdefinition" in l.lower()]
+        assert windows and all("__pid" in l for l in windows)
+        assert "rangepartitioning" in p.lower()
+
     def test_q65_profile_plan_has_no_expand(self, spark, sf_dir):
         """The oracled column-profile query must run in its corpus-scale
         shape: HLL sketches for multi-column distincts — an Expand node
