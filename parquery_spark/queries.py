@@ -2798,3 +2798,150 @@ def q85_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(raw, "event_type")
         .select("event_type", "n_unique", "n_raw")
     )
+
+
+@query(
+    "q86_snapshot_upsert",
+    """
+    WITH cur AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+    ),
+    b1 AS (
+        SELECT o_orderkey, o_orderstatus,
+               ROUND(o_totalprice * 2, 2) AS o_totalprice
+        FROM orders WHERE o_orderkey % 7 = 0
+    ),
+    b2 AS (
+        SELECT o_orderkey + 100000000 AS o_orderkey,
+               'N' AS o_orderstatus, 1.0 AS o_totalprice
+        FROM orders WHERE o_orderkey % 1000 = 0
+    ),
+    batch AS (SELECT * FROM b1 UNION ALL SELECT * FROM b2)
+    SELECT * FROM cur
+    WHERE o_orderkey NOT IN (SELECT o_orderkey FROM batch)
+    UNION ALL SELECT * FROM batch
+    """,
+)
+def q86_snapshot_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC snapshot merge: a change batch (updated prices for every 7th
+    key + brand-new keys) upserted into the orders snapshot — one
+    ANTI JOIN on the key (batch keys broadcast) plus a union, the plan
+    ``MERGE INTO`` lowers to in any table format.  Row-level gate: every
+    surviving, updated, and inserted row hash-matched."""
+    from parquery_spark.operators.upsert import upsert
+
+    cur = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    b1 = cur.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey", "o_orderstatus",
+        F.round(F.col("o_totalprice") * 2, 2).alias("o_totalprice"),
+    )
+    b2 = cur.filter(F.col("o_orderkey") % 1000 == 0).select(
+        (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+        F.lit("N").alias("o_orderstatus"),
+        F.lit(1.0).alias("o_totalprice"),
+    )
+    return upsert(cur, b1.unionByName(b2), ["o_orderkey"])
+
+
+@query(
+    "q87_gap_fill",
+    """
+    WITH f AS (
+        SELECT event_type,
+               CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hour_bucket,
+               value
+        FROM events WHERE value > 95
+    ),
+    agg AS (
+        SELECT event_type, hour_bucket, COUNT(*) AS n,
+               ROUND(AVG(value), 4) AS avg_value
+        FROM f GROUP BY 1, 2
+    ),
+    bounds AS (
+        SELECT event_type, MIN(hour_bucket) AS lo, MAX(hour_bucket) AS hi
+        FROM agg GROUP BY 1
+    ),
+    spine AS (
+        SELECT event_type, unnest(generate_series(lo, hi)) AS hour_bucket
+        FROM bounds
+    ),
+    dense AS (
+        SELECT s.event_type, s.hour_bucket,
+               COALESCE(a.n, 0) AS n, a.avg_value
+        FROM spine s LEFT JOIN agg a USING (event_type, hour_bucket)
+    )
+    SELECT event_type, hour_bucket, n,
+           LAST_VALUE(avg_value IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY hour_bucket
+           ) AS avg_value
+    FROM dense
+    """,
+)
+def q87_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series densification: sparse per-(event_type, hour) stats
+    re-emitted on a gap-free hourly spine — counts zero-filled, average
+    value carried forward (LOCF).  The spine explodes from ONE row per
+    key (min/max aggregate + ``sequence``), never a calendar cross join;
+    LOCF windows are partitioned by key, so partition size is one key's
+    buckets, not the corpus."""
+    from parquery_spark.operators.upsert import fill_gaps
+
+    events = load_events(spark, sf_dir)
+    hour = (F.unix_micros(F.col("ts").cast("timestamp"))
+            / F.lit(3_600_000_000)).cast("long")
+    agg = (
+        events.filter(F.col("value") > 95)
+        .select("event_type", hour.alias("hour_bucket"), "value")
+        .groupBy("event_type", "hour_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+    )
+    return fill_gaps(
+        agg, "event_type", "hour_bucket", 1,
+        agg_cols=["n"], locf_cols=["avg_value"],
+    )
+
+
+@query(
+    "q88_unpivot",
+    """
+    WITH agg AS (
+        SELECT l_returnflag,
+               ROUND(CAST(SUM(l_quantity) AS DOUBLE), 2) AS quantity,
+               ROUND(CAST(SUM(l_extendedprice) AS DOUBLE), 2)
+                   AS extendedprice,
+               ROUND(CAST(SUM(l_discount) AS DOUBLE), 2) AS discount,
+               ROUND(CAST(SUM(l_tax) AS DOUBLE), 2) AS tax
+        FROM lineitem GROUP BY 1
+    )
+    SELECT l_returnflag, 'quantity' AS measure, quantity AS total FROM agg
+    UNION ALL
+    SELECT l_returnflag, 'extendedprice', extendedprice FROM agg
+    UNION ALL
+    SELECT l_returnflag, 'discount', discount FROM agg
+    UNION ALL
+    SELECT l_returnflag, 'tax', tax FROM agg
+    """,
+)
+def q88_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshaping (melt): per-flag measure totals unpivoted to
+    (flag, measure, total) rows with the built-in ``unpivot`` — a narrow
+    Expand over the already-aggregated relation (4 rows per group), not a
+    re-scan per measure like the oracle's UNION ALL formulation."""
+    li = load(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.round(F.sum("l_quantity").cast("double"), 2).alias("quantity"),
+        F.round(F.sum("l_extendedprice").cast("double"), 2)
+        .alias("extendedprice"),
+        F.round(F.sum("l_discount").cast("double"), 2).alias("discount"),
+        F.round(F.sum("l_tax").cast("double"), 2).alias("tax"),
+    )
+    return agg.unpivot(
+        ["l_returnflag"],
+        ["quantity", "extendedprice", "discount", "tax"],
+        "measure", "total",
+    )

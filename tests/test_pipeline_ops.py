@@ -288,3 +288,47 @@ class TestBloom:
         got = {r["fp"]: r["bloom_hit"]
                for r in bloom_probe(probe, merged, "fp", m=1 << 10).collect()}
         assert got["a1"] and got["b2"]
+
+
+class TestUpsertAndGapFill:
+    def test_upsert_replaces_appends_keeps(self, spark):
+        from parquery_spark.operators.upsert import upsert
+
+        cur = spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], ["k", "v"]
+        )
+        batch = spark.createDataFrame([(2, "B"), (9, "Z")], ["k", "v"])
+        got = {r["k"]: r["v"] for r in upsert(cur, batch, ["k"]).collect()}
+        assert got == {1: "a", 2: "B", 3: "c", 9: "Z"}
+
+    def test_latest_by_key_keeps_max_version(self, spark):
+        from parquery_spark.operators.upsert import latest_by_key
+
+        log = spark.createDataFrame(
+            [(1, 1, "old"), (1, 3, "new"), (1, 2, "mid"), (2, 1, "only")],
+            ["k", "ver", "v"],
+        )
+        got = {r["k"]: (r["ver"], r["v"])
+               for r in latest_by_key(log, ["k"], "ver").collect()}
+        assert got == {1: (3, "new"), 2: (1, "only")}
+
+    def test_fill_gaps_zero_fill_and_locf(self, spark):
+        from parquery_spark.operators.upsert import fill_gaps
+
+        sparse = spark.createDataFrame(
+            [("a", 10, 2, 1.5), ("a", 13, 1, 9.0), ("b", 5, 4, 2.0)],
+            ["k", "bucket", "n", "avg"],
+        )
+        rows = {
+            (r["k"], r["bucket"]): (r["n"], r["avg"])
+            for r in fill_gaps(
+                sparse, "k", "bucket", 1, ["n"], ["avg"]
+            ).collect()
+        }
+        # spine spans each key's own min..max only
+        assert set(rows) == {("a", 10), ("a", 11), ("a", 12), ("a", 13),
+                             ("b", 5)}
+        assert rows[("a", 11)] == (0, 1.5)   # zero-filled count, LOCF avg
+        assert rows[("a", 12)] == (0, 1.5)
+        assert rows[("a", 13)] == (1, 9.0)   # real observation wins
+        assert rows[("b", 5)] == (4, 2.0)
