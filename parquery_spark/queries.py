@@ -2945,3 +2945,138 @@ def q88_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["quantity", "extendedprice", "discount", "tax"],
         "measure", "total",
     )
+
+
+@query(
+    "q89_doc_chunking",
+    """
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'),
+                           t -> t != '') AS tk
+        FROM documents
+    ),
+    chunks AS (
+        SELECT doc_id,
+               CAST((s - 1) // 24 AS BIGINT) AS chunk_idx,
+               tk[s:least(s + 31, len(tk))] AS chunk
+        FROM toks, unnest(generate_series(1, len(tk), 24)) AS u(s)
+    )
+    SELECT doc_id, chunk_idx,
+           CAST(len(chunk) AS BIGINT) AS chunk_len,
+           md5(array_to_string(chunk, ' ')) AS chunk_fp
+    FROM chunks
+    """,
+)
+def q89_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking — the step that turns cleaned
+    documents into fixed-token training sequences: 32-token windows with
+    stride 24 (8-token overlap preserves cross-boundary context).  Pure
+    narrow plan: tokenize once, ``sequence`` the window starts, posexplode,
+    ``slice`` each window from the SAME token array (no per-window
+    re-tokenize) — zero shuffles, zero Python; chunk identity is an md5
+    fingerprint so downstream dedup/packing can treat chunks as documents."""
+    from parquery_spark.operators.dedup import shingle_tokens
+
+    C, S = 32, 24
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", shingle_tokens("text").alias("tk")
+    )
+    starts = F.sequence(F.lit(1), F.size("tk"), F.lit(S))
+    exploded = toks.select(
+        "doc_id", "tk", F.posexplode(starts).alias("chunk_idx", "s")
+    )
+    chunk = F.slice(F.col("tk"), F.col("s"), C)
+    return exploded.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.size(chunk).cast("long").alias("chunk_len"),
+        F.md5(F.concat_ws(" ", chunk)).alias("chunk_fp"),
+    )
+
+
+@query(
+    "q90_salted_hot_key_agg",
+    """
+    SELECT l_suppkey, COUNT(l_orderkey) AS n,
+           ROUND(CAST(SUM(l_quantity) AS DOUBLE), 2) AS total_qty,
+           ROUND(CAST(MAX(l_extendedprice) AS DOUBLE), 2) AS max_price
+    FROM lineitem GROUP BY l_suppkey
+    """,
+)
+def q90_salted_hot_key_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage salted aggregation under a HOT KEY: stage 1 aggregates on
+    (key, random salt) so any key holding 30% of the input spreads over 16
+    reducers; stage 2 re-aggregates the partials on the true key.  Results
+    must be bit-identical to the direct groupBy — that is exactly what the
+    oracle hash-checks (only decomposable ops allowed; a mean of partial
+    means would be wrong and is rejected, mirroring the reference's
+    SAFE_PREAGGREGATE set, reference: parquery/tool.py:37)."""
+    from parquery_spark.operators.skew import salted_groupby
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    out = salted_groupby(
+        li, ["l_suppkey"],
+        [["l_orderkey", "count", "n"],
+         ["l_quantity", "sum", "total_qty"],
+         ["l_extendedprice", "max", "max_price"]],
+        salt_buckets=16,
+    )
+    return out.select(
+        "l_suppkey",
+        "n",
+        F.round(F.col("total_qty").cast("double"), 2).alias("total_qty"),
+        F.round(F.col("max_price").cast("double"), 2).alias("max_price"),
+    )
+
+
+@query(
+    "q91_shard_manifest",
+    """
+    WITH sized AS (
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '[A-Za-z0-9_'']+')) AS BIGINT)
+                   AS n_tokens
+        FROM documents
+    ),
+    cum AS (
+        SELECT doc_id, n_tokens,
+               CAST(COALESCE(SUM(n_tokens) OVER (
+                   ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS BIGINT) AS tokens_before
+        FROM sized
+    )
+    SELECT tokens_before // 4096 AS shard_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           MIN(doc_id) AS first_doc,
+           MAX(doc_id) AS last_doc
+    FROM cum GROUP BY shard_id
+    """,
+)
+def q91_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-run manifest: one row per packed shard (doc count,
+    token count, doc-id range) — what a data loader reads to schedule
+    epochs and verify shard integrity.  Rolls up the q66 distributed
+    prefix-sum assignment; shards are contiguous doc-id ranges by
+    construction, so (first_doc, last_doc) doubles as a coverage check."""
+    from parquery_spark.functions.text import token_count
+    from parquery_spark.operators.packing import pack_shards
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    packed = pack_shards(docs, token_count("text"), 4096, "doc_id")
+    return (
+        packed.select("doc_id", "shard_id",
+                      token_count("text").alias("n_tokens"))
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
