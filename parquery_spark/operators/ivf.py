@@ -139,7 +139,9 @@ def ivf_topk(
     exact cosine ranks the survivors (verify with ``.explain``:
     ``PartitionFilters: [cell#.. IN (..)]``)."""
     probes = probe_cells(centroids, query, nprobe)
-    candidates = spark.read.parquet(index_path).filter(
+    from parquery_spark.operators.util import index_relation
+
+    candidates = index_relation(spark, index_path).filter(
         F.col("cell").isin(probes)
     )
     return cosine_topk(candidates, query, k, vec_col, id_col, digits)

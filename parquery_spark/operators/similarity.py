@@ -369,7 +369,9 @@ def cosine_topk_indexed(
         (1 << j) for j, p in enumerate(planes) if float(np.dot(p, query)) > 0
     )
     probes = hamming_ball(qsig, num_planes, probe_hamming)
-    candidates = spark.read.parquet(index_path).filter(
+    from parquery_spark.operators.util import index_relation
+
+    candidates = index_relation(spark, index_path).filter(
         F.col("bucket").isin(probes)
     )
     return cosine_topk(candidates, query, k, vec_col, id_col, digits)
