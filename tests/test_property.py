@@ -174,3 +174,61 @@ class TestPackingProperties:
             want[i] = before // shard
             before += s
         assert got == want
+
+
+class TestPrefixSumProperties:
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        sizes=st.lists(st.integers(0, 100), min_size=1, max_size=50),
+        parts=st.integers(1, 6),
+        inclusive=st.booleans(),
+    )
+    def test_matches_sequential(self, spark, sizes, parts, inclusive):
+        from parquery_spark.operators.packing import prefix_sum
+
+        df = spark.createDataFrame(
+            [(i, s) for i, s in enumerate(sizes)], ["k", "v"]
+        )
+        got = {
+            r["k"]: r["p"]
+            for r in prefix_sum(
+                df, "v", "k", "p", num_partitions=parts, inclusive=inclusive
+            ).collect()
+        }
+        acc, want = 0, {}
+        for i, s in enumerate(sizes):
+            want[i] = acc + (s if inclusive else 0)
+            acc += s
+        assert got == want
+
+
+class TestUpsertProperties:
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        cur=st.dictionaries(st.integers(0, 20), st.integers(0, 5),
+                            max_size=15),
+        batch=st.dictionaries(st.integers(0, 20), st.integers(6, 9),
+                              max_size=10),
+    )
+    def test_matches_dict_update(self, spark, cur, batch):
+        from parquery_spark.operators.upsert import upsert
+
+        cur_df = spark.createDataFrame(
+            [(k, v) for k, v in cur.items()], "k long, v long"
+        )
+        batch_df = spark.createDataFrame(
+            [(k, v) for k, v in batch.items()], "k long, v long"
+        )
+        got = {r["k"]: r["v"]
+               for r in upsert(cur_df, batch_df, ["k"]).collect()}
+        want = dict(cur)
+        want.update(batch)
+        assert got == want
