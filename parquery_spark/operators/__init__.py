@@ -9,10 +9,11 @@ from parquery_spark.operators import (
     sampling,
     similarity,
     skew,
+    upsert,
     windows,
 )
 
 __all__ = [
     "dedup", "similarity", "ivf", "joins", "windows", "multimodal",
-    "sampling", "skew", "graph", "packing", "profile",
+    "sampling", "skew", "graph", "packing", "profile", "upsert",
 ]

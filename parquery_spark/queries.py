@@ -3083,3 +3083,134 @@ def q91_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("last_doc"),
         )
     )
+
+
+@query(
+    "q92_grouping_sets",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority)
+                AS BIGINT) AS gid,
+           COUNT(*) AS n,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def q92_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority): all four grouping sets — detail, two
+    marginals, grand total — in ONE pass (Spark plans an Expand of 4
+    projections over the scan, each partial-aggregated map-side; one
+    shuffle total instead of four query runs).  ``grouping_id`` keeps the
+    NULL-as-total rows distinguishable from genuine NULL dimension
+    values."""
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            # grouping_id() is only resolvable INSIDE the cube aggregate
+            F.grouping_id().cast("long").alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .select("o_orderstatus", "o_orderpriority", "gid", "n", "total")
+    )
+
+
+@query(
+    "q93_decile_stats",
+    """
+    WITH ranked AS (
+        SELECT c_nationkey, c_acctbal,
+               NTILE(10) OVER (
+                   PARTITION BY c_nationkey
+                   ORDER BY c_acctbal, c_custkey
+               ) AS decile
+        FROM customer
+    )
+    SELECT c_nationkey, decile, COUNT(*) AS n,
+           ROUND(MIN(c_acctbal), 2) AS lo,
+           ROUND(MAX(c_acctbal), 2) AS hi
+    FROM ranked GROUP BY c_nationkey, decile
+    """,
+)
+def q93_decile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation account-balance deciles (NTILE windows PARTITIONED by
+    nation — the scale-safe shape: each window sorts one nation's
+    customers, never a single global sort; ties broken by c_custkey so
+    every engine assigns identical deciles)."""
+    from pyspark.sql import Window
+
+    cust = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return (
+        cust.select(
+            "c_nationkey", "c_acctbal", F.ntile(10).over(w).cast("long").alias("decile")
+        )
+        .groupBy("c_nationkey", "decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("c_acctbal"), 2).alias("lo"),
+            F.round(F.max("c_acctbal"), 2).alias("hi"),
+        )
+    )
+
+
+_Q94_SQL = """
+SELECT l_orderkey,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       o_orderdate, o_shippriority
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15'
+  AND l_shipdate > TIMESTAMP '1998-03-15'
+GROUP BY l_orderkey, o_orderdate, o_shippriority
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10
+"""
+
+
+@query("q94_tpch_q3", _Q94_SQL.replace("o_shippriority", "o_orderpriority"))
+def q94_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 (shipping priority) through the SQL interface: the
+    classic dim-filter → fact join → revenue top-10.  Catalyst broadcasts
+    the filtered customer side into orders, lineitem joins on l_orderkey,
+    and the LIMIT plans as TakeOrderedAndProject — no global sort.  (The
+    synthetic orders table has no o_shippriority; o_orderpriority stands
+    in, same shape.)"""
+    for t in ("customer", "orders", "lineitem"):
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_Q94_SQL.replace("o_shippriority", "o_orderpriority"))
+
+
+_Q95_SQL = """
+SELECT n_name,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
+@query("q95_tpch_q5", _Q95_SQL)
+def q95_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 (local supplier volume): the six-way star join — region
+    and nation broadcast into supplier, customer broadcast into orders,
+    the only shuffle joins are the two fact-sized sides meeting on
+    l_orderkey / l_suppkey.  The n_nationkey = c_nationkey equality is
+    the classic join-graph cycle Catalyst handles by predicate
+    propagation."""
+    for t in ("customer", "orders", "lineitem", "supplier", "nation",
+              "region"):
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_Q95_SQL)
