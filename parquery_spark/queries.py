@@ -1990,9 +1990,7 @@ def q69_ann_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q71_batch_sessionization",
-    """
+_SESSION_SQL = """
     WITH marked AS (
         SELECT user_id, event_id, ts,
                CASE WHEN lag(ts) OVER w IS NULL
@@ -2013,8 +2011,10 @@ def q69_ann_join(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS BIGINT)
                AS duration_us
     FROM sess GROUP BY user_id, session_seq
-    """,
-)
+    """
+
+
+@query("q71_batch_sessionization", _SESSION_SQL)
 def q71_batch_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch sessionization — the SQL-expressible twin of the streaming
     `sessionize_stream` operator (30-minute inactivity gap): lag-gap mark →
@@ -3214,3 +3214,111 @@ def q95_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
               "region"):
         load(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(_Q95_SQL)
+
+
+def _session_seq(sessions: DataFrame) -> DataFrame:
+    """Renumber native session windows to the oracle's per-user 1-based
+    sequence (tiny per-user window — one user's sessions)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("session_start_us")
+    return sessions.select(
+        "user_id",
+        F.row_number().over(w).cast("long").alias("session_seq"),
+        "n_events", "session_start_us", "duration_us",
+    )
+
+
+@query("q96_session_window", _SESSION_SQL)
+def q96_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via Spark's NATIVE ``session_window`` (dynamic-gap
+    merging inside the aggregation operator) gated against the
+    independent lag-and-running-sum SQL formulation — two different
+    algorithms, one answer.  Boundary note: ``session_window`` starts a
+    new session at gap ≥ 30 min, the lag rule at gap > 30 min; with
+    microsecond event times an exactly-1800.000000s gap is the only
+    divergence point (none exist in any SF — asserted empirically)."""
+    events = load_events(spark, sf_dir).withColumn(
+        "ts", F.col("ts").cast("timestamp")  # parquet µs loads as NTZ
+    )
+    grouped = events.groupBy(
+        "user_id", F.session_window("ts", "30 minutes").alias("w")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.unix_micros(F.min("ts")).alias("session_start_us"),
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts")))
+        .alias("duration_us"),
+    )
+    return _session_seq(grouped)
+
+
+@query("q97_streaming_sessionize", _SESSION_SQL)
+def q97_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization through the REAL streaming engine: watermarked
+    ``session_window`` aggregation in append mode, drained with
+    availableNow.  Append mode only emits a session once the watermark
+    passes its close — so the source directory carries two far-future
+    SENTINEL events (a reserved negative user), split into their own
+    micro-batches (``maxFilesPerTrigger=1``, mtime-ordered): the first
+    advances the watermark past every real session, the next triggers the
+    state-store flush.  The sentinel user is filtered from the result;
+    the output must hash-match the same lag-based SQL oracle as the batch
+    twins — stream parity as a hard gate."""
+    import shutil
+
+    from parquery_spark.streaming.events import run_available_now
+
+    src_dir = _events_stream_dir(sf_dir)
+    sent_dir = src_dir + "_sentinel"
+    if not os.path.exists(os.path.join(sent_dir, "z2.parquet")):
+        os.makedirs(sent_dir, exist_ok=True)
+        shutil.copy2(
+            os.path.join(src_dir, "events.parquet"),
+            os.path.join(sent_dir, "events.parquet"),
+        )
+        base = load_events(spark, sf_dir).select(
+            "event_id", "ts", "user_id", "event_type", "value", "props"
+        )
+        hi = base.agg(F.max("ts").alias("m")).first()["m"]
+        for i, name in enumerate(("z1.parquet", "z2.parquet")):
+            sent = spark.createDataFrame(
+                [(-(i + 1), hi, -1, "sentinel", 0.0, "{}")],
+                "event_id long, ts timestamp, user_id long, "
+                "event_type string, value double, props string",
+            ).select(
+                "event_id",
+                (F.col("ts") + F.expr(f"INTERVAL {100 + i} DAYS")).alias("ts"),
+                "user_id", "event_type", "value", "props",
+            )
+            tmp = os.path.join(sent_dir, f"__tmp_{name}")
+            sent.coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = next(
+                p for p in os.listdir(tmp) if p.endswith(".parquet")
+            )
+            os.replace(os.path.join(tmp, part), os.path.join(sent_dir, name))
+            shutil.rmtree(tmp)
+            # FileStreamSource orders by modification time: sentinels must
+            # sort after the real data so they form the closing batches
+            ts_mtime = os.stat(
+                os.path.join(sent_dir, "events.parquet")
+            ).st_mtime + 10 * (i + 1)
+            os.utime(os.path.join(sent_dir, name), (ts_mtime, ts_mtime))
+
+    from parquery_spark.streaming.events import events_stream
+
+    # one file per micro-batch so watermark advance and state flush land
+    # in separate batches (append mode emits one batch AFTER the advance)
+    stream = events_stream(
+        spark, sent_dir, watermark="2 hours",
+        options={"maxFilesPerTrigger": "1"},
+    )
+    grouped = stream.groupBy(
+        "user_id", F.session_window("ts", "30 minutes").alias("w")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.unix_micros(F.min("ts")).alias("session_start_us"),
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts")))
+        .alias("duration_us"),
+    )
+    out = run_available_now(grouped, "q97_sink", output_mode="append")
+    return _session_seq(out.filter(F.col("user_id") >= 0))

@@ -185,7 +185,10 @@ def _events_stream_schema(ts_is_nanos: bool) -> T.StructType:
 
 
 def events_stream(
-    spark: SparkSession, source_dir: str, watermark: str = "2 hours"
+    spark: SparkSession,
+    source_dir: str,
+    watermark: str = "2 hours",
+    options: dict | None = None,
 ) -> DataFrame:
     """The events table as a watermarked file stream.
 
@@ -205,9 +208,10 @@ def events_stream(
     ).startswith("timestamp[ns")
     if ts_is_nanos:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    stream = spark.readStream.schema(
-        _events_stream_schema(ts_is_nanos)
-    ).parquet(source_dir)
+    reader = spark.readStream.schema(_events_stream_schema(ts_is_nanos))
+    for k, v in (options or {}).items():
+        reader = reader.option(k, v)
+    stream = reader.parquet(source_dir)
     if ts_is_nanos:
         stream = stream.withColumn(
             "ts", F.expr("timestamp_micros(ts div 1000)")
