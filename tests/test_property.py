@@ -232,3 +232,58 @@ class TestUpsertProperties:
         want = dict(cur)
         want.update(batch)
         assert got == want
+
+
+class TestSessionProperties:
+    """session_window vs a driver-side sequential sessionizer on random
+    event streams — the native operator and the textbook gap rule must
+    agree on every stream Hypothesis can draw (gap boundary excluded:
+    generated timestamps are whole seconds, the gap is 100.5 s)."""
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        events=st.lists(
+            st.tuples(st.integers(0, 3), st.integers(0, 2000)),
+            min_size=1, max_size=60, unique=True,
+        )
+    )
+    def test_session_window_matches_gap_rule(self, spark, events):
+        import datetime as dt
+
+        from pyspark.sql import functions as F
+
+        gap_s = 100.5
+        base = dt.datetime(2024, 1, 1)
+        rows = [
+            (u, base + dt.timedelta(seconds=s)) for u, s in events
+        ]
+        df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+        got = {
+            (r["user_id"], r["session_start"], r["n"])
+            for r in df.groupBy(
+                "user_id", F.session_window("ts", f"{gap_s} seconds")
+            )
+            .agg(F.min("ts").alias("session_start"),
+                 F.count(F.lit(1)).alias("n"))
+            .select("user_id", "session_start", "n")
+            .collect()
+        }
+
+        want = set()
+        by_user: dict[int, list] = {}
+        for u, s in sorted(events):
+            by_user.setdefault(u, []).append(s)
+        for u, times in by_user.items():
+            start, n, prev = times[0], 0, None
+            for s in times:
+                if prev is not None and s - prev >= gap_s:
+                    want.add((u, base + dt.timedelta(seconds=start), n))
+                    start, n = s, 0
+                n += 1
+                prev = s
+            want.add((u, base + dt.timedelta(seconds=start), n))
+        assert got == want
