@@ -3322,3 +3322,57 @@ def q97_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = run_available_now(grouped, "q97_sink", output_mode="append")
     return _session_seq(out.filter(F.col("user_id") >= 0))
+
+
+@query(
+    "q98_partitioned_dataset",
+    """
+    SELECT event_type, COUNT(*) AS n,
+           ROUND(SUM(value), 4) AS total_value
+    FROM events
+    WHERE CAST(ts AS DATE) >= DATE '2024-01-10'
+      AND CAST(ts AS DATE) < DATE '2024-01-20'
+    GROUP BY event_type
+    """,
+)
+def q98_partitioned_dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned time layout end to end: the events table written
+    once partitioned by day (``write_partitioned`` — the layout a
+    long-lived event store uses), then a ten-day aggregate whose day
+    predicate becomes directory-level PartitionFilters: the scan never
+    opens files outside the range (asserted in
+    ``tests/test_scale_plans.py``).  The oracle filters the RAW table —
+    the layout must change I/O, never results."""
+    import hashlib
+    import tempfile
+
+    from parquery_spark.sources.parquet import write_partitioned
+
+    src = _path(sf_dir, "events")
+    st = os.stat(src)
+    ident = f"{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}|byday"
+    tag = hashlib.md5(ident.encode()).hexdigest()[:10]
+    lay = os.path.join(tempfile.gettempdir(), f"pqs_events_byday_{tag}")
+    if not os.path.exists(os.path.join(lay, "_SUCCESS")):
+        events = load_events(spark, sf_dir).select(
+            "event_id", "ts", "user_id", "event_type", "value",
+            F.col("ts").cast("date").alias("day"),
+        )
+        write_partitioned(
+            events.repartition("day"), lay, ["day"]
+        )
+
+    from parquery_spark.operators.util import index_relation
+
+    part = index_relation(spark, lay)
+    return (
+        part.filter(
+            (F.col("day") >= F.lit("2024-01-10").cast("date"))
+            & (F.col("day") < F.lit("2024-01-20").cast("date"))
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )

@@ -346,6 +346,22 @@ class TestRound3PlanShapes:
         assert windows and all("__pid" in l for l in windows)
         assert "rangepartitioning" in p.lower()
 
+    def test_q98_day_layout_prunes_partitions(self, spark, sf_dir):
+        """The day-partitioned event layout must serve the date-range
+        aggregate through PartitionFilters — directory pruning, not a
+        full-layout scan with a post-filter."""
+        from parquery_spark.queries import QUERIES
+
+        df = QUERIES["q98_partitioned_dataset"][0](spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        scans = [l for l in plan.splitlines()
+                 if "FileScan" in l and "byday" in l]
+        assert scans
+        assert all("day#" in l.split("PartitionFilters: [", 1)[1]
+                   for l in scans if "PartitionFilters: [" in l)
+        assert any("PartitionFilters: [" in l
+                   and "PartitionFilters: []" not in l for l in scans)
+
     def test_q65_profile_plan_has_no_expand(self, spark, sf_dir):
         """The oracled column-profile query must run in its corpus-scale
         shape: HLL sketches for multi-column distincts — an Expand node
