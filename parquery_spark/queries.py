@@ -3376,3 +3376,53 @@ def q98_partitioned_dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 4).alias("total_value"),
         )
     )
+
+
+@query(
+    "q99_stream_static_join",
+    """
+    WITH seg AS (
+        SELECT DISTINCT user_id, user_id % 10 AS segment FROM events
+    )
+    SELECT CAST(epoch_us(time_bucket(INTERVAL '1 day', e.ts)) AS BIGINT)
+               AS window_start_us,
+           s.segment,
+           COUNT(*) AS n,
+           ROUND(SUM(e.value), 4) AS total_value
+    FROM events e JOIN seg s USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def q99_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment — the standard ingest topology: each
+    micro-batch of the event stream joins a STATIC dimension (per-user
+    segment; in production a broadcast user/tenant table) before the
+    watermarked windowed aggregate.  The static side never streams; Spark
+    re-plans the join per micro-batch.  Hash-gated against the batch SQL
+    twin over the same relations."""
+    from parquery_spark.streaming.events import (
+        events_stream,
+        run_available_now,
+    )
+
+    events = load_events(spark, sf_dir)
+    seg = (
+        events.select("user_id").distinct()
+        .select("user_id", (F.col("user_id") % 10).alias("segment"))
+    )
+    stream = events_stream(spark, _events_stream_dir(sf_dir))
+    joined = stream.join(F.broadcast(seg), "user_id")
+    out = (
+        joined.groupBy(
+            F.window("ts", "1 day").alias("win"), "segment"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.unix_micros(F.col("win.start")).alias("window_start_us"),
+            "segment", "n", "total_value",
+        )
+    )
+    return run_available_now(out, "q99_sink", output_mode="complete")
