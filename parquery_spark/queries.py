@@ -3426,3 +3426,106 @@ def q99_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_available_now(out, "q99_sink", output_mode="complete")
+
+
+@query(
+    "q100_table_checksum",
+    """
+    SELECT l_returnflag, COUNT(*) AS n,
+           bit_xor(('0x' || substr(md5(
+               CAST(l_orderkey AS VARCHAR) || '|' ||
+               CAST(l_linenumber AS VARCHAR) || '|' ||
+               CAST(CAST(l_quantity AS DECIMAL(18,2)) AS VARCHAR)
+           ), 1, 15))::BIGINT) AS checksum
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q100_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent table fingerprint — the migration/replication
+    validation primitive: per-row md5 over a canonical string form,
+    folded with ``bit_xor`` (commutative, overflow-free), segmented by a
+    coarse key so a mismatch localizes.  Two engines/layouts holding the
+    same rows produce the same checksums regardless of partitioning or
+    row order; floats enter via DECIMAL(18,2) strings because raw
+    double→string formatting is engine-specific."""
+    from parquery_spark.operators.dedup import hash64
+
+    li = load(spark, sf_dir, "lineitem")
+    row_str = F.concat_ws(
+        "|",
+        F.col("l_orderkey").cast("string"),
+        F.col("l_linenumber").cast("string"),
+        F.col("l_quantity").cast("decimal(18,2)").cast("string"),
+    )
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.bit_xor(hash64(row_str)).alias("checksum"),
+    )
+
+
+@query(
+    "q101_bucketed_join",
+    """
+    SELECT o_orderstatus, COUNT(*) AS n,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderstatus
+    """,
+)
+def q101_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact join with the shuffle DELETED by bucketing: both tables
+    written CLUSTERED BY the join key into the same bucket count, so the
+    join needs no Exchange on either side (the lever that turns the
+    biggest recurring shuffle of a 100 TB star schema into a map-side
+    join; shuffle-freeness is plan-asserted in CI).  Results are gated
+    against the plain-join oracle — bucketing must change the plan, never
+    the answer."""
+    import hashlib
+    import tempfile
+
+    src = _path(sf_dir, "orders")
+    st = os.stat(src)
+    ident = f"{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}|bkt8"
+    tag = hashlib.md5(ident.encode()).hexdigest()[:10]
+    base = os.path.join(tempfile.gettempdir(), f"pqs_bucketed_{tag}")
+
+    for table, key, cols in (
+        ("orders", "o_orderkey", "o_orderkey, o_orderstatus"),
+        ("lineitem", "l_orderkey",
+         "l_orderkey, l_extendedprice, l_discount"),
+    ):
+        name = f"pqs_b_{table}_{tag}"
+        loc = os.path.join(base, table)
+        if spark.catalog.tableExists(name):
+            continue
+        load(spark, sf_dir, table).createOrReplaceTempView(f"__src_{table}")
+        if os.path.exists(loc):
+            # data persisted by an earlier session: re-register the
+            # external bucketed table, trusting the existing layout
+            schema = ", ".join(
+                f"{f.name} {f.dataType.simpleString()}"
+                for f in spark.table(f"__src_{table}")
+                .selectExpr(*cols.split(", ")).schema.fields
+            )
+            spark.sql(
+                f"CREATE TABLE {name} ({schema}) USING parquet "
+                f"CLUSTERED BY ({key}) INTO 8 BUCKETS LOCATION '{loc}'"
+            )
+        else:
+            spark.sql(
+                f"CREATE TABLE {name} USING parquet "
+                f"CLUSTERED BY ({key}) INTO 8 BUCKETS LOCATION '{loc}' "
+                f"AS SELECT {cols} FROM __src_{table}"
+            )
+    o = spark.table(f"pqs_b_orders_{tag}")
+    li = spark.table(f"pqs_b_lineitem_{tag}")
+    return (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+    )

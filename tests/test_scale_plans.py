@@ -346,6 +346,29 @@ class TestRound3PlanShapes:
         assert windows and all("__pid" in l for l in windows)
         assert "rangepartitioning" in p.lower()
 
+    def test_q101_bucketed_join_is_shuffle_free(self, spark, sf_dir):
+        """q101's bucketed tables must join without a shuffle on either
+        side.  At gate scale Catalyst prefers broadcasting the small side
+        (also shuffle-free); disabling broadcast exposes the bucketed
+        sort-merge path — the plan that carries to fact-fact scale — and
+        that path must contain NO Exchange below the join."""
+        from parquery_spark.queries import QUERIES
+
+        QUERIES["q101_bucketed_join"][0](spark, sf_dir)  # ensure tables
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            df = QUERIES["q101_bucketed_join"][0](spark, sf_dir)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            join_pos = plan.find("SortMergeJoin")
+            if join_pos == -1:
+                join_pos = plan.find("ShuffledHashJoin")
+            assert join_pos != -1
+            # no shuffle below the join; the only allowed Exchange is the
+            # one above it for the final tiny aggregate
+            assert "Exchange hashpartitioning" not in plan[join_pos:]
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
+
     def test_q98_day_layout_prunes_partitions(self, spark, sf_dir):
         """The day-partitioned event layout must serve the date-range
         aggregate through PartitionFilters — directory pruning, not a
