@@ -849,3 +849,55 @@ def lsh_join_indexed(
         "new_id", "corpus_id",
         F.round(n_eq / F.lit(float(num_hashes)), 6).alias("est_jaccard"),
     )
+
+def fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_col: str,
+    right_col: str,
+    left_id: str,
+    right_id: str,
+) -> DataFrame:
+    """Edit-distance-1 entity matching WITHOUT an all-pairs comparison:
+    symmetric-delete blocking (the SymSpell construction).  Each string
+    emits ``len + 1`` block keys — itself plus every one-character
+    deletion; two strings within Levenshtein distance 1 ALWAYS share a
+    key (a substitution pair meets at the deletion of the edited
+    position, an insert/delete pair at the inserted position's deletion),
+    so the equi-join on the key has perfect recall and only its
+    candidates pay Levenshtein verification.
+
+    Explode-shaped (posexplode over a ``sequence``, substring surgery in
+    codegen — no interpreted higher-order lambdas); the shuffle key is
+    the deletion variant, whose collisions are near-identical strings by
+    construction.  Returns ``(left_id, right_id, distance)`` with
+    ``distance <= 1``."""
+
+    def keyed(df, col, id_col, out_id):
+        c = F.col(col)
+        ex = df.select(
+            F.col(id_col).alias(out_id),
+            c.alias(f"__s_{out_id}"),
+            F.explode(F.sequence(F.lit(0), F.length(c))).alias("__i"),
+        )
+        s = f"__s_{out_id}"
+        key = F.when(F.col("__i") == 0, F.col(s)).otherwise(
+            F.expr(
+                f"concat(substring({s}, 1, __i - 1),"
+                f" substring({s}, __i + 1, length({s})))"
+            )
+        )
+        return ex.select(out_id, s, key.alias("__k"))
+
+    l = keyed(left, left_col, left_id, "__lid")
+    r = keyed(right, right_col, right_id, "__rid")
+    cands = l.join(r, "__k").dropDuplicates(["__lid", "__rid"])
+    dist = F.levenshtein("__s___lid", "__s___rid")
+    return (
+        cands.select(
+            F.col("__lid").alias(left_id),
+            F.col("__rid").alias(right_id),
+            dist.cast("long").alias("distance"),
+        )
+        .filter(F.col("distance") <= 1)
+    )

@@ -3529,3 +3529,64 @@ def q101_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue"),
         )
     )
+
+
+@query(
+    "q102_fuzzy_match",
+    # the oracle is the NAIVE all-pairs join (length-prefiltered): the
+    # blocked symmetric-delete join must return exactly what brute force
+    # finds — recall is the contract being gated
+    """
+    WITH dirty AS (
+        SELECT c_custkey AS dirty_id,
+               CASE
+                 WHEN c_custkey % 3 = 0 THEN
+                   substr(c_name, 1, (c_custkey % 10) + 4) || 'X' ||
+                   substr(c_name, (c_custkey % 10) + 6)
+                 WHEN c_custkey % 7 = 0 THEN
+                   substr(c_name, 1, (c_custkey % 10) + 4) ||
+                   substr(c_name, (c_custkey % 10) + 6)
+                 ELSE c_name
+               END AS dirty_name
+        FROM customer
+    )
+    SELECT d.dirty_id, c.c_custkey AS canon_id,
+           CAST(levenshtein(d.dirty_name, c.c_name) AS BIGINT) AS distance
+    FROM dirty d
+    JOIN customer c
+      ON abs(length(d.dirty_name) - length(c.c_name)) <= 1
+     AND levenshtein(d.dirty_name, c.c_name) <= 1
+    """,
+)
+def q102_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typo-tolerant entity resolution: customer names deterministically
+    corrupted (every 3rd key one substitution, every 7th one deletion)
+    and matched back to the canonical table by symmetric-delete blocked
+    edit-distance join.  The oracle runs the NAIVE all-pairs comparison —
+    the blocking must lose nothing (perfect recall is the SymSpell
+    guarantee, here made a hash-matched contract)."""
+    from parquery_spark.operators.dedup import fuzzy_join
+
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    pos = (F.col("c_custkey") % 10) + 5
+    sub = F.concat(
+        F.expr("substring(c_name, 1, (c_custkey % 10) + 4)"),
+        F.lit("X"),
+        F.expr("substring(c_name, (c_custkey % 10) + 6, length(c_name))"),
+    )
+    dele = F.concat(
+        F.expr("substring(c_name, 1, (c_custkey % 10) + 4)"),
+        F.expr("substring(c_name, (c_custkey % 10) + 6, length(c_name))"),
+    )
+    dirty = cust.select(
+        F.col("c_custkey").alias("dirty_id"),
+        F.when(F.col("c_custkey") % 3 == 0, sub)
+        .when(F.col("c_custkey") % 7 == 0, dele)
+        .otherwise(F.col("c_name"))
+        .alias("dirty_name"),
+    )
+    return fuzzy_join(
+        dirty, cust, "dirty_name", "c_name", "dirty_id", "c_custkey"
+    ).select(
+        "dirty_id", F.col("c_custkey").alias("canon_id"), "distance"
+    )

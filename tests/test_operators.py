@@ -303,3 +303,35 @@ class TestSampling:
         for r in again.collect():
             per2.setdefault(r["g"], set()).add(r["k"])
         assert per == per2  # reproducible under any layout
+
+
+class TestFuzzyJoin:
+    def test_recall_over_all_edit_kinds(self, spark):
+        from parquery_spark.operators import dedup
+
+        canon = spark.createDataFrame(
+            [(1, "spark"), (2, "sprak"), (3, "duck")], ["cid", "name"]
+        )
+        dirty = spark.createDataFrame(
+            [
+                (10, "spark"),   # exact
+                (11, "spork"),   # substitution
+                (12, "sparkx"),  # insertion
+                (13, "spak"),    # deletion
+                (14, "goose"),   # no match
+            ],
+            ["did", "name"],
+        )
+        got = {
+            (r["did"], r["cid"]): r["distance"]
+            for r in dedup.fuzzy_join(
+                dirty, canon, "name", "name", "did", "cid"
+            ).collect()
+        }
+        assert got[(10, 1)] == 0
+        assert got[(11, 1)] == 1
+        assert got[(12, 1)] == 1
+        assert got[(13, 1)] == 1
+        assert not any(d == 14 for d, _ in got)
+        # distance-2 pairs (e.g. "spork"->"sprak") never surface
+        assert (11, 2) not in got
