@@ -3590,3 +3590,284 @@ def q102_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "dirty_id", F.col("c_custkey").alias("canon_id"), "distance"
     )
+
+
+# ===========================================================================
+# Data-quality / lineage surface (round 4, batch A)
+# ===========================================================================
+
+@query(
+    "q103_fk_integrity",
+    """
+    SELECT 'orders_custkey_orphans' AS check_name, COUNT(*) AS n_bad
+    FROM orders o ANTI JOIN customer c ON o.o_custkey = c.c_custkey
+    UNION ALL
+    SELECT 'lineitem_orderkey_orphans', COUNT(*)
+    FROM lineitem l ANTI JOIN orders o ON l.l_orderkey = o.o_orderkey
+    UNION ALL
+    SELECT 'lineitem_partkey_orphans', COUNT(*)
+    FROM lineitem l ANTI JOIN part p ON l.l_partkey = p.p_partkey
+    UNION ALL
+    SELECT 'customer_nationkey_orphans', COUNT(*)
+    FROM customer c ANTI JOIN nation n ON c.c_nationkey = n.n_nationkey
+    UNION ALL
+    SELECT 'lineitem_discount_range', COUNT(*)
+    FROM lineitem WHERE l_discount < 0 OR l_discount > 1
+    UNION ALL
+    SELECT 'lineitem_quantity_nonpos', COUNT(*)
+    FROM lineitem WHERE l_quantity <= 0
+    UNION ALL
+    SELECT 'orders_null_custkey', COUNT(*)
+    FROM orders WHERE o_custkey IS NULL
+    """,
+)
+def q103_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity + constraint audit — the pre-ingest data-quality
+    gate of a pipeline: orphan foreign keys via LEFT ANTI joins (each a
+    key-shuffle join AQE can turn broadcast when the dimension fits), plus
+    range/null constraint violations as plain pushed-down filters.  Every
+    check reduces to one row before the union, so the combined result moves
+    seven rows regardless of fact-table size."""
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    cust = load(spark, sf_dir, "customer")
+    part = load(spark, sf_dir, "part")
+    nation = load(spark, sf_dir, "nation")
+
+    def cnt(df, name):
+        return df.agg(F.count(F.lit(1)).alias("n_bad")).select(
+            F.lit(name).alias("check_name"), "n_bad"
+        )
+
+    checks = [
+        cnt(
+            orders.join(
+                cust.select("c_custkey"),
+                orders["o_custkey"] == F.col("c_custkey"),
+                "left_anti",
+            ),
+            "orders_custkey_orphans",
+        ),
+        cnt(
+            li.join(
+                orders.select("o_orderkey"),
+                li["l_orderkey"] == F.col("o_orderkey"),
+                "left_anti",
+            ),
+            "lineitem_orderkey_orphans",
+        ),
+        cnt(
+            li.join(
+                part.select("p_partkey"),
+                li["l_partkey"] == F.col("p_partkey"),
+                "left_anti",
+            ),
+            "lineitem_partkey_orphans",
+        ),
+        cnt(
+            cust.join(
+                F.broadcast(nation.select("n_nationkey")),
+                cust["c_nationkey"] == F.col("n_nationkey"),
+                "left_anti",
+            ),
+            "customer_nationkey_orphans",
+        ),
+        cnt(
+            li.where((F.col("l_discount") < 0) | (F.col("l_discount") > 1)),
+            "lineitem_discount_range",
+        ),
+        cnt(li.where(F.col("l_quantity") <= 0), "lineitem_quantity_nonpos"),
+        cnt(orders.where(F.col("o_custkey").isNull()), "orders_null_custkey"),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionAll(c)
+    return out
+
+
+@query(
+    "q104_scd2_intervals",
+    """
+    WITH seq AS (
+        SELECT user_id, event_type, ts, event_id,
+               LAG(event_type) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        FROM events
+    ), marked AS (
+        SELECT *, CASE WHEN prev_type IS NULL OR prev_type <> event_type
+                       THEN 1 ELSE 0 END AS chg
+        FROM seq
+    ), runs AS (
+        SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS run
+        FROM marked
+    ), iv AS (
+        SELECT user_id, run, MIN(event_type) AS event_type,
+               epoch_us(MIN(ts)) AS valid_from_us
+        FROM runs GROUP BY user_id, run
+    )
+    SELECT user_id, event_type, valid_from_us,
+           LEAD(valid_from_us) OVER
+               (PARTITION BY user_id ORDER BY valid_from_us) AS valid_to_us,
+           (LEAD(valid_from_us) OVER
+               (PARTITION BY user_id ORDER BY valid_from_us) IS NULL)
+               AS is_current
+    FROM iv
+    """,
+)
+def q104_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-type-2 history build from an append-only event log: collapse
+    consecutive runs of the same per-user state into [valid_from, valid_to)
+    intervals with an is_current flag — the dimension-history shape every
+    warehouse maintains.  Run detection is the lag-mark/running-sum idiom
+    (one shuffle on user_id, sort within partition); the interval close is
+    a LEAD over the already-collapsed (small) relation.  Epoch-µs BIGINTs
+    keep the output tz-free across engines."""
+    from pyspark.sql import Window
+
+    events = load_events(spark, sf_dir)
+
+    def us(c):
+        return F.unix_micros(c.cast("timestamp"))
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("event_type").over(w)
+    chg = F.when(
+        prev.isNull() | (prev != F.col("event_type")), F.lit(1)
+    ).otherwise(F.lit(0))
+    runs = (
+        events.select("user_id", "event_type", "ts", "event_id")
+        .withColumn("__chg", chg)
+        .withColumn(
+            "run",
+            F.sum("__chg").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    iv = runs.groupBy("user_id", "run").agg(
+        F.min("event_type").alias("event_type"),
+        us(F.min("ts")).alias("valid_from_us"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy("valid_from_us")
+    valid_to = F.lead("valid_from_us").over(w2)
+    return iv.select(
+        "user_id",
+        "event_type",
+        "valid_from_us",
+        valid_to.alias("valid_to_us"),
+        valid_to.isNull().alias("is_current"),
+    )
+
+
+@query(
+    "q105_event_transitions",
+    """
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LAG(event_type) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        FROM events
+    ), pairs AS (
+        SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, event_type
+    )
+    SELECT prev_type, next_type, n,
+           ROUND(CAST(n AS DOUBLE) /
+                 SUM(n) OVER (PARTITION BY prev_type), 6) AS p
+    FROM pairs
+    """,
+)
+def q105_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event sequences
+    (session-flow analytics): LAG pairs within user, global pair counts,
+    row-normalized into transition probabilities.  The expensive part —
+    pairing — shuffles once on user_id; normalization runs over the tiny
+    (|event_type|²) pair relation.  Integer count ratios divide identically
+    in IEEE double on both engines; ROUND(6) pins the hash."""
+    from pyspark.sql import Window
+
+    events = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        events.select(
+            "user_id",
+            F.col("event_type").alias("next_type"),
+            F.lag("event_type").over(w).alias("prev_type"),
+            "ts",
+            "event_id",
+        )
+        .where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wn = Window.partitionBy("prev_type")
+    return pairs.select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.round(
+            F.col("n").cast("double") / F.sum("n").over(wn), 6
+        ).alias("p"),
+    )
+
+
+@query(
+    "q106_histogram",
+    """
+    SELECT CAST(FLOOR(o_totalprice / 25000) AS BIGINT) AS bin,
+           CAST(FLOOR(o_totalprice / 25000) AS BIGINT)
+               * CAST(25000 AS DOUBLE) AS bin_lo,
+           COUNT(*) AS n,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY 1, 2
+    """,
+)
+def q106_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width numeric histogram — the profiling primitive behind data
+    drift monitors: bin index by exact IEEE floor-division (identical on
+    every engine, unlike quantile-based binning), one hash aggregate, bin
+    count bounded by the value range, not the row count."""
+    orders = load(spark, sf_dir, "orders")
+    bin_ = F.floor(F.col("o_totalprice") / 25000).cast("long")
+    return orders.groupBy(
+        bin_.alias("bin"), (bin_ * 25000.0).alias("bin_lo")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+@query(
+    "q107_grouped_corr",
+    """
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           ROUND(CORR(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+           ROUND(COVAR_SAMP(l_quantity, l_extendedprice), 4) AS covar,
+           ROUND(REGR_SLOPE(l_extendedprice, l_quantity), 6) AS slope
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q107_grouped_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group bivariate statistics (correlation, sample covariance,
+    regression slope) — feature-screening math done as single-pass partial
+    aggregates (sum/sum-sq/cross-moments combine associatively; no second
+    scan, no centering pass).  Rounding absorbs partial-order float drift
+    between engines."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias(
+            "corr_qty_price"
+        ),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias(
+            "covar"
+        ),
+        F.round(
+            F.regr_slope(F.col("l_extendedprice"), F.col("l_quantity")), 6
+        ).alias("slope"),
+    )
