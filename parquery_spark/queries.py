@@ -3871,3 +3871,134 @@ def q107_grouped_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.regr_slope(F.col("l_extendedprice"), F.col("l_quantity")), 6
         ).alias("slope"),
     )
+
+
+# ===========================================================================
+# TPC-H adaptations (round 4, batch B) — multi-join OLAP shapes
+# ===========================================================================
+
+@query(
+    "q108_tpch_q10",
+    """
+    SELECT c_custkey, c_name, n_name,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           COUNT(*) AS n_items
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1995-10-01'
+      AND o_orderdate <  TIMESTAMP '1996-01-01'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q108_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 (returned-item reporting) on the trimmed schema: one
+    quarter of orders x returned lineitems x customer x nation, top 20
+    customers by lost revenue.  Date and returnflag filters push into both
+    fact scans before the joins; nation broadcasts; the top-20 plans as
+    TakeOrderedAndProject (no global sort).  Ranking runs on the ROUNDED
+    revenue with c_custkey as tie-break so both engines pick the same 20."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1995-10-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    nation = load(spark, sf_dir, "nation")
+    joined = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == F.col("n_nationkey"))
+    )
+    return (
+        joined.groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "q109_tpch_q14",
+    """
+    SELECT ROUND(CAST(100 AS DOUBLE) * SUM(CASE WHEN p_type = 'PROMO'
+                     THEN l_extendedprice * (1 - l_discount)
+                     ELSE CAST(0 AS DOUBLE) END)
+                 / SUM(l_extendedprice * (1 - l_discount)), 6)
+               AS promo_revenue_pct,
+           ROUND(SUM(CASE WHEN p_type = 'PROMO'
+                     THEN l_extendedprice * (1 - l_discount)
+                     ELSE CAST(0 AS DOUBLE) END), 2) AS promo_revenue,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE l_shipdate >= TIMESTAMP '1995-09-01'
+      AND l_shipdate <  TIMESTAMP '1995-10-01'
+    """,
+)
+def q109_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promotion effect): one month of shipments joined to part,
+    conditional-sum ratio in a single aggregate — no second scan, no
+    subquery.  The date filter pushes into the lineitem scan; part joins on
+    the key only (two columns read).  Ratio-of-sums is rounded AFTER the
+    division on both sides."""
+    li = load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1995-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1995-10-01").cast("timestamp"))
+    )
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    return li.join(part, li["l_partkey"] == part["p_partkey"]).agg(
+        F.round(F.lit(100.0) * F.sum(promo) / F.sum(rev), 6).alias(
+            "promo_revenue_pct"
+        ),
+        F.round(F.sum(promo), 2).alias("promo_revenue"),
+        F.round(F.sum(rev), 2).alias("total_revenue"),
+    )
+
+
+@query(
+    "q110_tpch_q19",
+    """
+    SELECT COUNT(*) AS n,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q110_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 (discounted revenue, OR-of-ANDs): the disjunctive
+    predicate references both sides of the join, so Catalyst splits it —
+    per-side implied filters (brand/size on part, quantity on lineitem)
+    push into the scans as `PushedFilters`, the residual disjunction
+    evaluates post-join.  The shape that shows predicate decomposition
+    working; a naive engine reads both tables in full."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    j = li.join(part, li["l_partkey"] == part["p_partkey"])
+    q, b, s = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
+    cond = (
+        ((b == "Brand#1") & s.between(1, 15) & q.between(1, 11))
+        | ((b == "Brand#2") & s.between(1, 25) & q.between(10, 20))
+        | ((b == "Brand#3") & s.between(1, 35) & q.between(20, 30))
+    )
+    return j.where(cond).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+    )
