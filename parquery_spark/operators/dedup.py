@@ -901,3 +901,48 @@ def fuzzy_join(
         )
         .filter(F.col("distance") <= 1)
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
+    rolling-hash scheme): hash every k-word gram positionally, slide a
+    w-gram window, keep the minimum hash of each window, return the
+    DISTINCT selected hashes per document.  Guarantees any shared run of
+    k + w - 1 words between two documents shares at least one fingerprint,
+    while storing ~1/w of the gram hashes.
+
+    Distributed shape: posexplode (narrow) → one shuffle on id_col for the
+    rolling-min window → distinct on (id, hash).  Never materializes
+    all-pairs anything; the fingerprint relation is the join key for
+    plagiarism/overlap detection downstream.
+
+    Returns (id_col, fingerprint) rows; docs with fewer than k + w - 1
+    words yield no rows (no complete window exists).
+    """
+    from pyspark.sql import Window
+
+    grams = word_shingles(text_col, k)
+    pos = df.select(
+        F.col(id_col), F.posexplode(grams).alias("pos", "gram")
+    ).select(id_col, "pos", hash64(F.col("gram")).alias("h"))
+    wroll = (
+        Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, w - 1)
+    )
+    wdoc = Window.partitionBy(id_col)
+    sel = pos.select(
+        id_col,
+        "pos",
+        F.min("h").over(wroll).alias("fingerprint"),
+        F.count(F.lit(1)).over(wdoc).alias("__ng"),
+    )
+    return (
+        sel.where(F.col("pos") <= F.col("__ng") - w)
+        .select(id_col, "fingerprint")
+        .distinct()
+    )

@@ -4002,3 +4002,211 @@ def q110_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
         ).alias("revenue"),
     )
+
+
+# ===========================================================================
+# Round 4, batch C — winnowing, leakage-safe split, outliers, BM25
+# ===========================================================================
+
+@query(
+    "q111_winnowing",
+    f"""
+    WITH sh AS ({_sql_shingles(5)}),
+    pos AS (
+        SELECT doc_id, p[2] AS pos,
+               ('0x' || substr(md5(p[1]), 1, 15))::BIGINT AS h
+        FROM (SELECT doc_id,
+                     unnest(list_zip(shingles, range(len(shingles)))) AS p
+              FROM sh)
+    ),
+    wins AS (
+        SELECT doc_id, pos,
+               MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+               COUNT(*) OVER (PARTITION BY doc_id) AS ng
+        FROM pos
+    ),
+    sel AS (SELECT DISTINCT doc_id, fp FROM wins WHERE pos <= ng - 4)
+    SELECT doc_id, COUNT(*) AS n_fp, bit_xor(fp) AS fp_xor
+    FROM sel GROUP BY doc_id
+    """,
+)
+def q111_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash winnowing fingerprints (MOSS scheme) rolled up per doc:
+    count + order-independent XOR of the selected fingerprint set.  The
+    full (doc_id, fingerprint) relation is the reusable overlap-detection
+    index; the rollup keeps the oracle row count at |docs|."""
+    from parquery_spark.operators.dedup import winnow_fingerprints
+
+    fp = winnow_fingerprints(
+        load(spark, sf_dir, "documents"), "text", "doc_id", k=5, w=4
+    )
+    return fp.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_fp"),
+        F.bit_xor("fingerprint").alias("fp_xor"),
+    )
+
+
+@query(
+    "q112_group_split",
+    f"""
+    WITH d AS (
+        SELECT lang, md5({_SQL_NORMALIZED_TEXT}) AS fp FROM documents
+    ),
+    s AS (
+        SELECT lang, fp,
+               CASE WHEN ('0x' || substr(md5(fp || '#42'), 1, 15))::BIGINT
+                         % 100 < 90
+                    THEN 'train' ELSE 'test' END AS split
+        FROM d
+    )
+    SELECT lang, split, COUNT(*) AS n_docs, COUNT(DISTINCT fp) AS n_groups
+    FROM s GROUP BY lang, split
+    """,
+)
+def q112_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/test split: the split decision hashes the content
+    FINGERPRINT (normalized-text md5), not the row, so every near-exact
+    duplicate of a document lands on the same side — the invariant that
+    stops test-set contamination in LLM corpus prep.  Inclusion is a pure
+    function of (fingerprint, seed): deterministic across runs, engines,
+    and partitionings, no sampling state to coordinate."""
+    from parquery_spark.functions.text import fingerprint
+    from parquery_spark.operators.dedup import hash64
+
+    docs = load(spark, sf_dir, "documents")
+    fp = fingerprint(F.col("text"))
+    split = F.when(
+        hash64(fp, seed=42) % 100 < 90, F.lit("train")
+    ).otherwise(F.lit("test"))
+    return (
+        docs.select("lang", fp.alias("fp"), split.alias("split"))
+        .groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct(F.col("fp")).alias("n_groups"),
+        )
+    )
+
+
+@query(
+    "q113_zscore_outliers",
+    """
+    WITH stats AS (
+        SELECT event_type, AVG(value) AS mu, STDDEV_SAMP(value) AS sd
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_type, COUNT(*) AS n_outliers,
+           MIN(e.value) AS min_out, MAX(e.value) AS max_out
+    FROM events e JOIN stats s ON e.event_type = s.event_type
+    WHERE s.sd > 0 AND ABS((e.value - s.mu) / s.sd) > 3
+    GROUP BY e.event_type
+    """,
+)
+def q113_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score outlier audit — the numeric-quality filter of a
+    feature pipeline: one aggregate pass for group moments, the tiny stats
+    relation broadcast back onto the fact scan (no second shuffle), outliers
+    reduced to counts + extrema.  Min/max of raw doubles are exact on both
+    engines; only membership at the 3-sigma boundary depends on float
+    partials, ~1e-15 relative — far below value spacing."""
+    events = load_events(spark, sf_dir)
+    stats = events.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sd")
+    )
+    e = events.select("event_type", "value")
+    return (
+        e.join(F.broadcast(stats), "event_type")
+        .where(
+            (F.col("sd") > 0)
+            & (F.abs((F.col("value") - F.col("mu")) / F.col("sd")) > 3)
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_outliers"),
+            F.min("value").alias("min_out"),
+            F.max("value").alias("max_out"),
+        )
+    )
+
+
+@query(
+    "q114_bm25_topk",
+    f"""
+    WITH toks AS ({_SQL_TOKS}),
+    dl AS (SELECT doc_id, len(w) AS dl FROM toks),
+    stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+    tf AS (
+        SELECT doc_id, t.token AS term, COUNT(*) AS tf
+        FROM toks, unnest(w) AS t(token)
+        WHERE t.token IN ('join', 'filter', 'vector')
+        GROUP BY doc_id, t.token
+    ),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    scored AS (
+        SELECT tf.doc_id,
+               SUM(ln((CAST(s.n_docs AS DOUBLE) - d.df + 0.5)
+                       / (d.df + 0.5) + 1)
+                   * tf.tf * 2.2
+                   / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)))
+                   AS score
+        FROM tf
+        JOIN dfreq d USING (term)
+        JOIN dl USING (doc_id)
+        CROSS JOIN stats s
+        GROUP BY tf.doc_id
+    )
+    SELECT doc_id, ROUND(score, 6) AS bm25
+    FROM scored ORDER BY bm25 DESC, doc_id LIMIT 15
+    """,
+)
+def q114_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 (k1=1.2, b=0.75) keyword retrieval, top-15 docs for a fixed
+    term set: tf via explode+filter (term filter BEFORE the shuffle — the
+    relation that aggregates is |matching tokens|, not |tokens|), df and
+    corpus stats are one-row/3-row broadcasts, ranking plans as
+    TakeOrderedAndProject on the rounded score with doc_id tie-break.
+    Float discipline: identical association order both sides, ROUND(6)
+    absorbs last-ulp ln/division drift."""
+    from parquery_spark.operators.dedup import shingle_tokens
+
+    docs = load(spark, sf_dir, "documents")
+    terms = ["join", "filter", "vector"]
+    toks = docs.select("doc_id", shingle_tokens("text").alias("w"))
+    dl = toks.select("doc_id", F.size("w").cast("long").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        toks.select("doc_id", F.explode("w").alias("term"))
+        .where(F.col("term").isin(terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        (F.col("n_docs").cast("double") - F.col("df") + 0.5)
+        / (F.col("df") + 0.5)
+        + 1
+    )
+    contrib = (
+        idf
+        * F.col("tf")
+        * 2.2
+        / (
+            F.col("tf")
+            + 1.2 * (1 - 0.75 + 0.75 * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(contrib).alias("score"))
+    )
+    return (
+        scored.select("doc_id", F.round("score", 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), F.col("doc_id"))
+        .limit(15)
+    )
