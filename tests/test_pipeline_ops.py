@@ -332,3 +332,46 @@ class TestUpsertAndGapFill:
         assert rows[("a", 12)] == (0, 1.5)
         assert rows[("a", 13)] == (1, 9.0)   # real observation wins
         assert rows[("b", 5)] == (4, 2.0)
+
+
+class TestWinnowing:
+    def test_shared_run_shares_fingerprint(self, spark):
+        """Winnowing guarantee: two docs sharing a run of k + w - 1 = 8
+        words share at least one selected fingerprint."""
+        from parquery_spark.operators.dedup import winnow_fingerprints
+
+        shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 words
+        docs = spark.createDataFrame(
+            [
+                (1, f"unrelated prefix words here {shared} and a tail"),
+                (2, f"{shared} totally different continuation text body"),
+                (3, "no overlap with anything else at all whatsoever ok"),
+            ],
+            ["doc_id", "text"],
+        )
+        fp = winnow_fingerprints(docs, "text", "doc_id", k=5, w=4)
+        rows = fp.collect()
+        by_doc = {}
+        for r in rows:
+            by_doc.setdefault(r.doc_id, set()).add(r.fingerprint)
+        assert by_doc[1] & by_doc[2], "shared 8-word run must collide"
+        assert not (by_doc[3] & (by_doc[1] | by_doc[2]))
+
+    def test_short_doc_yields_no_rows(self, spark):
+        from parquery_spark.operators.dedup import winnow_fingerprints
+
+        docs = spark.createDataFrame(
+            [(1, "only seven words live in this doc")], ["doc_id", "text"]
+        )
+        assert winnow_fingerprints(docs, k=5, w=4).count() == 0
+
+    def test_density_is_roughly_one_over_w(self, spark):
+        """Fingerprint count ~ n_grams / w on random-ish text (the storage
+        guarantee that makes winnowing cheaper than full gram hashing)."""
+        from parquery_spark.operators.dedup import winnow_fingerprints
+
+        words = " ".join(f"w{i * 7919 % 1000}x{i}" for i in range(200))
+        docs = spark.createDataFrame([(1, words)], ["doc_id", "text"])
+        n = winnow_fingerprints(docs, k=5, w=4).count()
+        n_windows = 200 - 5 + 1 - 3  # grams minus window slack
+        assert n_windows / 4 * 0.5 <= n <= n_windows  # loose but real bound

@@ -408,3 +408,75 @@ class TestRound3PlanShapes:
         )
         assert "partial_count" in plan or "partial_sum" in plan
         assert "EvalPython" not in plan
+
+    def test_round4_batch_plan_shapes(self, spark, sf_dir):
+        """Round-4 additions keep their scale shapes: q108's top-20 plans
+        as TakeOrderedAndProject over broadcast star joins (no global
+        sort); q114's ranking likewise, with dfreq/stats broadcast; q104/
+        q105 windows all partitioned on user_id; q113's stats join
+        broadcasts (no second shuffle of the fact table)."""
+        from parquery_spark.queries import QUERIES
+
+        def plan(name):
+            df = QUERIES[name][0](spark, sf_dir)
+            return df._jdf.queryExecution().executedPlan().toString()
+
+        p = plan("q108_tpch_q10")
+        assert "TakeOrderedAndProject(limit=20" in p
+        assert "BroadcastHashJoin" in p and "EvalPython" not in p
+
+        p = plan("q114_bm25_topk")
+        assert "TakeOrderedAndProject(limit=15" in p
+        assert "BroadcastHashJoin" in p and "EvalPython" not in p
+
+        for name in ("q104_scd2_intervals", "q105_event_transitions"):
+            p = plan(name)
+            windows = [l for l in p.splitlines()
+                       if "windowspecdefinition" in l.lower()]
+            assert windows, name
+            # every window is keyed (user_id upstream, prev_type for the
+            # tiny normalization pass) — none global
+            assert all("windowspecdefinition(" in l and
+                       "windowspecdefinition()" not in l for l in windows)
+            up = [l for l in windows if "user_id" in l]
+            assert up, name
+
+        p = plan("q113_zscore_outliers")
+        assert "BroadcastHashJoin" in p and "EvalPython" not in p
+
+    def test_q110_disjunction_decomposes_to_both_scans(self, spark, sf_dir,
+                                                       tmp_path):
+        """The OR-of-ANDs predicate must split into per-side implied
+        filters that reach BOTH parquet scans as PushedFilters, with the
+        scans pruned to the referenced columns — the behavior q110's
+        docstring promises at 100 TB (asserted here on the uncached read
+        path; the query itself may serve from the size-gated relation
+        cache at test scale).  Reads hardlinked copies so CacheManager
+        can't substitute a relation another test persisted for the same
+        source path."""
+        for t in ("lineitem", "part"):
+            os.link(os.path.join(sf_dir, f"{t}.parquet"),
+                    tmp_path / f"{t}.parquet")
+        li = spark.read.parquet(str(tmp_path / "lineitem.parquet"))
+        part = spark.read.parquet(str(tmp_path / "part.parquet"))
+        j = li.join(part, li["l_partkey"] == part["p_partkey"])
+        q, b, s = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
+        cond = (
+            ((b == "Brand#1") & s.between(1, 15) & q.between(1, 11))
+            | ((b == "Brand#2") & s.between(1, 25) & q.between(10, 20))
+            | ((b == "Brand#3") & s.between(1, 35) & q.between(20, 30))
+        )
+        plan = (
+            j.where(cond).agg(F.count(F.lit(1)).alias("n"))
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        # identify the two scans by their pruned read schemas (the plan's
+        # Location strings truncate at ~100 chars, so paths can't be used)
+        scans = [l for l in plan.splitlines() if "FileScan" in l]
+        li_scan = next(l for l in scans if "l_partkey" in l)
+        part_scan = next(l for l in scans if "p_partkey" in l)
+        assert "l_quantity" in li_scan.split("PushedFilters")[1]
+        assert "p_brand" in part_scan.split("PushedFilters")[1]
+        # column pruning: only the join key + predicate columns are read
+        assert "struct<l_partkey:bigint,l_quantity:double>" in li_scan
+        assert "l_extendedprice" not in li_scan
