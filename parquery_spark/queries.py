@@ -4210,3 +4210,180 @@ def q114_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("bm25").desc(), F.col("doc_id"))
         .limit(15)
     )
+
+
+@query(
+    "q115_time_grain_rollup",
+    """
+    WITH b AS (
+        SELECT epoch_us(date_trunc('day', ts))   AS day_us,
+               epoch_us(date_trunc('week', ts))  AS week_us,
+               epoch_us(date_trunc('month', ts)) AS month_us,
+               value
+        FROM events
+    ), g AS (
+        SELECT day_us, week_us, month_us,
+               CAST(GROUPING(day_us) * 4 + GROUPING(week_us) * 2
+                    + GROUPING(month_us) AS BIGINT) AS gid,
+               COUNT(*) AS n, ROUND(SUM(value), 2) AS total
+        FROM b GROUP BY GROUPING SETS ((day_us), (week_us), (month_us))
+    )
+    SELECT CASE gid WHEN 3 THEN 'day' WHEN 5 THEN 'week'
+                    ELSE 'month' END AS grain,
+           CASE gid WHEN 3 THEN day_us WHEN 5 THEN week_us
+                    ELSE month_us END AS bucket_us,
+           n, total
+    FROM g
+    """,
+)
+def q115_time_grain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-grain time rollup (day + week + month) via GROUPING SETS:
+    ONE scan of the event log feeds an Expand of three projections, each
+    partial-aggregated map-side — one shuffle instead of three query runs
+    over a 100 TB log.  grouping_id disambiguates the grain (a genuinely
+    NULL bucket from null timestamps stays distinguishable)."""
+    events = load_events(spark, sf_dir)
+    ts = F.col("ts").cast("timestamp")
+    b = events.select(
+        F.unix_micros(F.date_trunc("day", ts)).alias("day_us"),
+        F.unix_micros(F.date_trunc("week", ts)).alias("week_us"),
+        F.unix_micros(F.date_trunc("month", ts)).alias("month_us"),
+        "value",
+    )
+    g = b.groupingSets(
+        [["day_us"], ["week_us"], ["month_us"]],
+        "day_us", "week_us", "month_us",
+    ).agg(
+        F.grouping_id().cast("long").alias("gid"),
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("total"),
+    )
+    grain = (
+        F.when(F.col("gid") == 3, "day")
+        .when(F.col("gid") == 5, "week")
+        .otherwise("month")
+    )
+    bucket = (
+        F.when(F.col("gid") == 3, F.col("day_us"))
+        .when(F.col("gid") == 5, F.col("week_us"))
+        .otherwise(F.col("month_us"))
+    )
+    return g.select(
+        grain.alias("grain"), bucket.alias("bucket_us"), "n", "total"
+    )
+
+
+@query(
+    "q116_int8_quantization",
+    """
+    WITH v AS (
+        SELECT vec_id, label, embedding::DOUBLE[] AS x FROM embeddings
+    ), m AS (
+        SELECT vec_id, label, x,
+               CAST(127 AS DOUBLE)
+                   / list_max(list_transform(x, e -> abs(e))) AS scale
+        FROM v
+    ), e AS (
+        SELECT vec_id, label, len(x) AS dim,
+               list_sum(list_transform(x, e2 ->
+                   (e2 - floor(e2 * scale + 0.5) / scale)
+                   * (e2 - floor(e2 * scale + 0.5) / scale))) AS sqerr
+        FROM m
+    )
+    SELECT label, COUNT(*) AS n_vecs,
+           ROUND(AVG(sqrt(sqerr / dim)), 6) AS avg_rms_err
+    FROM e GROUP BY label
+    """,
+)
+def q116_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 scalar quantization error profile (the compression
+    every vector store applies before ANN serving): per-vector scale =
+    127/max|x|, elementwise round-to-nearest via floor(x*scale + 0.5)
+    (identical IEEE result on every engine, unlike ROUND's half-even /
+    half-up ambiguity), RMS reconstruction error averaged per label.
+    Shape: posexplode → per-vector max via one user-keyed window (explode
+    and window share the vec_id shuffle) → same-partition aggregate; all
+    whole-stage codegen, no interpreted lambdas in the bulk path."""
+    from pyspark.sql import Window
+
+    emb = load(spark, sf_dir, "embeddings")
+    pos = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "pos", "x"
+        ),
+    )
+    wv = Window.partitionBy("vec_id")
+    scale = F.lit(127.0) / F.max(F.abs(F.col("x"))).over(wv)
+    q = F.floor(F.col("x") * scale + 0.5)
+    err = F.col("x") - q / scale
+    per_vec = (
+        pos.select("vec_id", "label", (err * err).alias("sq"))
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum("sq").alias("sqerr"), F.count(F.lit(1)).alias("dim")
+        )
+    )
+    return per_vec.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(
+            F.avg(F.sqrt(F.col("sqerr") / F.col("dim"))), 6
+        ).alias("avg_rms_err"),
+    )
+
+
+@query(
+    "q117_partial_merge_rollup",
+    """
+    SELECT epoch_us(date_trunc('month', ts)) AS month_us, event_type,
+           COUNT(value) AS n,
+           SUM(CAST(value AS DECIMAL(18,6))) AS total,
+           MIN(value) AS min_v, MAX(value) AS max_v,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                 / COUNT(value), 6) AS avg_v
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q117_partial_merge_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-aggregate demonstration: daily partial aggregates (the
+    materialization a 100 TB pipeline persists per ingest day) merged into
+    a monthly rollup WITHOUT rescanning raw data — count/min/max merge by
+    sum/min/max, and the sum is carried in DECIMAL(18,6) so merging is
+    EXACT and associative (a double sum would drift between the two-stage
+    merge and the oracle's direct pass).  The oracle aggregates the raw
+    table directly: merged-partials == direct is the contract."""
+    events = load_events(spark, sf_dir)
+    ts = F.col("ts").cast("timestamp")
+    day = (
+        events.select(
+            F.unix_micros(F.date_trunc("day", ts)).alias("day_us"),
+            F.unix_micros(F.date_trunc("month", ts)).alias("month_us"),
+            "event_type",
+            "value",
+        )
+        .groupBy("day_us", "month_us", "event_type")
+        .agg(
+            F.count("value").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("total"),
+            F.min("value").alias("min_v"),
+            F.max("value").alias("max_v"),
+        )
+    )
+    merged = day.groupBy("month_us", "event_type").agg(
+        F.sum("n").alias("n"),
+        F.sum("total").alias("total"),
+        F.min("min_v").alias("min_v"),
+        F.max("max_v").alias("max_v"),
+    )
+    return merged.select(
+        "month_us",
+        "event_type",
+        "n",
+        "total",
+        "min_v",
+        "max_v",
+        F.round(F.col("total").cast("double") / F.col("n"), 6).alias(
+            "avg_v"
+        ),
+    )
