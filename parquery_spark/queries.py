@@ -4387,3 +4387,179 @@ def q117_partial_merge_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_v"
         ),
     )
+
+
+_CMS_DEPTH, _CMS_WIDTH = 4, 1024
+
+
+def _sql_cms_hash(token_expr: str, r: int) -> str:
+    return (
+        f"('0x' || substr(md5({token_expr} || '#cms{r}'), 1, 15))::BIGINT"
+        f" % {_CMS_WIDTH}"
+    )
+
+
+@query(
+    "q118_cms_heavy_hitters",
+    f"""
+    WITH toks AS ({_SQL_TOKS}),
+    inst AS (SELECT t.token FROM toks, unnest(w) AS t(token)),
+    counters AS (
+        SELECT r, bucket, COUNT(*) AS c FROM (
+            {" UNION ALL ".join(
+                f"SELECT {r} AS r, {_sql_cms_hash('token', r)} AS bucket"
+                " FROM inst"
+                for r in range(_CMS_DEPTH)
+            )}
+        ) GROUP BY r, bucket
+    ),
+    top AS (
+        SELECT token, COUNT(*) AS true_n FROM inst
+        GROUP BY token ORDER BY true_n DESC, token LIMIT 20
+    ),
+    probes AS (
+        {" UNION ALL ".join(
+            f"SELECT token, true_n, {r} AS r,"
+            f" {_sql_cms_hash('token', r)} AS bucket FROM top"
+            for r in range(_CMS_DEPTH)
+        )}
+    )
+    SELECT p.token, MIN(p.true_n) AS true_n, MIN(c.c) AS est_n,
+           (MIN(c.c) >= MIN(p.true_n)) AS no_underestimate
+    FROM probes p JOIN counters c ON p.r = c.r AND p.bucket = c.bucket
+    GROUP BY p.token
+    """,
+)
+def q118_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (depth 4 x width 1024) heavy-hitter frequency
+    estimation, completing the mergeable-sketch family (HLL q54, Bloom
+    q77): counters are grouped sums — mergeable across corpora by
+    addition, O(depth x width) state regardless of corpus size.  The
+    oracle replicates the SKETCH exactly (same md5-derived hash family),
+    so estimated counts are hash-matched, and the CMS no-underestimate
+    guarantee is emitted as a gated boolean per heavy hitter."""
+    from parquery_spark.operators.dedup import hash64, shingle_tokens
+
+    docs = load(spark, sf_dir, "documents")
+    inst = docs.select(
+        F.explode(shingle_tokens("text")).alias("token")
+    )
+    inst = inst.persist()
+
+    def bucket(r):
+        return (hash64(F.col("token"), seed=f"cms{r}") % _CMS_WIDTH).alias(
+            "bucket"
+        )
+
+    counter_parts = [
+        inst.select(F.lit(r).alias("r"), bucket(r))
+        for r in range(_CMS_DEPTH)
+    ]
+    counters = counter_parts[0]
+    for cp in counter_parts[1:]:
+        counters = counters.unionAll(cp)
+    counters = counters.groupBy("r", "bucket").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+
+    top = (
+        inst.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("true_n"))
+        .orderBy(F.col("true_n").desc(), F.col("token"))
+        .limit(20)
+    )
+    probe_parts = [
+        top.select("token", "true_n", F.lit(r).alias("r"), bucket(r))
+        for r in range(_CMS_DEPTH)
+    ]
+    probes = probe_parts[0]
+    for pp in probe_parts[1:]:
+        probes = probes.unionAll(pp)
+    est = (
+        F.broadcast(probes)
+        .join(counters, ["r", "bucket"])
+        .groupBy("token")
+        .agg(F.min("true_n").alias("true_n"), F.min("c").alias("est_n"))
+    )
+    return est.select(
+        "token",
+        "true_n",
+        "est_n",
+        (F.col("est_n") >= F.col("true_n")).alias("no_underestimate"),
+    )
+
+
+@query(
+    "q119_containment_pairs",
+    f"""
+    WITH toks AS ({_SQL_TOKS}),
+    sh AS (
+        SELECT d.doc_id, d.source, g.gram
+        FROM (SELECT t.doc_id, t.source,
+                     list_distinct(
+                         CASE WHEN len(w) >= 3 THEN
+                             [array_to_string(w[i+1:i+3], ' ')
+                              for i in range(len(w) - 2)]
+                         ELSE [] END) AS grams
+              FROM (SELECT toks.doc_id, documents.source, toks.w
+                    FROM toks JOIN documents USING (doc_id)) t) d,
+             unnest(d.grams) AS g(gram)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+        FROM sh a JOIN sh b
+          ON a.source = b.source AND a.gram = b.gram
+         AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b, n_inter,
+           ROUND(CAST(n_inter AS DOUBLE)
+                 / LEAST(sa.n, sb.n), 6) AS containment
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(n_inter AS DOUBLE) / LEAST(sa.n, sb.n) >= 0.08
+    """,
+)
+def q119_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment (asymmetric Jaccard, |A∩B| / min(|A|,|B|)) over
+    source-blocked pairs — catches a small document embedded inside a
+    large one, which symmetric-Jaccard LSH structurally misses.  Candidate
+    generation is an equi-join on (block, shingle): volume is bounded by
+    the block, never corpus², and the shuffles carry distinct 3-gram
+    hashes, not text.  At 100 TB the block key is whatever upstream
+    partitioning exists (source, domain, time window)."""
+    from parquery_spark.operators.dedup import word_shingles
+
+    docs = load(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.array_distinct(word_shingles("text", 3))
+        ).alias("gram"),
+    ).persist()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    c = F.col("n_inter").cast("double") / F.least(
+        F.col("sa.n"), F.col("sb.n")
+    )
+    return (
+        inter.join(sizes.alias("sa"), F.col("sa.doc_id") == F.col("id_a"))
+        .join(sizes.alias("sb"), F.col("sb.doc_id") == F.col("id_b"))
+        .where(c >= 0.08)
+        .select("id_a", "id_b", "n_inter", F.round(c, 6).alias("containment"))
+    )
