@@ -4563,3 +4563,57 @@ def q119_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(c >= 0.08)
         .select("id_a", "id_b", "n_inter", F.round(c, 6).alias("containment"))
     )
+
+
+@query(
+    "q120_compaction_checksum",
+    """
+    SELECT l_linestatus, COUNT(*) AS n,
+           bit_xor(('0x' || substr(md5(
+               CAST(l_orderkey AS VARCHAR) || '|' ||
+               CAST(l_linenumber AS VARCHAR) || '|' ||
+               CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS VARCHAR)
+           ), 1, 15))::BIGINT) AS checksum
+    FROM lineitem GROUP BY l_linestatus
+    """,
+)
+def q120_compaction_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction validated by content checksum: lineitem is
+    deliberately fragmented into 64 small files, compacted back to
+    target-sized files with the coalesce-based (shuffle-free) compactor,
+    and the ORACLE reads the ORIGINAL table — the order-independent
+    per-group checksum proves the rewrite moved every row exactly once.
+    Both rewrite steps are stat-keyed to the source file version, so a
+    regenerated corpus invalidates the fixture."""
+    import hashlib
+    import tempfile
+
+    from parquery_spark.operators.dedup import hash64
+    from parquery_spark.operators.maintenance import compact_files
+
+    src = _path(sf_dir, "lineitem")
+    st = os.stat(src)
+    ident = f"{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}|compact"
+    tag = hashlib.md5(ident.encode()).hexdigest()[:10]
+    frag = os.path.join(tempfile.gettempdir(), f"pqs_frag_{tag}")
+    compacted = os.path.join(tempfile.gettempdir(), f"pqs_compacted_{tag}")
+    if not os.path.exists(os.path.join(compacted, "_SUCCESS")):
+        load(spark, sf_dir, "lineitem").repartition(64).write.mode(
+            "overwrite"
+        ).parquet(frag)
+        stats = compact_files(
+            spark, frag, compacted, target_bytes=8 * 1024 * 1024
+        )
+        assert stats["files_after"] < stats["files_before"], stats
+
+    li = spark.read.parquet(compacted)
+    row_str = F.concat_ws(
+        "|",
+        F.col("l_orderkey").cast("string"),
+        F.col("l_linenumber").cast("string"),
+        F.col("l_extendedprice").cast("decimal(18,2)").cast("string"),
+    )
+    return li.groupBy("l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.bit_xor(hash64(row_str)).alias("checksum"),
+    )

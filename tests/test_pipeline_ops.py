@@ -375,3 +375,21 @@ class TestWinnowing:
         n = winnow_fingerprints(docs, k=5, w=4).count()
         n_windows = 200 - 5 + 1 - 3  # grams minus window slack
         assert n_windows / 4 * 0.5 <= n <= n_windows  # loose but real bound
+
+
+class TestCompaction:
+    def test_compact_preserves_rows_and_reduces_files(self, spark, tmp_path):
+        from parquery_spark.operators.maintenance import (
+            compact_files, dir_parquet_stats)
+
+        df = spark.range(0, 10_000).withColumnRenamed("id", "k")
+        src = str(tmp_path / "frag")
+        dst = str(tmp_path / "compacted")
+        df.repartition(32).write.parquet(src)
+        assert dir_parquet_stats(src)[0] == 32
+        stats = compact_files(spark, src, dst, target_bytes=1 << 30)
+        assert stats["files_before"] == 32
+        assert stats["files_after"] == 1
+        out = spark.read.parquet(dst)
+        assert out.count() == 10_000
+        assert out.agg({"k": "sum"}).first()[0] == 10_000 * 9_999 // 2
