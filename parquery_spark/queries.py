@@ -4617,3 +4617,236 @@ def q120_compaction_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.bit_xor(hash64(row_str)).alias("checksum"),
     )
+
+
+@query(
+    "q121_tpch_q13",
+    """
+    SELECT c_count, COUNT(*) AS custdist FROM (
+        SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        FROM customer LEFT JOIN orders
+          ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        GROUP BY c_custkey
+    ) GROUP BY c_count
+    """,
+)
+def q121_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (customer order-count distribution): LEFT OUTER join with
+    a join-side residual filter, two-level aggregation.  The outer join
+    preserves zero-order customers (COUNT of NULL keys = 0); the second
+    aggregate runs over the |customers| relation, then collapses to the
+    tiny count-of-counts histogram."""
+    cust = load(spark, sf_dir, "customer").select("c_custkey")
+    orders = load(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderpriority"
+    )
+    per_cust = (
+        cust.join(
+            orders,
+            (cust["c_custkey"] == orders["o_custkey"])
+            & (orders["o_orderpriority"] != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+@query(
+    "q122_tpch_q18",
+    """
+    SELECT c_custkey, c_name, o_orderkey,
+           epoch_us(o_orderdate) AS orderdate_us,
+           ROUND(o_totalprice, 2) AS totalprice,
+           SUM(l_quantity) AS sum_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey HAVING SUM(l_quantity) > 300
+    )
+    GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+)
+def q122_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customers): IN-subquery on an aggregated
+    fact expressed as a LEFT SEMI join against the HAVING-filtered rollup
+    — the aggregate runs once, the semi join keeps probe-side columns
+    only, and the final top-100 plans as TakeOrderedAndProject on the
+    rounded price with o_orderkey tie-break."""
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sq"))
+        .where(F.col("sq") > 300)
+        .select("l_orderkey")
+    )
+    orders_big = orders.join(
+        big, orders["o_orderkey"] == big["l_orderkey"], "left_semi"
+    )
+    return (
+        orders_big.join(cust, orders_big["o_custkey"] == cust["c_custkey"])
+        .join(li, orders_big["o_orderkey"] == li["l_orderkey"])
+        .groupBy(
+            "c_custkey", "c_name", "o_orderkey", "o_orderdate",
+            "o_totalprice",
+        )
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias(
+                "orderdate_us"
+            ),
+            F.round("o_totalprice", 2).alias("totalprice"),
+            "sum_qty",
+        )
+        .orderBy(F.col("totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )
+
+
+@query(
+    "q123_dormant_rich_customers",
+    """
+    WITH ab AS (SELECT AVG(c_acctbal) AS a FROM customer
+                WHERE c_acctbal > 0)
+    SELECT c_nationkey, COUNT(*) AS numcust,
+           ROUND(SUM(c_acctbal), 2) AS totacctbal
+    FROM customer, ab
+    WHERE c_acctbal > a AND NOT EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey
+          AND o_orderdate >= TIMESTAMP '2000-01-01'
+    )
+    GROUP BY c_nationkey
+    """,
+)
+def q123_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape on the trimmed schema: scalar-subquery threshold
+    (average positive balance, one broadcast row) + NOT EXISTS as a LEFT
+    ANTI join against the date-filtered order scan — the lapsed-customer
+    report.  Both subqueries reduce before touching the probe side; the
+    anti join's build side carries one column."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    avg_bal = cust.where(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("a")
+    )
+    recent = orders.where(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    ).select("o_custkey")
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("a"))
+        .join(recent, cust["c_custkey"] == recent["o_custkey"], "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
+
+
+@query(
+    "q124_latency_percentiles",
+    """
+    SELECT event_type,
+           COUNT(value) AS n,
+           ROUND(quantile_cont(value, 0.5), 6)  AS p50,
+           ROUND(quantile_cont(value, 0.95), 6) AS p95,
+           ROUND(quantile_cont(value, 0.99), 6) AS p99
+    FROM events GROUP BY event_type
+    """,
+)
+def q124_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (the SLA report): Spark's
+    ``percentile`` and DuckDB's ``quantile_cont`` share the same linear
+    interpolation definition, so exact values hash-match after rounding.
+    Exact percentiles sort each group's values once; at 100 TB swap in
+    ``approx_percentile`` (KLL-style mergeable sketch, no per-group sort)
+    — same API shape, bounded error."""
+    events = load_events(spark, sf_dir)
+    return events.groupBy("event_type").agg(
+        F.count("value").alias("n"),
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.95)), 6).alias("p95"),
+        F.round(F.percentile("value", F.lit(0.99)), 6).alias("p99"),
+    )
+
+
+@query(
+    "q125_centroid_distances",
+    """
+    WITH zipped AS (
+        SELECT label,
+               unnest(list_zip(embedding::DOUBLE[],
+                               range(len(embedding)))) AS z
+        FROM embeddings
+    ),
+    expl AS (
+        SELECT label, CAST(z[2] AS INTEGER) AS pos,
+               CAST(z[1] AS DECIMAL(28,12)) AS x
+        FROM zipped
+    ),
+    cent AS (
+        SELECT label, pos,
+               ROUND(CAST(SUM(x) AS DOUBLE) / COUNT(*), 6) AS c
+        FROM expl GROUP BY label, pos
+    ),
+    dots AS (
+        SELECT a.label AS label_a, b.label AS label_b,
+               SUM(a.c * b.c) AS dot,
+               SUM(a.c * a.c) AS na, SUM(b.c * b.c) AS nb
+        FROM cent a JOIN cent b ON a.pos = b.pos AND a.label < b.label
+        GROUP BY a.label, b.label
+    )
+    SELECT label_a, label_b,
+           ROUND(dot / (sqrt(na) * sqrt(nb)), 6) AS cosine
+    FROM dots
+    """,
+)
+def q125_centroid_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cosine similarity between class centroids — the
+    label-confusion / cluster-quality diagnostic.  Centroids come from the
+    deterministic decimal-sum mean (q72's recipe) ROUNDED to 6 digits, so
+    both engines feed bit-identical components into the distance; the
+    pairwise stage runs over |labels| x dims rows — trivially small — via
+    a pos-join (no vector re-materialization)."""
+    from parquery_spark.operators.similarity import group_centroids
+
+    emb = load(spark, sf_dir, "embeddings")
+    cent = group_centroids(emb, "label").select("label", "pos", "c")
+    a, b = cent.alias("a"), cent.alias("b")
+    dots = (
+        a.join(
+            b,
+            (F.col("a.pos") == F.col("b.pos"))
+            & (F.col("a.label") < F.col("b.label")),
+        )
+        .groupBy(
+            F.col("a.label").alias("label_a"),
+            F.col("b.label").alias("label_b"),
+        )
+        .agg(
+            F.sum(F.col("a.c") * F.col("b.c")).alias("dot"),
+            F.sum(F.col("a.c") * F.col("a.c")).alias("na"),
+            F.sum(F.col("b.c") * F.col("b.c")).alias("nb"),
+        )
+    )
+    return dots.select(
+        "label_a",
+        "label_b",
+        F.round(
+            F.col("dot") / (F.sqrt(F.col("na")) * F.sqrt(F.col("nb"))), 6
+        ).alias("cosine"),
+    )
