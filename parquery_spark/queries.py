@@ -4850,3 +4850,129 @@ def q125_centroid_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("dot") / (F.sqrt(F.col("na")) * F.sqrt(F.col("nb"))), 6
         ).alias("cosine"),
     )
+
+
+@query(
+    "q126_streaming_upsert",
+    """
+    SELECT user_id, epoch_us(ts) AS ts_us, event_type, value FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+)
+def q126_streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC materialization: the event log split into three
+    time-ordered files, streamed ``maxFilesPerTrigger=1`` so THREE real
+    micro-batches flow through ``foreachBatch``; each batch reduces to
+    latest-per-user and MERGEs into a versioned parquet snapshot (the
+    q86 upsert operator per batch — anti join + union, batch wins).
+    Because micro-batches arrive in event-time order, batch-wins equals
+    latest-wins, and the final snapshot must hash-match the oracle's
+    latest-event-per-user over the WHOLE log — an end-to-end
+    exactly-once contract for the commonest production streaming job.
+    The snapshot is versioned per batch (write-new + pointer swap, the
+    MERGE pattern of any snapshot-isolated table format)."""
+    import hashlib
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from parquery_spark.operators.upsert import upsert
+    from parquery_spark.streaming.events import events_stream
+
+    src = _path(sf_dir, "events")
+    st = os.stat(src)
+    ident = f"{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}|supsert"
+    tag = hashlib.md5(ident.encode()).hexdigest()[:10]
+    base = os.path.join(tempfile.gettempdir(), f"pqs_supsert_{tag}")
+    final_ptr = os.path.join(base, "FINAL")
+
+    def latest_per_user(df):
+        w = Window.partitionBy("user_id").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+        return (
+            df.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .select("user_id", "ts", "event_type", "value", "event_id")
+        )
+
+    if not os.path.exists(final_ptr):
+        os.makedirs(base, exist_ok=True)
+        # fixture writes must be MICROS (session default; re-assert for
+        # sessions built elsewhere): INT96 sniffs as timestamp[ns] and
+        # breaks the stream schema dispatch
+        spark.conf.set(
+            "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
+        )
+        events = load_events(spark, sf_dir).select(
+            "event_id",
+            F.col("ts").cast("timestamp").alias("ts"),
+            "user_id",
+            "event_type",
+            "value",
+            "props",
+        )
+        # three time-ordered source files -> three micro-batches
+        src_dir = os.path.join(base, "src")
+        wt = Window.orderBy("ts", "event_id")
+        tiled = events.withColumn("__tile", F.ntile(3).over(wt))
+        for i in (1, 2, 3):
+            tiled.where(F.col("__tile") == i).drop("__tile").coalesce(
+                1
+            ).write.mode("overwrite").parquet(
+                os.path.join(src_dir, f"t{i}")
+            )
+        # FileStreamSource orders by mtime: pin the intended batch order
+        flat = os.path.join(base, "stream_src")
+        os.makedirs(flat, exist_ok=True)
+        import glob as _glob
+
+        for i in (1, 2, 3):
+            part = _glob.glob(os.path.join(src_dir, f"t{i}", "*.parquet"))[0]
+            dst = os.path.join(flat, f"batch{i}.parquet")
+            if not os.path.exists(dst):
+                os.link(part, dst)
+            os.utime(dst, (1_000_000 + i, 1_000_000 + i))
+
+        state = {"cur": None}
+
+        def merge(batch_df, batch_id):
+            latest = latest_per_user(batch_df)
+            if state["cur"] is None:
+                new = latest
+            else:
+                cur = spark.read.parquet(state["cur"])
+                new = upsert(cur, latest, ["user_id"])
+            out = os.path.join(base, f"v{batch_id}")
+            new.write.mode("overwrite").parquet(out)
+            state["cur"] = out
+
+        stream = events_stream(
+            spark, flat, options={"maxFilesPerTrigger": "1"}
+        )
+        q = (
+            stream.writeStream.foreachBatch(merge)
+            .option(
+                "checkpointLocation", os.path.join(base, "ckpt")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        assert state["cur"] is not None
+        with open(final_ptr + ".tmp", "w") as f:
+            f.write(state["cur"])
+        os.replace(final_ptr + ".tmp", final_ptr)
+
+    with open(final_ptr) as f:
+        snap_dir = f.read().strip()
+    snap = spark.read.parquet(snap_dir)
+    return snap.select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "event_type",
+        "value",
+    )

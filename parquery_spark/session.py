@@ -49,6 +49,11 @@ _DEFAULTS = {
     # type).  Documented in queries.load_events, which shows the ns→µs
     # truncation recipe.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Write timestamps as TIMESTAMP(MICROS), not the legacy INT96 default:
+    # INT96 round-trips as timestamp[ns] through pyarrow footers, which
+    # breaks every reader that dispatches on the physical type (and is
+    # deprecated in the parquet spec).
+    "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
 }
 
 
