@@ -4976,3 +4976,179 @@ def q126_streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "value",
     )
+
+
+@query(
+    "q127_attribution",
+    """
+    WITH seq AS (
+        SELECT user_id, event_id, event_type, ts,
+               last_value(CASE WHEN event_type = 'click'
+                               THEN {'ts': ts, 'id': event_id} END
+                          IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING) AS lc
+        FROM events
+    )
+    SELECT event_id AS purchase_id, user_id,
+           epoch_us(ts) AS purchase_ts_us,
+           lc['id'] AS click_id,
+           epoch_us(lc['ts']) AS click_ts_us
+    FROM seq
+    WHERE event_type = 'purchase' AND lc IS NOT NULL
+      AND epoch_us(ts) - epoch_us(lc['ts']) <= 604800000000
+    """,
+)
+def q127_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: every purchase joined to the same user's
+    most recent click within 7 days — NOT an as-of join against a second
+    relation but a single carry-forward pass (last_value IGNORE NULLS
+    over the user timeline), which costs one user_id shuffle total and
+    scales to any events:purchases ratio.  The struct payload carries the
+    click's id and timestamp together so the attribution is row-exact."""
+    from pyspark.sql import Window
+
+    events = load_events(spark, sf_dir)
+
+    def us(c):
+        return F.unix_micros(c.cast("timestamp"))
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    lc = F.last(
+        F.when(
+            F.col("event_type") == "click",
+            F.struct(F.col("ts").alias("ts"), F.col("event_id").alias("id")),
+        ),
+        ignorenulls=True,
+    ).over(w)
+    seq = events.select(
+        "user_id", "event_id", "event_type", "ts", lc.alias("lc")
+    )
+    return (
+        seq.where(
+            (F.col("event_type") == "purchase")
+            & F.col("lc").isNotNull()
+            & (us(F.col("ts")) - us(F.col("lc.ts")) <= 604_800_000_000)
+        )
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            us(F.col("ts")).alias("purchase_ts_us"),
+            F.col("lc.id").alias("click_id"),
+            us(F.col("lc.ts")).alias("click_ts_us"),
+        )
+    )
+
+
+@query(
+    "q128_co_occurrence",
+    """
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+           COUNT(*) AS support
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY a.l_partkey, b.l_partkey
+    ORDER BY support DESC, part_a, part_b
+    LIMIT 25
+    """,
+)
+def q128_co_occurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence (frequent itemset support counting):
+    self-join WITHIN the order key — candidate volume is Σ n_i² over
+    baskets, bounded by basket size, never corpus² — then a top-25 that
+    plans as TakeOrderedAndProject.  The same shape serves term
+    co-occurrence (PMI) and co-citation graphs; at 100 TB the join is
+    key-co-located (both sides shuffle once on the basket key)."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("support"))
+        .orderBy(
+            F.col("support").desc(), F.col("part_a"), F.col("part_b")
+        )
+        .limit(25)
+    )
+
+
+@query(
+    "q129_psi_drift",
+    """
+    WITH binned AS (
+        SELECT event_type,
+               CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 'a' ELSE 'b'
+                   END AS period,
+               LEAST(GREATEST(CAST(FLOOR(value / 25) AS BIGINT), 0), 19)
+                   AS bin
+        FROM events
+    ),
+    counts AS (
+        SELECT event_type, bin,
+               COUNT(*) FILTER (period = 'a') AS na,
+               COUNT(*) FILTER (period = 'b') AS nb
+        FROM binned GROUP BY event_type, bin
+    ),
+    tot AS (
+        SELECT event_type, SUM(na) AS ta, SUM(nb) AS tb
+        FROM counts GROUP BY event_type
+    )
+    SELECT c.event_type,
+           ROUND(SUM(
+               (CAST(na + 1 AS DOUBLE) / (ta + 20)
+                - CAST(nb + 1 AS DOUBLE) / (tb + 20))
+               * ln((CAST(na + 1 AS DOUBLE) / (ta + 20))
+                    / (CAST(nb + 1 AS DOUBLE) / (tb + 20)))
+           ), 6) AS psi
+    FROM counts c JOIN tot t ON c.event_type = t.event_type
+    GROUP BY c.event_type
+    """,
+)
+def q129_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift monitor: value distributions of
+    two time periods compared per event_type over 20 fixed-width bins
+    (exact IEEE binning — quantile-free, so the bin edges are identical
+    on every engine and every run), Laplace-smoothed so empty bins don't
+    blow up the log ratio.  One scan, one tiny (type x bin) aggregate;
+    the drift math runs over ≤ |types| x 20 rows."""
+    events = load_events(spark, sf_dir)
+    period = F.when(
+        F.col("ts").cast("timestamp")
+        < F.lit("2024-01-16").cast("timestamp"),
+        "a",
+    ).otherwise("b")
+    bin_ = F.least(
+        F.greatest(F.floor(F.col("value") / 25).cast("long"), F.lit(0)),
+        F.lit(19),
+    )
+    counts = (
+        events.select(
+            "event_type", period.alias("period"), bin_.alias("bin")
+        )
+        .groupBy("event_type", "bin")
+        .agg(
+            F.count(F.when(F.col("period") == "a", 1)).alias("na"),
+            F.count(F.when(F.col("period") == "b", 1)).alias("nb"),
+        )
+    )
+    tot = counts.groupBy("event_type").agg(
+        F.sum("na").alias("ta"), F.sum("nb").alias("tb")
+    )
+    pa = (F.col("na") + 1).cast("double") / (F.col("ta") + 20)
+    pb = (F.col("nb") + 1).cast("double") / (F.col("tb") + 20)
+    return (
+        counts.join(tot, "event_type")
+        .groupBy("event_type")
+        .agg(F.round(F.sum((pa - pb) * F.log(pa / pb)), 6).alias("psi"))
+    )
