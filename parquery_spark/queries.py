@@ -5152,3 +5152,134 @@ def q129_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.round(F.sum((pa - pb) * F.log(pa / pb)), 6).alias("psi"))
     )
+
+
+@query(
+    "q130_snapshot_diff",
+    """
+    WITH cur AS (
+        SELECT o_orderkey AS k, o_totalprice AS v FROM orders
+    ),
+    nxt AS (
+        SELECT o_orderkey AS k,
+               CASE WHEN o_orderkey % 7 = 0
+                    THEN ROUND(o_totalprice * 2, 2)
+                    ELSE o_totalprice END AS v
+        FROM orders WHERE o_orderkey % 13 <> 0
+        UNION ALL
+        SELECT o_orderkey + 100000000 AS k, 1.0 AS v
+        FROM orders WHERE o_orderkey % 1000 = 0
+    ),
+    classified AS (
+        SELECT COALESCE(cur.k, nxt.k) AS k,
+               CASE WHEN cur.k IS NULL THEN 'added'
+                    WHEN nxt.k IS NULL THEN 'removed'
+                    WHEN cur.v <> nxt.v THEN 'changed'
+                    ELSE 'unchanged' END AS status
+        FROM cur FULL OUTER JOIN nxt ON cur.k = nxt.k
+    )
+    SELECT status, COUNT(*) AS n,
+           bit_xor(('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 15))::BIGINT)
+               AS key_checksum
+    FROM classified GROUP BY status
+    """,
+)
+def q130_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff / changelog generation (the inverse of upsert): two
+    table versions FULL OUTER joined on the key, every row classified
+    added/removed/changed/unchanged — how a pipeline without CDC capture
+    reconstructs a change feed between snapshot exports.  One key-shuffle
+    join; the result collapses to per-class counts + order-independent
+    key checksums, so verification moves four rows however large the
+    snapshots are."""
+    from parquery_spark.operators.dedup import hash64
+
+    cur = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("v")
+    )
+    base = load(spark, sf_dir, "orders")
+    kept = base.where(F.col("o_orderkey") % 13 != 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.when(
+            F.col("o_orderkey") % 7 == 0,
+            F.round(F.col("o_totalprice") * 2, 2),
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("v"),
+    )
+    new = base.where(F.col("o_orderkey") % 1000 == 0).select(
+        (F.col("o_orderkey") + 100_000_000).alias("k"),
+        F.lit(1.0).alias("v"),
+    )
+    nxt = kept.unionAll(new)
+    c, n = cur.alias("c"), nxt.alias("n")
+    joined = c.join(n, F.col("c.k") == F.col("n.k"), "full_outer")
+    status = (
+        F.when(F.col("c.k").isNull(), "added")
+        .when(F.col("n.k").isNull(), "removed")
+        .when(F.col("c.v") != F.col("n.v"), "changed")
+        .otherwise("unchanged")
+    )
+    k = F.coalesce(F.col("c.k"), F.col("n.k"))
+    return (
+        joined.select(status.alias("status"), k.alias("k"))
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(hash64(F.col("k").cast("string"))).alias(
+                "key_checksum"
+            ),
+        )
+    )
+
+
+@query(
+    "q131_pandas_udf_scoring",
+    """
+    WITH w AS (
+        SELECT [CAST((i * 2654435761 % 1000) AS DOUBLE) / 1000 - 0.5
+                for i in range(64)] AS wv
+    )
+    SELECT label, COUNT(*) AS n,
+           ROUND(AVG(1.0 / (1.0 + exp(-(
+               list_dot_product(embedding::DOUBLE[], wv) + 0.1)))), 6)
+               AS avg_score
+    FROM embeddings, w
+    GROUP BY label
+    """,
+)
+def q131_pandas_udf_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model scoring through a VECTORIZED pandas UDF — the pattern for
+    math Spark's expression language can't express (here a logistic head;
+    in production an ONNX/torch forward): Arrow batches in, one numpy
+    matmul per batch, doubles out.  Weights derive from a deterministic
+    integer recipe replicated in the oracle; the sigmoid's float drift
+    (numpy pairwise-sum dot vs the oracle's sequential fold) is absorbed
+    by ROUND(6) after the per-label mean.  Everything around the UDF —
+    scan, explode-free schema, per-label aggregate — stays JVM-side."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    w = np.array(
+        [((i * 2654435761) % 1000) / 1000.0 - 0.5 for i in range(64)]
+    )
+
+    def _score(emb):
+        x = np.vstack(emb.to_numpy())  # (batch, 64) float32
+        z = x.astype(np.float64) @ w + 0.1
+        return pd.Series(1.0 / (1.0 + np.exp(-z)))
+
+    # explicit functional form: this module's `from __future__ import
+    # annotations` stringifies type hints, which pandas_udf can't resolve
+    score = pandas_udf(_score, "double")
+
+    emb = load(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", score(F.col("embedding")).alias("s"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("s"), 6).alias("avg_score"),
+        )
+    )
