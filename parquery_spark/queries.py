@@ -5283,3 +5283,84 @@ def q131_pandas_udf_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("s"), 6).alias("avg_score"),
         )
     )
+
+
+def _sql_pagerank_iter(prev: str, out: str) -> str:
+    return f"""{out} AS (
+        SELECT e.dst AS v,
+               CAST(0.15 AS DOUBLE) / MIN(n.nn)
+                   + 0.85 * SUM({prev}.r / deg.d) AS r
+        FROM edges e
+        JOIN {prev} ON {prev}.v = e.src
+        JOIN deg ON deg.src = e.src
+        CROSS JOIN n
+        GROUP BY e.dst
+    )"""
+
+
+@query(
+    "q132_pagerank",
+    f"""
+    WITH pairs AS (
+        SELECT a.l_partkey AS pa, b.l_partkey AS pb
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY pa, pb HAVING COUNT(*) >= 2
+    ),
+    edges AS (
+        SELECT pa AS src, pb AS dst FROM pairs
+        UNION ALL
+        SELECT pb AS src, pa AS dst FROM pairs
+    ),
+    deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+    n AS (SELECT COUNT(*) AS nn FROM deg),
+    r0 AS (SELECT src AS v, CAST(1 AS DOUBLE) / nn AS r FROM deg, n),
+    {_sql_pagerank_iter("r0", "r1")},
+    {_sql_pagerank_iter("r1", "r2")},
+    {_sql_pagerank_iter("r2", "r3")}
+    SELECT v, ROUND(r, 9) AS pr FROM r3
+    """,
+)
+def q132_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (damping 0.85, three fixed iterations) on the undirected
+    co-purchase graph — the iterative-algorithm pattern beside q62's
+    connected components, and still EXACTLY oracled: the fixed iteration
+    count unrolls into three SQL CTE stages, so even this "non-SQL" class
+    gets a value-matched gate.  Edges + degrees persist once; every
+    iteration is one join + one aggregate shuffled on the same key (the
+    co-partitioning a cluster deployment would pin with bucketing);
+    lineage stays flat because each iteration builds from the persisted
+    edge relation, not the previous plan."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") >= 2)
+        .select("pa", "pb")
+    )
+    edges = pairs.selectExpr("pa AS src", "pb AS dst").unionAll(
+        pairs.selectExpr("pb AS src", "pa AS dst")
+    ).persist()
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d")).persist()
+    nn = deg.count()  # scalar: node count (driver-side by design)
+    r = deg.select(
+        F.col("src").alias("v"), (F.lit(1.0) / F.lit(nn)).alias("r")
+    )
+    for _ in range(3):
+        contrib = (
+            edges.join(r, edges["src"] == r["v"])
+            .join(deg, "src")
+            .select("dst", (F.col("r") / F.col("d")).alias("c"))
+        )
+        r = contrib.groupBy("dst").agg(
+            (F.lit(0.15) / F.lit(nn) + F.lit(0.85) * F.sum("c")).alias("r")
+        ).select(F.col("dst").alias("v"), "r")
+    return r.select("v", F.round("r", 9).alias("pr"))
