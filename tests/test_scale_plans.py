@@ -480,3 +480,34 @@ class TestRound3PlanShapes:
         # column pruning: only the join key + predicate columns are read
         assert "struct<l_partkey:bigint,l_quantity:double>" in li_scan
         assert "l_extendedprice" not in li_scan
+
+    def test_round4_late_batch_plan_shapes(self, spark, sf_dir):
+        """q115's three grains come from ONE scan + Expand (not three
+        scans); q127's attribution is a single user_id window pass with
+        no join; q128/q132 build no cross joins; q129's drift math joins
+        only the tiny totals relation (broadcast)."""
+        from parquery_spark.queries import QUERIES
+
+        def plan(name):
+            df = QUERIES[name][0](spark, sf_dir)
+            return df._jdf.queryExecution().executedPlan().toString()
+
+        p = plan("q115_time_grain_rollup")
+        assert "Expand" in p
+        assert p.count("Scan") - p.count("InMemoryTableScan") <= 1 or \
+            p.count("FileScan") <= 1
+
+        p = plan("q127_attribution")
+        assert "Join" not in p
+        windows = [l for l in p.splitlines()
+                   if "windowspecdefinition" in l.lower()]
+        assert windows and all("user_id" in l for l in windows)
+
+        for name in ("q128_co_occurrence", "q132_pagerank"):
+            assert "CartesianProduct" not in plan(name), name
+
+        p = plan("q128_co_occurrence")
+        assert "TakeOrderedAndProject(limit=25" in p
+
+        p = plan("q129_psi_drift")
+        assert "BroadcastHashJoin" in p and "EvalPython" not in p
