@@ -5364,3 +5364,107 @@ def q132_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.lit(0.15) / F.lit(nn) + F.lit(0.85) * F.sum("c")).alias("r")
         ).select(F.col("dst").alias("v"), "r")
     return r.select("v", F.round("r", 9).alias("pr"))
+
+
+@query(
+    "q133_grouped_regression",
+    """
+    SELECT event_type, COUNT(*) AS n,
+           ROUND(regr_slope(value, xd), 6) AS slope,
+           ROUND(regr_intercept(value, xd), 6) AS intercept
+    FROM (
+        SELECT event_type, value,
+               (epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01'))
+                   / 86400000000.0 AS xd
+        FROM events WHERE value IS NOT NULL
+    ) GROUP BY event_type
+    """,
+)
+def q133_grouped_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group model fitting through ``applyInPandas`` (grouped-map
+    Arrow UDF — the API for per-key scikit-style fits Spark expressions
+    can't do): each event_type's (day-offset, value) series gets an OLS
+    line via the closed-form moment formulas, matching SQL's
+    regr_slope/regr_intercept definitions, so the oracle is exact after
+    ROUND(6).  The x axis is CENTERED (days since 2024-01-01, not raw
+    epoch-µs) — raw epoch abscissae put x² sums at 1e30 and the
+    covariance cancellation destroys float64 precision on every engine.
+    Groups shuffle once on event_type; each fit sees one Arrow batch."""
+    import pandas as pd
+
+    events = load_events(spark, sf_dir)
+    base = F.unix_micros(F.lit("2024-01-01").cast("timestamp"))
+    src = events.where(F.col("value").isNotNull()).select(
+        "event_type",
+        ((F.unix_micros(F.col("ts").cast("timestamp")) - base)
+         / 86400000000.0).alias("xd"),
+        "value",
+    )
+
+    def fit(pdf):
+        import numpy as np
+
+        x = pdf["xd"].to_numpy(dtype=np.float64)
+        y = pdf["value"].to_numpy(dtype=np.float64)
+        n = len(x)
+        sx, sy = np.sum(x), np.sum(y)
+        sxx, sxy = np.sum(x * x), np.sum(x * y)
+        slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        intercept = (sy - slope * sx) / n
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "n": [n],
+                "slope": [round(slope, 6)],
+                "intercept": [round(intercept, 6)],
+            }
+        )
+
+    return src.groupBy("event_type").applyInPandas(
+        fit, "event_type string, n long, slope double, intercept double"
+    )
+
+
+@query(
+    "q134_udtf_sentences",
+    """
+    WITH s AS (
+        SELECT doc_id, unnest(string_split(text, '. ')) AS sentence
+        FROM documents
+    )
+    SELECT doc_id, COUNT(*) AS n_sentences,
+           ROUND(AVG(CAST(length(sentence) AS DOUBLE)), 6) AS avg_len
+    FROM s GROUP BY doc_id
+    """,
+)
+def q134_udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence segmentation through a Python UDTF (table function: one
+    input row → many output rows with typed schema) rolled up per doc —
+    exercising the last Python-integration surface (scalar pandas UDF
+    q131, grouped-map q133, mapInPandas multimodal, UDTF here).  UDTFs
+    run row-at-a-time Python: correct tool for bounded fan-out
+    transforms; the bulk-path equivalent stays `explode(split(...))`
+    (q89 chunking), which this oracle's SQL twin mirrors."""
+    from pyspark.sql.functions import udtf
+
+    class SplitSentences:
+        def eval(self, doc_id, text):
+            for s in text.split(". "):
+                yield doc_id, s
+
+    split_fn = udtf(
+        SplitSentences, returnType="doc_id bigint, sentence string"
+    )
+    spark.udtf.register("pqs_split_sentences", split_fn)
+    docs = load(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("pqs_q134_docs")
+    s = spark.sql(
+        "SELECT s.doc_id, s.sentence FROM pqs_q134_docs, "
+        "LATERAL pqs_split_sentences(doc_id, text) s"
+    )
+    return s.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_sentences"),
+        F.round(F.avg(F.length("sentence").cast("double")), 6).alias(
+            "avg_len"
+        ),
+    )
