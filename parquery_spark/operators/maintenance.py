@@ -62,3 +62,76 @@ def compact_files(
         "files_after": n_after,
         "bytes": total,
     }
+
+
+def zorder_key(a, b, bits: int = 16):
+    """Morton (Z-order) interleave of the low ``bits`` bits of two integer
+    columns — the multi-dimensional clustering key behind OPTIMIZE
+    ZORDER: sorting by it gives every file/row-group a bounded min-max
+    range on BOTH dimensions, so 2-D selective scans prune on either
+    predicate (a single-column sort clusters one dimension and leaves the
+    other spanning the full range in every file).
+
+    Pure Column bit arithmetic (shifts/masks), whole-stage codegen, no
+    Python.  Columns are masked to ``bits`` bits first; for skewed or
+    non-integer keys, rank-transform upstream.
+    """
+    from pyspark.sql import Column, functions as F
+
+    def col_of(x):
+        return F.col(x) if isinstance(x, str) else x
+
+    ca, cb = col_of(a).cast("long"), col_of(b).cast("long")
+    mask = (1 << bits) - 1
+    ca, cb = ca.bitwiseAND(F.lit(mask)), cb.bitwiseAND(F.lit(mask))
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        abit = F.shiftright(ca, i).bitwiseAND(F.lit(1))
+        bbit = F.shiftright(cb, i).bitwiseAND(F.lit(1))
+        z = z.bitwiseOR(F.shiftleft(abit, 2 * i + 1)).bitwiseOR(
+            F.shiftleft(bbit, 2 * i)
+        )
+    return z
+
+
+def write_zordered(
+    df,
+    dst_dir: str,
+    cols: tuple,
+    n_files: int = 8,
+    bits: int = 8,
+):
+    """Write ``df`` range-partitioned and sorted by the Z-order key of
+    ``cols`` — every output file covers a compact Z-range, i.e. a bounded
+    rectangle (union of a few rectangles) in (colA, colB) space, so
+    parquet footer min/max stats prune files for predicates on EITHER
+    column.  At 100 TB this runs per partition directory, exactly like
+    compaction.
+
+    Both columns are SCALED to the full ``bits``-bit domain first (one
+    cheap min/max aggregate): interleaving raw values with unequal ranges
+    degenerates — the wider column's high bits dominate every comparison
+    and the narrow column ends up unclustered, which is exactly a
+    single-column sort.  Scaling is integer arithmetic ((v-lo)*top DIV
+    range), exact and engine-stable."""
+    from pyspark.sql import functions as F
+
+    a, b = cols
+    lo_a, hi_a, lo_b, hi_b = df.agg(
+        F.min(a), F.max(a), F.min(b), F.max(b)
+    ).first()
+    top = (1 << bits) - 1
+
+    def scaled(c, lo, hi):
+        rng = max(int(hi) - int(lo), 1)
+        return ((F.col(c).cast("long") - int(lo)) * top / rng).cast("long")
+
+    z = zorder_key(scaled(a, lo_a, hi_a), scaled(b, lo_b, hi_b), bits)
+    (
+        df.withColumn("__z", z)
+        .repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(dst_dir)
+    )

@@ -5468,3 +5468,51 @@ def q134_udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_len"
         ),
     )
+
+
+@query(
+    "q135_zorder_scan",
+    """
+    SELECT COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty,
+           ROUND(SUM(l_extendedprice), 2) AS total_price
+    FROM lineitem
+    WHERE l_partkey BETWEEN 100 AND 300
+      AND l_suppkey BETWEEN 10 AND 40
+    """,
+)
+def q135_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D selective scan served from a Z-ORDERED copy of the fact table
+    (Morton-interleaved (l_partkey, l_suppkey) sort — the OPTIMIZE ZORDER
+    layout): every file covers a compact rectangle of the key space, so
+    footer min/max stats prune files for predicates on EITHER column,
+    where a single-column sort only prunes one.  The oracle reads the
+    ORIGINAL table — the layout must change the I/O, never the answer.
+    The narrowing of per-file min/max spans is asserted quantitatively in
+    tests/test_pipeline_ops.py::TestZOrder."""
+    import hashlib
+    import tempfile
+
+    from parquery_spark.operators.maintenance import write_zordered
+
+    src = _path(sf_dir, "lineitem")
+    st = os.stat(src)
+    ident = f"{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}|zorder"
+    tag = hashlib.md5(ident.encode()).hexdigest()[:10]
+    zdir = os.path.join(tempfile.gettempdir(), f"pqs_zorder_{tag}")
+    if not os.path.exists(os.path.join(zdir, "_SUCCESS")):
+        write_zordered(
+            load(spark, sf_dir, "lineitem"),
+            zdir,
+            ("l_partkey", "l_suppkey"),
+            n_files=8,
+        )
+    li = spark.read.parquet(zdir)
+    return li.where(
+        F.col("l_partkey").between(100, 300)
+        & F.col("l_suppkey").between(10, 40)
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_quantity").cast("long")).alias("total_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+    )

@@ -3,6 +3,8 @@ repetition profile, PII detect/redact, single-pass column profiler."""
 
 from __future__ import annotations
 
+import os
+
 import pyarrow as pa
 import pytest
 from pyspark.sql import functions as F
@@ -393,3 +395,59 @@ class TestCompaction:
         out = spark.read.parquet(dst)
         assert out.count() == 10_000
         assert out.agg({"k": "sum"}).first()[0] == 10_000 * 9_999 // 2
+
+
+class TestZOrder:
+    def test_zorder_key_interleaves(self, spark):
+        from parquery_spark.operators.maintenance import zorder_key
+
+        df = spark.createDataFrame(
+            [(0b101, 0b011)], "a long, b long"
+        ).select(zorder_key("a", "b", bits=3).alias("z"))
+        # a=101, b=011 -> z = a2 b2 a1 b1 a0 b0 = 1 0 0 1 1 1 = 0b100111
+        assert df.first().z == 0b100111
+
+    def test_zordered_layout_bounds_both_dims(self, spark, sf_dir,
+                                              tmp_path):
+        """Per-file min/max spans: the z-ordered layout must bound BOTH
+        dimensions (avg span well under the full range), while a
+        single-column sort leaves the second dimension spanning ~the full
+        range in every file — the quantitative claim behind q135."""
+        import pyarrow.parquet as papq
+
+        from parquery_spark.operators.maintenance import write_zordered
+
+        li = spark.read.parquet(
+            os.path.join(sf_dir, "lineitem.parquet")
+        ).select("l_partkey", "l_suppkey")
+        zdir = str(tmp_path / "z")
+        write_zordered(li, zdir, ("l_partkey", "l_suppkey"), n_files=8)
+        onedir = str(tmp_path / "one")
+        (li.repartitionByRange(8, "l_partkey")
+           .sortWithinPartitions("l_partkey")
+           .write.parquet(onedir))
+
+        def spans(d, col):
+            import glob
+
+            out = []
+            for f in glob.glob(os.path.join(d, "*.parquet")):
+                md = papq.read_metadata(f)
+                lo = min(md.row_group(i).column(
+                    [c.name for c in papq.read_schema(f)].index(col)
+                ).statistics.min for i in range(md.num_row_groups))
+                hi = max(md.row_group(i).column(
+                    [c.name for c in papq.read_schema(f)].index(col)
+                ).statistics.max for i in range(md.num_row_groups))
+                out.append(hi - lo)
+            return sum(out) / len(out)
+
+        full_supp = (
+            li.agg(F.max("l_suppkey") - F.min("l_suppkey")).first()[0]
+        )
+        z_supp = spans(zdir, "l_suppkey")
+        one_supp = spans(onedir, "l_suppkey")
+        # single-dim sort: suppkey spans ~full range per file; z-order
+        # cuts it substantially
+        assert one_supp > full_supp * 0.9
+        assert z_supp < one_supp * 0.7
