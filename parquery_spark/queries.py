@@ -5516,3 +5516,94 @@ def q135_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("l_quantity").cast("long")).alias("total_qty"),
         F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
     )
+
+
+@query(
+    "q136_session_paths",
+    """
+    WITH marked AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                            > 1800000000
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+        SELECT *, SUM(new_s) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS session_seq
+        FROM marked
+    ),
+    paths AS (
+        SELECT user_id, session_seq,
+               array_to_string(
+                   list_slice(list(event_type ORDER BY ts, event_id), 1, 5),
+                   '>') AS path
+        FROM sess GROUP BY user_id, session_seq
+    )
+    SELECT path, COUNT(*) AS n_sessions
+    FROM paths GROUP BY path
+    ORDER BY n_sessions DESC, path LIMIT 20
+    """,
+)
+def q136_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top navigation paths (first five events of each session, q71's
+    30-minute gap rule): the product-analytics 'common journeys' report.
+    Ordered within-group sequences come from sort_array over
+    (ts, event_id, type) structs — deterministic total order, engine-
+    independent — NOT from collect_list's arrival order, which is
+    partition-layout-dependent and would be flaky on any engine.  One
+    user_id shuffle builds sessions; paths aggregate to a tiny relation;
+    top-20 plans as TakeOrderedAndProject."""
+    from pyspark.sql import Window
+
+    events = load_events(spark, sf_dir)
+
+    def us(c):
+        return F.unix_micros(c.cast("timestamp"))
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    new_s = F.when(
+        prev.isNull() | (us(F.col("ts")) - us(prev) > 1_800_000_000),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    sess = (
+        events.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("__new", new_s)
+        .withColumn(
+            "session_seq",
+            F.sum("__new").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    ordered = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col("ts").alias("ts"),
+                F.col("event_id").alias("event_id"),
+                F.col("event_type").alias("t"),
+            )
+        )
+    )
+    paths = (
+        sess.groupBy("user_id", "session_seq")
+        .agg(ordered.alias("evs"))
+        .select(
+            F.concat_ws(
+                ">",
+                F.transform(
+                    F.slice(F.col("evs"), 1, 5), lambda e: e["t"]
+                ),
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), F.col("path"))
+        .limit(20)
+    )
