@@ -5607,3 +5607,129 @@ def q136_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_sessions").desc(), F.col("path"))
         .limit(20)
     )
+
+
+@query(
+    "q137_winnow_overlap",
+    f"""
+    WITH sh AS ({_sql_shingles(5)}),
+    pos AS (
+        SELECT doc_id, p[2] AS pos,
+               ('0x' || substr(md5(p[1]), 1, 15))::BIGINT AS h
+        FROM (SELECT doc_id,
+                     unnest(list_zip(shingles, range(len(shingles)))) AS p
+              FROM sh)
+    ),
+    wins AS (
+        SELECT doc_id, pos,
+               MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+               COUNT(*) OVER (PARTITION BY doc_id) AS ng
+        FROM pos
+    ),
+    sel AS (SELECT DISTINCT doc_id, fp FROM wins WHERE pos <= ng - 4),
+    rare AS (
+        SELECT fp FROM sel GROUP BY fp HAVING COUNT(*) <= 50
+    ),
+    pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+        FROM sel a JOIN rare USING (fp) JOIN sel b USING (fp)
+        WHERE a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b, n_shared FROM pairs WHERE n_shared >= 2
+    """,
+)
+def q137_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plagiarism/overlap detection USING the winnowing index (q111's
+    fingerprints put to work): docs sharing >= 2 selected fingerprints.
+    Candidate generation is a fingerprint equi-join — volume bounded by
+    per-fingerprint bucket size, with stop-fingerprints (shared by > 50
+    docs: boilerplate) dropped before pairing, the same max_df discipline
+    as the inverted-index Jaccard path.  Never corpus²; the winnowing
+    guarantee bounds recall (any shared 8-word run surfaces)."""
+    from parquery_spark.operators.dedup import winnow_fingerprints
+
+    fp = winnow_fingerprints(
+        load(spark, sf_dir, "documents"), "text", "doc_id", k=5, w=4
+    ).persist()
+    rare = (
+        fp.groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") <= 50)
+        .select("fingerprint")
+    )
+    keyed = fp.join(rare, "fingerprint")
+    a, b = keyed.alias("a"), fp.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fingerprint") == F.col("b.fingerprint"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= 2)
+    )
+
+
+@query(
+    "q138_schema_evolution_union",
+    """
+    WITH v1 AS (
+        SELECT o_orderkey, o_totalprice, NULL::VARCHAR AS channel
+        FROM orders WHERE o_orderkey % 2 = 0
+    ),
+    v2 AS (
+        SELECT o_orderkey, o_totalprice,
+               CASE WHEN o_orderkey % 3 = 0 THEN 'web' ELSE 'store' END
+                   AS channel
+        FROM orders WHERE o_orderkey % 2 = 1
+    ),
+    unioned AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+    SELECT COALESCE(channel, '<pre-schema>') AS channel,
+           COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total
+    FROM unioned GROUP BY channel
+    """,
+)
+def q138_schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution across snapshot generations: an old extract
+    written BEFORE the `channel` column existed unioned with a new one
+    via ``unionByName(allowMissingColumns=True)`` — absent columns
+    surface as NULLs, exactly the mergeSchema semantics of the multi-file
+    reader (q52) applied across writes.  Both generations are materialized
+    parquet fixtures (stat-keyed), so the union reads real files with
+    genuinely different physical schemas."""
+    import hashlib
+    import tempfile
+
+    src = _path(sf_dir, "orders")
+    st = os.stat(src)
+    ident = f"{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}|evo"
+    tag = hashlib.md5(ident.encode()).hexdigest()[:10]
+    base = os.path.join(tempfile.gettempdir(), f"pqs_evo_{tag}")
+    v1_dir, v2_dir = os.path.join(base, "v1"), os.path.join(base, "v2")
+    if not os.path.exists(os.path.join(v2_dir, "_SUCCESS")):
+        orders = load(spark, sf_dir, "orders")
+        orders.where(F.col("o_orderkey") % 2 == 0).select(
+            "o_orderkey", "o_totalprice"
+        ).write.mode("overwrite").parquet(v1_dir)
+        orders.where(F.col("o_orderkey") % 2 == 1).select(
+            "o_orderkey",
+            "o_totalprice",
+            F.when(F.col("o_orderkey") % 3 == 0, "web")
+            .otherwise("store")
+            .alias("channel"),
+        ).write.mode("overwrite").parquet(v2_dir)
+    v1 = spark.read.parquet(v1_dir)
+    v2 = spark.read.parquet(v2_dir)
+    unioned = v1.unionByName(v2, allowMissingColumns=True)
+    return unioned.groupBy(
+        F.coalesce(F.col("channel"), F.lit("<pre-schema>")).alias("channel")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
