@@ -5733,3 +5733,91 @@ def q138_schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("o_totalprice"), 2).alias("total"),
     )
+
+
+@query(
+    "q139_targeted_purge",
+    """
+    WITH purged AS (
+        SELECT * FROM events WHERE user_id % 37 <> 0
+    )
+    SELECT event_type, COUNT(*) AS n,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           bit_xor(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))
+                   ::BIGINT) AS id_checksum
+    FROM purged GROUP BY event_type
+    """,
+)
+def q139_targeted_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten purge: a deletion list (every 37th user)
+    removed from the event log by LEFT ANTI join (the broadcast-able
+    shape — the deletion list is always ≪ the log), and the surviving
+    rewrite validated with per-group counts + order-independent event-id
+    checksums against the oracle's NOT-IN semantics.  At 100 TB this is
+    the per-partition rewrite job a compliance pipeline runs; the gate
+    proves it deletes exactly the targeted rows and nothing else."""
+    from parquery_spark.operators.dedup import hash64
+
+    events = load_events(spark, sf_dir)
+    # deletion list as a RELATION (not a filter) — the production shape
+    forget = (
+        events.select("user_id")
+        .distinct()
+        .where(F.col("user_id") % 37 == 0)
+    )
+    purged = events.join(forget, "user_id", "left_anti")
+    return purged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("user_id").alias("n_users"),
+        F.bit_xor(hash64(F.col("event_id").cast("string"))).alias(
+            "id_checksum"
+        ),
+    )
+
+
+@query(
+    "q140_rolling_distinct_users",
+    """
+    WITH du AS (
+        SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day,
+               user_id
+        FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM du)
+    SELECT epoch_us(CAST(d.day AS TIMESTAMP)) AS day_us,
+           CAST(COUNT(DISTINCT du.user_id) AS BIGINT) AS wau
+    FROM days d JOIN du
+      ON du.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+    GROUP BY d.day
+    """,
+)
+def q140_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users (WAU): COUNT(DISTINCT) over a sliding
+    window can't partial-aggregate directly, so the scale shape dedups to
+    the (day, user) grain FIRST — one shuffle collapses the log by ~|log|
+    / |day-user| — and only then fans each row out to the ≤ 7 window days
+    it serves (a bounded range join, |days| × 7 rows).  The HLL variant
+    (mergeable per-day sketches, q54) replaces the exact distinct when
+    |users| explodes."""
+    events = load_events(spark, sf_dir)
+    du = (
+        events.select(
+            F.date_trunc("day", F.col("ts").cast("timestamp"))
+            .cast("date")
+            .alias("day"),
+            "user_id",
+        )
+        .distinct()
+        .persist()
+    )
+    days = du.select("day").distinct().withColumnRenamed("day", "d")
+    joined = days.join(
+        du,
+        (F.col("day") >= F.date_sub(F.col("d"), 6))
+        & (F.col("day") <= F.col("d")),
+    )
+    return joined.groupBy("d").agg(
+        F.count_distinct("user_id").alias("wau")
+    ).select(
+        F.unix_micros(F.col("d").cast("timestamp")).alias("day_us"), "wau"
+    )
