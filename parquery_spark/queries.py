@@ -5821,3 +5821,130 @@ def q140_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.unix_micros(F.col("d").cast("timestamp")).alias("day_us"), "wau"
     )
+
+
+def _sql_kmeans_assign(cent: str, out: str) -> str:
+    """Assignment CTE: nearest centroid per vector (rank over distance,
+    cluster id as tie-break)."""
+    return f"""{out}_d AS (
+        SELECT e.vec_id, c.cluster,
+               SUM((e.x - c.c) * (e.x - c.c)) AS d
+        FROM expl e JOIN {cent} c ON e.pos = c.pos
+        GROUP BY e.vec_id, c.cluster
+    ),
+    {out} AS (
+        SELECT vec_id, cluster FROM (
+            SELECT vec_id, cluster,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY d, cluster) AS rn
+            FROM {out}_d
+        ) WHERE rn = 1
+    )"""
+
+
+def _sql_kmeans_update(assign: str, out: str) -> str:
+    """Centroid update CTE: decimal-exact per-(cluster,pos) mean,
+    rounded to 6 digits (the engine-stable float contract)."""
+    return f"""{out} AS (
+        SELECT a.cluster, e.pos,
+               ROUND(CAST(SUM(CAST(e.x AS DECIMAL(28,12))) AS DOUBLE)
+                     / COUNT(*), 6) AS c
+        FROM expl e JOIN {assign} a ON e.vec_id = a.vec_id
+        GROUP BY a.cluster, e.pos
+    )"""
+
+
+@query(
+    "q141_kmeans",
+    f"""
+    WITH expl AS (
+        SELECT vec_id,
+               CAST(z[2] AS INTEGER) AS pos,
+               CAST(z[1] AS DOUBLE) AS x
+        FROM (SELECT vec_id,
+                     unnest(list_zip(embedding::DOUBLE[],
+                                     range(len(embedding)))) AS z
+              FROM embeddings)
+    ),
+    cent0 AS (
+        SELECT vec_id AS cluster, pos, x AS c FROM expl WHERE vec_id < 4
+    ),
+    {_sql_kmeans_assign("cent0", "a1")},
+    {_sql_kmeans_update("a1", "cent1")},
+    {_sql_kmeans_assign("cent1", "a2")},
+    {_sql_kmeans_update("a2", "cent2")},
+    {_sql_kmeans_assign("cent2", "a3")}
+    SELECT cluster, COUNT(*) AS n,
+           bit_xor(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))
+                   ::BIGINT) AS member_checksum
+    FROM a3 GROUP BY cluster
+    """,
+)
+def q141_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed k-means (Lloyd's, k=4, two update iterations,
+    deterministic init = first four vectors) with EXACT oracle parity —
+    the recipe that makes an iterative float algorithm gateable: centroid
+    means are computed in DECIMAL (order-independent) and rounded to 6
+    digits, so both engines feed bit-identical centroids into each
+    assignment; assignments are then integers, gated by member checksums.
+    Shapes: the exploded vector relation persists once and co-partitions
+    every iteration's join on pos/vec_id; distances partial-aggregate
+    map-side; no crossJoin (the centroid side is |k x dim|, broadcast).
+    Same pattern at 100 TB with k=65k IVF cells — assignment via the
+    vectorized pandas_udf path (operators/ivf.py) instead of the
+    explode join."""
+    emb = load(spark, sf_dir, "embeddings")
+    expl = emb.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "pos", "x"
+        ),
+    ).persist()
+    cents = (
+        expl.where(F.col("vec_id") < 4)
+        .select(
+            F.col("vec_id").alias("cluster"), "pos", F.col("x").alias("c")
+        )
+    )
+
+    from pyspark.sql import Window
+
+    assign = None
+    for _ in range(3):
+        d = (
+            expl.join(F.broadcast(cents), "pos")
+            .groupBy("vec_id", "cluster")
+            .agg(
+                F.sum(
+                    (F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))
+                ).alias("d")
+            )
+        )
+        w = Window.partitionBy("vec_id").orderBy("d", "cluster")
+        assign = (
+            d.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("vec_id", "cluster")
+        )
+        cents = (
+            expl.join(assign, "vec_id")
+            .groupBy("cluster", "pos")
+            .agg(
+                F.round(
+                    F.sum(F.col("x").cast("decimal(28,12)")).cast(
+                        "double"
+                    )
+                    / F.count(F.lit(1)),
+                    6,
+                ).alias("c")
+            )
+        )
+
+    from parquery_spark.operators.dedup import hash64
+
+    return assign.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.bit_xor(hash64(F.col("vec_id").cast("string"))).alias(
+            "member_checksum"
+        ),
+    )
