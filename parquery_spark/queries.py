@@ -5948,3 +5948,107 @@ def q141_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             "member_checksum"
         ),
     )
+
+
+@query(
+    "q142_ab_experiment",
+    """
+    WITH assigned AS (
+        SELECT user_id,
+               CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)
+                          || '#exp1'), 1, 15))::BIGINT % 2 = 0
+                    THEN 'control' ELSE 'treatment' END AS variant
+        FROM (SELECT DISTINCT user_id FROM events)
+    )
+    SELECT a.variant,
+           CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users,
+           COUNT(*) AS n_events,
+           ROUND(AVG(e.value), 6) AS avg_value,
+           ROUND(CAST(COUNT(DISTINCT CASE WHEN e.event_type = 'purchase'
+                                          THEN e.user_id END) AS DOUBLE)
+                 / COUNT(DISTINCT e.user_id), 6) AS conversion
+    FROM events e JOIN assigned a ON e.user_id = a.user_id
+    GROUP BY a.variant
+    """,
+)
+def q142_ab_experiment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout with DETERMINISTIC assignment: variant is a
+    pure hash of (user_id, experiment salt) — stable across runs, engines
+    and partitionings, no assignment table to keep consistent (the same
+    discipline as the q58/q112 splits, applied to experimentation).
+    Assignment broadcasts onto the event scan; conversion is a
+    distinct-user conditional ratio computed in one aggregate."""
+    from parquery_spark.operators.dedup import hash64
+
+    events = load_events(spark, sf_dir)
+    users = events.select("user_id").distinct()
+    assigned = users.select(
+        "user_id",
+        F.when(
+            hash64(F.col("user_id").cast("string"), seed="exp1") % 2 == 0,
+            "control",
+        )
+        .otherwise("treatment")
+        .alias("variant"),
+    )
+    j = events.join(F.broadcast(assigned), "user_id")
+    return j.groupBy("variant").agg(
+        F.count_distinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
+        F.round(
+            F.count_distinct(
+                F.when(F.col("event_type") == "purchase", F.col("user_id"))
+            ).cast("double")
+            / F.count_distinct("user_id"),
+            6,
+        ).alias("conversion"),
+    )
+
+
+@query(
+    "q143_wow_deltas",
+    """
+    WITH weekly AS (
+        SELECT epoch_us(date_trunc('week', o_orderdate)) AS week_us,
+               COUNT(*) AS n,
+               ROUND(SUM(o_totalprice), 2) AS revenue
+        FROM orders GROUP BY week_us
+    )
+    SELECT week_us, n, revenue,
+           revenue - LAG(revenue) OVER (ORDER BY week_us) AS delta,
+           ROUND((revenue - LAG(revenue) OVER (ORDER BY week_us))
+                 / LAG(revenue) OVER (ORDER BY week_us) * 100, 4)
+               AS pct_change
+    FROM weekly
+    """,
+)
+def q143_wow_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week deltas: the fact table collapses to the weekly
+    grain FIRST (one shuffle, partial-aggregated), then LAG runs over
+    the tiny weekly relation — the unpartitioned window is safe because
+    its input is |weeks| rows by construction, the cardinality contract
+    that q79 taught us to state explicitly.  Deltas subtract the ROUNDED
+    revenues, so both engines difference identical doubles."""
+    from pyspark.sql import Window
+
+    orders = load(spark, sf_dir, "orders")
+    weekly = orders.groupBy(
+        F.unix_micros(
+            F.date_trunc("week", F.col("o_orderdate").cast("timestamp"))
+        ).alias("week_us")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+    w = Window.orderBy("week_us")
+    prev = F.lag("revenue").over(w)
+    return weekly.select(
+        "week_us",
+        "n",
+        "revenue",
+        (F.col("revenue") - prev).alias("delta"),
+        F.round((F.col("revenue") - prev) / prev * 100, 4).alias(
+            "pct_change"
+        ),
+    )
