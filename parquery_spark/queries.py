@@ -6052,3 +6052,115 @@ def q143_wow_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pct_change"
         ),
     )
+
+
+@query(
+    "q144_signup_to_purchase",
+    """
+    WITH firsts AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'signup' THEN ts END)
+                   AS signup_ts,
+               MIN(CASE WHEN event_type = 'purchase' THEN ts END)
+                   AS purchase_ts
+        FROM events GROUP BY user_id
+    )
+    SELECT CAST(FLOOR((epoch_us(purchase_ts) - epoch_us(signup_ts))
+                      / 86400000000.0) AS BIGINT) AS delay_days,
+           COUNT(*) AS n_users
+    FROM firsts
+    WHERE signup_ts IS NOT NULL AND purchase_ts IS NOT NULL
+      AND purchase_ts >= signup_ts
+    GROUP BY delay_days
+    """,
+)
+def q144_signup_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activation-delay distribution (signup → first purchase, in whole
+    days): both first-touch timestamps come from ONE conditional-min
+    aggregate over the log — the q81 funnel trick — so the lifecycle
+    metric costs a single user_id shuffle, no self-join of the event
+    table against itself.  Exact IEEE floor-division binning."""
+    events = load_events(spark, sf_dir)
+
+    def us(c):
+        return F.unix_micros(c.cast("timestamp"))
+
+    firsts = events.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "signup", F.col("ts"))
+        ).alias("signup_ts"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("purchase_ts"),
+    )
+    delay = F.floor(
+        (us(F.col("purchase_ts")) - us(F.col("signup_ts")))
+        / 86400000000.0
+    ).cast("long")
+    return (
+        firsts.where(
+            F.col("signup_ts").isNotNull()
+            & F.col("purchase_ts").isNotNull()
+            & (F.col("purchase_ts") >= F.col("signup_ts"))
+        )
+        .groupBy(delay.alias("delay_days"))
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+@query(
+    "q145_null_aware_anti_join",
+    """
+    WITH probe_keys AS (
+        SELECT CASE WHEN o_orderkey % 100 = 0 THEN NULL
+                    ELSE o_custkey END AS k
+        FROM orders WHERE o_orderkey % 3 = 0
+    )
+    SELECT
+        (SELECT COUNT(*) FROM customer
+         WHERE c_custkey NOT IN (SELECT k FROM probe_keys)) AS not_in_n,
+        (SELECT COUNT(*) FROM customer ANTI JOIN probe_keys
+         ON c_custkey = probe_keys.k) AS anti_join_n,
+        (SELECT COUNT(*) FROM customer
+         WHERE c_custkey NOT IN (SELECT k FROM probe_keys
+                                 WHERE k IS NOT NULL)) AS not_in_filtered_n
+    """,
+)
+def q145_null_aware_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-aware anti-join semantics, side by side: SQL's ``NOT IN``
+    against a list containing a NULL is three-valued — no row can prove
+    non-membership, so the count is ZERO — while a plain ANTI JOIN
+    null-rejects and returns the intuitive answer.  Spark plans the
+    former as a null-aware anti join (the expensive broadcast variant)
+    and the latter as a hash anti join; both produced here from the same
+    probe relation, hash-matched against the oracle's three counts.  The
+    production lesson the query encodes: filter NULLs from the subquery
+    (third column) and the cheap join returns."""
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    probe = orders.where(F.col("o_orderkey") % 3 == 0).select(
+        F.when(F.col("o_orderkey") % 100 == 0, F.lit(None))
+        .otherwise(F.col("o_custkey"))
+        .alias("k")
+    )
+    probe.createOrReplaceTempView("pqs_q145_probe")
+    cust.createOrReplaceTempView("pqs_q145_cust")
+    not_in = spark.sql(
+        "SELECT COUNT(*) AS n FROM pqs_q145_cust "
+        "WHERE c_custkey NOT IN (SELECT k FROM pqs_q145_probe)"
+    )
+    anti = cust.join(
+        probe, cust["c_custkey"] == probe["k"], "left_anti"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    not_in_filtered = cust.join(
+        probe.where(F.col("k").isNotNull()).distinct(),
+        cust["c_custkey"] == F.col("k"),
+        "left_anti",
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return (
+        not_in.select(F.col("n").alias("not_in_n"))
+        .crossJoin(anti.select(F.col("n").alias("anti_join_n")))
+        .crossJoin(
+            not_in_filtered.select(F.col("n").alias("not_in_filtered_n"))
+        )
+    )
