@@ -6164,3 +6164,62 @@ def q145_null_aware_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             not_in_filtered.select(F.col("n").alias("not_in_filtered_n"))
         )
     )
+
+
+@query(
+    "q146_mixture_sampling",
+    """
+    WITH counts AS (
+        SELECT source, COUNT(*) AS n_s FROM documents GROUP BY source
+    ),
+    budget AS (
+        SELECT CAST(SUM(n_s) * 0.6 / COUNT(*) AS BIGINT) AS quota
+        FROM counts
+    ),
+    rates AS (
+        SELECT source,
+               LEAST(1000000, quota * 1000000 // n_s) AS rate_ppm
+        FROM counts, budget
+    )
+    SELECT d.source, r.rate_ppm, COUNT(*) AS n_selected
+    FROM documents d
+    JOIN rates r ON d.source = r.source
+    WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || '#mix1'),
+                          1, 15))::BIGINT % 1000000 < r.rate_ppm
+    GROUP BY d.source, r.rate_ppm
+    """,
+)
+def q146_mixture_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset mixture sampling — the data-mixing step of LLM corpus prep:
+    per-source quotas (here: uniform mixture over 60% of the corpus)
+    converted to integer parts-per-million rates, inclusion decided by a
+    pure hash of (doc_id, mixture salt).  All integer math: the rate
+    table is exact on every engine, membership is deterministic, re-runs
+    and engine swaps reproduce the identical sample — the property that
+    makes a 100 TB mixture auditable.  The tiny rate table broadcasts;
+    the corpus scan filters in place (no shuffle)."""
+    from parquery_spark.operators.dedup import hash64
+
+    docs = load(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
+    budget = counts.agg(
+        (F.sum("n_s") * 0.6 / F.count(F.lit(1)))
+        .cast("long")
+        .alias("quota")
+    )
+    rates = counts.crossJoin(F.broadcast(budget)).select(
+        "source",
+        F.least(
+            F.lit(1_000_000).cast("long"),
+            F.expr("quota * 1000000 DIV n_s"),
+        ).alias("rate_ppm"),
+    )
+    j = docs.join(F.broadcast(rates), "source")
+    return (
+        j.where(
+            hash64(F.col("doc_id").cast("string"), seed="mix1") % 1_000_000
+            < F.col("rate_ppm")
+        )
+        .groupBy("source", "rate_ppm")
+        .agg(F.count(F.lit(1)).alias("n_selected"))
+    )
