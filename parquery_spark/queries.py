@@ -6223,3 +6223,70 @@ def q146_mixture_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", "rate_ppm")
         .agg(F.count(F.lit(1)).alias("n_selected"))
     )
+
+
+@query(
+    "q147_canonical_selection",
+    f"""
+    WITH RECURSIVE verified AS ({_sql_lsh_verified(15, 5, 2, 1000, 0.5)}),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM verified
+        UNION
+        SELECT id_b AS src, id_a AS dst FROM verified
+    ),
+    reach(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    cluster AS (
+        SELECT src AS v, LEAST(src, MIN(dst)) AS cluster_id
+        FROM reach GROUP BY src
+    ),
+    labeled AS (
+        SELECT d.doc_id, d.n_chars,
+               COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+        FROM documents d LEFT JOIN cluster c ON c.v = d.doc_id
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                     ORDER BY n_chars DESC, doc_id) AS rn,
+               COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+        FROM labeled
+    )
+    SELECT cluster_id, cluster_size, doc_id AS keep_id,
+           n_chars AS keep_n_chars
+    FROM ranked WHERE rn = 1
+    """,
+)
+def q147_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection per near-dup cluster: after the q62
+    transitive closure, each cluster keeps its BEST copy — longest text,
+    doc_id tie-break — rather than the arbitrary minimum id; the
+    'which duplicate survives' policy of a real corpus dedup.  One window
+    over the labeled relation (partitioned by cluster — never global);
+    quality policy swaps freely (any deterministic ORDER BY)."""
+    from pyspark.sql import Window
+
+    from parquery_spark.operators.graph import dedup_clusters
+
+    docs = load(spark, sf_dir, "documents")
+    labeled = dedup_clusters(
+        docs, _verified_pairs(spark, sf_dir), "doc_id"
+    ).select("doc_id", "cluster_id")
+    withq = labeled.join(docs.select("doc_id", "n_chars"), "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    wc = Window.partitionBy("cluster_id")
+    return (
+        withq.withColumn("rn", F.row_number().over(w))
+        .withColumn("cluster_size", F.count(F.lit(1)).over(wc))
+        .where(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            "cluster_size",
+            F.col("doc_id").alias("keep_id"),
+            F.col("n_chars").alias("keep_n_chars"),
+        )
+    )
