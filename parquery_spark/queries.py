@@ -6290,3 +6290,69 @@ def q147_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_chars").alias("keep_n_chars"),
         )
     )
+
+
+@query(
+    "q148_invariant_audit",
+    """
+    WITH parts AS (
+        SELECT l_orderkey,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)
+                         * (1 + l_tax)), 2) AS parts_total
+        FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           COUNT(*) FILTER (parts_total IS NULL) AS n_no_lineitems,
+           COUNT(*) FILTER (
+               parts_total IS NOT NULL
+               AND abs(o_totalprice - parts_total) > 0.01
+           ) AS n_divergent,
+           ROUND(SUM(CASE WHEN parts_total IS NOT NULL
+                          THEN abs(o_totalprice - parts_total)
+                          ELSE CAST(0 AS DOUBLE) END), 2) AS total_abs_gap
+    FROM orders LEFT JOIN parts ON o_orderkey = l_orderkey
+    GROUP BY o_orderstatus
+    """,
+)
+def q148_invariant_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table business-invariant audit: does each order's header
+    total equal the sum of its lines (with discount and tax applied)?
+    The reconciliation check every warehouse runs between fact grains.
+    One aggregate collapses lineitem to the order grain before the join
+    (shuffle carries |orders| rows, not |lineitems|); headers without
+    lines and divergent totals are counted per status with the absolute
+    gap — the rounded per-order sums make the comparison engine-exact."""
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    parts = li.groupBy("l_orderkey").agg(
+        F.round(
+            F.sum(
+                F.col("l_extendedprice")
+                * (1 - F.col("l_discount"))
+                * (1 + F.col("l_tax"))
+            ),
+            2,
+        ).alias("parts_total")
+    )
+    j = orders.join(
+        parts, orders["o_orderkey"] == parts["l_orderkey"], "left"
+    )
+    gap = F.abs(F.col("o_totalprice") - F.col("parts_total"))
+    return j.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.count(
+            F.when(F.col("parts_total").isNull(), 1)
+        ).alias("n_no_lineitems"),
+        F.count(
+            F.when(F.col("parts_total").isNotNull() & (gap > 0.01), 1)
+        ).alias("n_divergent"),
+        F.round(
+            F.sum(
+                F.when(F.col("parts_total").isNotNull(), gap).otherwise(
+                    F.lit(0.0)
+                )
+            ),
+            2,
+        ).alias("total_abs_gap"),
+    )
