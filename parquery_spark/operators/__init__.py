@@ -3,6 +3,7 @@ from parquery_spark.operators import (
     graph,
     ivf,
     joins,
+    maintenance,
     multimodal,
     packing,
     profile,
@@ -16,4 +17,5 @@ from parquery_spark.operators import (
 __all__ = [
     "dedup", "similarity", "ivf", "joins", "windows", "multimodal",
     "sampling", "skew", "graph", "packing", "profile", "upsert",
+    "maintenance",
 ]
