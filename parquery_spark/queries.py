@@ -6356,3 +6356,50 @@ def q148_invariant_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("total_abs_gap"),
     )
+
+
+@query(
+    "q149_grouped_agg_udaf",
+    """
+    WITH q AS (
+        SELECT event_type,
+               quantile_cont(value, 0.1) AS lo,
+               quantile_cont(value, 0.9) AS hi
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           ROUND(AVG(e.value), 6) AS trimmed_mean,
+           COUNT(*) AS n_used
+    FROM events e JOIN q ON e.event_type = q.event_type
+    WHERE e.value BETWEEN q.lo AND q.hi
+    GROUP BY e.event_type
+    """,
+)
+def q149_grouped_agg_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom aggregation through a GROUPED_AGG pandas UDF — PySpark's
+    UDAF surface (Series in, scalar out per group), completing the Python
+    integration matrix: here a 10-90% trimmed mean, whose trim boundaries
+    (pandas linear-interpolated quantiles == DuckDB quantile_cont, same
+    (n-1)q formula) and member count are replicated by the oracle.
+    Grouped-agg UDFs can't partial-aggregate — each group's full series
+    ships to one worker — so at 100 TB this is for moderate-cardinality
+    groups; unbounded-cardinality trims switch to the two-pass
+    quantile-join shape the oracle itself uses."""
+    import pandas as pd
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    def _trimmed(s):
+        lo, hi = s.quantile(0.1), s.quantile(0.9)
+        return float(s[(s >= lo) & (s <= hi)].mean())
+
+    def _trimmed_n(s):
+        lo, hi = s.quantile(0.1), s.quantile(0.9)
+        return int(((s >= lo) & (s <= hi)).sum())
+
+    trimmed = pandas_udf(_trimmed, "double", PandasUDFType.GROUPED_AGG)
+    trimmed_n = pandas_udf(_trimmed_n, "long", PandasUDFType.GROUPED_AGG)
+    events = load_events(spark, sf_dir)
+    return events.groupBy("event_type").agg(
+        F.round(trimmed(F.col("value")), 6).alias("trimmed_mean"),
+        trimmed_n(F.col("value")).alias("n_used"),
+    )

@@ -511,3 +511,60 @@ class TestRound3PlanShapes:
 
         p = plan("q129_psi_drift")
         assert "BroadcastHashJoin" in p and "EvalPython" not in p
+
+    def test_aqe_splits_skewed_join(self, spark, tmp_path):
+        """AQE skew-join handling: a join where one key holds ~90% of the
+        rows gets its oversized partitions SPLIT at runtime (the final
+        adaptive plan marks the SortMergeJoin with skew=true) — the
+        no-code-change alternative to manual salting (operators/skew.py)
+        for unknown hot keys."""
+        import pyspark.sql.functions as F
+
+        big = spark.range(0, 200_000).select(
+            F.when(F.col("id") % 10 != 0, F.lit(7))
+            .otherwise(F.col("id") % 1000)
+            .alias("k"),
+            F.col("id").alias("payload"),
+        )
+        small = spark.range(0, 1000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        )
+        bpath, spath = str(tmp_path / "big"), str(tmp_path / "small")
+        big.write.parquet(bpath)
+        small.write.parquet(spath)
+        confs = {
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes":
+                "64KB",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        }
+        saved = {k: spark.conf.get(k, None) for k in confs}
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        try:
+            # no aggregation keyed on the join key downstream: a required
+            # hash distribution on k would veto the skew split (AQE won't
+            # break a required partitioning)
+            # keep `payload` in the output: column pruning would otherwise
+            # shuffle only the constant hot key, which compresses below
+            # any skew threshold
+            j = (
+                spark.read.parquet(bpath)
+                .join(spark.read.parquet(spath), "k")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum(F.col("payload") + F.col("v")).alias("chk"),
+                )
+            )
+            rows = j.collect()  # .first() would execute a separate
+            # limit-plan and leave this one unexecuted (isFinalPlan=false)
+            assert rows[0].n == 200_000
+            final = j._jdf.queryExecution().executedPlan().toString()
+            assert "skew=true" in final
+        finally:
+            for k, v in saved.items():
+                if v is not None:
+                    spark.conf.set(k, v)
+                else:
+                    spark.conf.unset(k)
