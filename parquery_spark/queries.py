@@ -6403,3 +6403,77 @@ def q149_grouped_agg_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(trimmed(F.col("value")), 6).alias("trimmed_mean"),
         trimmed_n(F.col("value")).alias("n_used"),
     )
+
+
+@query(
+    "q150_corpus_prep_pipeline",
+    f"""
+    WITH filtered AS (
+        SELECT doc_id, source, text,
+               md5({_SQL_NORMALIZED_TEXT}) AS fp,
+               length(list_filter(string_split_regex(lower(text),
+                      '[^a-z0-9'']+'), t -> t != '')) AS n_tokens
+        FROM documents
+        WHERE lang = 'en' AND n_chars >= 200
+    ),
+    kept AS (
+        SELECT * FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY fp
+                                         ORDER BY doc_id) AS rn
+            FROM filtered
+        ) WHERE rn = 1
+    ),
+    sampled AS (
+        SELECT * FROM kept
+        WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#corpus1'),
+                              1, 15))::BIGINT % 100 < 50
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(CEIL(CAST(n_tokens AS DOUBLE) / 512)) AS BIGINT)
+               AS n_chunks
+    FROM sampled GROUP BY source
+    """,
+)
+def q150_corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LLM corpus-prep pipeline END TO END in one lazy plan — the
+    composition a user of this engine actually ships: quality gate (lang
+    + length) pushed into the scan, near-exact dedup (normalized-text
+    fingerprint, first-id survivor), deterministic hash sampling (50%,
+    pure function of doc_id + salt), and training accounting (token totals
+    and 512-token chunk counts per source).  One scan, one fp shuffle,
+    one final aggregate; every stage reuses an operator gated elsewhere
+    (q41 dedup, q58 sampling, q48 token stats, q89 chunk math), and the
+    whole composition is hash-matched here — the proof the pieces compose
+    without semantic drift."""
+    from pyspark.sql import Window
+
+    from parquery_spark.functions.text import fingerprint
+    from parquery_spark.operators.dedup import hash64, shingle_tokens
+
+    docs = load(spark, sf_dir, "documents")
+    filtered = docs.where(
+        (F.col("lang") == "en") & (F.col("n_chars") >= 200)
+    ).select(
+        "doc_id",
+        "source",
+        fingerprint(F.col("text")).alias("fp"),
+        F.size(shingle_tokens("text")).cast("long").alias("n_tokens"),
+    )
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    kept = (
+        filtered.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    sampled = kept.where(
+        hash64(F.col("doc_id").cast("string"), seed="corpus1") % 100 < 50
+    )
+    return sampled.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum(
+            F.ceil(F.col("n_tokens").cast("double") / 512)
+        ).alias("n_chunks"),
+    )
