@@ -6477,3 +6477,515 @@ def q150_corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.ceil(F.col("n_tokens").cast("double") / 512)
         ).alias("n_chunks"),
     )
+
+
+# ===========================================================================
+# TPC-H completion set (continuation session 2): every remaining TPC-H query
+# expressible on the trimmed schema (no partsupp / commitdate / receiptdate,
+# so Q2/Q4/Q9/Q11/Q12/Q16/Q20/Q21 have shape-adapted or no equivalents).
+# ===========================================================================
+
+@query(
+    "q151_tpch_q6",
+    """
+    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q151_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecasting revenue change): the canonical
+    pushdown-everything query — three conjunctive range predicates, all
+    reaching the parquet scan as PushedFilters, one global aggregate with
+    map-side partials and no shuffle of data rows.  At 100 TB this is
+    bounded by scan bandwidth alone; row-group stats skip everything
+    outside the ship-date year."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "q152_tpch_q7",
+    """
+    SELECT supp_nation, cust_nation, l_year,
+           ROUND(SUM(volume), 2) AS revenue
+    FROM (
+        SELECT n1.n_name AS supp_nation,
+               n2.n_name AS cust_nation,
+               CAST(year(l_shipdate) AS INT) AS l_year,
+               l_extendedprice * (1 - l_discount) AS volume
+        FROM lineitem
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey  = o_custkey
+        JOIN supplier ON s_suppkey  = l_suppkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+            OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+          AND l_shipdate BETWEEN TIMESTAMP '1996-01-01'
+                             AND TIMESTAMP '1997-12-31'
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def q152_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 (volume shipping): bidirectional nation-pair trade flow.
+    Both nation legs and both entity dims (supplier, customer) broadcast —
+    the fact table shuffles once for the orders join and never again; the
+    nation-pair disjunction filters AFTER the broadcast joins so Catalyst
+    keeps it a post-join filter on two tiny-cardinality columns."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    j = (
+        li.where(
+            F.col("l_shipdate").between(
+                F.lit("1996-01-01").cast("timestamp"),
+                F.lit("1997-12-31").cast("timestamp"),
+            )
+        )
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), F.col("o_custkey") == cust["c_custkey"])
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp["s_suppkey"])
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .where(
+            (
+                (F.col("supp_nation") == "NATION_1")
+                & (F.col("cust_nation") == "NATION_2")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_2")
+                & (F.col("cust_nation") == "NATION_1")
+            )
+        )
+    )
+    return j.groupBy(
+        "supp_nation",
+        "cust_nation",
+        F.year("l_shipdate").cast("int").alias("l_year"),
+    ).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue")
+    )
+
+
+@query(
+    "q153_tpch_q8",
+    """
+    SELECT o_year,
+           ROUND(SUM(CASE WHEN nation = 'NATION_3' THEN volume
+                          ELSE CAST(0 AS DOUBLE) END) / SUM(volume), 6)
+               AS mkt_share
+    FROM (
+        SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+               l_extendedprice * (1 - l_discount) AS volume,
+               n2.n_name AS nation
+        FROM lineitem
+        JOIN part     ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN region    ON n1.n_regionkey = r_regionkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate BETWEEN TIMESTAMP '1995-01-01'
+                              AND TIMESTAMP '1996-12-31'
+          AND p_type = 'ECONOMY'
+    ) all_nations
+    GROUP BY o_year
+    """,
+)
+def q153_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (national market share): a nation's share of regional
+    trade volume in one product segment, per year.  Classic
+    conditional-aggregation ratio — one pass, no self-join; every
+    dimension (part, supplier, customer, nation x2, region) broadcasts,
+    the fact shuffles once on orderkey.  The p_type filter prunes parts
+    BEFORE the broadcast so the fact-side join discards non-segment lines
+    in the probe."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part").where(F.col("p_type") == "ECONOMY")
+    supp = load(spark, sf_dir, "supplier")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"),
+        F.col("n_regionkey").alias("n1_region"),
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation")
+    )
+    j = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            orders.where(
+                F.col("o_orderdate").between(
+                    F.lit("1995-01-01").cast("timestamp"),
+                    F.lit("1996-12-31").cast("timestamp"),
+                )
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(region), F.col("n1_region") == F.col("r_regionkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return j.groupBy(
+        F.year("o_orderdate").cast("int").alias("o_year")
+    ).agg(
+        F.round(
+            F.sum(F.when(F.col("nation") == "NATION_3", vol).otherwise(F.lit(0.0)))
+            / F.sum(vol),
+            6,
+        ).alias("mkt_share")
+    )
+
+
+@query(
+    "q154_tpch_q15",
+    """
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)
+                   AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+)
+def q154_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): quarterly revenue view + scalar-subquery
+    max — the arg-max-with-ties shape.  Revenue is rounded to cents
+    BEFORE the max comparison so double partial-agg order can't split a
+    tie between engines.  The per-supplier rollup is the only shuffle;
+    the max is a one-row broadcast joined back, and the supplier dim
+    broadcasts — no window, no global sort."""
+    li = load(spark, sf_dir, "lineitem")
+    supp = load(spark, sf_dir, "supplier")
+    revenue = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("total_revenue")
+        )
+    )
+    revenue = revenue.persist()
+    mx = revenue.agg(F.max("total_revenue").alias("__mx"))
+    top = revenue.join(
+        F.broadcast(mx), F.col("total_revenue") == F.col("__mx")
+    ).drop("__mx")
+    return (
+        F.broadcast(supp)
+        .join(top, F.col("s_suppkey") == F.col("supplier_no"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@query(
+    "q155_tpch_q17",
+    """
+    SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#3' AND p_size < 15
+      AND l_quantity < (
+          SELECT 0.2 * AVG(l_quantity)
+          FROM lineitem l2 WHERE l2.l_partkey = p_partkey
+      )
+    """,
+)
+def q155_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue): correlated scalar
+    subquery — average quantity PER PART decides which lines count.
+    Decorrelated by hand into one per-part aggregate joined back to the
+    fact (exactly what Catalyst's subquery decorrelation would emit):
+    the threshold side aggregates the FULL lineitem (the correlation is
+    on partkey alone, not the brand filter), the brand/size part filter
+    broadcasts, and the comparison is engine-exact because integral
+    quantities sum exactly in double regardless of partial order."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part").where(
+        (F.col("p_brand") == "Brand#3") & (F.col("p_size") < 15)
+    )
+    thresholds = li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_threshold")
+    )
+    j = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(thresholds, F.col("l_partkey") == F.col("t_partkey"))
+        .where(F.col("l_quantity") < F.col("qty_threshold"))
+    )
+    return j.agg(
+        F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@query(
+    "q156_tpch_q4_shape",
+    """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1996-07-01'
+      AND EXISTS (
+          SELECT 1 FROM lineitem
+          WHERE l_orderkey = o_orderkey
+            AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+      )
+    GROUP BY o_orderpriority
+    """,
+)
+def q156_tpch_q4_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 (order priority checking), shape-adapted: the trimmed
+    schema has no commit/receipt dates, so 'late order' is an EXISTS over
+    lineitems shipped >90 days after the order date — the same
+    correlated-EXISTS → LeftSemi decorrelation the real Q4 exercises.
+    The semi join keeps at most one match per order and drops the
+    lineitem payload before the aggregate; the date filter prunes the
+    orders scan."""
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    filtered = orders.where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    late = filtered.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+@query(
+    "q157_stream_stream_join",
+    """
+    WITH pairs AS (
+        SELECT c.user_id,
+               (epoch_us(p.ts) - epoch_us(c.ts)) / 1000000.0 AS delay_sec
+        FROM events c JOIN events p
+          ON c.user_id = p.user_id
+         AND c.event_type = 'click' AND p.event_type = 'purchase'
+         AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    )
+    SELECT COUNT(*) AS n_pairs,
+           COUNT(DISTINCT user_id) AS n_users,
+           ROUND(AVG(delay_sec), 6) AS avg_delay_sec,
+           ROUND(MAX(delay_sec), 6) AS max_delay_sec
+    FROM pairs
+    """,
+)
+def q157_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STREAM inner join through the real streaming engine — the
+    last major Structured Streaming surface (q84 windowed agg, q85/q97
+    stateful dedup/sessions, q99 stream-static, q126 foreachBatch): click
+    and purchase events from the same watermarked file stream joined on
+    user with an event-time range (purchase within 1h of the click).  The
+    range condition + both-side watermarks bound the join state the
+    engine must retain — exactly the mechanism that keeps this runnable
+    on an unbounded feed; state is keyed by user_id so it scales out by
+    key hash.  The joined pairs are drained append-mode and the tiny
+    attribution rollup runs batch-side; the oracle is the batch self-join
+    twin, so stream/batch consistency is a hash-matched contract.  Delays
+    are exact integer-microsecond differences, so the average is
+    engine-exact before rounding."""
+    from parquery_spark.streaming.events import (
+        events_stream,
+        run_available_now,
+    )
+
+    src = _events_stream_dir(sf_dir)
+    clicks = (
+        events_stream(spark, src, watermark="2 hours")
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+    )
+    purchases = (
+        events_stream(spark, src, watermark="2 hours")
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+        "inner",
+    ).select(
+        F.col("c_user").alias("user_id"),
+        (
+            (F.unix_micros("p_ts") - F.unix_micros("c_ts")) / 1000000.0
+        ).alias("delay_sec"),
+    )
+    pairs = run_available_now(joined, "q157_sink", output_mode="append")
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(F.avg("delay_sec"), 6).alias("avg_delay_sec"),
+        F.round(F.max("delay_sec"), 6).alias("max_delay_sec"),
+    )
+
+
+@query(
+    "q158_triangle_count",
+    """
+    WITH edges AS (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    deg AS (
+        SELECT node, COUNT(*) AS d FROM (
+            SELECT u AS node FROM edges
+            UNION ALL SELECT v AS node FROM edges
+        ) GROUP BY node
+    ),
+    oriented AS (
+        -- direct each edge from lower (degree, id) to higher: bounds the
+        -- wedge join by out-degree <= sqrt(2m)
+        SELECT CASE WHEN (du.d, u) < (dv.d, v) THEN u ELSE v END AS s,
+               CASE WHEN (du.d, u) < (dv.d, v) THEN v ELSE u END AS t
+        FROM edges JOIN deg du ON du.node = u JOIN deg dv ON dv.node = v
+    ),
+    tri AS (
+        SELECT COUNT(*) AS n_triangles
+        FROM oriented e1
+        JOIN oriented e2 ON e2.s = e1.t
+        JOIN oriented e3 ON e3.s = e1.s AND e3.t = e2.t
+    )
+    SELECT (SELECT COUNT(*) FROM edges) AS n_edges,
+           (SELECT CAST(SUM(d * (d - 1) / 2) AS BIGINT) FROM deg)
+               AS n_wedges,
+           n_triangles,
+           ROUND(3.0 * n_triangles /
+                 (SELECT SUM(d * (d - 1) / 2) FROM deg), 6)
+               AS clustering_coeff
+    FROM tri
+    """,
+)
+def q158_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed triangle counting on the co-purchase graph (parts
+    bought in the same order), with the degree-orientation optimization:
+    every edge is directed from its lower-(degree, id) endpoint, so each
+    triangle is generated exactly once and the wedge join's fan-out per
+    vertex is bounded by out-degree <= sqrt(2m) — the standard trick that
+    keeps the join volume near m^1.5 instead of sum(d^2) on power-law
+    graphs.  Edge building is bounded per order (basket-size fan-out,
+    like q128's co-occurrence); wedges shuffle on the pivot vertex and
+    close via one more hash join on the (s, t) pair.  Global clustering
+    coefficient = 3*triangles / wedges comes from the same degree
+    relation — everything integer-exact except the final rounded ratio."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("u")
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("v")
+    )
+    edges = (
+        a.join(b, "k")
+        .where(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+        .persist()
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .persist()
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = (
+        edges.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("s"),
+            F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("t"),
+        )
+        .persist()
+    )
+    e2 = oriented.select(F.col("s").alias("t"), F.col("t").alias("w"))
+    wedges = oriented.join(e2, "t").select("s", F.col("w").alias("t2"))
+    closing = oriented.select("s", F.col("t").alias("t2"))
+    tri = wedges.join(closing, ["s", "t2"]).agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+    n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    n_wedges = deg.agg(
+        F.sum(
+            (F.col("d") * (F.col("d") - 1) / 2).cast("long")
+        ).alias("n_wedges")
+    )
+    return (
+        tri.crossJoin(F.broadcast(n_edges))
+        .crossJoin(F.broadcast(n_wedges))
+        .select(
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.round(
+                3.0 * F.col("n_triangles") / F.col("n_wedges"), 6
+            ).alias("clustering_coeff"),
+        )
+    )
