@@ -6989,3 +6989,146 @@ def q158_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("clustering_coeff"),
         )
     )
+
+
+@query(
+    "q159_fuzzy_dedup_verify",
+    f"""
+    WITH cand AS ({_sql_minhash_lsh(16, 4, 2, 1000)}),
+    norm AS (
+        SELECT doc_id, substr({_SQL_NORMALIZED_TEXT}, 1, 120) AS prefix
+        FROM documents
+    )
+    SELECT id_a, id_b,
+           CAST(levenshtein(na.prefix, nb.prefix) AS BIGINT) AS edit_dist,
+           levenshtein(na.prefix, nb.prefix) <= 30 AS is_dup
+    FROM cand
+    JOIN norm na ON na.doc_id = id_a
+    JOIN norm nb ON nb.doc_id = id_b
+    """,
+)
+def q159_fuzzy_dedup_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy dedup with edit-distance verification: MinHash-LSH proposes
+    candidate pairs (the q43 generator, shared signature relations), then
+    Levenshtein distance over a 120-char normalized prefix confirms.
+    The O(len^2) DP runs ONLY on LSH candidates — bounded by band
+    collisions, never all pairs — and the prefix cap bounds each DP at
+    120x120 regardless of document length; both are what keep
+    edit-distance dedup feasible at corpus scale.  Distance is computed
+    JVM-side (built-in levenshtein), replicated exactly by DuckDB's."""
+    from parquery_spark.functions.text import normalized_text
+    from parquery_spark.operators.dedup import lsh_candidate_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    cand = lsh_candidate_pairs(
+        docs, "text", "doc_id",
+        num_hashes=16, bands=4, shingle_k=2, max_bucket_size=1000,
+    ).select("id_a", "id_b", "est_jaccard")
+    norm = docs.select(
+        "doc_id",
+        F.substring(normalized_text(F.col("text")), 1, 120).alias("prefix"),
+    )
+    na = norm.select(
+        F.col("doc_id").alias("id_a"), F.col("prefix").alias("pa")
+    )
+    nb = norm.select(
+        F.col("doc_id").alias("id_b"), F.col("prefix").alias("pb")
+    )
+    dist = F.levenshtein(F.col("pa"), F.col("pb"))
+    return (
+        cand.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            dist.cast("long").alias("edit_dist"),
+            (dist <= 30).alias("is_dup"),
+        )
+    )
+
+
+@query(
+    "q160_mixture_weights",
+    """
+    WITH per_source AS (
+        SELECT source,
+               COUNT(*) AS n_docs,
+               CAST(SUM(length(list_filter(
+                   string_split_regex(lower(text), '[^a-z0-9'']+'),
+                   t -> t != ''))) AS BIGINT) AS total_tokens
+        FROM documents GROUP BY source
+    ),
+    tot AS (
+        SELECT SUM(power(CAST(total_tokens AS DOUBLE), 0.5)) AS z_sqrt,
+               SUM(CAST(total_tokens AS DOUBLE)) AS z_prop
+        FROM per_source
+    )
+    SELECT source, n_docs, total_tokens,
+           ROUND(power(CAST(total_tokens AS DOUBLE), 0.5) / z_sqrt, 6)
+               AS weight_t05,
+           ROUND(CAST(total_tokens AS DOUBLE) / z_prop, 6)
+               AS weight_prop
+    FROM per_source, tot
+    """,
+)
+def q160_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture weights per source (UniMax/temperature-sampling
+    style): token counts per source, normalized proportionally and with
+    a 0.5-temperature exponent that up-weights small sources — the
+    computation every multi-source pretraining run does before writing
+    its sampling config.  One aggregate to source grain (token counting
+    fused into the scan pass), then a one-row broadcast normalizer —
+    no second pass over the data."""
+    from parquery_spark.functions.text import token_count
+
+    docs = load(spark, sf_dir, "documents")
+    per_source = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(F.col("text")).cast("long")).alias("total_tokens"),
+    )
+    per_source = per_source.persist()
+    tok_d = F.col("total_tokens").cast("double")
+    tot = per_source.agg(
+        F.sum(F.pow(tok_d, 0.5)).alias("z_sqrt"),
+        F.sum(tok_d).alias("z_prop"),
+    )
+    return per_source.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        F.round(F.pow(tok_d, 0.5) / F.col("z_sqrt"), 6).alias("weight_t05"),
+        F.round(tok_d / F.col("z_prop"), 6).alias("weight_prop"),
+    )
+
+
+@query(
+    "q161_gram_matrix",
+    """
+    SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
+           CAST(SUM(
+               CAST(floor(CAST(embedding[i + 1] AS DOUBLE) * 1000 + 0.5)
+                    AS BIGINT)
+             * CAST(floor(CAST(embedding[j + 1] AS DOUBLE) * 1000 + 0.5)
+                    AS BIGINT)
+           ) AS BIGINT) AS gram
+    FROM embeddings,
+         (SELECT unnest(range(64)) AS i) ii,
+         (SELECT unnest(range(64)) AS j) jj
+    GROUP BY i, j
+    """,
+)
+def q161_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Gram matrix X^T X over the embedding corpus — the
+    reduction under covariance/PCA/whitening at 100 TB: each Arrow batch
+    collapses to one 64x64 int64 partial via a numpy matmul inside
+    mapInPandas, and only those d^2-sized partials shuffle (three-int
+    rows; volume is batches x 4096, independent of corpus size).
+    Quantizing with the engine-stable floor(x*1000 + 0.5) makes every
+    partial exact, so the merged matrix hash-matches the oracle's
+    sequential sum — the q141 exact-domain recipe applied to linear
+    algebra.  ``operators.linalg.pca_components`` finishes eigvecs
+    driver-side from these 4096 scalars (pytest-gated)."""
+    from parquery_spark.operators.linalg import gram_matrix
+
+    emb = load(spark, sf_dir, "embeddings")
+    return gram_matrix(emb, "embedding", dim=64, scale=1000)

@@ -335,3 +335,31 @@ class TestFuzzyJoin:
         assert not any(d == 14 for d, _ in got)
         # distance-2 pairs (e.g. "spork"->"sprak") never surface
         assert (11, 2) not in got
+
+
+class TestLinalg:
+    def test_gram_matches_numpy_and_pca_recovers_direction(self, spark):
+        import numpy as np
+
+        from parquery_spark.operators.linalg import gram_matrix, pca_components
+
+        rng = np.random.RandomState(7)
+        # rank-heavy direction: points spread along `axis` + small noise
+        axis = rng.randn(8)
+        axis /= np.linalg.norm(axis)
+        X = np.outer(rng.randn(200) * 5.0, axis) + rng.randn(200, 8) * 0.1
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in row]) for i, row in enumerate(X)],
+            "vec_id long, embedding array<double>",
+        ).repartition(4)
+        rows = gram_matrix(df, "embedding", dim=8, scale=1000).collect()
+        assert len(rows) == 64
+        # exact: quantized numpy reference
+        Q = np.floor(X * 1000 + 0.5).astype(np.int64)
+        G = Q.T @ Q
+        for r in rows:
+            assert r["gram"] == G[r["i"], r["j"]]
+        vals, comps = pca_components(rows, dim=8, k=2, n_rows=200)
+        assert vals[0] > 10 * vals[1]  # one dominant direction
+        top = comps[0] / np.linalg.norm(comps[0])
+        assert abs(float(np.dot(top, axis))) > 0.99
