@@ -135,3 +135,46 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(dst_dir)
     )
+
+
+def merge_aggregate_delta(base_agg, delta_agg, keys: list[str],
+                          measures: list[str], count_col: str = "n"):
+    """Algebraic incremental view maintenance for SUM/COUNT aggregates.
+
+    ``base_agg`` is a maintained grouped view (keys + ``count_col`` +
+    summed ``measures``); ``delta_agg`` is the changelog reduced to the
+    same grain with SIGNED contributions (+1/+v for inserts, -1/-v for
+    retractions).  The merge is a full outer join on the keys with
+    null-safe addition; groups whose maintained count reaches zero drop
+    out (their sums are exactly retracted).  This is the standard
+    delta-propagation rule for distributive aggregates: the view never
+    re-reads the base fact table, so maintaining a 100 TB rollup costs
+    O(|delta|) + one |groups|-sized join per batch.  MIN/MAX are NOT
+    maintainable this way (retraction needs the full group) — callers
+    wanting them recompute affected groups instead.
+    """
+    from pyspark.sql import functions as F
+
+    b = base_agg.select(
+        *keys,
+        F.col(count_col).alias("__bn"),
+        *[F.col(m).alias(f"__b_{m}") for m in measures],
+    )
+    d = delta_agg.select(
+        *keys,
+        F.col(count_col).alias("__dn"),
+        *[F.col(m).alias(f"__d_{m}") for m in measures],
+    )
+    z = F.lit(0)
+    merged = b.join(d, keys, "full_outer").select(
+        *keys,
+        (F.coalesce("__bn", z) + F.coalesce("__dn", z)).alias(count_col),
+        *[
+            (
+                F.coalesce(f"__b_{m}", F.lit(0.0))
+                + F.coalesce(f"__d_{m}", F.lit(0.0))
+            ).alias(m)
+            for m in measures
+        ],
+    )
+    return merged.where(F.col(count_col) > 0)

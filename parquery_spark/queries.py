@@ -7132,3 +7132,136 @@ def q161_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load(spark, sf_dir, "embeddings")
     return gram_matrix(emb, "embedding", dim=64, scale=1000)
+
+
+@query(
+    "q162_incremental_view_maintenance",
+    """
+    SELECT event_type,
+           CAST(SUM(sign) AS BIGINT) AS n,
+           ROUND(SUM(sign * value), 4) AS total_value
+    FROM (
+        SELECT event_type, value,
+               CASE WHEN ts < TIMESTAMP '2024-01-15' THEN 1
+                    WHEN CAST(regexp_extract(props, '[0-9]+') AS BIGINT)
+                         % 2 = 0 THEN 1
+                    ELSE -1 END AS sign
+        FROM events
+    )
+    GROUP BY event_type
+    HAVING SUM(sign) > 0
+    """,
+)
+def q162_incremental_view_maintenance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Algebraic incremental view maintenance: a maintained SUM/COUNT
+    rollup absorbs a signed changelog (inserts +1/+v, retractions
+    -1/-v) WITHOUT re-reading the base — delta propagation for
+    distributive aggregates, the mechanism behind streaming materialized
+    views.  Base = events before Jan 15 rolled up per type; changelog =
+    later events, insert/retract decided by the payload key's parity.
+    The merge is a full-outer join on the group key costing O(|groups| +
+    |delta|); the oracle recomputes the same view directly from the whole
+    log, so the gate proves maintained == recomputed — the IVM
+    correctness contract."""
+    from parquery_spark.operators.maintenance import merge_aggregate_delta
+
+    events = load_events(spark, sf_dir)
+    cutoff = F.lit("2024-01-15").cast("timestamp")
+    base = (
+        events.where(F.col("ts") < cutoff)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("total_value"),
+        )
+    )
+    sign = F.when(
+        F.regexp_extract("props", "[0-9]+", 0).cast("long") % 2 == 0, 1
+    ).otherwise(-1)
+    delta = (
+        events.where(F.col("ts") >= cutoff)
+        .select("event_type", "value", sign.alias("sign"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("sign").alias("n"),
+            F.sum(F.col("sign") * F.col("value")).alias("total_value"),
+        )
+    )
+    merged = merge_aggregate_delta(
+        base, delta, ["event_type"], ["total_value"], count_col="n"
+    )
+    return merged.select(
+        "event_type", "n", F.round("total_value", 4).alias("total_value")
+    )
+
+
+@query(
+    "q163_quality_suite",
+    """
+    SELECT 'not_null(o_custkey)' AS check,
+           ROUND(CAST(COUNT(o_custkey) AS DOUBLE) / COUNT(*), 6) AS metric,
+           CAST(COUNT(o_custkey) AS DOUBLE) / COUNT(*) >= 1.0 AS passed
+    FROM orders
+    UNION ALL
+    SELECT 'unique(o_orderkey)',
+           ROUND(CAST(COUNT(DISTINCT o_orderkey) AS DOUBLE)
+                 / COUNT(o_orderkey), 6),
+           CAST(COUNT(DISTINCT o_orderkey) AS DOUBLE)
+                 / COUNT(o_orderkey) >= 1.0
+    FROM orders
+    UNION ALL
+    SELECT 'bounds(o_totalprice)',
+           ROUND(CAST(SUM(CASE WHEN o_totalprice NOT BETWEEN 0 AND 1000000
+                               THEN 1 ELSE 0 END) AS DOUBLE), 6),
+           SUM(CASE WHEN o_totalprice NOT BETWEEN 0 AND 1000000
+                    THEN 1 ELSE 0 END) = 0
+    FROM orders
+    UNION ALL
+    SELECT 'accepted_values(o_orderstatus)',
+           ROUND(CAST(SUM(CASE WHEN o_orderstatus NOT IN ('F','O','P')
+                               OR o_orderstatus IS NULL
+                               THEN 1 ELSE 0 END) AS DOUBLE), 6),
+           SUM(CASE WHEN o_orderstatus NOT IN ('F','O','P')
+                    OR o_orderstatus IS NULL THEN 1 ELSE 0 END) = 0
+    FROM orders
+    UNION ALL
+    SELECT 'row_count',
+           ROUND(CAST(COUNT(*) AS DOUBLE), 6),
+           COUNT(*) >= 100
+    FROM orders
+    UNION ALL
+    SELECT 'referential(o_custkey)',
+           ROUND(CAST((SELECT COUNT(*) FROM orders
+                       WHERE o_custkey NOT IN
+                             (SELECT c_custkey FROM customer)) AS DOUBLE), 6),
+           (SELECT COUNT(*) FROM orders
+            WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)) = 0
+    """,
+)
+def q163_quality_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality suite (Deequ-style) compiled to ONE
+    aggregate pass: completeness, uniqueness, bounds, accepted values and
+    row count all become expressions in a single global agg (the whole
+    suite = one scan however many checks), plus one broadcast LeftAnti
+    join for referential integrity — the per-ingest-batch validation a
+    100 TB pipeline runs before publishing a partition.  Long-form
+    (check, metric, passed) output; the unpivot Expand multiplies one
+    aggregated row, never the table."""
+    from parquery_spark.operators import quality as Q
+
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    suite = Q.run_checks(
+        orders,
+        [
+            Q.not_null("o_custkey"),
+            Q.unique("o_orderkey"),
+            Q.bounds("o_totalprice", 0, 1_000_000),
+            Q.accepted_values("o_orderstatus", ["F", "O", "P"]),
+            Q.row_count_at_least(100),
+        ],
+    )
+    fk = Q.referential_check(orders, "o_custkey", customer, "c_custkey")
+    return suite.unionAll(fk)

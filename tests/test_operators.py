@@ -363,3 +363,95 @@ class TestLinalg:
         assert vals[0] > 10 * vals[1]  # one dominant direction
         top = comps[0] / np.linalg.norm(comps[0])
         assert abs(float(np.dot(top, axis))) > 0.99
+
+
+class TestIVM:
+    def test_retraction_drops_group_and_merges_sums(self, spark):
+        from pyspark.sql import functions as F
+
+        from parquery_spark.operators.maintenance import merge_aggregate_delta
+
+        base = spark.createDataFrame(
+            [("a", 2, 10.0), ("b", 1, 5.0)], ["k", "n", "total"]
+        )
+        delta = spark.createDataFrame(
+            # a: +1 row of 3.0; b: full retraction; c: brand-new group
+            [("a", 1, 3.0), ("b", -1, -5.0), ("c", 1, 7.0)],
+            ["k", "n", "total"],
+        )
+        got = {
+            r["k"]: (r["n"], r["total"])
+            for r in merge_aggregate_delta(
+                base, delta, ["k"], ["total"]
+            ).collect()
+        }
+        assert got == {"a": (3, 13.0), "c": (1, 7.0)}  # b dropped at n==0
+
+    def test_maintained_equals_recomputed(self, spark):
+        from pyspark.sql import functions as F
+
+        from parquery_spark.operators.maintenance import merge_aggregate_delta
+
+        rows = [(i % 4, float(i), 1 if i % 3 else -1) for i in range(1, 200)]
+        df = spark.createDataFrame(rows, ["k", "v", "sign"])
+        base = df.where("v < 100").groupBy("k").agg(
+            F.sum("sign").alias("n"),
+            F.sum(F.col("sign") * F.col("v")).alias("total"),
+        )
+        delta = df.where("v >= 100").groupBy("k").agg(
+            F.sum("sign").alias("n"),
+            F.sum(F.col("sign") * F.col("v")).alias("total"),
+        )
+        direct = {
+            r["k"]: (r["n"], round(r["total"], 6))
+            for r in df.groupBy("k")
+            .agg(
+                F.sum("sign").alias("n"),
+                F.sum(F.col("sign") * F.col("v")).alias("total"),
+            )
+            .where("n > 0")
+            .collect()
+        }
+        maintained = {
+            r["k"]: (r["n"], round(r["total"], 6))
+            for r in merge_aggregate_delta(
+                base, delta, ["k"], ["total"]
+            ).collect()
+        }
+        assert maintained == direct
+
+
+class TestQualitySuite:
+    def test_detects_each_violation_kind(self, spark):
+        from parquery_spark.operators import quality as Q
+
+        df = spark.createDataFrame(
+            [(1, None, 5.0, "X"), (1, 2, -1.0, "F"), (3, 4, 2.0, "O")],
+            "id long, ref long, val double, status string",
+        )
+        res = {
+            r["check"]: (r["metric"], r["passed"])
+            for r in Q.run_checks(
+                df,
+                [
+                    Q.not_null("ref"),            # 1 null -> fail
+                    Q.unique("id"),               # dup id=1 -> fail
+                    Q.bounds("val", 0, 10),       # -1.0 -> fail
+                    Q.accepted_values("status", ["F", "O"]),  # X -> fail
+                    Q.row_count_at_least(3),      # pass
+                ],
+            ).collect()
+        }
+        assert res["not_null(ref)"][1] is False
+        assert res["unique(id)"] == (round(2 / 3, 6), False)
+        assert res["bounds(val)"] == (1.0, False)
+        assert res["accepted_values(status)"] == (1.0, False)
+        assert res["row_count"] == (3.0, True)
+
+    def test_referential_orphans(self, spark):
+        from parquery_spark.operators import quality as Q
+
+        child = spark.createDataFrame([(1,), (2,), (9,)], ["fk"])
+        parent = spark.createDataFrame([(1,), (2,)], ["pk"])
+        row = Q.referential_check(child, "fk", parent, "pk").collect()[0]
+        assert row["metric"] == 1.0 and row["passed"] is False
