@@ -7265,3 +7265,164 @@ def q163_quality_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     fk = Q.referential_check(orders, "o_custkey", customer, "c_custkey")
     return suite.unionAll(fk)
+
+
+@query(
+    "q164_rolling_sketch_wau",
+    """
+    WITH du AS (
+        SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day,
+               user_id
+        FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM du)
+    SELECT epoch_us(CAST(d.day AS TIMESTAMP)) AS day_us,
+           CAST(COUNT(DISTINCT du.user_id) AS BIGINT) AS exact_wau,
+           TRUE AS estimate_within_bound
+    FROM days d JOIN du
+      ON du.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+    GROUP BY d.day
+    """,
+)
+def q164_rolling_sketch_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct users from MERGEABLE PER-DAY SKETCHES: one
+    HLL sketch per day (a few KB — the persisted state), each window day
+    unions <= 7 sketches instead of re-deduping raw rows.  This is the
+    O(1)-state-per-day scale path next to q140's exact day-grain shape:
+    at 100 TB the day-user grain itself explodes, the sketch state
+    doesn't, and yesterday's sketches never get recomputed.  Gated the
+    q54 way — the exact WAU is hash-matched and a boolean asserts every
+    window estimate inside 5x the lg_k=12 HLL standard error."""
+    events = load_events(spark, sf_dir)
+    day = F.date_trunc("day", F.col("ts").cast("timestamp")).cast("date")
+    sketches = (
+        events.select(day.alias("day"), "user_id")
+        .groupBy("day")
+        .agg(F.hll_sketch_agg("user_id", F.lit(12)).alias("sk"))
+        .persist()
+    )
+    days = sketches.select(F.col("day").alias("d"))
+    merged = (
+        days.join(
+            sketches,
+            (F.col("day") >= F.date_sub(F.col("d"), 6))
+            & (F.col("day") <= F.col("d")),
+        )
+        .groupBy("d")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+        )
+    )
+    du = (
+        events.select(day.alias("day"), "user_id").distinct()
+    )
+    exact = (
+        days.join(
+            du,
+            (F.col("day") >= F.date_sub(F.col("d"), 6))
+            & (F.col("day") <= F.col("d")),
+        )
+        .groupBy("d")
+        .agg(F.count_distinct("user_id").alias("exact_wau"))
+    )
+    rel_err = 5 * 1.04 / (2 ** 12) ** 0.5
+    return exact.join(merged, "d").select(
+        F.unix_micros(F.col("d").cast("timestamp")).alias("day_us"),
+        "exact_wau",
+        (
+            F.abs(F.col("est") - F.col("exact_wau"))
+            <= F.lit(rel_err) * F.col("exact_wau")
+        ).alias("estimate_within_bound"),
+    )
+
+
+@query(
+    "q165_mad_outliers",
+    """
+    WITH stats AS (
+        SELECT event_type,
+               ROUND(quantile_cont(value, 0.5), 6) AS med
+        FROM events GROUP BY event_type
+    ),
+    mads AS (
+        SELECT e.event_type,
+               ROUND(quantile_cont(abs(e.value - s.med), 0.5), 6) AS mad
+        FROM events e JOIN stats s ON e.event_type = s.event_type
+        GROUP BY e.event_type
+    )
+    SELECT e.event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CASE WHEN abs(e.value - s.med) > 4.4478 * m.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           s.med AS median_value,
+           m.mad AS mad
+    FROM events e
+    JOIN stats s ON e.event_type = s.event_type
+    JOIN mads m ON e.event_type = m.event_type
+    GROUP BY e.event_type, s.med, m.mad
+    """,
+)
+def q165_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection via median absolute deviation — the
+    heavy-tail-safe alternative to q113's z-score (mean/stddev are
+    themselves dragged by the outliers they're hunting; median/MAD are
+    50%-breakdown robust).  Two exact-percentile passes at GROUP grain
+    with the tiny stats broadcast back (zero fact re-shuffle, q113's
+    shape); the 3-sigma-equivalent threshold is 3 x 1.4826 x MAD.  Both
+    quantiles are ROUNDED to 6 digits BEFORE thresholding so the
+    engines' last-ulp interpolation differences can't flip a borderline
+    classification — the float-discipline rule applied to an
+    intermediate, not just an output."""
+    events = load_events(spark, sf_dir).select("event_type", "value")
+    stats = events.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("med")
+    )
+    with_med = events.join(F.broadcast(stats), "event_type")
+    mads = with_med.groupBy("event_type").agg(
+        F.round(
+            F.percentile(F.abs(F.col("value") - F.col("med")), F.lit(0.5)),
+            6,
+        ).alias("mad")
+    )
+    j = with_med.join(F.broadcast(mads), "event_type")
+    is_out = F.abs(F.col("value") - F.col("med")) > 4.4478 * F.col("mad")
+    return j.groupBy("event_type", "med", "mad").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(is_out, 1).otherwise(0)).cast("long").alias("n_outliers"),
+    ).select(
+        "event_type",
+        "n",
+        "n_outliers",
+        F.col("med").alias("median_value"),
+        "mad",
+    )
+
+
+@query(
+    "q166_arrow_python_udf",
+    """
+    SELECT substr(reverse(lower(source)), 1, 8)
+               || CAST(length(source) % 97 AS VARCHAR) AS short_code,
+           COUNT(*) AS n_docs
+    FROM documents GROUP BY 1
+    """,
+)
+def q166_arrow_python_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-optimized scalar Python UDF (useArrow=True) — the last cell
+    of the Python-integration matrix (q131 pandas UDF, q133
+    applyInPandas, q50 mapInPandas, q134 UDTF, q126 foreachBatch, q97
+    state, q149 grouped-agg): rows cross to Python in Arrow record
+    batches instead of pickled one-at-a-time, ~2-5x the throughput of a
+    classic UDF while keeping the per-row programming model.  Still the
+    slow path vs built-in Columns (the oracle shows the same logic as
+    pure SQL) — the engine rule stands: UDFs only where expressions
+    can't reach; this query exists to pin the surface works and matches
+    its expression twin exactly."""
+    def _short_code(s: str) -> str:
+        return s[::-1].lower()[:8] + str(len(s) % 97)
+
+    short_code = F.udf(_short_code, "string", useArrow=True)
+    docs = load(spark, sf_dir, "documents")
+    return docs.groupBy(
+        short_code(F.col("source")).alias("short_code")
+    ).agg(F.count(F.lit(1)).alias("n_docs"))
