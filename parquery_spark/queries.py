@@ -7426,3 +7426,253 @@ def q166_arrow_python_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.groupBy(
         short_code(F.col("source")).alias("short_code")
     ).agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+@query(
+    "q167_semdedup",
+    f"""
+    WITH expl AS (
+        SELECT vec_id,
+               CAST(z[2] AS INTEGER) AS pos,
+               CAST(z[1] AS DOUBLE) AS x
+        FROM (SELECT vec_id,
+                     unnest(list_zip(embedding::DOUBLE[],
+                                     range(len(embedding)))) AS z
+              FROM embeddings)
+    ),
+    cent0 AS (
+        SELECT vec_id AS cluster, pos, x AS c FROM expl WHERE vec_id < 4
+    ),
+    {_sql_kmeans_assign("cent0", "a1")},
+    {_sql_kmeans_update("a1", "cent1")},
+    {_sql_kmeans_assign("cent1", "a2")},
+    {_sql_kmeans_update("a2", "cent2")},
+    {_sql_kmeans_assign("cent2", "a3")},
+    norms AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v,
+               sqrt(list_dot_product(embedding::DOUBLE[],
+                                     embedding::DOUBLE[])) AS nrm
+        FROM embeddings
+    ),
+    pairs AS (
+        SELECT aa.cluster, ab.vec_id AS id_drop,
+               ROUND(list_dot_product(na.v, nb.v) / (na.nrm * nb.nrm), 6)
+                   AS sim
+        FROM a3 aa JOIN a3 ab
+          ON aa.cluster = ab.cluster AND aa.vec_id < ab.vec_id
+        JOIN norms na ON na.vec_id = aa.vec_id
+        JOIN norms nb ON nb.vec_id = ab.vec_id
+    )
+    SELECT id_drop AS vec_id, cluster,
+           MAX(sim) AS max_sim_to_earlier
+    FROM pairs WHERE sim >= 0.4
+    GROUP BY id_drop, cluster
+    """,
+)
+def q167_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic dedup = k-means the
+    embedding space, then prune any document too cosine-close to an
+    EARLIER document in its own cluster.  The clustering is what makes
+    it scale: candidate pairs are intra-cluster only, O(sum c_i^2)
+    instead of n^2, and cluster count grows with the corpus to cap c_i.
+    Composes two gated pieces — q141's decimal-exact Lloyd iterations
+    (bit-identical assignments on both engines) and the q45-style
+    explode-shaped cosine (dots partial-aggregate JVM-side; sims rounded
+    to 6 before thresholding so last-ulp fold differences can't flip a
+    borderline pair).  Returns the pruned set with evidence: each
+    dropped vector, its cluster, and its closest earlier neighbor's
+    similarity."""
+    from pyspark.sql import Window
+
+    emb = load(spark, sf_dir, "embeddings")
+    expl = emb.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "pos", "x"
+        ),
+    ).persist()
+    cents = expl.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("cluster"), "pos", F.col("x").alias("c")
+    )
+    assign = None
+    for _ in range(3):
+        d = (
+            expl.join(F.broadcast(cents), "pos")
+            .groupBy("vec_id", "cluster")
+            .agg(
+                F.sum(
+                    (F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))
+                ).alias("d")
+            )
+        )
+        w = Window.partitionBy("vec_id").orderBy("d", "cluster")
+        assign = (
+            d.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("vec_id", "cluster")
+        )
+        cents = (
+            expl.join(assign, "vec_id")
+            .groupBy("cluster", "pos")
+            .agg(
+                F.round(
+                    F.sum(F.col("x").cast("decimal(28,12)")).cast("double")
+                    / F.count(F.lit(1)),
+                    6,
+                ).alias("c")
+            )
+        )
+    assign = assign.persist()
+    norms = expl.groupBy("vec_id").agg(
+        F.sqrt(F.sum(F.col("x") * F.col("x"))).alias("nrm")
+    )
+    sides = expl.join(assign, "vec_id").join(norms, "vec_id")
+    a = sides.select(
+        F.col("cluster"),
+        F.col("vec_id").alias("id_a"),
+        "pos",
+        F.col("x").alias("xa"),
+        F.col("nrm").alias("na"),
+    )
+    b = sides.select(
+        F.col("cluster"),
+        F.col("vec_id").alias("id_drop"),
+        "pos",
+        F.col("x").alias("xb"),
+        F.col("nrm").alias("nb"),
+    )
+    dots = (
+        a.join(b, ["cluster", "pos"])
+        .where(F.col("id_a") < F.col("id_drop"))
+        .groupBy("cluster", "id_a", "id_drop", "na", "nb")
+        .agg(F.sum(F.col("xa") * F.col("xb")).alias("dot"))
+    )
+    sims = dots.select(
+        "cluster",
+        "id_drop",
+        F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6).alias("sim"),
+    )
+    return (
+        sims.where(F.col("sim") >= 0.4)
+        .groupBy(F.col("id_drop").alias("vec_id"), "cluster")
+        .agg(F.max("sim").alias("max_sim_to_earlier"))
+    )
+
+
+@query(
+    "q168_sequence_packing",
+    """
+    WITH toks AS (
+        SELECT doc_id,
+               CAST(length(list_filter(string_split_regex(lower(text),
+                    '[^a-z0-9'']+'), t -> t != '')) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    packed AS (
+        SELECT doc_id, n_tokens,
+               CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS start_tok
+        FROM toks
+    )
+    SELECT doc_id, n_tokens,
+           CAST(start_tok // 2048 AS BIGINT) AS example_start,
+           CAST(start_tok % 2048 AS BIGINT) AS offset_start,
+           CAST((start_tok + n_tokens - 1) // 2048 AS BIGINT)
+               AS example_end,
+           CAST((start_tok + n_tokens - 1) // 2048
+                - start_tok // 2048 + 1 AS BIGINT) AS n_examples_spanned
+    FROM packed WHERE n_tokens > 0
+    """,
+)
+def q168_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing: concatenate the corpus in doc order
+    and map every document to its fixed-length example slots (seq_len
+    2048) — example index and token offset where it starts, where it
+    ends, how many examples it spans.  This is the boundary index a
+    tokenized-dataset writer needs to emit packed samples without
+    materializing the token stream.  The global running token count uses
+    the DISTRIBUTED prefix sum (range partition + per-partition window +
+    one-row-per-partition offset fold, q66's operator) — never the
+    single-task unpartitioned SUM OVER (ORDER BY) that serializes at
+    corpus scale.  Everything downstream is integer div/mod — exact."""
+    from parquery_spark.functions.text import token_count
+    from parquery_spark.operators.packing import prefix_sum
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", token_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+    packed = prefix_sum(
+        docs,
+        "n_tokens",
+        "doc_id",
+        out_col="start_tok",
+        inclusive=False,
+    )
+    seq = 2048
+    last = F.col("start_tok") + F.col("n_tokens") - 1
+    ex_start = (F.col("start_tok") / seq).cast("long")
+    ex_end = (last / seq).cast("long")
+    return packed.where(F.col("n_tokens") > 0).select(
+        "doc_id",
+        "n_tokens",
+        ex_start.alias("example_start"),
+        (F.col("start_tok") % seq).alias("offset_start"),
+        ex_end.alias("example_end"),
+        (ex_end - ex_start + 1).alias("n_examples_spanned"),
+    )
+
+
+@query(
+    "q169_recency_weighted_value",
+    """
+    WITH w AS (
+        SELECT user_id,
+               datediff('day', CAST(date_trunc('day', ts) AS DATE),
+                        DATE '2024-01-31') AS age_days,
+               value
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT user_id,
+           COUNT(*) AS n_purchases,
+           ROUND(SUM(value * power(2.0, -LEAST(age_days // 7, 30))), 6)
+               AS decayed_value,
+           ROUND(SUM(value * power(2.0, -LEAST(age_days // 7, 30)))
+                 / SUM(power(2.0, -LEAST(age_days // 7, 30))), 6)
+               AS recency_weighted_avg
+    FROM w GROUP BY user_id
+    HAVING COUNT(*) >= 3
+    """,
+)
+def q169_recency_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-decayed user features — the exponential-decay aggregate
+    behind churn/LTV features, with half-life = one week at a reference
+    date.  The decay weight is 2^(-floor(age/7)) with an integer,
+    clamped exponent: a POWER OF TWO, so both engines produce the exact
+    same IEEE double (libm exp()/arbitrary pow() differ in last ulps
+    across runtimes and would poison a hash gate — the engine-stable
+    float rule applied to decay curves).  One aggregate pass; weights
+    are computed inline, no window needed."""
+    events = load_events(spark, sf_dir)
+    age_days = F.datediff(
+        F.lit("2024-01-31").cast("date"),
+        F.date_trunc("day", F.col("ts").cast("timestamp")).cast("date"),
+    )
+    wexp = F.least(F.floor(age_days / 7).cast("long"), F.lit(30))
+    weight = F.pow(F.lit(2.0), -wexp)
+    p = events.where(F.col("event_type") == "purchase").select(
+        "user_id", "value", weight.alias("wt")
+    )
+    return (
+        p.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.round(F.sum(F.col("value") * F.col("wt")), 6).alias(
+                "decayed_value"
+            ),
+            F.round(
+                F.sum(F.col("value") * F.col("wt")) / F.sum("wt"), 6
+            ).alias("recency_weighted_avg"),
+        )
+        .where(F.col("n_purchases") >= 3)
+    )
