@@ -6966,9 +6966,22 @@ def q158_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     e2 = oriented.select(F.col("s").alias("t"), F.col("t").alias("w"))
-    wedges = oriented.join(e2, "t").select("s", F.col("w").alias("t2"))
-    closing = oriented.select("s", F.col("t").alias("t2"))
-    tri = wedges.join(closing, ["s", "t2"]).agg(
+    # close wedges against a PACKED (s,t)->long edge set, broadcast: the
+    # wedge stream (the big intermediate, ~sum dout^2 rows) is consumed
+    # map-side and never shuffles.  Fallback when the edge set outgrows
+    # broadcast (packed longs, ~8B/edge): drop the broadcast hint and the
+    # same plan sort-merges on the packed key.
+    pack = (F.col("s").cast("long") * F.lit(4294967296)) + F.col("t")
+    wedges = (
+        oriented.join(e2, "t")
+        .select(
+            (
+                (F.col("s").cast("long") * F.lit(4294967296)) + F.col("w")
+            ).alias("st")
+        )
+    )
+    closing = oriented.select(pack.alias("st"))
+    tri = wedges.join(F.broadcast(closing), "st").agg(
         F.count(F.lit(1)).alias("n_triangles")
     )
     n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
