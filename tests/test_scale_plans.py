@@ -568,3 +568,82 @@ class TestRound3PlanShapes:
                     spark.conf.set(k, v)
                 else:
                     spark.conf.unset(k)
+
+
+class TestContinuation2PlanShapes:
+    def test_tpch_and_pipeline_batch_shapes(self, spark, sf_dir, tmp_path):
+        """Session-2 additions keep their scale shapes: q151 pushes all
+        three Q6 predicates to the scan (asserted on the uncached read
+        path — the query itself may serve from the size-gated relation
+        cache at test scale); q152/q153 broadcast every dimension leg;
+        q154's arg-max is a broadcast scalar join, not a window; q158's
+        closing join broadcasts the packed edge set so the wedge stream
+        never shuffles; q161's Gram merge has no Python in the aggregate
+        path beyond the single mapInPandas; q163's suite is ONE
+        aggregate (single scan)."""
+        from parquery_spark.queries import QUERIES
+
+        def plan(name):
+            df = QUERIES[name][0](spark, sf_dir)
+            return df._jdf.queryExecution().executedPlan().toString()
+
+        os.link(os.path.join(sf_dir, "lineitem.parquet"),
+                tmp_path / "lineitem.parquet")
+        li = spark.read.parquet(str(tmp_path / "lineitem.parquet"))
+        p = (
+            li.where(
+                (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+                & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+                & (F.col("l_discount") >= 0.05)
+                & (F.col("l_discount") <= 0.07)
+                & (F.col("l_quantity") < 24)
+            )
+            .agg(F.sum(F.col("l_extendedprice") * F.col("l_discount")))
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        scan = next(l for l in p.splitlines() if "FileScan" in l)
+        pushed = scan.split("PushedFilters")[1]
+        for col in ("l_shipdate", "l_discount", "l_quantity"):
+            assert col in pushed, col
+        # pruned to exactly the 4 referenced columns
+        assert "l_orderkey" not in scan.split("ReadSchema")[1]
+
+        for name in ("q152_tpch_q7", "q153_tpch_q8"):
+            p = plan(name)
+            assert p.count("BroadcastHashJoin") >= 3, name
+            assert "EvalPython" not in p, name
+
+        p = plan("q154_tpch_q15")
+        assert "BroadcastHashJoin" in p
+        assert "windowspecdefinition" not in p.lower()
+
+        p = plan("q158_triangle_count")
+        assert "BroadcastHashJoin" in p
+
+        p = plan("q161_gram_matrix")
+        # one Python boundary (the mapInPandas partials), then pure
+        # JVM partial/final aggregation on (i, j)
+        assert p.count("MapInPandas") == 1
+        assert "partial_sum" in p or "Partial" in p
+
+        p = plan("q163_quality_suite")
+        # the five non-relational checks collapse into ONE scan of
+        # orders plus the referential anti-join's scan
+        orders_scans = [
+            l for l in p.splitlines()
+            if "FileScan" in l and "o_orderkey" in l
+        ]
+        assert len(orders_scans) <= 2
+
+    def test_sequence_packing_prefix_sum_is_partitioned(self, spark, sf_dir):
+        from parquery_spark.queries import QUERIES
+
+        df = QUERIES["q168_sequence_packing"][0](spark, sf_dir)
+        df.collect()
+        p = df._jdf.queryExecution().executedPlan().toString()
+        windows = [
+            l for l in p.splitlines() if "windowspecdefinition" in l.lower()
+        ]
+        # prefix_sum windows are keyed by __pid — never a global window
+        assert windows
+        assert all("__pid" in l for l in windows)
