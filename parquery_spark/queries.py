@@ -3252,24 +3252,34 @@ def q96_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _session_seq(grouped)
 
 
-@query("q97_streaming_sessionize", _SESSION_SQL)
-def q97_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sessionization through the REAL streaming engine: watermarked
-    ``session_window`` aggregation in append mode, drained with
-    availableNow.  Append mode only emits a session once the watermark
-    passes its close — so the source directory carries two far-future
-    SENTINEL events (a reserved negative user), split into their own
-    micro-batches (``maxFilesPerTrigger=1``, mtime-ordered): the first
-    advances the watermark past every real session, the next triggers the
-    state-store flush.  The sentinel user is filtered from the result;
-    the output must hash-match the same lag-based SQL oracle as the batch
-    twins — stream parity as a hard gate."""
+def _sentinel_stream_dir(
+    spark: SparkSession, sf_dir: str, types: tuple = ("sentinel",)
+) -> str:
+    """The events stream directory augmented with two far-future SENTINEL
+    events (a reserved negative user) as separate mtime-ordered files:
+    with ``maxFilesPerTrigger=1`` they form the closing micro-batches that
+    first advance the watermark past all real data and then trigger the
+    state-store flush — the harness that lets append-mode stateful
+    operators (session windows, outer joins) drain completely under the
+    availableNow trigger.
+
+    ``types``: event_type value(s) the sentinel rows carry.  CRITICAL for
+    queries that FILTER on event_type upstream of the stateful operator:
+    Catalyst pushes deterministic filters below the EventTimeWatermark
+    node, so a sentinel whose type the filter drops never reaches the
+    watermark tracker and the watermark silently stops at the real data's
+    max (observed: a stream-stream join over type-filtered sides never
+    flushed its last <delay + join-window> of outer-join state).  Pass
+    one type per filtered branch so every branch's watermark advances."""
+    import hashlib
     import shutil
 
-    from parquery_spark.streaming.events import run_available_now
-
     src_dir = _events_stream_dir(sf_dir)
-    sent_dir = src_dir + "_sentinel"
+    tag = (
+        "" if types == ("sentinel",)
+        else "_" + hashlib.md5("|".join(types).encode()).hexdigest()[:6]
+    )
+    sent_dir = src_dir + "_sentinel" + tag
     if not os.path.exists(os.path.join(sent_dir, "z2.parquet")):
         os.makedirs(sent_dir, exist_ok=True)
         shutil.copy2(
@@ -3282,7 +3292,10 @@ def q97_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         hi = base.agg(F.max("ts").alias("m")).first()["m"]
         for i, name in enumerate(("z1.parquet", "z2.parquet")):
             sent = spark.createDataFrame(
-                [(-(i + 1), hi, -1, "sentinel", 0.0, "{}")],
+                [
+                    (-(len(types) * i + j + 1), hi, -1, t, 0.0, "{}")
+                    for j, t in enumerate(types)
+                ],
                 "event_id long, ts timestamp, user_id long, "
                 "event_type string, value double, props string",
             ).select(
@@ -3303,8 +3316,25 @@ def q97_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
                 os.path.join(sent_dir, "events.parquet")
             ).st_mtime + 10 * (i + 1)
             os.utime(os.path.join(sent_dir, name), (ts_mtime, ts_mtime))
+    return sent_dir
 
-    from parquery_spark.streaming.events import events_stream
+
+@query("q97_streaming_sessionize", _SESSION_SQL)
+def q97_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization through the REAL streaming engine: watermarked
+    ``session_window`` aggregation in append mode, drained with
+    availableNow.  Append mode only emits a session once the watermark
+    passes its close — so the source carries the ``_sentinel_stream_dir``
+    closing batches that advance the watermark and flush state.  The
+    sentinel user is filtered from the result; the output must hash-match
+    the same lag-based SQL oracle as the batch twins — stream parity as a
+    hard gate."""
+    from parquery_spark.streaming.events import (
+        events_stream,
+        run_available_now,
+    )
+
+    sent_dir = _sentinel_stream_dir(spark, sf_dir)
 
     # one file per micro-batch so watermark advance and state flush land
     # in separate batches (append mode emits one batch AFTER the advance)
@@ -7688,4 +7718,105 @@ def q169_recency_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recency_weighted_avg"),
         )
         .where(F.col("n_purchases") >= 3)
+    )
+
+
+@query(
+    "q170_stream_outer_join_funnel",
+    """
+    WITH clicks AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ),
+    purchases AS (
+        SELECT user_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    flags AS (
+        SELECT c.event_id,
+               EXISTS (
+                   SELECT 1 FROM purchases p
+                   WHERE p.user_id = c.user_id
+                     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+               ) AS converted
+        FROM clicks c
+    )
+    SELECT COUNT(*) AS n_clicks,
+           CAST(SUM(CASE WHEN converted THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_converted,
+           CAST(SUM(CASE WHEN converted THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_unconverted,
+           ROUND(CAST(SUM(CASE WHEN converted THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS conversion_rate
+    FROM flags
+    """,
+)
+def q170_stream_outer_join_funnel(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stream-stream LEFT OUTER join — the deepest streaming-state
+    machinery: unmatched clicks can only be emitted (with a NULL
+    purchase side) after the watermark proves no purchase can still
+    arrive inside their 1-hour window, so correctness depends on
+    watermark-driven state EVICTION, not just state lookup.  The
+    ``_sentinel_stream_dir`` closing batches advance the watermark past
+    all real data and flush the evicted non-matches (q97's mechanism,
+    applied to join state).  Conversion accounting then runs batch-side
+    on the drained pairs; the oracle is a batch EXISTS — so
+    matched-AND-unmatched parity is one hash gate.  State is keyed by
+    user and bounded by watermark + range condition on both sides —
+    the unbounded-feed contract."""
+    from parquery_spark.streaming.events import (
+        events_stream,
+        run_available_now,
+    )
+
+    # sentinels must carry BOTH filtered types: the type filters push
+    # below each side's watermark node, so a generic sentinel would never
+    # advance the join watermark (see _sentinel_stream_dir docstring)
+    sent_dir = _sentinel_stream_dir(
+        spark, sf_dir, types=("click", "purchase")
+    )
+    opts = {"maxFilesPerTrigger": "1"}
+    clicks = (
+        events_stream(spark, sent_dir, watermark="2 hours", options=opts)
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("c_event_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+    )
+    purchases = (
+        events_stream(spark, sent_dir, watermark="2 hours", options=opts)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+        "left_outer",
+    ).select("c_event_id", "c_user", "p_ts")
+    pairs = run_available_now(
+        joined, "q170_sink", output_mode="append"
+    ).where(F.col("c_user") >= 0)
+    per_click = pairs.groupBy("c_event_id").agg(
+        F.max(F.col("p_ts").isNotNull()).alias("converted")
+    )
+    return per_click.agg(
+        F.count(F.lit(1)).alias("n_clicks"),
+        F.sum(F.when(F.col("converted"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_converted"),
+        F.sum(F.when(F.col("converted"), 0).otherwise(1))
+        .cast("long")
+        .alias("n_unconverted"),
+        F.round(
+            F.sum(F.when(F.col("converted"), 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("conversion_rate"),
     )
