@@ -7820,3 +7820,235 @@ def q170_stream_outer_join_funnel(
             6,
         ).alias("conversion_rate"),
     )
+
+
+@query(
+    "q171_dynamic_partition_overwrite",
+    """
+    WITH src AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+               COUNT(*) AS n, ROUND(SUM(value), 4) AS total_value
+        FROM events GROUP BY 1, 2
+    ),
+    patched AS (
+        SELECT day, event_type,
+               CASE WHEN day >= DATE '2024-01-25' THEN n * 2 ELSE n END AS n,
+               CASE WHEN day >= DATE '2024-01-25'
+                    THEN ROUND(total_value * 2, 4) ELSE total_value END
+                   AS total_value
+        FROM src
+    )
+    SELECT epoch_us(CAST(day AS TIMESTAMP)) AS day_us, event_type,
+           CAST(n AS BIGINT) AS n, total_value
+    FROM patched
+    """,
+)
+def q171_dynamic_partition_overwrite(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Dynamic partition overwrite — the day-partitioned warehouse's
+    backfill primitive: ``partitionOverwriteMode=dynamic`` INSERT
+    OVERWRITE replaces ONLY the partitions present in the incoming
+    batch (here: days >= Jan 25 rewritten with doubled metrics) and
+    leaves every other partition's files physically untouched — the
+    difference between rewriting 6 days and rewriting 100 TB.  The
+    final table read proves it: untouched days carry the original
+    values, patched days the new ones, matching the oracle's CASE
+    twin.  Repartitioned on the partition column before the write so
+    each day lands as one file, not (tasks x days) fragments."""
+    import hashlib
+
+    import tempfile
+
+    src_stat = os.stat(_path(sf_dir, "events"))
+    tag = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|{src_stat.st_mtime_ns}|{src_stat.st_size}"
+        .encode()
+    ).hexdigest()[:10]
+    base = os.path.join(tempfile.gettempdir(), f"pqs_dpo_{tag}")
+    table_dir = os.path.join(base, "daily")
+    done = os.path.join(base, "_done")
+
+    events = load_events(spark, sf_dir)
+    day = F.date_trunc("day", F.col("ts").cast("timestamp")).cast("date")
+    daily = events.groupBy(
+        day.alias("day"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
+    if not os.path.exists(done):
+        spark.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", "dynamic"
+        )
+        # full initial load
+        daily.repartition("day").write.mode("overwrite").partitionBy(
+            "day"
+        ).parquet(table_dir)
+        before = {
+            f: os.stat(os.path.join(table_dir, f)).st_mtime_ns
+            for f in os.listdir(table_dir) if f.startswith("day=")
+        }
+        # backfill batch: only late-January partitions, metrics doubled
+        patch = daily.where(
+            F.col("day") >= F.lit("2024-01-25").cast("date")
+        ).select(
+            "event_type",
+            (F.col("n") * 2).alias("n"),
+            F.round(F.col("total_value") * 2, 4).alias("total_value"),
+            "day",
+        )
+        patch.repartition("day").write.mode("overwrite").partitionBy(
+            "day"
+        ).parquet(table_dir)
+        after = {
+            f: os.stat(os.path.join(table_dir, f)).st_mtime_ns
+            for f in os.listdir(table_dir) if f.startswith("day=")
+        }
+        untouched = [
+            f for f in before
+            if f < "day=2024-01-25" and before[f] != after.get(f)
+        ]
+        assert not untouched, (
+            f"dynamic overwrite rewrote untouched partitions: {untouched}"
+        )
+        os.makedirs(base, exist_ok=True)
+        open(done, "w").close()
+    out = spark.read.parquet(table_dir)
+    return out.select(
+        F.unix_micros(F.col("day").cast("timestamp")).alias("day_us"),
+        "event_type",
+        "n",
+        "total_value",
+    )
+
+
+@query(
+    "q172_negative_sampling",
+    """
+    WITH nn AS (SELECT COUNT(*) AS n_docs FROM documents),
+    anchors AS (
+        SELECT doc_id AS anchor_id, lang AS anchor_lang
+        FROM documents WHERE doc_id % 10 = 0
+    ),
+    cand AS (
+        SELECT anchor_id, anchor_lang, j,
+               ('0x' || substr(md5(CAST(anchor_id AS VARCHAR) || ':'
+                    || CAST(j AS VARCHAR) || '#negs'), 1, 15))::BIGINT
+                   % n_docs AS neg_id
+        FROM anchors, nn, (SELECT unnest(range(4)) AS j)
+    )
+    SELECT anchor_id, CAST(j AS INT) AS j, neg_id,
+           d.lang AS neg_lang,
+           anchor_lang = d.lang AS same_lang
+    FROM cand JOIN documents d ON d.doc_id = neg_id
+    WHERE neg_id != anchor_id
+    """,
+)
+def q172_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: each
+    anchor document draws 4 pseudo-random negatives as a PURE FUNCTION
+    of (anchor_id, slot, salt) — hash-mod into the corpus id space, then
+    an equi-join fetches the negative's features.  No shuffle-the-world
+    'random' orderBy, no driver-side RNG: the sample is reproducible
+    across engines, retries and backfills (the q58 sampling law applied
+    to pair generation), and the join is an ordinary key join the
+    optimizer can broadcast or shuffle as size dictates.  Accidental
+    positives (negative == anchor) are rejected; slot indices make
+    collision behavior auditable."""
+    from parquery_spark.operators.dedup import hash64
+
+    docs = load(spark, sf_dir, "documents").persist()
+    n_docs = docs.count()
+    anchors = docs.where(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("anchor_id"),
+        F.col("lang").alias("anchor_lang"),
+    )
+    slots = spark.range(4).select(F.col("id").cast("int").alias("j"))
+    cand = anchors.crossJoin(F.broadcast(slots)).select(
+        "anchor_id",
+        "anchor_lang",
+        "j",
+        (
+            hash64(
+                F.concat_ws(
+                    ":",
+                    F.col("anchor_id").cast("string"),
+                    F.col("j").cast("string"),
+                ),
+                seed="negs",
+            )
+            % n_docs
+        ).alias("neg_id"),
+    )
+    negs = docs.select(
+        F.col("doc_id").alias("neg_id"), F.col("lang").alias("neg_lang")
+    )
+    return (
+        cand.join(negs, "neg_id")
+        .where(F.col("neg_id") != F.col("anchor_id"))
+        .select(
+            "anchor_id",
+            "j",
+            "neg_id",
+            "neg_lang",
+            (F.col("anchor_lang") == F.col("neg_lang")).alias("same_lang"),
+        )
+    )
+
+
+@query(
+    "q173_weighted_median",
+    """
+    WITH cum AS (
+        SELECT l_returnflag, l_extendedprice,
+               SUM(l_quantity) OVER (
+                   PARTITION BY l_returnflag ORDER BY l_extendedprice
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cw,
+               SUM(l_quantity) OVER (PARTITION BY l_returnflag) AS tw
+        FROM lineitem
+    )
+    SELECT l_returnflag,
+           MIN(l_extendedprice) AS weighted_median_price,
+           CAST(MIN(tw) AS BIGINT) AS total_weight
+    FROM cum WHERE cw >= tw / 2
+    GROUP BY l_returnflag
+    """,
+)
+def q173_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median (quantity-weighted price per return flag) — the
+    robust aggregate plain percentile can't express: the median of a
+    distribution where each row counts with its own mass.  One
+    partitioned window pass: per-group sort by value, running weight,
+    first value whose cumulative weight crosses half the total.  The
+    window is keyed by the group — per-group parallel sort, no global
+    ordering — and all weights are whole-number doubles, so cumulative
+    and total sums are exact and the crossing row is engine-deterministic
+    (equal values tie harmlessly: the crossing VALUE is unchanged by
+    intra-tie order)."""
+    from pyspark.sql import Window
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_quantity"
+    )
+    wc = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_extendedprice")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy("l_returnflag")
+    cum = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.sum("l_quantity").over(wc).alias("cw"),
+        F.sum("l_quantity").over(wt).alias("tw"),
+    )
+    return (
+        cum.where(F.col("cw") >= F.col("tw") / 2)
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("l_extendedprice").alias("weighted_median_price"),
+            F.min("tw").cast("long").alias("total_weight"),
+        )
+    )
