@@ -3,10 +3,12 @@ from parquery_spark.operators import (
     graph,
     ivf,
     joins,
+    linalg,
     maintenance,
     multimodal,
     packing,
     profile,
+    quality,
     sampling,
     similarity,
     skew,
@@ -17,5 +19,5 @@ from parquery_spark.operators import (
 __all__ = [
     "dedup", "similarity", "ivf", "joins", "windows", "multimodal",
     "sampling", "skew", "graph", "packing", "profile", "upsert",
-    "maintenance",
+    "maintenance", "linalg", "quality",
 ]

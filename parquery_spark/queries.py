@@ -8052,3 +8052,149 @@ def q173_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("tw").cast("long").alias("total_weight"),
         )
     )
+
+
+@query(
+    "q174_mergeable_quantiles",
+    """
+    SELECT event_type,
+           ROUND(quantile_cont(value, 0.50), 6) AS exact_p50,
+           ROUND(quantile_cont(value, 0.95), 6) AS exact_p95,
+           TRUE AS approx_within_bound
+    FROM events GROUP BY event_type
+    """,
+)
+def q174_mergeable_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable approximate quantiles — the scale path q124's exact
+    per-group sort hands over to when groups stop fitting:
+    ``approx_percentile`` builds a bounded-size summary per partition and
+    MERGES them (one map-side-combinable aggregate, no per-group sort).
+    Gated the q54 way: exact quantiles are hash-matched, and a boolean
+    asserts the approximate p50/p95 landed within the accuracy
+    contract's rank tolerance (rank error <= n/accuracy; the interval
+    uses 5x that in rank space because the estimator returns an actual
+    data value while exact quantiles interpolate between values)."""
+    events = load_events(spark, sf_dir).select("event_type", "value")
+    acc = 1000  # rank error <= n/1000
+    approx = events.groupBy("event_type").agg(
+        F.percentile_approx("value", F.array(F.lit(0.5), F.lit(0.95)),
+                            F.lit(acc)).alias("ap"),
+    )
+    # value interval implied by the rank tolerance: the exact quantiles
+    # at p +/- 1/acc bracket any estimate whose rank error is within
+    # contract
+    exact = events.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("exact_p50"),
+        F.round(F.percentile("value", F.lit(0.95)), 6).alias("exact_p95"),
+        F.percentile(
+            "value",
+            F.array(
+                F.lit(0.5 - 5.0 / acc), F.lit(0.5 + 5.0 / acc),
+                F.lit(0.95 - 5.0 / acc), F.lit(0.95 + 5.0 / acc),
+            ),
+        ).alias("bounds"),
+    )
+    j = exact.join(approx, "event_type")
+    ok = (
+        (F.col("ap")[0] >= F.col("bounds")[0])
+        & (F.col("ap")[0] <= F.col("bounds")[1])
+        & (F.col("ap")[1] >= F.col("bounds")[2])
+        & (F.col("ap")[1] <= F.col("bounds")[3])
+    )
+    return j.select(
+        "event_type", "exact_p50", "exact_p95",
+        ok.alias("approx_within_bound"),
+    )
+
+
+@query(
+    "q175_partition_repair_diff",
+    """
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+               COUNT(*) AS n, ROUND(SUM(value), 4) AS total_value
+        FROM events GROUP BY 1, 2
+    ),
+    a AS (
+        SELECT day,
+               bit_xor(('0x' || substr(md5(event_type || '|'
+                   || CAST(n AS VARCHAR) || '|'
+                   || CAST(total_value AS VARCHAR)), 1, 15))::BIGINT)
+                   AS checksum
+        FROM daily GROUP BY day
+    ),
+    b AS (
+        SELECT day,
+               bit_xor(('0x' || substr(md5(event_type || '|'
+                   || CAST(CASE WHEN day >= DATE '2024-01-25'
+                           THEN n * 2 ELSE n END AS VARCHAR) || '|'
+                   || CAST(CASE WHEN day >= DATE '2024-01-25'
+                           THEN ROUND(total_value * 2, 4)
+                           ELSE total_value END AS VARCHAR)), 1, 15))
+                   ::BIGINT) AS checksum
+        FROM daily GROUP BY day
+    )
+    SELECT epoch_us(CAST(a.day AS TIMESTAMP)) AS day_us,
+           a.checksum AS src_checksum, b.checksum AS dst_checksum
+    FROM a JOIN b ON a.day = b.day
+    WHERE a.checksum != b.checksum
+    """,
+)
+def q175_partition_repair_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-entropy repair planner: which partitions of a replicated /
+    derived table need re-sync?  Both sides reduce to one
+    order-independent checksum PER PARTITION (bit_xor of row hashes —
+    commutative, so partial aggregation and row order don't matter), and
+    only checksums cross the network: the diff costs O(|partitions|)
+    transfer regardless of table size — how a 100 TB backfill decides
+    to rewrite 6 day-directories instead of all of them (q171 executes
+    the repair this query plans).  Source = the daily rollup; target =
+    the q171-patched variant, recomputed here so the query is
+    self-contained; the mismatched days are exactly the patched ones."""
+    from parquery_spark.operators.dedup import hash64
+
+    events = load_events(spark, sf_dir)
+    day = F.date_trunc("day", F.col("ts").cast("timestamp")).cast("date")
+    daily = events.groupBy(day.alias("day"), "event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    ).persist()
+
+    def checksum(df):
+        row_hash = hash64(
+            F.concat_ws(
+                "|",
+                F.col("event_type"),
+                F.col("n").cast("string"),
+                F.col("total_value").cast("string"),
+            )
+        )
+        return df.groupBy("day").agg(
+            F.bit_xor(row_hash).alias("checksum")
+        )
+
+    patched = daily.select(
+        "day",
+        "event_type",
+        F.when(F.col("day") >= F.lit("2024-01-25").cast("date"),
+               F.col("n") * 2).otherwise(F.col("n")).alias("n"),
+        F.when(
+            F.col("day") >= F.lit("2024-01-25").cast("date"),
+            F.round(F.col("total_value") * 2, 4),
+        ).otherwise(F.col("total_value")).alias("total_value"),
+    )
+    a = checksum(daily).select(
+        "day", F.col("checksum").alias("src_checksum")
+    )
+    b = checksum(patched).select(
+        "day", F.col("checksum").alias("dst_checksum")
+    )
+    return (
+        a.join(b, "day")
+        .where(F.col("src_checksum") != F.col("dst_checksum"))
+        .select(
+            F.unix_micros(F.col("day").cast("timestamp")).alias("day_us"),
+            "src_checksum",
+            "dst_checksum",
+        )
+    )
