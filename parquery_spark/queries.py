@@ -8198,3 +8198,128 @@ def q175_partition_repair_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dst_checksum",
         )
     )
+
+
+@query(
+    "q176_bootstrap_ci",
+    """
+    WITH reps AS (
+        SELECT r, AVG(value) AS rep_mean
+        FROM events, (SELECT unnest(range(16)) AS r)
+        WHERE event_type = 'purchase'
+          AND ('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':'
+               || CAST(r AS VARCHAR) || '#boot'), 1, 15))::BIGINT % 2 = 0
+        GROUP BY r
+    )
+    SELECT COUNT(*) AS n_replicates,
+           ROUND(AVG(rep_mean), 6) AS mean_of_means,
+           ROUND(STDDEV_SAMP(rep_mean), 6) AS half_sample_se
+    FROM reps
+    """,
+)
+def q176_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed resampling uncertainty — half-sample bootstrap: 16
+    replicates, each keeping a row iff a pure hash of (row id, replicate,
+    salt) is even, so every replicate is a deterministic, reproducible
+    50% subsample computed in ONE pass (explode by replicate index,
+    filter, aggregate — no RNG state, no per-replicate scan).  The
+    spread of replicate means estimates the sampling error of the mean —
+    the cluster-friendly alternative to classic bootstrap-with-
+    replacement, whose Poisson-counts variant plugs into the same shape.
+    At 100 TB: 16x row fan-out BEFORE the filter halves it, all
+    map-side; the shuffle carries 16 partial aggregates."""
+    from parquery_spark.operators.dedup import hash64
+
+    events = load_events(spark, sf_dir)
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        "event_id", "value"
+    )
+    reps = spark.range(16).select(F.col("id").cast("int").alias("r"))
+    kept = purchases.crossJoin(F.broadcast(reps)).where(
+        hash64(
+            F.concat_ws(
+                ":",
+                F.col("event_id").cast("string"),
+                F.col("r").cast("string"),
+            ),
+            seed="boot",
+        )
+        % 2
+        == 0
+    )
+    rep_means = kept.groupBy("r").agg(F.avg("value").alias("rep_mean"))
+    return rep_means.agg(
+        F.count(F.lit(1)).alias("n_replicates"),
+        F.round(F.avg("rep_mean"), 6).alias("mean_of_means"),
+        F.round(F.stddev_samp("rep_mean"), 6).alias("half_sample_se"),
+    )
+
+
+@query(
+    "q177_sketch_intersection",
+    """
+    SELECT
+        CAST(COUNT(DISTINCT CASE WHEN event_type = 'click'
+                                 THEN user_id END) AS BIGINT) AS exact_a,
+        CAST(COUNT(DISTINCT CASE WHEN event_type = 'purchase'
+                                 THEN user_id END) AS BIGINT) AS exact_b,
+        CAST(COUNT(DISTINCT CASE WHEN user_id IN (
+                 SELECT user_id FROM events WHERE event_type = 'click')
+             AND user_id IN (
+                 SELECT user_id FROM events WHERE event_type = 'purchase')
+             THEN user_id END) AS BIGINT) AS exact_overlap,
+        TRUE AS estimate_within_bound
+    FROM events
+    """,
+)
+def q177_sketch_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch set algebra: audience overlap (|clickers ∩ purchasers|)
+    from HLL sketches by inclusion-exclusion — |A|+|B|-|A∪B| — where the
+    union comes from MERGING the two sketches, never re-reading raw
+    data.  This is how persisted per-segment sketches answer arbitrary
+    overlap questions at 100 TB (intersection isn't directly mergeable;
+    inclusion-exclusion over unions is).  The error compounds across
+    three estimates, so the gate bound scales with the sum of the set
+    sizes (5 sigma each); exact counts are hash-matched alongside."""
+    events = load_events(spark, sf_dir)
+    a = events.where(F.col("event_type") == "click")
+    b = events.where(F.col("event_type") == "purchase")
+    sk = a.select(F.col("user_id")).agg(
+        F.hll_sketch_agg("user_id", F.lit(12)).alias("sk_a")
+    ).crossJoin(
+        b.select(F.col("user_id")).agg(
+            F.hll_sketch_agg("user_id", F.lit(12)).alias("sk_b")
+        )
+    )
+    est = sk.select(
+        F.hll_sketch_estimate("sk_a").alias("est_a"),
+        F.hll_sketch_estimate("sk_b").alias("est_b"),
+        F.hll_sketch_estimate(
+            F.hll_union("sk_a", "sk_b")
+        ).alias("est_union"),
+    )
+    exact = events.agg(
+        F.countDistinct(
+            F.when(F.col("event_type") == "click", F.col("user_id"))
+        ).alias("exact_a"),
+        F.countDistinct(
+            F.when(F.col("event_type") == "purchase", F.col("user_id"))
+        ).alias("exact_b"),
+    )
+    clickers = a.select("user_id").distinct()
+    purchasers = b.select("user_id").distinct()
+    overlap = clickers.join(purchasers, "user_id").agg(
+        F.count(F.lit(1)).alias("exact_overlap")
+    )
+    rel = 5 * 1.04 / (2 ** 12) ** 0.5
+    j = exact.crossJoin(overlap).crossJoin(F.broadcast(est))
+    est_overlap = F.col("est_a") + F.col("est_b") - F.col("est_union")
+    return j.select(
+        "exact_a",
+        "exact_b",
+        "exact_overlap",
+        (
+            F.abs(est_overlap - F.col("exact_overlap"))
+            <= F.lit(rel) * (F.col("exact_a") + F.col("exact_b"))
+        ).alias("estimate_within_bound"),
+    )
