@@ -8323,3 +8323,175 @@ def q177_sketch_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.lit(rel) * (F.col("exact_a") + F.col("exact_b"))
         ).alias("estimate_within_bound"),
     )
+
+
+@query(
+    "q178_cross_source_dup_matrix",
+    f"""
+    WITH cand AS ({_sql_minhash_lsh(16, 4, 2, 1000)}),
+    src AS (SELECT doc_id, source FROM documents)
+    SELECT LEAST(sa.source, sb.source) AS source_a,
+           GREATEST(sa.source, sb.source) AS source_b,
+           COUNT(*) AS n_candidate_pairs,
+           CAST(SUM(CASE WHEN est_jaccard >= 0.5 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_strong_pairs
+    FROM cand
+    JOIN src sa ON sa.doc_id = id_a
+    JOIN src sb ON sb.doc_id = id_b
+    GROUP BY 1, 2
+    """,
+)
+def q178_cross_source_dup_matrix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cross-source duplication matrix — which corpus sources copy from
+    which: MinHash-LSH candidate pairs (q43's generator, shared
+    persisted signatures) rolled up to unordered (source, source)
+    cells with a strong-pair count at estimated Jaccard >= 0.5.  The
+    per-pair source lookup is two broadcastable dimension joins; cell
+    count is bounded by |sources|^2, so the matrix is driver-readable
+    at any corpus size.  This is the report that decides which source
+    to drop when mixtures double-count content (feeds q160's weights)."""
+    from parquery_spark.operators.dedup import lsh_candidate_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    cand = lsh_candidate_pairs(
+        docs, "text", "doc_id",
+        num_hashes=16, bands=4, shingle_k=2, max_bucket_size=1000,
+    )
+    src = docs.select("doc_id", "source")
+    sa = src.select(
+        F.col("doc_id").alias("id_a"), F.col("source").alias("sa")
+    )
+    sb = src.select(
+        F.col("doc_id").alias("id_b"), F.col("source").alias("sb")
+    )
+    j = cand.join(F.broadcast(sa), "id_a").join(F.broadcast(sb), "id_b")
+    return j.groupBy(
+        F.least("sa", "sb").alias("source_a"),
+        F.greatest("sa", "sb").alias("source_b"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_candidate_pairs"),
+        F.sum(F.when(F.col("est_jaccard") >= 0.5, 1).otherwise(0))
+        .cast("long")
+        .alias("n_strong_pairs"),
+    )
+
+
+@query(
+    "q179_linear_interpolation",
+    """
+    WITH daily AS (
+        SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+               ROUND(SUM(value), 4) AS v
+        FROM events WHERE event_type = 'purchase' AND user_id < 40
+        GROUP BY 1, 2
+    ),
+    spine AS (
+        SELECT user_id,
+               CAST(unnest(range(CAST(mn AS TIMESTAMP),
+                                 CAST(md + INTERVAL 1 DAY AS TIMESTAMP),
+                                 INTERVAL 1 DAY)) AS DATE) AS day
+        FROM (SELECT user_id, MIN(day) AS mn, MAX(day) AS md
+              FROM daily GROUP BY user_id)
+    ),
+    joined AS (
+        SELECT s.user_id, s.day, d.v FROM spine s
+        LEFT JOIN daily d ON d.user_id = s.user_id AND d.day = s.day
+    ),
+    bracketed AS (
+        SELECT user_id, day, v,
+               last_value(v IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS prev_v,
+               first_value(v IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY day
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+               ) AS next_v,
+               CAST(day - last_value(CASE WHEN v IS NOT NULL THEN day END
+                   IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS gap_back,
+               CAST(first_value(CASE WHEN v IS NOT NULL THEN day END
+                   IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY day
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+               ) - day AS BIGINT) AS gap_fwd
+        FROM joined
+    )
+    SELECT user_id, epoch_us(CAST(day AS TIMESTAMP)) AS day_us,
+           ROUND(CASE WHEN v IS NOT NULL THEN v
+                ELSE prev_v + (next_v - prev_v) * gap_back
+                     / (gap_back + gap_fwd) END, 6) AS v_interp,
+           (v IS NULL) AS was_gap
+    FROM bracketed
+    """,
+)
+def q179_linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series regularization with LINEAR interpolation — the step
+    up from q87's carry-forward: each user's sparse daily series is
+    joined to its dense day spine (sequence() off one min/max row per
+    key — no cross join) and gaps are filled by the straight line
+    between the bracketing observations, weighted by integer day
+    distances.  One user-partitioned window pass computes both brackets
+    and both gaps (carry-forward + carry-backward in the same shuffle);
+    the interpolation arithmetic is identical double math on both
+    engines, rounded at the boundary.  Restricted to a user subset only
+    to keep the gate output reviewable."""
+    from pyspark.sql import Window
+
+    events = load_events(spark, sf_dir)
+    daily = (
+        events.where(
+            (F.col("event_type") == "purchase") & (F.col("user_id") < 40)
+        )
+        .groupBy(
+            "user_id",
+            F.date_trunc("day", F.col("ts").cast("timestamp"))
+            .cast("date")
+            .alias("day"),
+        )
+        .agg(F.round(F.sum("value"), 4).alias("v"))
+    )
+    bounds = daily.groupBy("user_id").agg(
+        F.min("day").alias("mn"), F.max("day").alias("md")
+    )
+    spine = bounds.select(
+        "user_id",
+        F.explode(F.sequence("mn", "md")).alias("day"),
+    )
+    joined = spine.join(daily, ["user_id", "day"], "left")
+    back = Window.partitionBy("user_id").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    fwd = Window.partitionBy("user_id").orderBy("day").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    obs_day = F.when(F.col("v").isNotNull(), F.col("day"))
+    b = joined.select(
+        "user_id",
+        "day",
+        "v",
+        F.last("v", ignorenulls=True).over(back).alias("prev_v"),
+        F.first("v", ignorenulls=True).over(fwd).alias("next_v"),
+        F.datediff(
+            F.col("day"), F.last(obs_day, ignorenulls=True).over(back)
+        ).cast("long").alias("gap_back"),
+        F.datediff(
+            F.first(obs_day, ignorenulls=True).over(fwd), F.col("day")
+        ).cast("long").alias("gap_fwd"),
+    )
+    interp = F.when(F.col("v").isNotNull(), F.col("v")).otherwise(
+        F.col("prev_v")
+        + (F.col("next_v") - F.col("prev_v"))
+        * F.col("gap_back")
+        / (F.col("gap_back") + F.col("gap_fwd"))
+    )
+    return b.select(
+        "user_id",
+        F.unix_micros(F.col("day").cast("timestamp")).alias("day_us"),
+        F.round(interp, 6).alias("v_interp"),
+        F.col("v").isNull().alias("was_gap"),
+    )
