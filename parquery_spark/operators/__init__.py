@@ -9,6 +9,7 @@ from parquery_spark.operators import (
     packing,
     profile,
     quality,
+    safety,
     sampling,
     similarity,
     skew,
@@ -19,5 +20,5 @@ from parquery_spark.operators import (
 __all__ = [
     "dedup", "similarity", "ivf", "joins", "windows", "multimodal",
     "sampling", "skew", "graph", "packing", "profile", "upsert",
-    "maintenance", "linalg", "quality",
+    "maintenance", "linalg", "quality", "safety",
 ]

@@ -8495,3 +8495,135 @@ def q179_linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(interp, 6).alias("v_interp"),
         F.col("v").isNull().alias("was_gap"),
     )
+
+
+@query(
+    "q180_join_size_estimate",
+    """
+    WITH co AS (SELECT o_custkey AS k, COUNT(*) AS c FROM orders GROUP BY 1),
+    cl AS (SELECT l_orderkey AS k, COUNT(*) AS c FROM lineitem GROUP BY 1),
+    oo AS (SELECT o_orderkey AS k, COUNT(*) AS c FROM orders GROUP BY 1)
+    SELECT CAST((SELECT SUM(a.c * b.c) FROM oo a JOIN cl b ON a.k = b.k)
+               AS BIGINT) AS predicted_pairs,
+           CAST((SELECT COUNT(*) FROM orders JOIN lineitem
+                 ON o_orderkey = l_orderkey) AS BIGINT) AS actual_pairs,
+           (SELECT MAX(c) FROM co) AS max_cust_fanout,
+           (SELECT SUM(a.c * b.c) FROM oo a JOIN cl b ON a.k = b.k)
+               = (SELECT COUNT(*) FROM orders JOIN lineitem
+                  ON o_orderkey = l_orderkey) AS estimate_is_exact
+    """,
+)
+def q180_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-size estimation from per-key histograms — the planner math
+    made a first-class audit: |A join B on k| = sum over k of
+    cnt_A(k) * cnt_B(k), computed from two key-grain rollups whose
+    shuffle carries |distinct keys| rows instead of the join's output.
+    Running the estimator BEFORE a 100 TB join is how a pipeline
+    refuses a fan-out explosion (the max per-key fanout is reported for
+    exactly that decision); the oracle pins the identity by ALSO
+    executing the join and asserting equality — for equi-joins the
+    histogram product is exact, not an estimate."""
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    oo = orders.groupBy(F.col("o_orderkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("ca")
+    )
+    cl = li.groupBy(F.col("l_orderkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("cb")
+    )
+    predicted = oo.join(cl, "k").agg(
+        F.sum(F.col("ca") * F.col("cb")).alias("predicted_pairs")
+    )
+    actual = orders.join(
+        li, orders["o_orderkey"] == li["l_orderkey"]
+    ).agg(F.count(F.lit(1)).alias("actual_pairs"))
+    fanout = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("c")
+    ).agg(F.max("c").alias("max_cust_fanout"))
+    return (
+        predicted.crossJoin(actual)
+        .crossJoin(F.broadcast(fanout))
+        .select(
+            "predicted_pairs",
+            "actual_pairs",
+            "max_cust_fanout",
+            (F.col("predicted_pairs") == F.col("actual_pairs")).alias(
+                "estimate_is_exact"
+            ),
+        )
+    )
+
+
+@query(
+    "q181_dead_letter_udf",
+    """
+    WITH parsed AS (
+        SELECT event_id,
+               CAST(regexp_extract(props, '[0-9]+') AS BIGINT) AS k
+        FROM events
+    )
+    SELECT (k % 3 = 0) IS FALSE AS ok, COUNT(*) AS n,
+           CAST(SUM(CASE WHEN k % 3 != 0 THEN k ELSE 0 END) AS BIGINT)
+               AS sum_parsed,
+           bit_xor(CASE WHEN k % 3 = 0 THEN event_id ELSE 0 END)
+               AS failed_id_checksum
+    FROM parsed
+    GROUP BY 1
+    """,
+)
+def q181_dead_letter_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-letter handling for Python stages: a mapInPandas row
+    function that RAISES on poison rows (here: payload key divisible by
+    3 simulates undecodable blobs) runs under the ``safety.
+    dead_letter_map`` wrapper — failures become (ok=false, err) rows
+    instead of task-killing exceptions, so one bad row can't burn the
+    job's retries at 100 TB.  The gate proves the routing is lossless:
+    per-status counts, the sum of successfully parsed values, and a
+    checksum of exactly which rows failed all hash-match the oracle's
+    CASE twin."""
+    from parquery_spark.operators.safety import dead_letter_map
+
+    events = load_events(spark, sf_dir).select("event_id", "props")
+
+    def parse_strict(rec):
+        import re
+
+        k = int(re.search(r"[0-9]+", rec["props"]).group())
+        if k % 3 == 0:
+            raise ValueError(f"poison payload k={k}")
+        return k
+
+    routed = dead_letter_map(
+        events, parse_strict, "k", "long", id_cols=["event_id"]
+    )
+    return routed.groupBy("ok").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.coalesce(F.col("k"), F.lit(0))).alias("sum_parsed"),
+        F.bit_xor(
+            F.when(~F.col("ok"), F.col("event_id")).otherwise(F.lit(0))
+        ).alias("failed_id_checksum"),
+    )
+
+
+@query(
+    "q182_k_anonymity_audit",
+    """
+    SELECT c_mktsegment, c_nationkey,
+           COUNT(*) AS n,
+           COUNT(*) < 5 AS below_k
+    FROM customer
+    GROUP BY c_mktsegment, c_nationkey
+    """,
+)
+def q182_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over quasi-identifiers (segment x nation):
+    any equivalence class smaller than k=5 re-identifies its members
+    under linkage attacks and must be generalized or suppressed before
+    release.  One rollup at QI grain — the privacy complement to q64's
+    direct-PII scan, and the gate a training-data export runs before
+    leaving the trust boundary."""
+    cust = load(spark, sf_dir, "customer")
+    return cust.groupBy("c_mktsegment", "c_nationkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.count(F.lit(1)) < 5).alias("below_k"),
+    )

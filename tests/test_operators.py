@@ -455,3 +455,39 @@ class TestQualitySuite:
         parent = spark.createDataFrame([(1,), (2,)], ["pk"])
         row = Q.referential_check(child, "fk", parent, "pk").collect()[0]
         assert row["metric"] == 1.0 and row["passed"] is False
+
+
+class TestDeadLetter:
+    def test_routes_failures_and_preserves_successes(self, spark):
+        from parquery_spark.operators.safety import dead_letter_map
+
+        df = spark.createDataFrame(
+            [(1, "10"), (2, "boom"), (3, "30"), (4, None)],
+            "id long, payload string",
+        ).repartition(2)
+
+        def parse(rec):
+            return int(rec["payload"])
+
+        got = {
+            r["id"]: (r["ok"], r["k"], r["err"])
+            for r in dead_letter_map(
+                df, parse, "k", "long", id_cols=["id"]
+            ).collect()
+        }
+        assert got[1] == (True, 10, None)
+        assert got[3] == (True, 30, None)
+        assert got[2][0] is False and "ValueError" in got[2][2]
+        assert got[4][0] is False and got[4][1] is None
+
+    def test_all_fail_batch_keeps_schema(self, spark):
+        from parquery_spark.operators.safety import dead_letter_map
+
+        df = spark.createDataFrame([(1, "x"), (2, "y")], "id long, p string")
+
+        def boom(rec):
+            raise RuntimeError("always")
+
+        rows = dead_letter_map(df, boom, "v", "double", ["id"]).collect()
+        assert len(rows) == 2
+        assert all(r["ok"] is False and r["v"] is None for r in rows)
