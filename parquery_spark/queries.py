@@ -8627,3 +8627,58 @@ def q182_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         (F.count(F.lit(1)) < 5).alias("below_k"),
     )
+
+
+@query(
+    "q183_pipeline_api",
+    f"""
+    WITH prof AS ({_SQL_TEXT_PROFILE}),
+    gated AS (
+        SELECT d.doc_id, d.source, p.fingerprint,
+               CAST(p.n_tokens AS BIGINT) AS n_tokens
+        FROM documents d JOIN prof p USING (doc_id)
+        WHERE d.lang = 'de' AND d.n_chars >= 100
+          AND p.quality BETWEEN 0.5 AND 1.0
+    ),
+    kept AS (
+        SELECT * FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY fingerprint
+                                         ORDER BY doc_id) AS rn
+            FROM gated
+        ) WHERE rn = 1
+    ),
+    sampled AS (
+        SELECT * FROM kept
+        WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#mix-v2'),
+                              1, 15))::BIGINT % 100 < 70
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(CEIL(CAST(n_tokens AS DOUBLE) / 512)) AS BIGINT)
+               AS n_chunks
+    FROM sampled GROUP BY source
+    """,
+)
+def q183_pipeline_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The declarative pipeline FRONT DOOR (`parquery_spark.pipeline`):
+    the q150 composition rebuilt through the CorpusPipeline API with a
+    different configuration (German, quality-score gate, 70% sample) —
+    proving the API assembles the same gated operators into one lazy
+    plan: narrow quality stages fuse into the scan, dedup pays the one
+    fingerprint shuffle, sampling is a pure hash function, and the
+    summary rollup closes the plan.  Stage declarations are data, so a
+    100 TB job can log/diff its pipeline config (`stage_names`)."""
+    from parquery_spark.pipeline import CorpusPipeline
+
+    docs = load(spark, sf_dir, "documents")
+    pipe = (
+        CorpusPipeline(text_col="text", id_col="doc_id")
+        .filter_lang("de")
+        .min_chars(100)
+        .quality_range(0.5, 1.0)
+        .dedup_fingerprint()
+        .hash_sample(0.7, salt="mix-v2")
+        .with_token_counts()
+    )
+    return pipe.summary(docs, by="source")

@@ -451,3 +451,58 @@ class TestZOrder:
         # cuts it substantially
         assert one_supp > full_supp * 0.9
         assert z_supp < one_supp * 0.7
+
+
+class TestCorpusPipelineAPI:
+    def test_stages_compose_and_dedup_keeps_first_id(self, spark):
+        from pyspark.sql import functions as F
+
+        from parquery_spark.pipeline import CorpusPipeline
+
+        docs = spark.createDataFrame(
+            [
+                (1, "the quick brown fox jumps over the lazy dog ok", "en", 47, "a"),
+                (2, "the quick brown fox jumps over the lazy dog ok", "en", 47, "b"),
+                (3, "short", "en", 5, "a"),
+                (4, "ein anderes dokument mit ganz anderem inhalt ja", "de", 47, "a"),
+            ],
+            "doc_id long, text string, lang string, n_chars long, source string",
+        )
+        pipe = (
+            CorpusPipeline()
+            .filter_lang("en")
+            .min_chars(10)
+            .dedup_exact()
+            .with_token_counts()
+        )
+        rows = pipe.build(docs).collect()
+        # doc 3 filtered (length), doc 4 filtered (lang), dup 2 dropped
+        assert [r["doc_id"] for r in rows] == [1]
+        assert rows[0]["n_tokens"] == 10
+        assert pipe.stage_names() == [
+            "filter_lang", "min_chars", "dedup", "token_counts",
+        ]
+
+    def test_narrow_stages_fuse_into_scan(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from parquery_spark.pipeline import CorpusPipeline
+
+        src = str(tmp_path / "docs.parquet")
+        spark.createDataFrame(
+            [(i, "token " * 20, "en" if i % 2 else "de", 120, "s")
+             for i in range(50)],
+            "doc_id long, text string, lang string, n_chars long, source string",
+        ).write.parquet(src)
+        docs = spark.read.parquet(src)
+        df = (
+            CorpusPipeline()
+            .filter_lang("en")
+            .min_chars(10)
+            .build(docs)
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        scan = next(l for l in plan.splitlines() if "FileScan" in l)
+        # both declared-as-stages filters reach the scan as pushed filters
+        pushed = scan.split("PushedFilters")[1]
+        assert "lang" in pushed and "n_chars" in pushed
