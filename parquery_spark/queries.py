@@ -8682,3 +8682,78 @@ def q183_pipeline_api(spark: SparkSession, sf_dir: str) -> DataFrame:
         .with_token_counts()
     )
     return pipe.summary(docs, by="source")
+
+
+@query(
+    "q184_seasonal_anomaly",
+    """
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+               dayofweek(CAST(date_trunc('day', ts) AS DATE)) AS dow,
+               ROUND(SUM(value), 4) AS v
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY 1, 2
+    ),
+    with_base AS (
+        SELECT day, v,
+               AVG(v) OVER (
+                   PARTITION BY dow ORDER BY day
+                   ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING
+               ) AS baseline,
+               COUNT(v) OVER (
+                   PARTITION BY dow ORDER BY day
+                   ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING
+               ) AS n_base
+        FROM daily
+    )
+    SELECT epoch_us(CAST(day AS TIMESTAMP)) AS day_us, v,
+           ROUND(baseline, 6) AS baseline,
+           ROUND((v - ROUND(baseline, 6)) / ROUND(baseline, 6) * 100, 4)
+               AS pct_vs_baseline,
+           abs(v - ROUND(baseline, 6)) > ROUND(baseline, 6) * 0.5
+               AS is_anomaly
+    FROM with_base WHERE n_base >= 2
+    """,
+)
+def q184_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-aware anomaly detection: each day's purchase volume
+    is compared against the trailing average of the SAME WEEKDAY (last
+    4 observations, current excluded) — the baseline that doesn't flag
+    every Saturday as an anomaly the way a plain trailing mean does.
+    One window pass partitioned by weekday (7-way parallel, each
+    partition a short ordered series; at years of history this key is
+    still bounded, so the partition-per-weekday contract holds).  Days
+    without enough history are withheld rather than scored against a
+    noisy baseline; baselines are rounded before the ratio so both
+    engines difference identical doubles."""
+    from pyspark.sql import Window
+
+    events = load_events(spark, sf_dir)
+    day = F.date_trunc("day", F.col("ts").cast("timestamp")).cast("date")
+    daily = (
+        events.where(F.col("event_type") == "purchase")
+        .groupBy(day.alias("day"))
+        .agg(F.round(F.sum("value"), 4).alias("v"))
+        .withColumn("dow", F.dayofweek("day"))
+    )
+    w = (
+        Window.partitionBy("dow")
+        .orderBy("day")
+        .rowsBetween(-4, -1)
+    )
+    scored = daily.select(
+        "day",
+        "v",
+        F.avg("v").over(w).alias("baseline_raw"),
+        F.count("v").over(w).alias("n_base"),
+    )
+    baseline = F.round(F.col("baseline_raw"), 6)
+    return scored.where(F.col("n_base") >= 2).select(
+        F.unix_micros(F.col("day").cast("timestamp")).alias("day_us"),
+        "v",
+        baseline.alias("baseline"),
+        F.round(
+            (F.col("v") - baseline) / baseline * 100, 4
+        ).alias("pct_vs_baseline"),
+        (F.abs(F.col("v") - baseline) > baseline * 0.5).alias("is_anomaly"),
+    )
