@@ -171,3 +171,73 @@ def dedup_clusters(
             (F.col(id_col) == F.col("cluster_id")).alias("is_kept"),
         )
     )
+
+
+def triangle_stats(edges: DataFrame) -> DataFrame:
+    """Triangle count + wedge count + global clustering coefficient for
+    an undirected simple graph given as (u, v) edge rows with u < v
+    (deduplicated).
+
+    Degree orientation: every edge is directed from its lower-(degree,
+    id) endpoint, so each triangle is generated exactly once and the
+    wedge join's per-vertex fan-out is bounded by out-degree <=
+    sqrt(2m) — join volume near m^1.5 instead of sum(d^2) on power-law
+    graphs.  The closing (s, t) edge set packs into one int64 (requires
+    vertex ids < 2^31) and broadcasts, so the wedge stream — the big
+    intermediate — is consumed map-side and never shuffles; when the
+    edge set outgrows broadcast, dropping the hint falls back to a
+    sort-merge on the packed key with the same semantics.
+    """
+    from pyspark.sql import functions as F
+
+    edges = edges.select("u", "v").persist()
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .persist()
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = (
+        edges.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("s"),
+            F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("t"),
+        )
+        .persist()
+    )
+    e2 = oriented.select(F.col("s").alias("t"), F.col("t").alias("w"))
+    pack = (F.col("s").cast("long") * F.lit(4294967296)) + F.col("t")
+    wedges = oriented.join(e2, "t").select(
+        (
+            (F.col("s").cast("long") * F.lit(4294967296)) + F.col("w")
+        ).alias("st")
+    )
+    closing = oriented.select(pack.alias("st"))
+    tri = wedges.join(F.broadcast(closing), "st").agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+    n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    n_wedges = deg.agg(
+        F.sum((F.col("d") * (F.col("d") - 1) / 2).cast("long")).alias(
+            "n_wedges"
+        )
+    )
+    return (
+        tri.crossJoin(F.broadcast(n_edges))
+        .crossJoin(F.broadcast(n_wedges))
+        .select(
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.round(
+                3.0 * F.col("n_triangles") / F.col("n_wedges"), 6
+            ).alias("clustering_coeff"),
+        )
+    )

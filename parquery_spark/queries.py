@@ -6972,66 +6972,10 @@ def q158_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("u") < F.col("v"))
         .select("u", "v")
         .distinct()
-        .persist()
     )
-    deg = (
-        edges.select(F.col("u").alias("node"))
-        .unionAll(edges.select(F.col("v").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("d"))
-        .persist()
-    )
-    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
-    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
-    u_first = (F.col("du") < F.col("dv")) | (
-        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
-    )
-    oriented = (
-        edges.join(du, "u")
-        .join(dv, "v")
-        .select(
-            F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("s"),
-            F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("t"),
-        )
-        .persist()
-    )
-    e2 = oriented.select(F.col("s").alias("t"), F.col("t").alias("w"))
-    # close wedges against a PACKED (s,t)->long edge set, broadcast: the
-    # wedge stream (the big intermediate, ~sum dout^2 rows) is consumed
-    # map-side and never shuffles.  Fallback when the edge set outgrows
-    # broadcast (packed longs, ~8B/edge): drop the broadcast hint and the
-    # same plan sort-merges on the packed key.
-    pack = (F.col("s").cast("long") * F.lit(4294967296)) + F.col("t")
-    wedges = (
-        oriented.join(e2, "t")
-        .select(
-            (
-                (F.col("s").cast("long") * F.lit(4294967296)) + F.col("w")
-            ).alias("st")
-        )
-    )
-    closing = oriented.select(pack.alias("st"))
-    tri = wedges.join(F.broadcast(closing), "st").agg(
-        F.count(F.lit(1)).alias("n_triangles")
-    )
-    n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
-    n_wedges = deg.agg(
-        F.sum(
-            (F.col("d") * (F.col("d") - 1) / 2).cast("long")
-        ).alias("n_wedges")
-    )
-    return (
-        tri.crossJoin(F.broadcast(n_edges))
-        .crossJoin(F.broadcast(n_wedges))
-        .select(
-            "n_edges",
-            "n_wedges",
-            "n_triangles",
-            F.round(
-                3.0 * F.col("n_triangles") / F.col("n_wedges"), 6
-            ).alias("clustering_coeff"),
-        )
-    )
+    from parquery_spark.operators.graph import triangle_stats
+
+    return triangle_stats(edges)
 
 
 @query(

@@ -498,3 +498,91 @@ class TestAttributionProperties:
             if clicks:
                 want[i] = max(clicks)[1]
         assert got == want
+
+
+class TestTriangleProperty:
+    def test_matches_brute_force_on_random_graphs(self, spark):
+        import itertools
+        import random
+
+        from parquery_spark.operators.graph import triangle_stats
+
+        rng = random.Random(11)
+        for trial in range(3):
+            n = rng.randint(6, 14)
+            edges = sorted(
+                {
+                    (min(a, b), max(a, b))
+                    for a, b in (
+                        (rng.randrange(n), rng.randrange(n))
+                        for _ in range(rng.randint(5, 40))
+                    )
+                    if a != b
+                }
+            )
+            adj = {i: set() for i in range(n)}
+            for u, v in edges:
+                adj[u].add(v)
+                adj[v].add(u)
+            brute_tri = sum(
+                1
+                for a, b, c in itertools.combinations(range(n), 3)
+                if b in adj[a] and c in adj[a] and c in adj[b]
+            )
+            brute_wedges = sum(
+                len(adj[i]) * (len(adj[i]) - 1) // 2 for i in range(n)
+            )
+            df = spark.createDataFrame(edges, "u long, v long")
+            row = triangle_stats(df).collect()[0]
+            assert row["n_edges"] == len(edges), (trial, edges)
+            assert row["n_triangles"] == brute_tri, (trial, edges)
+            assert row["n_wedges"] == brute_wedges, (trial, edges)
+
+
+class TestWeightedMedianProperty:
+    def test_matches_sequential_definition(self, spark):
+        import random
+
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        rng = random.Random(23)
+        rows = [
+            (rng.choice("AB"), float(rng.randint(1, 100)),
+             float(rng.randint(1, 9)))
+            for _ in range(300)
+        ]
+
+        def reference(grp):
+            vals = sorted(
+                (v, w) for g, v, w in rows if g == grp
+            )
+            tot = sum(w for _, w in vals)
+            cum = 0.0
+            for v, w in vals:
+                cum += w
+                if cum >= tot / 2:
+                    return v
+            raise AssertionError
+
+        df = spark.createDataFrame(rows, "g string, v double, w double")
+        wc = (
+            Window.partitionBy("g")
+            .orderBy("v")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        wt = Window.partitionBy("g")
+        got = {
+            r["g"]: r["wm"]
+            for r in df.select(
+                "g",
+                "v",
+                F.sum("w").over(wc).alias("cw"),
+                F.sum("w").over(wt).alias("tw"),
+            )
+            .where(F.col("cw") >= F.col("tw") / 2)
+            .groupBy("g")
+            .agg(F.min("v").alias("wm"))
+            .collect()
+        }
+        assert got == {"A": reference("A"), "B": reference("B")}
