@@ -8701,3 +8701,241 @@ def q184_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("pct_vs_baseline"),
         (F.abs(F.col("v") - baseline) > baseline * 0.5).alias("is_anomaly"),
     )
+
+
+@query(
+    "q185_item_similarity",
+    """
+    WITH bi AS (
+        SELECT DISTINCT o_custkey AS cust, l_partkey AS item
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    cnt AS (SELECT item, COUNT(*) AS c FROM bi GROUP BY item),
+    co AS (
+        SELECT a.item AS item_a, b.item AS item_b, COUNT(*) AS cab
+        FROM bi a JOIN bi b ON a.cust = b.cust AND a.item < b.item
+        GROUP BY a.item, b.item
+    ),
+    sims AS (
+        SELECT item_a, item_b, cab,
+               ROUND(cab / sqrt(ca.c * cb.c), 6) AS cosine
+        FROM co
+        JOIN cnt ca ON ca.item = item_a
+        JOIN cnt cb ON cb.item = item_b
+        WHERE cab >= 3
+    )
+    SELECT * FROM sims
+    ORDER BY cosine DESC, item_a, item_b LIMIT 50
+    """,
+)
+def q185_item_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering: cosine similarity over the
+    binary customer-item incidence (co-buyers / sqrt of popularity
+    product) — the classic Amazon-style neighborhood model.  The
+    customer-grain self-join bounds pair volume per customer basket
+    (q128's law); popularity counts broadcast back; a minimum-support
+    cut (co-count >= 3) kills the noise pairs BEFORE ranking; the final
+    top-50 is TakeOrderedAndProject, not a global sort.  At 100 TB the
+    support cut is what keeps the pair relation near-linear in |bi| —
+    the heavy-hitter customers are capped upstream by basket semantics
+    (an order touches few parts)."""
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    bi = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.col("o_custkey").alias("cust"),
+            F.col("l_partkey").alias("item"),
+        )
+        .distinct()
+        .persist()
+    )
+    cnt = bi.groupBy("item").agg(F.count(F.lit(1)).alias("c"))
+    a = bi.select("cust", F.col("item").alias("item_a"))
+    b = bi.select("cust", F.col("item").alias("item_b"))
+    co = (
+        a.join(b, "cust")
+        .where(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("cab"))
+        .where(F.col("cab") >= 3)
+    )
+    ca = cnt.select(F.col("item").alias("item_a"), F.col("c").alias("ca"))
+    cb = cnt.select(F.col("item").alias("item_b"), F.col("c").alias("cb"))
+    sims = (
+        co.join(F.broadcast(ca), "item_a")
+        .join(F.broadcast(cb), "item_b")
+        .select(
+            "item_a",
+            "item_b",
+            "cab",
+            F.round(
+                F.col("cab") / F.sqrt(F.col("ca") * F.col("cb")), 6
+            ).alias("cosine"),
+        )
+    )
+    return sims.orderBy(
+        F.desc("cosine"), "item_a", "item_b"
+    ).limit(50)
+
+
+@query(
+    "q186_incremental_sessionize",
+    """
+    WITH marked AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                       > 1800000000
+                    THEN 1 ELSE 0 END AS is_start
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+        SELECT user_id, ts,
+               SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS sid
+        FROM marked
+    ),
+    closed AS (
+        SELECT user_id, sid,
+               MIN(ts) AS session_start, MAX(ts) AS session_end,
+               COUNT(*) AS n_events
+        FROM sess GROUP BY user_id, sid
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(n_events) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN session_start
+                         < TIMESTAMP '2024-01-15 12:00:00' AND session_end
+                         >= TIMESTAMP '2024-01-15 12:00:00'
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_boundary_spanning,
+           bit_xor(('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':'
+               || CAST(epoch_us(session_start) AS VARCHAR) || ':'
+               || CAST(n_events AS VARCHAR)), 1, 15))::BIGINT)
+               AS session_checksum
+    FROM closed
+    """,
+)
+def q186_incremental_sessionize(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Batch-INCREMENTAL sessionization: day N's job must not rescan
+    the whole log, so it processes only new events plus a carried
+    OPEN-SESSION state table (one row per user still inside the idle
+    window at the cutoff).  Here the log is split at Jan 15 noon (chosen to split a live session): batch 1
+    sessionizes the head and persists (closed sessions, open-session
+    state); batch 2 sessionizes the tail WITH the open state unioned in
+    as synthetic session seeds, stitching boundary-spanning sessions
+    back together.  The gate proves incremental == full-log: session
+    count, event total and a per-session checksum (user, exact start,
+    size) all hash-match the single-pass oracle, and the
+    boundary-spanning count shows the stitching actually exercised
+    (zero would mean the cutoff hit only idle users).  State size is
+    |active users|, not |log| — the batch twin of q97's streaming
+    state."""
+    from pyspark.sql import Window
+
+    from parquery_spark.operators.dedup import hash64
+
+    gap_us = 1800 * 1000 * 1000
+    cutoff = F.lit("2024-01-15 12:00:00").cast("timestamp")
+    events = load_events(spark, sf_dir).select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"), "event_id"
+    )
+
+    def sessionize(df, seed=None):
+        """Close sessions over df; seed = (user_id, open_start, open_last,
+        open_n) rows prepended as zero-width synthetic events."""
+        ev = df.select(
+            "user_id", "ts", "event_id",
+            F.lit(None).cast("timestamp").alias("seed_start"),
+            F.lit(0).cast("long").alias("seed_n"),
+        )
+        if seed is not None:
+            ev = ev.unionByName(
+                seed.select(
+                    "user_id",
+                    F.col("open_last").alias("ts"),
+                    F.lit(-1).alias("event_id"),
+                    F.col("open_start").alias("seed_start"),
+                    F.col("open_n").alias("seed_n"),
+                )
+            )
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        gap = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+        marked = ev.withColumn(
+            "is_start",
+            F.when(
+                F.lag("ts").over(w).isNull() | (gap > gap_us), 1
+            ).otherwise(0),
+        )
+        run = (
+            Window.partitionBy("user_id")
+            .orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        sess = marked.withColumn("sid", F.sum("is_start").over(run))
+        return sess.groupBy("user_id", "sid").agg(
+            # a seed row contributes its ORIGINAL start and its event
+            # count; its synthetic row itself is not an event
+            F.min(
+                F.coalesce(F.col("seed_start"), F.col("ts"))
+            ).alias("session_start"),
+            F.max("ts").alias("session_end"),
+            (
+                F.count(F.lit(1))
+                + F.sum("seed_n")
+                - F.sum(F.when(F.col("event_id") == -1, 1).otherwise(0))
+            ).alias("n_events"),
+        )
+
+    head = events.where(F.col("ts") < cutoff)
+    tail = events.where(F.col("ts") >= cutoff)
+    head_sessions = sessionize(head).persist()
+    # open = sessions still inside the idle window at the cutoff
+    open_state = head_sessions.where(
+        F.unix_micros(cutoff) - F.unix_micros(F.col("session_end"))
+        <= gap_us
+    ).select(
+        "user_id",
+        F.col("session_start").alias("open_start"),
+        F.col("session_end").alias("open_last"),
+        F.col("n_events").alias("open_n"),
+    )
+    closed_head = head_sessions.where(
+        F.unix_micros(cutoff) - F.unix_micros(F.col("session_end"))
+        > gap_us
+    )
+    tail_sessions = sessionize(tail, seed=open_state)
+    # an open session with NO tail continuation closes as-is (its seed
+    # formed a lone synthetic session whose n_events excludes the seed
+    # row, but seed_n restores the real count) — already handled by the
+    # arithmetic above; union everything
+    all_sessions = closed_head.select(
+        "user_id", "session_start", "session_end", "n_events"
+    ).unionByName(
+        tail_sessions.select(
+            "user_id", "session_start", "session_end", "n_events"
+        )
+    )
+    boundary = (F.col("session_start") < cutoff) & (
+        F.col("session_end") >= cutoff
+    )
+    return all_sessions.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n_events").alias("n_events"),
+        F.sum(F.when(boundary, 1).otherwise(0)).cast("long").alias(
+            "n_boundary_spanning"
+        ),
+        F.bit_xor(
+            hash64(
+                F.concat_ws(
+                    ":",
+                    F.col("user_id").cast("string"),
+                    F.unix_micros("session_start").cast("string"),
+                    F.col("n_events").cast("string"),
+                )
+            )
+        ).alias("session_checksum"),
+    )
