@@ -647,3 +647,34 @@ class TestContinuation2PlanShapes:
         # prefix_sum windows are keyed by __pid — never a global window
         assert windows
         assert all("__pid" in l for l in windows)
+
+
+class TestContinuation2LateBatchShapes:
+    def test_ivm_quality_sketch_estimator_shapes(self, spark, sf_dir):
+        """q162's merge is a full-outer on the GROUP key (groups-sized,
+        never the fact); q164's window merge unions sketches, not raw
+        day-user rows (no second count_distinct Expand in the merged
+        branch); q176's 16 replicates come from ONE scan (broadcast
+        fan-out, single aggregate pair); q185's top-50 plans as
+        TakeOrderedAndProject with broadcast popularity joins."""
+        from parquery_spark.queries import QUERIES
+
+        def plan(name):
+            df = QUERIES[name][0](spark, sf_dir)
+            return df._jdf.queryExecution().executedPlan().toString()
+
+        p = plan("q162_incremental_view_maintenance")
+        assert "FullOuter" in p or "full_outer" in p.lower()
+        assert "EvalPython" not in p
+
+        p = plan("q164_rolling_sketch_wau")
+        assert "hll_union_agg" in p.lower() or "HllUnionAgg" in p
+
+        p = plan("q176_bootstrap_ci")
+        assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+        fscans = [l for l in p.splitlines() if "FileScan" in l]
+        assert len(fscans) <= 1  # one scan feeds all 16 replicates
+
+        p = plan("q185_item_similarity")
+        assert "TakeOrderedAndProject(limit=50" in p
+        assert "BroadcastHashJoin" in p
