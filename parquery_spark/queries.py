@@ -8939,3 +8939,151 @@ def q186_incremental_sessionize(
             )
         ).alias("session_checksum"),
     )
+
+
+@query(
+    "q187_ingestion_ledger",
+    """
+    WITH batch1 AS (
+        SELECT 'f1' AS file_id UNION ALL SELECT 'f2' UNION ALL SELECT 'f3'
+    ),
+    batch2 AS (
+        SELECT 'f2' AS file_id UNION ALL SELECT 'f3'
+        UNION ALL SELECT 'f4' UNION ALL SELECT 'f5'
+    ),
+    ledger1 AS (SELECT file_id FROM batch1),
+    new2 AS (
+        SELECT file_id FROM batch2
+        WHERE file_id NOT IN (SELECT file_id FROM ledger1)
+    ),
+    files AS (
+        SELECT 'f' || CAST(1 + (event_id % 5) AS VARCHAR) AS file_id,
+               event_id, value
+        FROM events
+    ),
+    ingested AS (
+        SELECT f.* FROM files f JOIN (
+            SELECT file_id FROM ledger1 UNION ALL SELECT file_id FROM new2
+        ) l ON f.file_id = l.file_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows_ingested,
+           CAST(COUNT(DISTINCT file_id) AS BIGINT) AS n_files,
+           bit_xor(event_id) AS row_checksum,
+           COUNT(*) = (SELECT COUNT(*) FROM events) AS exactly_once
+    FROM ingested
+    """,
+)
+def q187_ingestion_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once file ingestion via a processed-files ledger: batch 2
+    re-delivers two of batch 1's files (at-least-once delivery is the
+    norm for object-store notifications) and the ledger anti-join admits
+    only genuinely new file ids — so every source row is ingested
+    EXACTLY once despite the overlap, proven by the total row count,
+    the per-row XOR checksum, and an explicit exactly_once boolean
+    against the raw source.  The ledger is |files| rows (broadcastable
+    at any realistic scale); the pattern is the batch twin of the
+    streaming source's offset log, and what q126's CDC assumes
+    upstream."""
+    events = load_events(spark, sf_dir)
+    files = events.select(
+        F.concat(
+            F.lit("f"), (1 + F.col("event_id") % 5).cast("string")
+        ).alias("file_id"),
+        "event_id",
+    )
+    batch1 = spark.createDataFrame(
+        [("f1",), ("f2",), ("f3",)], ["file_id"]
+    )
+    batch2 = spark.createDataFrame(
+        [("f2",), ("f3",), ("f4",), ("f5",)], ["file_id"]
+    )
+    ledger1 = batch1
+    new2 = batch2.join(F.broadcast(ledger1), "file_id", "left_anti")
+    admitted = ledger1.unionByName(new2)
+    ingested = files.join(F.broadcast(admitted), "file_id")
+    total = events.agg(F.count(F.lit(1)).alias("t"))
+    return ingested.agg(
+        F.count(F.lit(1)).alias("n_rows_ingested"),
+        F.countDistinct("file_id").alias("n_files"),
+        F.bit_xor("event_id").alias("row_checksum"),
+    ).crossJoin(F.broadcast(total)).select(
+        "n_rows_ingested",
+        "n_files",
+        "row_checksum",
+        (F.col("n_rows_ingested") == F.col("t")).alias("exactly_once"),
+    )
+
+
+@query(
+    "q188_rank_fusion",
+    """
+    WITH scored AS (
+        SELECT doc_id, source,
+               length(list_filter(string_split_regex(lower(text),
+                   '[^a-z0-9'']+'), t -> t != '')) AS n_tokens,
+               n_chars
+        FROM documents
+    ),
+    ranked AS (
+        SELECT doc_id, source,
+               PERCENT_RANK() OVER (ORDER BY n_tokens, doc_id) AS r_tok,
+               PERCENT_RANK() OVER (ORDER BY n_chars, doc_id) AS r_len
+        FROM scored
+    )
+    SELECT doc_id, source,
+           ROUND((r_tok + r_len) / 2, 6) AS fused_score
+    FROM ranked
+    ORDER BY fused_score DESC, doc_id LIMIT 25
+    """,
+)
+def q188_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-based score fusion: two quality signals on incomparable
+    scales (token count, char count) are each converted to percentile
+    ranks and averaged — the scale-free way to blend heterogeneous
+    scorers (the same shape fuses a perplexity filter with a quality
+    classifier).  PERCENT_RANK ties are broken by doc_id so both
+    engines rank identically — and because the ordering is then total,
+    percent_rank reduces to exclusive-prefix-count / (n-1), which the
+    Spark side computes with the DISTRIBUTED prefix sum (range
+    partition + per-partition window + offset fold, q66's operator)
+    instead of the single-partition global window the oracle's
+    PERCENT_RANK would naively plan.  Top-25 is TakeOrderedAndProject."""
+    from parquery_spark.functions.text import token_count
+    from parquery_spark.operators.packing import prefix_sum
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        token_count(F.col("text")).cast("long").alias("n_tokens"),
+        "n_chars",
+    ).persist()
+    n = docs.count()
+    SHIFT = F.lit(4294967296)
+
+    def pct_rank(df, value_col, out):
+        keyed = df.withColumn(
+            "__key",
+            F.col(value_col).cast("long") * SHIFT + F.col("doc_id"),
+        )
+        ranked = prefix_sum(
+            keyed, F.lit(1), "__key", out_col="__rk", inclusive=False
+        )
+        return ranked.select(
+            "doc_id", (F.col("__rk") / F.lit(n - 1)).alias(out)
+        )
+
+    r_tok = pct_rank(docs, "n_tokens", "r_tok")
+    r_len = pct_rank(docs, "n_chars", "r_len")
+    fused = (
+        docs.select("doc_id", "source")
+        .join(r_tok, "doc_id")
+        .join(r_len, "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            F.round((F.col("r_tok") + F.col("r_len")) / 2, 6).alias(
+                "fused_score"
+            ),
+        )
+    )
+    return fused.orderBy(F.desc("fused_score"), "doc_id").limit(25)
