@@ -9087,3 +9087,143 @@ def q188_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return fused.orderBy(F.desc("fused_score"), "doc_id").limit(25)
+
+
+@query(
+    "q189_vocab_coverage",
+    """
+    WITH toks AS (
+        SELECT unnest(list_filter(string_split_regex(lower(text),
+               '[^a-z0-9'']+'), t -> t != '')) AS term
+        FROM documents
+    ),
+    vocab AS (SELECT term, COUNT(*) AS c FROM toks GROUP BY term),
+    ranked AS (
+        SELECT term, c,
+               ROW_NUMBER() OVER (ORDER BY c DESC, term) AS rnk,
+               SUM(c) OVER (ORDER BY c DESC, term
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum,
+               SUM(c) OVER () AS total
+        FROM vocab
+    )
+    SELECT threshold,
+           CAST(MIN(rnk) AS BIGINT) AS vocab_size_needed,
+           CAST(MIN(total) AS BIGINT) AS total_tokens
+    FROM ranked,
+         (SELECT CAST(unnest([0.5, 0.9, 0.99]) AS DOUBLE) AS threshold)
+    WHERE cum >= threshold * total
+    GROUP BY threshold
+    """,
+)
+def q189_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve — the tokenizer-design question 'how
+    many types cover X% of all tokens?': frequency-ranked vocabulary,
+    cumulative share, smallest rank crossing each coverage threshold.
+    Token counting shuffles (term, count) pairs only; the ranking runs
+    over the VOCABULARY relation (types, not tokens — orders of
+    magnitude smaller than the corpus), and its running sum uses the
+    distributed prefix sum keyed on (-count, term), never a
+    single-partition window.  Thresholds fan out as a 3-row broadcast."""
+    from parquery_spark.functions.text import tokens
+    from parquery_spark.operators.packing import prefix_sum
+
+    docs = load(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist()
+    )
+    total = vocab.agg(F.sum("c").alias("total"))
+    # rank key: descending count, ascending term — encode as a single
+    # orderable string key so the range partitioner sorts once
+    keyed = vocab.withColumn(
+        "__key",
+        F.concat(
+            F.lpad((F.lit(10**12) - F.col("c")).cast("string"), 13, "0"),
+            F.lit("|"),
+            F.col("term"),
+        ),
+    )
+    ranked = prefix_sum(
+        keyed, F.col("c"), "__key", out_col="cum", inclusive=True
+    )
+    rnk = prefix_sum(
+        keyed, F.lit(1), "__key", out_col="rnk", inclusive=True
+    ).select("term", "rnk")
+    thresholds = spark.createDataFrame(
+        [(0.5,), (0.9,), (0.99,)], ["threshold"]
+    )
+    j = (
+        ranked.join(rnk, "term")
+        .crossJoin(F.broadcast(total))
+        .crossJoin(F.broadcast(thresholds))
+        .where(F.col("cum") >= F.col("threshold") * F.col("total"))
+    )
+    return j.groupBy("threshold").agg(
+        F.min("rnk").alias("vocab_size_needed"),
+        F.min("total").alias("total_tokens"),
+    )
+
+
+@query(
+    "q190_error_rate_control",
+    """
+    WITH hourly AS (
+        SELECT date_trunc('hour', ts) AS hour,
+               COUNT(*) AS n,
+               SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                   AS n_err
+        FROM events GROUP BY 1
+    ),
+    overall AS (
+        SELECT CAST(SUM(n_err) AS DOUBLE) / SUM(n) AS p FROM hourly
+    )
+    SELECT epoch_us(hour) AS hour_us, CAST(n AS BIGINT) AS n,
+           CAST(n_err AS BIGINT) AS n_err,
+           ROUND(CAST(n_err AS DOUBLE) / n, 6) AS err_rate,
+           ROUND(p + 3 * sqrt(p * (1 - p) / n), 6) AS ucl,
+           CAST(n_err AS DOUBLE) / n
+               > p + 3 * sqrt(p * (1 - p) / n) AS out_of_control
+    FROM hourly, overall
+    WHERE n >= 10
+    """,
+)
+def q190_error_rate_control(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical process control for pipeline health: hourly error
+    rates against a binomial p-chart — center line = overall error
+    rate, upper control limit = p + 3*sqrt(p(1-p)/n) with n varying per
+    hour, flagging hours whose error rate is distinguishable from noise
+    rather than merely 'above average'.  One rollup to hour grain + a
+    one-row broadcast for the center line; low-volume hours (n < 10)
+    are withheld, where the normal approximation lies.  sqrt is
+    IEEE-exact on both engines (unlike exp/log) so the limits
+    hash-match without decimal games."""
+    events = load_events(spark, sf_dir)
+    hourly = events.groupBy(
+        F.date_trunc("hour", F.col("ts").cast("timestamp")).alias("hour")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(F.col("event_type") == "error", 1).otherwise(0)
+        ).alias("n_err"),
+    )
+    overall = hourly.agg(
+        (
+            F.sum("n_err").cast("double") / F.sum("n")
+        ).alias("p")
+    )
+    j = hourly.crossJoin(F.broadcast(overall)).where(F.col("n") >= 10)
+    rate = F.col("n_err").cast("double") / F.col("n")
+    ucl = F.col("p") + 3 * F.sqrt(
+        F.col("p") * (1 - F.col("p")) / F.col("n")
+    )
+    return j.select(
+        F.unix_micros("hour").alias("hour_us"),
+        F.col("n").cast("long").alias("n"),
+        F.col("n_err").cast("long").alias("n_err"),
+        F.round(rate, 6).alias("err_rate"),
+        F.round(ucl, 6).alias("ucl"),
+        (rate > ucl).alias("out_of_control"),
+    )
