@@ -491,3 +491,35 @@ class TestDeadLetter:
         rows = dead_letter_map(df, boom, "v", "double", ["id"]).collect()
         assert len(rows) == 2
         assert all(r["ok"] is False and r["v"] is None for r in rows)
+
+
+class TestDatasetCard:
+    def test_card_matches_written_data(self, spark, tmp_path):
+        import json
+
+        from pyspark.sql import functions as F
+
+        from parquery_spark.operators.maintenance import write_dataset_card
+
+        df = spark.range(100).select(
+            F.col("id"), (F.col("id") * 2).alias("v")
+        )
+        out = str(tmp_path / "export")
+        card = write_dataset_card(
+            spark, df, out, name="test-export", key_col="id"
+        )
+        on_disk = json.load(open(out + "/_card.json"))
+        assert on_disk == json.loads(json.dumps(card))
+        assert on_disk["n_rows"] == 100
+        assert {f["name"] for f in on_disk["schema"]} == {"id", "v"}
+        assert on_disk["files"] and all(
+            f["bytes"] > 0 for f in on_disk["files"]
+        )
+        # checksum is reproducible from the written data
+        back = spark.read.parquet(out)
+        from parquery_spark.operators.dedup import hash64
+
+        chk = back.agg(
+            F.bit_xor(hash64(F.col("id").cast("string")))
+        ).collect()[0][0]
+        assert chk == on_disk["content_checksum"]
