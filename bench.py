@@ -31,6 +31,10 @@ def main():
     cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
     os.environ["PARQUERY_SPARK_MASTER"] = f"local[{cpus}]"
     os.environ.setdefault("PARQUERY_SPARK_SHUFFLE_PARTITIONS", cpus)
+    # enable the UI so per-query shuffle volume can be read off the status
+    # REST API — scale evidence (shuffle BYTES, not just seconds) lands in
+    # the artifact; queries still run identically if the UI fails to bind
+    os.environ.setdefault("PARQUERY_SPARK_CONF_spark__ui__enabled", "true")
 
     import __spark_entry__ as entrymod
     from parquery_spark.session import get_spark
@@ -50,6 +54,28 @@ def main():
     ).collect()
     # Arrow collect path (toArrow jars/classes) is a one-time process cost
     spark.sql("select 1 as x").toArrow()
+
+    def shuffle_written():
+        """Total shuffle-write bytes so far (completed+active stages) via
+        the status REST API; None when the UI is off or unreachable."""
+        try:
+            import urllib.request
+
+            ui = spark.sparkContext.uiWebUrl
+            if not ui:
+                return None
+            apps = json.load(
+                urllib.request.urlopen(ui + "/api/v1/applications", timeout=5)
+            )
+            app_id = apps[0]["id"]
+            stages = json.load(
+                urllib.request.urlopen(
+                    f"{ui}/api/v1/applications/{app_id}/stages", timeout=10
+                )
+            )
+            return sum(st.get("shuffleWriteBytes", 0) for st in stages)
+        except Exception:
+            return None
 
     def run_query(fn):
         t0 = time.perf_counter()
@@ -71,10 +97,15 @@ def main():
         parity_err = f"{type(exc).__name__}: {exc}"
 
     timings: dict[str, float] = {}
+    shuffle_bytes: dict[str, int] = {}
     fns = entrymod.queries()
     for name, fn in fns.items():
+        s0 = shuffle_written()
         t, n = run_query(fn)
+        s1 = shuffle_written()
         timings[name] = round(t, 4)
+        if s0 is not None and s1 is not None:
+            shuffle_bytes[name] = s1 - s0
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
     # The host this runs on shows multi-minute noise windows (identical
@@ -118,6 +149,8 @@ def main():
     # drops the bulky per-spec parity dicts so it stays well under typical
     # tail-capture windows.
     full = dict(result)
+    if shuffle_bytes:
+        full["shuffle_bytes"] = shuffle_bytes
     full["cold_queries"] = {
         k: cold[k] for k in sorted(cold) if cold[k] != timings[k]
     }
