@@ -224,18 +224,36 @@ def run_available_now(
     name: str,
     output_mode: str = "append",
     timeout_sec: int = 300,
+    state_partitions: int | None = 8,
 ):
     """Drain a bounded stream through the real streaming engine
     (``availableNow`` trigger → memory sink) and return the static result
     table — the harness that lets streaming operators sit in the ORACLED
     query suite: same watermark/state machinery as a live run, finite
-    input, deterministic output."""
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(timeout_sec)
+    input, deterministic output.
+
+    ``state_partitions`` pins the state-store partition count for this
+    query (captured from ``spark.sql.shuffle.partitions`` at query
+    start, then frozen in the checkpoint).  Stateful micro-batches pay a
+    per-partition, per-batch state-store open/commit cost, so a 32-way
+    layout on a laptop-sized stream spends more time on store churn than
+    on data (measured: a 4-batch outer-join drain at 32 partitions took
+    4x longer than at 8).  On a cluster, size it to parallelism needs
+    once — it cannot change across restarts of the same checkpoint."""
+    spark = stream_df.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout_sec)
+    finally:
+        if state_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
     return stream_df.sparkSession.table(name)
