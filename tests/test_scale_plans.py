@@ -678,3 +678,101 @@ class TestContinuation2LateBatchShapes:
         p = plan("q185_item_similarity")
         assert "TakeOrderedAndProject(limit=50" in p
         assert "BroadcastHashJoin" in p
+
+
+class TestRuntimeOptimizations:
+    """Pin the three RUNTIME re-planning mechanisms a 100 TB deployment
+    leans on: AQE join-strategy switching, dynamic partition pruning,
+    and runtime bloom-filter semi-join pushdown."""
+
+    def test_aqe_switches_smj_to_broadcast_at_runtime(self, spark, sf_dir):
+        """Static planning can't see that the filtered build side is
+        tiny; AQE measures the actual shuffle output and swaps the
+        sort-merge join for a broadcast join mid-query."""
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        # the adaptive threshold DEFAULTS to the static one — it must be
+        # set explicitly or disabling static broadcast disables the swap
+        spark.conf.set(
+            "spark.sql.adaptive.autoBroadcastJoinThreshold", "64m"
+        )
+        try:
+            li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+            orders = spark.read.parquet(
+                os.path.join(sf_dir, "orders.parquet")
+            ).where("o_totalprice > 400000")
+            j = li.join(
+                orders, F.col("l_orderkey") == F.col("o_orderkey")
+            ).agg(F.count(F.lit(1)).alias("n"))
+            j.collect()
+            p = plan_of(j)
+            assert "isFinalPlan=true" in p
+            assert "BroadcastHashJoin" in p  # AQE's runtime swap
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+            spark.conf.unset(
+                "spark.sql.adaptive.autoBroadcastJoinThreshold"
+            )
+
+    def test_dynamic_partition_pruning_from_dim_filter(self, spark,
+                                                       tmp_path):
+        """A day-partitioned fact joined to a FILTERED dim prunes fact
+        partitions via a runtime subquery (dynamicpruningexpression in
+        PartitionFilters).  Hazard pinned here: the dim filter must be
+        'likely selective' (a comparison/IN — a bare boolean attribute
+        filter does NOT trigger DPP insertion)."""
+        ev = spark.createDataFrame(
+            [(i, f"2024-01-{1 + i % 20:02d}") for i in range(2000)],
+            "event_id long, day_s string",
+        ).select("event_id", F.col("day_s").cast("date").alias("day"))
+        fact_dir = str(tmp_path / "fact")
+        ev.repartition("day").write.partitionBy("day").parquet(fact_dir)
+        dim_dir = str(tmp_path / "dim")
+        ev.select("day").distinct().withColumn(
+            "keep", F.dayofmonth("day") <= 3
+        ).write.parquet(dim_dir)
+        fact = spark.read.parquet(fact_dir)
+        dim = spark.read.parquet(dim_dir).where(F.dayofmonth("day") <= 3)
+        q = fact.join(
+            dim.withColumnRenamed("day", "d"),
+            F.col("day") == F.col("d"),
+        ).select("event_id")
+        p = plan_of(q)
+        assert "dynamicpruning" in p.lower()
+        # and filtering on a MATERIALIZED boolean column must NOT — the
+        # stored attribute can't be inlined into a comparison, and a bare
+        # boolean reference is not 'likely selective' (documents the trap;
+        # a boolean computed in the same plan IS inlined and still fires)
+        dim2 = spark.read.parquet(dim_dir).where("keep")
+        q2 = fact.join(
+            dim2.withColumnRenamed("day", "d"),
+            F.col("day") == F.col("d"),
+        ).select("event_id")
+        assert "dynamicpruning" not in plan_of(q2).lower()
+
+    def test_runtime_bloom_filter_semi_join(self, spark, sf_dir):
+        """With thresholds sized to the data, the optimizer injects a
+        bloom-filter built from the filtered dim into the fact scan —
+        the runtime row-level complement to DPP for non-partitioned
+        join keys."""
+        confs = {
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+        }
+        prev = {k: spark.conf.get(k) for k in confs}
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        try:
+            li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+            orders = spark.read.parquet(
+                os.path.join(sf_dir, "orders.parquet")
+            ).where("o_totalprice > 400000")
+            j = li.join(
+                orders, F.col("l_orderkey") == F.col("o_orderkey")
+            ).agg(F.count(F.lit(1)).alias("n"))
+            p = plan_of(j)
+            assert "might_contain" in p.lower() or "bloomfilter" in p.lower()
+        finally:
+            for k, v in prev.items():
+                spark.conf.set(k, v)
