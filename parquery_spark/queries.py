@@ -9227,3 +9227,71 @@ def q190_error_rate_control(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(ucl, 6).alias("ucl"),
         (rate > ucl).alias("out_of_control"),
     )
+
+
+@query(
+    "q191_runtime_pruned_join",
+    """
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+               value, event_id
+        FROM events
+    )
+    SELECT event_type, COUNT(*) AS n,
+           ROUND(SUM(value), 4) AS total_value,
+           bit_xor(event_id) AS id_checksum
+    FROM daily WHERE dayofmonth(day) <= 5
+    GROUP BY event_type
+    """,
+)
+def q191_runtime_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning END TO END: a day-partitioned fact is
+    joined to a dimension whose filter exists only as a comparison
+    predicate — at plan time the fact's partition list is unknown, so
+    Catalyst injects a runtime subquery (dynamicpruningexpression) that
+    broadcasts the dim's surviving days and opens ONLY those fact
+    directories.  The query asserts the mechanism fired (plan check
+    inline — a silent fallback to full scan would still return correct
+    rows, which is exactly why the plan must be checked, q98's static
+    analog); the oracle recomputes from the raw log.  The
+    stored-boolean-flag trap this guards against is pinned in
+    tests/test_scale_plans.py::TestRuntimeOptimizations."""
+    import hashlib
+    import tempfile
+
+    src_stat = os.stat(_path(sf_dir, "events"))
+    tag = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|{src_stat.st_mtime_ns}|{src_stat.st_size}"
+        .encode()
+    ).hexdigest()[:10]
+    base = os.path.join(tempfile.gettempdir(), f"pqs_dppq_{tag}")
+    fact_dir = os.path.join(base, "fact")
+    dim_dir = os.path.join(base, "dim")
+    done = os.path.join(base, "_done")
+    events = load_events(spark, sf_dir)
+    if not os.path.exists(done):
+        day = F.date_trunc("day", F.col("ts").cast("timestamp")).cast("date")
+        events.select(
+            "event_id", "event_type", "value", day.alias("day")
+        ).repartition("day").write.mode("overwrite").partitionBy(
+            "day"
+        ).parquet(fact_dir)
+        events.select(
+            F.date_trunc("day", F.col("ts").cast("timestamp"))
+            .cast("date")
+            .alias("d")
+        ).distinct().write.mode("overwrite").parquet(dim_dir)
+        open(done, "w").close()
+    fact = spark.read.parquet(fact_dir)
+    dim = spark.read.parquet(dim_dir).where(F.dayofmonth("d") <= 5)
+    j = fact.join(dim, F.col("day") == F.col("d"))
+    out = j.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+        F.bit_xor("event_id").alias("id_checksum"),
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), (
+        "DPP did not fire — the fact scan would read every partition"
+    )
+    return out
