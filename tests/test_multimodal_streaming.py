@@ -265,3 +265,91 @@ class TestStreamingDedup:
         got = [r["event_id"] for r in
                spark.sql("SELECT event_id FROM dedup_out").collect()]
         assert sorted(got) == list(range(10))  # each id exactly once
+
+
+class TestStreamJoinRecovery:
+    def test_join_state_survives_checkpoint_restart(self, spark, tmp_path):
+        """Stream-stream outer-join state across kill/restart: run 1
+        buffers a click whose purchase only arrives in run 2 — the match
+        can only emit if the JOIN STATE (not just source offsets) was
+        recovered from the checkpoint.  A never-matched click must still
+        emit its null row once run 2's watermark passes its window
+        (eviction also resumes across restart).  Sentinel rows carry both
+        filtered event types (the watermark-filter-pushdown trap)."""
+        import datetime as dt
+
+        from pyspark.sql import functions as F
+
+        base = dt.datetime(2024, 1, 1)
+        src = str(tmp_path / "src")
+        sink = str(tmp_path / "sink")
+        ckpt = str(tmp_path / "ckpt")
+        schema = ("event_id long, ts timestamp, user_id long, "
+                  "event_type string, value double")
+
+        def write_file(name, rows):
+            (spark.createDataFrame(rows, schema).coalesce(1)
+             .write.mode("append").parquet(src))
+
+        def run_to_completion():
+            stream = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", "1").parquet(src)
+                .withWatermark("ts", "30 minutes")
+            )
+            clicks = stream.where("event_type = 'click'").select(
+                F.col("event_id").alias("c_event_id"),
+                F.col("user_id").alias("c_user"),
+                F.col("ts").alias("c_ts"),
+            )
+            purchases = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", "1").parquet(src)
+                .withWatermark("ts", "30 minutes")
+                .where("event_type = 'purchase'")
+                .select(
+                    F.col("user_id").alias("p_user"),
+                    F.col("ts").alias("p_ts"),
+                )
+            )
+            j = clicks.join(
+                purchases,
+                (F.col("c_user") == F.col("p_user"))
+                & (F.col("p_ts") >= F.col("c_ts"))
+                & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+                "left_outer",
+            )
+            q = (
+                j.writeStream.format("parquet").option("path", sink)
+                .option("checkpointLocation", ckpt).outputMode("append")
+                .trigger(availableNow=True).start()
+            )
+            q.awaitTermination(120)
+            assert q.exception() is None
+            return spark.read.parquet(sink).where("c_user >= 0")
+
+        t = lambda h, m: base + dt.timedelta(hours=h, minutes=m)
+        write_file("f1", [
+            (1, t(1, 0), 101, "click", 1.0),     # matched only in run 2
+            (2, t(1, 10), 102, "click", 1.0),    # matched in run 1
+            (3, t(1, 20), 103, "click", 1.0),    # never matched
+            (4, t(1, 30), 102, "purchase", 5.0),
+        ])
+        run1 = run_to_completion().collect()
+        got1 = {(r["c_user"], r["p_ts"] is not None) for r in run1}
+        assert got1 == {(102, True)}  # 101/103 still buffered in state
+
+        write_file("f2", [(5, t(1, 40), 101, "purchase", 9.0)])
+        far1 = [(6, t(10, 0), -1, "click", 0.0),
+                (7, t(10, 0), -1, "purchase", 0.0)]
+        far2 = [(8, t(10, 5), -2, "click", 0.0),
+                (9, t(10, 5), -2, "purchase", 0.0)]
+        write_file("f3", far1)
+        write_file("f4", far2)
+        rows2 = run_to_completion().collect()
+        got2 = {(r["c_user"], r["p_ts"] is not None) for r in rows2}
+        # 101's match required run-1 click state; 103 evicted with null
+        assert got2 == {(102, True), (101, True), (103, False)}
+        # exactly-once: each click appears once across both runs
+        ids = [r["c_event_id"] for r in rows2]
+        assert sorted(ids) == [1, 2, 3]
