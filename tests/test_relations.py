@@ -243,3 +243,33 @@ class TestCountDistinctRewrite:
         )
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "collect_set" not in plan.lower()
+
+
+class TestConcurrentQueries:
+    def test_parallel_queries_share_one_session(self, spark, sf_dir):
+        """Four different queries executed concurrently from threads on
+        the shared session (the dashboard / multi-user pattern): results
+        must equal their serial runs — guards the relation cache and
+        prepared-plan cache against cross-thread interference."""
+        import concurrent.futures as cf
+
+        from parquery_spark.queries import QUERIES
+
+        names = [
+            "q01_pricing_summary",
+            "q20_join_broadcast",
+            "q48_text_profile",
+            "q92_grouping_sets",
+        ]
+
+        def run(name):
+            df = QUERIES[name][0](spark, sf_dir)
+            return sorted(
+                tuple(str(v) for v in row) for row in df.collect()
+            )
+
+        serial = {n: run(n) for n in names}
+        with cf.ThreadPoolExecutor(max_workers=4) as ex:
+            futs = {n: ex.submit(run, n) for n in names * 2}
+            for n, f in futs.items():
+                assert f.result() == serial[n], n
