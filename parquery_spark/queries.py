@@ -9295,3 +9295,140 @@ def q191_runtime_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "DPP did not fire — the fact scan would read every partition"
     )
     return out
+
+
+@query(
+    "q192_tpch_q2_shape",
+    """
+    WITH supplies AS (
+        SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk FROM lineitem
+    ),
+    candidates AS (
+        SELECT p_partkey, p_brand, s_suppkey, s_name, s_acctbal
+        FROM part
+        JOIN supplies ON pk = p_partkey
+        JOIN supplier ON s_suppkey = sk
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE p_size = 15 AND p_type = 'ECONOMY' AND r_name = 'EUROPE'
+    )
+    SELECT p_partkey, p_brand, s_suppkey, s_name, s_acctbal
+    FROM candidates c
+    WHERE s_acctbal = (
+        SELECT MIN(s_acctbal) FROM candidates c2
+        WHERE c2.p_partkey = c.p_partkey
+    )
+    """,
+)
+def q192_tpch_q2_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 (minimum-cost supplier), shape-adapted: no partsupp
+    table, so 'supplies part P' is derived from lineitem history and
+    'cost' proxied by supplier account balance — preserving the query's
+    real structure: a correlated MIN subquery over the SAME filtered
+    candidate relation it selects from, decorrelated into one per-part
+    aggregate joined back (with ties kept, as in the original).  The
+    candidate relation builds once and persists for both roles; every
+    dimension broadcasts; the supplies derivation is the only
+    fact-sized shuffle."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part").where(
+        (F.col("p_size") == 15) & (F.col("p_type") == "ECONOMY")
+    )
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    supplies = li.select(
+        F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
+    ).distinct()
+    candidates = (
+        F.broadcast(part)
+        .join(supplies, F.col("pk") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("sk") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("p_partkey", "p_brand", "s_suppkey", "s_name", "s_acctbal")
+        .persist()
+    )
+    mins = candidates.groupBy(F.col("p_partkey").alias("mp")).agg(
+        F.min("s_acctbal").alias("min_bal")
+    )
+    return (
+        candidates.join(
+            F.broadcast(mins),
+            (F.col("p_partkey") == F.col("mp"))
+            & (F.col("s_acctbal") == F.col("min_bal")),
+        )
+        .select("p_partkey", "p_brand", "s_suppkey", "s_name", "s_acctbal")
+    )
+
+
+@query(
+    "q193_tpch_q21_shape",
+    """
+    WITH late AS (
+        SELECT l_orderkey, l_suppkey
+        FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+    )
+    SELECT s_name, COUNT(*) AS numwait
+    FROM supplier, lineitem l1, orders
+    WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+      AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (
+          SELECT 1 FROM lineitem l2
+          WHERE l2.l_orderkey = l1.l_orderkey
+            AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+          SELECT 1 FROM late l3
+          WHERE l3.l_orderkey = l1.l_orderkey
+            AND l3.l_suppkey <> l1.l_suppkey
+      )
+    GROUP BY s_name
+    """,
+)
+def q193_tpch_q21_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 (suppliers who kept orders waiting), shape-adapted
+    ('late' = shipped >60 days after order date, standing in for the
+    missing receipt/commit dates): the hardest decorrelation shape in
+    the suite — an EXISTS and a NOT EXISTS against the SAME fact at the
+    same correlation key, i.e. a LeftSemi and a LeftAnti chained on one
+    relation.  Both auxiliary relations collapse to order grain before
+    joining (other-supplier presence and other-supplier-late presence
+    as per-order booleans via conditional aggregation — one shuffle
+    each, never a per-row subquery), then the late lines semi-join
+    those boolean relations."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    supp = load(spark, sf_dir, "supplier")
+    lo = li.join(
+        orders.select("o_orderkey", "o_orderdate"),
+        li["l_orderkey"] == F.col("o_orderkey"),
+    )
+    late = lo.where(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")
+    ).select("l_orderkey", "l_suppkey", "o_orderdate").persist()
+    # per-(order, supplier) flags of OTHER suppliers' presence/lateness:
+    # distinct supplier sets per order, broadcast back as counts
+    per_order = li.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("n_supp")
+    )
+    late_per_order = late.groupBy(F.col("l_orderkey").alias("lk")).agg(
+        F.count_distinct("l_suppkey").alias("n_late_supp"),
+        F.min("l_suppkey").alias("only_late_supp"),
+    )
+    j = (
+        late.join(per_order, "l_orderkey")
+        .join(late_per_order, F.col("l_orderkey") == F.col("lk"))
+        .where(
+            (F.col("n_supp") > 1)  # EXISTS other supplier in the order
+            # NOT EXISTS other LATE supplier: this supplier is the only one
+            & (F.col("n_late_supp") == 1)
+            & (F.col("only_late_supp") == F.col("l_suppkey"))
+        )
+    )
+    return (
+        j.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
