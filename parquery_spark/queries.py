@@ -9432,3 +9432,80 @@ def q193_tpch_q21_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
+
+
+@query(
+    "q194_bitmap_audience_algebra",
+    """
+    WITH bm AS (
+        SELECT event_type,
+               user_id // 32 AS word,
+               bit_or(1::BIGINT << CAST(user_id % 32 AS INT)) AS bits
+        FROM events
+        WHERE event_type IN ('click', 'purchase', 'view')
+        GROUP BY event_type, user_id // 32
+    ),
+    pairs AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               a.word, a.bits & b.bits AS both_bits,
+               a.bits | b.bits AS either_bits
+        FROM bm a JOIN bm b
+          ON a.word = b.word AND a.event_type < b.event_type
+    )
+    SELECT type_a, type_b,
+           CAST(SUM(bit_count(both_bits)) AS BIGINT) AS n_intersection,
+           CAST(SUM(bit_count(either_bits)) AS BIGINT) AS n_union_lb,
+           ROUND(CAST(SUM(bit_count(both_bits)) AS DOUBLE)
+                 / SUM(bit_count(either_bits)), 6) AS jaccard_lb
+    FROM pairs GROUP BY type_a, type_b
+    """,
+)
+def q194_bitmap_audience_algebra(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EXACT audience set algebra via distributed bitmap indexes (the
+    roaring-bitmap pattern): each segment's users compress into 32-bit
+    words (word = id/32, bit_or of 1<<id%32 — ≤32 bits per word keeps
+    every shift oracle-replicable, the q77 rule), and intersections /
+    unions become word-aligned AND/OR + popcount — no re-shuffle of raw
+    user ids to compare ANY pair of segments, and the bitmaps persist
+    as reusable state.  The exact complement to q177's HLL
+    inclusion-exclusion: sketches when |users| is huge, bitmaps when the
+    id space is dense enough to pack.  Union counts here are
+    lower-bounds per shared word-join (words absent from one side drop
+    out of the inner join; the full union adds an outer-join pass) —
+    named _lb accordingly and replicated identically by the oracle."""
+    events = load_events(spark, sf_dir)
+    seg = events.where(
+        F.col("event_type").isin("click", "purchase", "view")
+    ).select("event_type", "user_id")
+    bm = seg.groupBy(
+        "event_type", (F.col("user_id") / 32).cast("long").alias("word")
+    ).agg(
+        F.bit_or(
+            F.expr("shiftleft(1L, CAST(user_id % 32 AS INT))")
+        ).alias("bits")
+    )
+    a = bm.select(
+        F.col("event_type").alias("type_a"), "word",
+        F.col("bits").alias("ba"),
+    )
+    b = bm.select(
+        F.col("event_type").alias("type_b"), "word",
+        F.col("bits").alias("bb"),
+    )
+    pairs = a.join(b, "word").where(F.col("type_a") < F.col("type_b"))
+    return pairs.groupBy("type_a", "type_b").agg(
+        F.sum(F.bit_count(F.col("ba").bitwiseAND(F.col("bb"))))
+        .cast("long")
+        .alias("n_intersection"),
+        F.sum(F.bit_count(F.col("ba").bitwiseOR(F.col("bb"))))
+        .cast("long")
+        .alias("n_union_lb"),
+        F.round(
+            F.sum(F.bit_count(F.col("ba").bitwiseAND(F.col("bb"))))
+            .cast("double")
+            / F.sum(F.bit_count(F.col("ba").bitwiseOR(F.col("bb")))),
+            6,
+        ).alias("jaccard_lb"),
+    )
