@@ -9509,3 +9509,74 @@ def q194_bitmap_audience_algebra(
             6,
         ).alias("jaccard_lb"),
     )
+
+
+@query(
+    "q195_asof_tolerance",
+    """
+    WITH purchases AS (
+        SELECT event_id, user_id, ts FROM events
+        WHERE event_type = 'purchase'
+    ),
+    clicks AS (
+        SELECT user_id, ts FROM events WHERE event_type = 'click'
+    ),
+    matched AS (
+        SELECT p.event_id, p.user_id,
+               (SELECT MAX(c.ts) FROM clicks c
+                WHERE c.user_id = p.user_id AND c.ts <= p.ts) AS last_click
+        FROM purchases p
+    )
+    SELECT event_id, user_id,
+           CASE WHEN last_click IS NOT NULL
+                 AND epoch_us(ts_p) - epoch_us(last_click) <= 7200000000
+                THEN CAST(floor((epoch_us(ts_p) - epoch_us(last_click))
+                          / 1000000.0) AS BIGINT) END AS click_age_sec,
+           last_click IS NOT NULL
+               AND epoch_us(ts_p) - epoch_us(last_click) <= 7200000000
+               AS attributed
+    FROM (SELECT m.*, p2.ts AS ts_p FROM matched m
+          JOIN purchases p2 ON p2.event_id = m.event_id)
+    """,
+)
+def q195_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with TOLERANCE (pandas merge_asof semantics): each
+    purchase picks up its most recent prior click per user, but the
+    match is voided when older than 2 hours — the staleness bound every
+    feature-store lookup needs (a price quote from last week must not
+    enrich today's trade).  Implemented by carrying the matched
+    timestamp through the union+carry-forward as-of operator (one
+    user-keyed shuffle, q31's shape) and nulling out-of-tolerance
+    matches afterwards — the bound costs zero extra joins.  The
+    correlated-MAX oracle pins 1:1 last-match semantics (vs q157's
+    all-pairs join)."""
+    from parquery_spark.operators.joins import asof_join
+
+    events = load_events(spark, sf_dir)
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    clicks = events.where(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").cast("timestamp").alias("click_ts")
+    )
+    out = asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="click_ts",
+        right_cols=["click_ts"],
+        direction="backward",
+    )
+    age_us = F.unix_micros("ts") - F.unix_micros("click_ts")
+    in_tol = F.col("click_ts").isNotNull() & (age_us <= 7200 * 1000 * 1000)
+    return out.select(
+        "event_id",
+        "user_id",
+        # floor, not cast-truncate: DuckDB CAST(double AS BIGINT) ROUNDS
+        # while Spark cast truncates — floor agrees on both engines
+        F.when(in_tol, F.floor(age_us / 1000000.0).cast("long")).alias(
+            "click_age_sec"
+        ),
+        in_tol.alias("attributed"),
+    )
