@@ -9580,3 +9580,177 @@ def q195_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         in_tol.alias("attributed"),
     )
+
+
+@query(
+    "q196_rolling_bitmap_wau",
+    """
+    WITH du AS (
+        SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day,
+               user_id
+        FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM du)
+    SELECT epoch_us(CAST(d.day AS TIMESTAMP)) AS day_us,
+           CAST(COUNT(DISTINCT du.user_id) AS BIGINT) AS wau
+    FROM days d JOIN du
+      ON du.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+    GROUP BY d.day
+    """,
+)
+def q196_rolling_bitmap_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct users from PER-DAY BITMAP state — the
+    EXACT middle ground between q140 (raw day-user grain) and q164
+    (HLL sketches): each day persists as (word, bits) rows packing its
+    user set 32/word; a window's distinct count is bit_or over its <= 7
+    days per word, then popcount — the union is exact, the state is
+    |days| x |users|/32 rows, and merging is associative bit algebra
+    (q194's machinery made temporal).  Same oracle as q140, so all
+    three strategies are pinned to identical answers."""
+    events = load_events(spark, sf_dir)
+    day = F.date_trunc("day", F.col("ts").cast("timestamp")).cast("date")
+    bm = (
+        events.select(day.alias("day"), "user_id")
+        .groupBy(
+            "day", (F.col("user_id") / 32).cast("long").alias("word")
+        )
+        .agg(
+            F.bit_or(
+                F.expr("shiftleft(1L, CAST(user_id % 32 AS INT))")
+            ).alias("bits")
+        )
+        .persist()
+    )
+    days = bm.select("day").distinct().withColumnRenamed("day", "d")
+    merged = (
+        days.join(
+            bm,
+            (F.col("day") >= F.date_sub(F.col("d"), 6))
+            & (F.col("day") <= F.col("d")),
+        )
+        .groupBy("d", "word")
+        .agg(F.bit_or("bits").alias("bits"))
+    )
+    return (
+        merged.groupBy("d")
+        .agg(F.sum(F.bit_count("bits")).cast("long").alias("wau"))
+        .select(
+            F.unix_micros(F.col("d").cast("timestamp")).alias("day_us"),
+            "wau",
+        )
+    )
+
+
+@query(
+    "q197_effective_tokens",
+    f"""
+    WITH fp AS (
+        SELECT doc_id, source,
+               md5({_SQL_NORMALIZED_TEXT}) AS fingerprint,
+               CAST(length(list_filter(string_split_regex(lower(text),
+                    '[^a-z0-9'']+'), t -> t != '')) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    weighted AS (
+        SELECT source, n_tokens,
+               COUNT(*) OVER (PARTITION BY fingerprint) AS dup_count
+        FROM fp
+    )
+    SELECT source,
+           CAST(SUM(n_tokens) AS BIGINT) AS raw_tokens,
+           ROUND(SUM(CAST(n_tokens AS DOUBLE) / dup_count), 4)
+               AS effective_tokens,
+           ROUND(SUM(CAST(n_tokens AS DOUBLE) / dup_count)
+                 / SUM(n_tokens), 6) AS uniqueness_ratio
+    FROM weighted GROUP BY source
+    """,
+)
+def q197_effective_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-aware data budgeting: every document's tokens are weighted
+    by 1/dup_count of its content fingerprint, so a page copied to five
+    sources contributes its tokens ONCE, split pro-rata — the
+    'effective unique tokens' number a mixture designer should feed into
+    q160's weights instead of raw counts (raw counts over-budget
+    heavily-mirrored sources).  One fingerprint shuffle computes the
+    duplicate multiplicity (a count window at fingerprint grain, q150's
+    shuffle reused); everything else stays at source grain."""
+    from pyspark.sql import Window
+
+    from parquery_spark.functions.text import fingerprint, token_count
+
+    docs = load(spark, sf_dir, "documents").select(
+        "source",
+        fingerprint(F.col("text")).alias("fingerprint"),
+        token_count(F.col("text")).cast("long").alias("n_tokens"),
+    )
+    w = Window.partitionBy("fingerprint")
+    weighted = docs.withColumn("dup_count", F.count(F.lit(1)).over(w))
+    return weighted.groupBy("source").agg(
+        F.sum("n_tokens").alias("raw_tokens"),
+        F.round(
+            F.sum(F.col("n_tokens").cast("double") / F.col("dup_count")), 4
+        ).alias("effective_tokens"),
+        F.round(
+            F.sum(F.col("n_tokens").cast("double") / F.col("dup_count"))
+            / F.sum("n_tokens"),
+            6,
+        ).alias("uniqueness_ratio"),
+    )
+
+
+@query(
+    "q198_pseudonymization_invariance",
+    """
+    WITH pseudo AS (
+        SELECT md5(CAST(user_id AS VARCHAR) || '#pseudo-v1') AS pid,
+               event_type, value
+        FROM events
+    ),
+    agg_p AS (
+        SELECT event_type, COUNT(DISTINCT pid) AS n_entities,
+               COUNT(*) AS n, ROUND(SUM(value), 4) AS total_value
+        FROM pseudo GROUP BY event_type
+    ),
+    agg_r AS (
+        SELECT event_type, COUNT(DISTINCT user_id) AS n_entities_raw
+        FROM events GROUP BY event_type
+    )
+    SELECT p.event_type, CAST(n_entities AS BIGINT) AS n_entities,
+           CAST(n AS BIGINT) AS n, total_value,
+           n_entities = n_entities_raw AS lossless
+    FROM agg_p p JOIN agg_r r ON p.event_type = r.event_type
+    """,
+)
+def q198_pseudonymization_invariance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Privacy-preserving analytics contract: replace raw user ids with
+    salted-hash pseudonyms (deterministic, so joinability and
+    grouping survive) and PROVE the analytics are unchanged — distinct
+    entities per segment under pseudonyms must equal the raw count
+    (collision-free at this scale; a collision would flip `lossless`
+    and fail the hash gate).  The pseudonym is a pure column expression
+    — no lookup-table state to secure, rotate the salt to rotate the
+    pseudonym space.  Complements q64 (PII detection) and q182
+    (k-anonymity): detect, generalize, then pseudonymize what remains."""
+    events = load_events(spark, sf_dir)
+    pid = F.md5(F.concat(F.col("user_id").cast("string"), F.lit("#pseudo-v1")))
+    agg_p = (
+        events.select(pid.alias("pid"), "event_type", "value")
+        .groupBy("event_type")
+        .agg(
+            F.count_distinct("pid").alias("n_entities"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )
+    agg_r = events.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_entities_raw")
+    )
+    return agg_p.join(agg_r, "event_type").select(
+        "event_type",
+        "n_entities",
+        "n",
+        "total_value",
+        (F.col("n_entities") == F.col("n_entities_raw")).alias("lossless"),
+    )
