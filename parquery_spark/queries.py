@@ -9754,3 +9754,86 @@ def q198_pseudonymization_invariance(
         "total_value",
         (F.col("n_entities") == F.col("n_entities_raw")).alias("lossless"),
     )
+
+
+@query(
+    "q199_user_feature_store",
+    """
+    WITH base AS (
+        SELECT user_id,
+               COUNT(*) AS n_events,
+               COUNT(*) FILTER (event_type = 'purchase') AS n_purchases,
+               COUNT(*) FILTER (event_type = 'error') AS n_errors,
+               COUNT(DISTINCT CAST(date_trunc('day', ts) AS DATE))
+                   AS days_active,
+               epoch_us(MIN(ts)) AS first_seen_us,
+               epoch_us(MAX(ts)) AS last_seen_us,
+               ROUND(SUM(CASE WHEN event_type = 'purchase' THEN value
+                              ELSE CAST(0 AS DOUBLE) END), 4)
+                   AS purchase_value,
+               ROUND(SUM(CASE WHEN event_type = 'purchase'
+                    THEN value * power(2.0, -LEAST(
+                         datediff('day', CAST(date_trunc('day', ts) AS DATE),
+                                  DATE '2024-01-31') // 7, 30))
+                    ELSE CAST(0 AS DOUBLE) END), 6) AS decayed_value
+        FROM events GROUP BY user_id
+    )
+    SELECT user_id, n_events,
+           CAST(n_purchases AS BIGINT) AS n_purchases,
+           CAST(n_errors AS BIGINT) AS n_errors,
+           CAST(days_active AS BIGINT) AS days_active,
+           first_seen_us, last_seen_us,
+           purchase_value, decayed_value,
+           n_purchases > 0 AS is_converted,
+           ROUND(CAST(n_errors AS DOUBLE) / n_events, 6) AS error_rate
+    FROM base
+    """,
+)
+def q199_user_feature_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capstone #2 — the USER FEATURE TABLE an ML platform materializes
+    nightly: eleven features (activity counts, lifecycle timestamps,
+    monetary + recency-decayed value, conversion flag, error rate)
+    computed in ONE groupBy over one scan — conditional aggregation
+    fuses what naive pipelines compute as eleven separate jobs, and
+    every feature reuses a gated recipe (q169's power-of-two decay,
+    q81's conditional first-touch counts, q190's rate discipline).
+    The day-distinct is this plan's only Expand; at extreme scale it
+    swaps for the q164 sketch per the q65 rule.  This table is what
+    q195's tolerance-bounded as-of serves to training jobs."""
+    events = load_events(spark, sf_dir)
+    day = F.date_trunc("day", F.col("ts").cast("timestamp")).cast("date")
+    is_purchase = F.col("event_type") == "purchase"
+    age_days = F.datediff(F.lit("2024-01-31").cast("date"), day)
+    wt = F.pow(
+        F.lit(2.0), -F.least(F.floor(age_days / 7).cast("long"), F.lit(30))
+    )
+    ts = F.col("ts").cast("timestamp")
+    out = events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.when(is_purchase, 1).otherwise(0)).cast("long").alias(
+            "n_purchases"
+        ),
+        F.sum(
+            F.when(F.col("event_type") == "error", 1).otherwise(0)
+        ).cast("long").alias("n_errors"),
+        F.count_distinct(day).alias("days_active"),
+        F.unix_micros(F.min(ts)).alias("first_seen_us"),
+        F.unix_micros(F.max(ts)).alias("last_seen_us"),
+        F.round(
+            F.sum(F.when(is_purchase, F.col("value")).otherwise(F.lit(0.0))),
+            4,
+        ).alias("purchase_value"),
+        F.round(
+            F.sum(
+                F.when(is_purchase, F.col("value") * wt).otherwise(F.lit(0.0))
+            ),
+            6,
+        ).alias("decayed_value"),
+    )
+    return out.select(
+        "*",
+        (F.col("n_purchases") > 0).alias("is_converted"),
+        F.round(
+            F.col("n_errors").cast("double") / F.col("n_events"), 6
+        ).alias("error_rate"),
+    )
