@@ -15,9 +15,14 @@ def plan_of(df) -> str:
 
 
 class TestAggregationPlans:
-    def test_filter_pushed_to_scan(self, spark, sf_dir):
+    def test_filter_pushed_to_scan(self, spark, sf_dir, tmp_path):
+        # hardlinked copy: CacheManager substitutes a cached
+        # InMemoryRelation into ANY same-path read (hazard), which would
+        # hide the scan this test asserts on
+        os.link(os.path.join(sf_dir, "lineitem.parquet"),
+                tmp_path / "lineitem.parquet")
         df = aggregate_plan(
-            os.path.join(sf_dir, "lineitem.parquet"),
+            str(tmp_path / "lineitem.parquet"),
             ["l_returnflag"],
             [["l_quantity", "sum", "s"]],
             data_filter=[["l_quantity", ">", 30]],
@@ -27,9 +32,11 @@ class TestAggregationPlans:
         plan = plan_of(df)
         assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,30" in plan
 
-    def test_column_pruning_reaches_scan(self, spark, sf_dir):
+    def test_column_pruning_reaches_scan(self, spark, sf_dir, tmp_path):
+        os.link(os.path.join(sf_dir, "lineitem.parquet"),
+                tmp_path / "lineitem.parquet")
         df = aggregate_plan(
-            os.path.join(sf_dir, "lineitem.parquet"),
+            str(tmp_path / "lineitem.parquet"),
             ["l_returnflag"],
             [["l_quantity", "sum", "s"]],
             spark=spark,
