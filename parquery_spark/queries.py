@@ -2854,12 +2854,12 @@ def q86_snapshot_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH f AS (
         SELECT event_type,
                CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hour_bucket,
-               value
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
         FROM events WHERE value > 95
     ),
     agg AS (
         SELECT event_type, hour_bucket, COUNT(*) AS n,
-               ROUND(AVG(value), 4) AS avg_value
+               SUM(cents) / (COUNT(*) * 100.0) AS avg_value
         FROM f GROUP BY 1, 2
     ),
     bounds AS (
@@ -2894,13 +2894,22 @@ def q87_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_events(spark, sf_dir)
     hour = (F.unix_micros(F.col("ts").cast("timestamp"))
             / F.lit(3_600_000_000)).cast("long")
+    # exact-cents average: the data is 2-decimal, so per-row integer cents
+    # (a deterministic per-row floor — identical doubles on every engine)
+    # sum exactly in int64 and the average is one exact division.  Any
+    # double-domain AVG+ROUND here flips at sf0.1: group averages land
+    # EXACTLY on half-way points (2-decimal data), where a 1-ulp
+    # summation-order difference between engines crosses the boundary.
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
     agg = (
         events.filter(F.col("value") > 95)
-        .select("event_type", hour.alias("hour_bucket"), "value")
+        .select("event_type", hour.alias("hour_bucket"), cents.alias("cents"))
         .groupBy("event_type", "hour_bucket")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.avg("value"), 4).alias("avg_value"),
+            (F.sum("cents") / (F.count(F.lit(1)) * 100.0)).alias(
+                "avg_value"
+            ),
         )
     )
     return fill_gaps(
@@ -6327,20 +6336,23 @@ def q147_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH parts AS (
         SELECT l_orderkey,
-               ROUND(SUM(l_extendedprice * (1 - l_discount)
-                         * (1 + l_tax)), 2) AS parts_total
+               SUM(CAST(floor(l_extendedprice * (1 - l_discount)
+                              * (1 + l_tax) * 100 + 0.5) AS BIGINT))
+                   AS parts_cents
         FROM lineitem GROUP BY l_orderkey
     )
     SELECT o_orderstatus,
            COUNT(*) AS n_orders,
-           COUNT(*) FILTER (parts_total IS NULL) AS n_no_lineitems,
+           COUNT(*) FILTER (parts_cents IS NULL) AS n_no_lineitems,
            COUNT(*) FILTER (
-               parts_total IS NOT NULL
-               AND abs(o_totalprice - parts_total) > 0.01
+               parts_cents IS NOT NULL
+               AND abs(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                       - parts_cents) > 1
            ) AS n_divergent,
-           ROUND(SUM(CASE WHEN parts_total IS NOT NULL
-                          THEN abs(o_totalprice - parts_total)
-                          ELSE CAST(0 AS DOUBLE) END), 2) AS total_abs_gap
+           SUM(CASE WHEN parts_cents IS NOT NULL
+                    THEN abs(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                             - parts_cents)
+                    ELSE 0 END) / 100.0 AS total_abs_gap
     FROM orders LEFT JOIN parts ON o_orderkey = l_orderkey
     GROUP BY o_orderstatus
     """,
@@ -6355,35 +6367,43 @@ def q148_invariant_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     gap — the rounded per-order sums make the comparison engine-exact."""
     orders = load(spark, sf_dir, "orders")
     li = load(spark, sf_dir, "lineitem")
+    # per-LINE integer cents (deterministic per-row floor on identical
+    # doubles), summed exactly: any double-domain order-total at sf0.1
+    # magnitude (~1e10) carries ~0.5 absolute summation error — beyond
+    # every rounding discipline.  This is also the realistic ledger rule:
+    # money is rounded per line item, then summed.
+    line_cents = F.floor(
+        F.col("l_extendedprice")
+        * (1 - F.col("l_discount"))
+        * (1 + F.col("l_tax"))
+        * 100
+        + F.lit(0.5)
+    ).cast("long")
     parts = li.groupBy("l_orderkey").agg(
-        F.round(
-            F.sum(
-                F.col("l_extendedprice")
-                * (1 - F.col("l_discount"))
-                * (1 + F.col("l_tax"))
-            ),
-            2,
-        ).alias("parts_total")
+        F.sum(line_cents).alias("parts_cents")
     )
     j = orders.join(
         parts, orders["o_orderkey"] == parts["l_orderkey"], "left"
     )
-    gap = F.abs(F.col("o_totalprice") - F.col("parts_total"))
+    header_cents = F.floor(
+        F.col("o_totalprice") * 100 + F.lit(0.5)
+    ).cast("long")
+    gap_cents = F.abs(header_cents - F.col("parts_cents"))
     return j.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n_orders"),
         F.count(
-            F.when(F.col("parts_total").isNull(), 1)
+            F.when(F.col("parts_cents").isNull(), 1)
         ).alias("n_no_lineitems"),
         F.count(
-            F.when(F.col("parts_total").isNotNull() & (gap > 0.01), 1)
+            F.when(F.col("parts_cents").isNotNull() & (gap_cents > 1), 1)
         ).alias("n_divergent"),
-        F.round(
+        (
             F.sum(
-                F.when(F.col("parts_total").isNotNull(), gap).otherwise(
-                    F.lit(0.0)
-                )
-            ),
-            2,
+                F.when(
+                    F.col("parts_cents").isNotNull(), gap_cents
+                ).otherwise(F.lit(0))
+            )
+            / 100.0
         ).alias("total_abs_gap"),
     )
 
