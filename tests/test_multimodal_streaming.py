@@ -353,3 +353,26 @@ class TestStreamJoinRecovery:
         # exactly-once: each click appears once across both runs
         ids = [r["c_event_id"] for r in rows2]
         assert sorted(ids) == [1, 2, 3]
+
+
+class TestTransformWithState:
+    def test_gated_on_protobuf(self, spark, tmp_path):
+        """The new-API operator either runs (protobuf present) or raises
+        the documented environment diagnosis — never a raw worker crash."""
+        import pytest
+
+        from parquery_spark.streaming.events import (
+            purchase_totals_transform_with_state,
+        )
+
+        schema = "user_id long, value double, ts timestamp"
+        stream = spark.readStream.schema(schema).parquet(str(tmp_path))
+        try:
+            import google.protobuf  # noqa: F401
+            has_protobuf = True
+        except ImportError:
+            has_protobuf = False
+        if has_protobuf:
+            pytest.skip("protobuf present — covered by live runs")
+        with pytest.raises(NotImplementedError, match="protobuf"):
+            purchase_totals_transform_with_state(stream)
