@@ -23,14 +23,18 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from parquery_spark.queries import QUERIES
+    # reordered_queries puts a representative-per-family 50 first so the
+    # driver's first-50 CORRECTNESS snapshot spans the whole operator surface
+    from parquery_spark.queries import reordered_queries
 
-    return {name: fn for name, (fn, _sql) in QUERIES.items()}
+    return {name: fn for name, (fn, _sql) in reordered_queries().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    from parquery_spark.queries import QUERIES
+    from parquery_spark.queries import reordered_queries
 
     return {
-        name: sql for name, (_fn, sql) in QUERIES.items() if sql is not None
+        name: sql
+        for name, (_fn, sql) in reordered_queries().items()
+        if sql is not None
     }

@@ -123,7 +123,11 @@ def main():
                   "(keeping min)", file=sys.stderr)
             timings[name] = round(t, 4)
 
-    core = {k: v for k, v in timings.items() if k < "q20"}
+    def _qnum(name: str) -> int:
+        m = re.match(r"q(\d+)", name)
+        return int(m.group(1)) if m else 10**9
+
+    core = {k: v for k, v in timings.items() if _qnum(k) < 20}
     result = {
         "metric": "total_query_wall_seconds",
         "value": round(sum(timings.values()), 4),
@@ -162,11 +166,23 @@ def main():
         fh.write("\n")
     print(f"# full results written to {out_path}", file=sys.stderr)
 
+    # The driver tail-captures only the last ~2000 chars of stdout, so the
+    # single JSON line must fit inside that window or it records
+    # ``parsed: null``.  Keep the headline (core-parity q01-q10) per-query
+    # timings inline; the full 183-query dict lives in bench_results.json.
+    result["queries"] = core
+    result["queries_full"] = os.path.basename(out_path)
     if parity is not None:
         result["parity_workload"] = {
-            k: v for k, v in parity.items() if not k.endswith("per_query")
+            k: v
+            for k, v in parity.items()
+            if not k.endswith("per_query") and k != "specs"
         }
-    print(json.dumps(result))
+    line = json.dumps(result)
+    if len(line) > 1900:  # last-ditch guard: never exceed the tail window
+        result.pop("queries", None)
+        line = json.dumps(result)
+    print(line)
 
 
 #: (name, table, groupby, measures, filter) — expressible by BOTH engines.

@@ -11,6 +11,7 @@ from parquery_spark.operators import (
     quality,
     safety,
     sampling,
+    semdedup,
     similarity,
     skew,
     upsert,
@@ -20,5 +21,5 @@ from parquery_spark.operators import (
 __all__ = [
     "dedup", "similarity", "ivf", "joins", "windows", "multimodal",
     "sampling", "skew", "graph", "packing", "profile", "upsert",
-    "maintenance", "linalg", "quality", "safety",
+    "maintenance", "linalg", "quality", "safety", "semdedup",
 ]

@@ -173,7 +173,9 @@ def dedup_clusters(
     )
 
 
-def triangle_stats(edges: DataFrame) -> DataFrame:
+def triangle_stats(
+    edges: DataFrame, broadcast_max_edges: int = 5_000_000
+) -> DataFrame:
     """Triangle count + wedge count + global clustering coefficient for
     an undirected simple graph given as (u, v) edge rows with u < v
     (deduplicated).
@@ -183,14 +185,20 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
     wedge join's per-vertex fan-out is bounded by out-degree <=
     sqrt(2m) — join volume near m^1.5 instead of sum(d^2) on power-law
     graphs.  The closing (s, t) edge set packs into one int64 (requires
-    vertex ids < 2^31) and broadcasts, so the wedge stream — the big
-    intermediate — is consumed map-side and never shuffles; when the
-    edge set outgrows broadcast, dropping the hint falls back to a
-    sort-merge on the packed key with the same semantics.
+    vertex ids < 2^31); while the edge count is at most
+    ``broadcast_max_edges`` (~5M packed longs ≈ 40 MB serialized) it is
+    broadcast, so the wedge stream — the big intermediate — is consumed
+    map-side and never shuffles.  Above the cap the hint is DROPPED and
+    the closing join runs as an ordinary shuffle join on the packed key
+    (same semantics) — a hardcoded hint on an oversized relation would
+    OOM the executors instead of degrading.  The edge count needed for
+    the gate is already computed for the output's ``n_edges`` column, so
+    the check adds no extra pass.
     """
     from pyspark.sql import functions as F
 
     edges = edges.select("u", "v").persist()
+    m = edges.count()
     deg = (
         edges.select(F.col("u").alias("node"))
         .unionAll(edges.select(F.col("v").alias("node")))
@@ -220,10 +228,14 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
         ).alias("st")
     )
     closing = oriented.select(pack.alias("st"))
-    tri = wedges.join(F.broadcast(closing), "st").agg(
+    if m <= broadcast_max_edges:
+        closing = F.broadcast(closing)
+    tri = wedges.join(closing, "st").agg(
         F.count(F.lit(1)).alias("n_triangles")
     )
-    n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    n_edges = edges.sparkSession.createDataFrame(
+        [(m,)], "n_edges long"
+    )
     n_wedges = deg.agg(
         F.sum((F.col("d") * (F.col("d") - 1) / 2).cast("long")).alias(
             "n_wedges"

@@ -1,0 +1,179 @@
+"""SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
+web-scale through semantic deduplication", 2023): semantic near-duplicate
+pruning = k-means the embedding space, then drop any document whose cosine
+similarity to an EARLIER document in its own cluster exceeds a threshold.
+
+The clustering is what makes it scale: candidate pairs are intra-cluster
+only, Σ_i c_i² instead of n².  That bound only holds if **k grows with the
+corpus** — with constant k the expected cell size c_i = n/k grows linearly
+and the pair volume quadratically.  Hence ``k`` here defaults to
+``ceil(sqrt(n))`` (cells of expected size √n, total pairs ≈ n·√n/2) and
+can instead be derived from a ``target_cell`` size (``k = ceil(n/target)``,
+pairs ≈ n·target/2 — linear in n), which is the 100 TB setting: pick the
+largest cell a single shuffle partition comfortably verifies.
+
+Oracle-exact by construction (the q141/q167 recipe): deterministic seeding
+(the k smallest ids, a ``TakeOrderedAndProject`` — never a full sort),
+centroid means computed in DECIMAL (summation-order independent) and
+rounded to ``digits`` so both engines feed bit-identical centroids into
+each assignment round, assignments tie-broken by (distance, cluster), and
+pair similarities rounded before thresholding.
+
+Per-round centroids are materialized to the driver: k × dim rounded
+doubles are index metadata (KB–MB at any sane k — the same contract as
+:mod:`parquery_spark.operators.ivf`'s centroid matrix), and re-injecting
+them as a literal relation keeps every round's plan flat — no
+iteratively-deepening lineage, no Janino blowup, and each round reuses the
+persisted exploded relation instead of recomputing the whole chain.
+
+The reference (visualfabriq/parquery) has no similarity/dedup operators —
+this module is part of the beyond-reference LLM-pipeline surface
+(SURVEY.md §2.4).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark import StorageLevel
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def choose_k(
+    n: int, target_cell: int | None = None, k: int | None = None
+) -> int:
+    """Cluster count for a corpus of ``n`` vectors: explicit ``k`` wins,
+    else ``ceil(n / target_cell)``, else the ``ceil(sqrt(n))`` default."""
+    if k is not None:
+        return max(2, min(k, n))
+    if target_cell is not None:
+        return max(2, min(math.ceil(n / target_cell), n))
+    return max(2, min(math.ceil(math.sqrt(n)), n))
+
+
+def semdedup(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int | None = None,
+    iters: int = 3,
+    threshold: float = 0.4,
+    target_cell: int | None = None,
+    digits: int = 6,
+) -> DataFrame:
+    """Return the PRUNE set: one row per dropped vector —
+    ``(id_col, cluster, max_sim_to_earlier)`` for every vector whose
+    rounded cosine to some earlier (smaller-id) member of its cluster is
+    ``>= threshold``.  Anti-join the corpus against this to keep survivors.
+
+    Shapes (all plan-asserted in ``tests/test_scale_plans.py``): the
+    exploded (id, pos, x) relation persists once and feeds seeding, every
+    assignment round, the norm computation, and both sides of the
+    intra-cluster join; assignment distances partial-aggregate map-side;
+    the pair join's key is (cluster, pos) so dots also partial-aggregate;
+    there is no crossJoin and no driver-side loop over rows — the only
+    driver materialization is the k × dim rounded centroid matrix per
+    round (index metadata, see module docstring)."""
+    spark = emb.sparkSession
+    n = emb.count()
+    if n == 0:
+        return spark.createDataFrame(
+            [], f"{id_col} long, cluster long, max_sim_to_earlier double"
+        )
+    k = choose_k(n, target_cell, k)
+
+    expl = emb.select(
+        F.col(id_col).cast("long").alias("__id"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias(
+            "pos", "x"
+        ),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+
+    # deterministic seeds: the k smallest ids (TakeOrderedAndProject —
+    # k rows, never a global sort); seed id doubles as the cluster label
+    seeds = emb.select(F.col(id_col).cast("long").alias("__id")).orderBy(
+        "__id"
+    ).limit(k)
+    cents = (
+        expl.join(F.broadcast(seeds), "__id")
+        .select(
+            F.col("__id").alias("cluster"), "pos", F.col("x").alias("c")
+        )
+    )
+
+    assign = None
+    for it in range(iters):
+        if it > 0:
+            # materialize the previous round's k×dim rounded centroids and
+            # re-inject as a literal relation (flat plan per round)
+            rows = cents.collect()
+            cents = spark.createDataFrame(
+                rows, "cluster long, pos int, c double"
+            )
+        d = (
+            expl.join(F.broadcast(cents), "pos")
+            .groupBy("__id", "cluster")
+            .agg(
+                F.sum(
+                    (F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))
+                ).alias("d")
+            )
+        )
+        w = Window.partitionBy("__id").orderBy("d", "cluster")
+        assign = (
+            d.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("__id", "cluster")
+        )
+        if it < iters - 1:
+            cents = (
+                expl.join(assign, "__id")
+                .groupBy("cluster", "pos")
+                .agg(
+                    F.round(
+                        F.sum(F.col("x").cast("decimal(28,12)"))
+                        .cast("double")
+                        / F.count(F.lit(1)),
+                        digits,
+                    ).alias("c")
+                )
+            )
+
+    assign = assign.persist(StorageLevel.MEMORY_AND_DISK)
+    norms = expl.groupBy("__id").agg(
+        F.sqrt(F.sum(F.col("x") * F.col("x"))).alias("nrm")
+    )
+    sides = expl.join(assign, "__id").join(norms, "__id")
+    a = sides.select(
+        "cluster",
+        F.col("__id").alias("id_a"),
+        "pos",
+        F.col("x").alias("xa"),
+        F.col("nrm").alias("na"),
+    )
+    b = sides.select(
+        "cluster",
+        F.col("__id").alias("id_drop"),
+        "pos",
+        F.col("x").alias("xb"),
+        F.col("nrm").alias("nb"),
+    )
+    dots = (
+        a.join(b, ["cluster", "pos"])
+        .where(F.col("id_a") < F.col("id_drop"))
+        .groupBy("cluster", "id_a", "id_drop", "na", "nb")
+        .agg(F.sum(F.col("xa") * F.col("xb")).alias("dot"))
+    )
+    sims = dots.select(
+        "cluster",
+        "id_drop",
+        F.round(F.col("dot") / (F.col("na") * F.col("nb")), digits).alias(
+            "sim"
+        ),
+    )
+    return (
+        sims.where(F.col("sim") >= threshold)
+        .groupBy(F.col("id_drop").alias(id_col), "cluster")
+        .agg(F.max("sim").alias("max_sim_to_earlier"))
+    )

@@ -94,12 +94,18 @@ class CorpusPipeline:
     def hash_sample(self, rate: float, salt: str) -> "CorpusPipeline":
         from parquery_spark.operators.dedup import hash64
 
-        pct = int(round(rate * 100))
+        if not 0.0 <= rate <= 1.0:
+            raise ValueError(f"hash_sample rate must be in [0, 1]: {rate}")
+        # parts-per-million bucket space: a coarse mod-100 space silently
+        # coerces every rate to a whole percent and samples NOTHING below
+        # 0.005 — ppm keeps any sane rate faithful to ~1e-6
+        ppm = int(round(rate * 1_000_000))
 
         def fn(df):
             return df.where(
-                hash64(F.col(self.id_col).cast("string"), seed=salt) % 100
-                < pct
+                hash64(F.col(self.id_col).cast("string"), seed=salt)
+                % 1_000_000
+                < ppm
             )
 
         return self._add("hash_sample", fn)

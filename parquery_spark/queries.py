@@ -35,6 +35,19 @@ def query(name: str, sql: str | None = None):
     return deco
 
 
+#: Integer-cents discipline (NOTES.md float-hazard section): events.value is
+#: fixed 2-decimal data, so group sums land exactly on rounding half-way
+#: points where cross-engine summation-order ulp error flips ROUND at scale.
+#: Leave the double domain per row instead: floor(x*100+0.5) on bitwise-
+#: identical per-row doubles -> exact int64 sum -> one final /100.0 (both
+#: engines then divide the SAME integer, so the result double is identical).
+_SQL_CENTS = "CAST(floor(value * 100 + 0.5) AS BIGINT)"
+
+
+def _cents(col: str = "value"):
+    return F.floor(F.col(col) * 100 + F.lit(0.5)).cast("long")
+
+
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     # hot-relation cache: small tables come back columnar-cached and
     # re-sliced; large ones stream (size gate inside get_relation)
@@ -458,10 +471,10 @@ def q23_window_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q24_window_running_sum",
     """
     SELECT user_id, event_id,
-           ROUND(SUM(value) OVER (
+           SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER (
                PARTITION BY user_id ORDER BY ts, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-           ), 4) AS running_value,
+           ) / 100.0 AS running_value,
            LAG(event_type) OVER (
                PARTITION BY user_id ORDER BY ts, event_id
            ) AS prev_type
@@ -478,7 +491,7 @@ def q24_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.select(
         "user_id",
         "event_id",
-        F.round(F.sum("value").over(wf), 4).alias("running_value"),
+        (F.sum(_cents()).over(wf) / 100.0).alias("running_value"),
         F.lag("event_type").over(w).alias("prev_type"),
     )
 
@@ -619,7 +632,8 @@ def q29_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(time_bucket(INTERVAL '1 day', ts) AS DATE) AS day,
            event_type,
            COUNT(event_id)            AS n,
-           ROUND(SUM(value), 4)       AS total_value
+           SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) / 100.0
+                                      AS total_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -635,7 +649,7 @@ def q30_time_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count("event_id").alias("n"),
-            F.round(F.sum("value"), 4).alias("total_value"),
+            (F.sum(_cents()) / 100.0).alias("total_value"),
         )
     )
 
@@ -2359,7 +2373,8 @@ def q77_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_id,
            COUNT(*) OVER w AS n_1h,
-           ROUND(SUM(value) OVER w, 4) AS v_1h
+           SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER w / 100.0
+               AS v_1h
     FROM events
     WINDOW w AS (
         PARTITION BY user_id ORDER BY ts
@@ -2377,7 +2392,10 @@ def q78_trailing_window_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = load_events(spark, sf_dir)
     ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
-    base = events.select("event_id", "user_id", ts_us.alias("ts_us"), "value")
+    base = events.select(
+        "event_id", "user_id", ts_us.alias("ts_us"),
+        _cents().alias("cents"),
+    )
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts_us")
@@ -2386,7 +2404,7 @@ def q78_trailing_window_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.select(
         "event_id",
         F.count(F.lit(1)).over(w).alias("n_1h"),
-        F.round(F.sum("value").over(w), 4).alias("v_1h"),
+        (F.sum("cents").over(w) / 100.0).alias("v_1h"),
     )
 
 
@@ -2733,7 +2751,8 @@ def _events_stream_dir(sf_dir: str) -> str:
                AS window_start_us,
            event_type,
            COUNT(event_id) AS n,
-           ROUND(SUM(value), 4) AS total_value
+           SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) / 100.0
+               AS total_value
     FROM events GROUP BY 1, 2
     """,
 )
@@ -2754,7 +2773,7 @@ def q84_streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
         .agg(
             F.count("event_id").alias("n"),
-            F.round(F.sum("value"), 4).alias("total_value"),
+            (F.sum(_cents()) / 100.0).alias("total_value"),
         )
         .select(
             # epoch µs as BIGINT: tz-free on every engine (Spark timestamps
@@ -3367,7 +3386,8 @@ def q97_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q98_partitioned_dataset",
     """
     SELECT event_type, COUNT(*) AS n,
-           ROUND(SUM(value), 4) AS total_value
+           SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) / 100.0
+               AS total_value
     FROM events
     WHERE CAST(ts AS DATE) >= DATE '2024-01-10'
       AND CAST(ts AS DATE) < DATE '2024-01-20'
@@ -3412,7 +3432,7 @@ def q98_partitioned_dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 4).alias("total_value"),
+            (F.sum(_cents()) / 100.0).alias("total_value"),
         )
     )
 
@@ -3427,7 +3447,8 @@ def q98_partitioned_dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS window_start_us,
            s.segment,
            COUNT(*) AS n,
-           ROUND(SUM(e.value), 4) AS total_value
+           SUM(CAST(floor(e.value * 100 + 0.5) AS BIGINT)) / 100.0
+               AS total_value
     FROM events e JOIN seg s USING (user_id)
     GROUP BY 1, 2
     """,
@@ -3457,7 +3478,7 @@ def q99_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 4).alias("total_value"),
+            (F.sum(_cents()) / 100.0).alias("total_value"),
         )
         .select(
             F.unix_micros(F.col("win.start")).alias("window_start_us"),
@@ -4264,7 +4285,9 @@ def q114_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT day_us, week_us, month_us,
                CAST(GROUPING(day_us) * 4 + GROUPING(week_us) * 2
                     + GROUPING(month_us) AS BIGINT) AS gid,
-               COUNT(*) AS n, ROUND(SUM(value), 2) AS total
+               COUNT(*) AS n,
+               SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) / 100.0
+                   AS total
         FROM b GROUP BY GROUPING SETS ((day_us), (week_us), (month_us))
     )
     SELECT CASE gid WHEN 3 THEN 'day' WHEN 5 THEN 'week'
@@ -4295,7 +4318,7 @@ def q115_time_grain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.grouping_id().cast("long").alias("gid"),
         F.count(F.lit(1)).alias("n"),
-        F.round(F.sum("value"), 2).alias("total"),
+        (F.sum(_cents()) / 100.0).alias("total"),
     )
     grain = (
         F.when(F.col("gid") == 3, "day")
@@ -4532,7 +4555,7 @@ def q118_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q119_containment_pairs",
     f"""
     WITH toks AS ({_SQL_TOKS}),
-    sh AS (
+    sh0 AS (
         SELECT d.doc_id, d.source, g.gram
         FROM (SELECT t.doc_id, t.source,
                      list_distinct(
@@ -4543,6 +4566,13 @@ def q118_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
               FROM (SELECT toks.doc_id, documents.source, toks.w
                     FROM toks JOIN documents USING (doc_id)) t) d,
              unnest(d.grams) AS g(gram)
+    ),
+    sh AS (
+        SELECT doc_id, source, gram FROM (
+            SELECT doc_id, source, gram,
+                   COUNT(*) OVER (PARTITION BY source, gram) AS df
+            FROM sh0)
+        WHERE df <= 50
     ),
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
     inter AS (
@@ -4565,20 +4595,40 @@ def q119_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Containment (asymmetric Jaccard, |A∩B| / min(|A|,|B|)) over
     source-blocked pairs — catches a small document embedded inside a
     large one, which symmetric-Jaccard LSH structurally misses.  Candidate
-    generation is an equi-join on (block, shingle): volume is bounded by
-    the block, never corpus², and the shuffles carry distinct 3-gram
-    hashes, not text.  At 100 TB the block key is whatever upstream
-    partitioning exists (source, domain, time window)."""
+    generation is an equi-join on (block, shingle): grams whose
+    within-block document frequency exceeds ``_Q119_MAX_DF`` are dropped
+    BEFORE the self-join (the ``jaccard_pairs`` stop-gram discipline,
+    ``operators/dedup.py``), so pair volume is Σ_g min(df(g), cap)² — a
+    boilerplate 3-gram shared by d docs contributes cap², not d².  The
+    containment ratio is then over the capped (informative-gram)
+    vocabulary on both sides, exactly as the oracle computes it.  The
+    df window partitions on the same (source, gram) key as the self-join,
+    so the cap shares the join's exchange rather than adding one.  At
+    100 TB the block key is whatever upstream partitioning exists
+    (source, domain, time window)."""
+    from pyspark.sql import Window
+
     from parquery_spark.operators.dedup import word_shingles
 
+    _Q119_MAX_DF = 50  # matches q137's winnowing stop-fingerprint cap
+
     docs = load(spark, sf_dir, "documents")
-    sh = docs.select(
-        "doc_id",
-        "source",
-        F.explode(
-            F.array_distinct(word_shingles("text", 3))
-        ).alias("gram"),
-    ).persist()
+    sh = (
+        docs.select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.array_distinct(word_shingles("text", 3))
+            ).alias("gram"),
+        )
+        .withColumn(
+            "__df",
+            F.count(F.lit(1)).over(Window.partitionBy("source", "gram")),
+        )
+        .filter(F.col("__df") <= _Q119_MAX_DF)
+        .drop("__df")
+        .persist()
+    )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -6476,7 +6526,7 @@ def q149_grouped_agg_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     sampled AS (
         SELECT * FROM kept
         WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#corpus1'),
-                              1, 15))::BIGINT % 100 < 50
+                              1, 15))::BIGINT % 1000000 < 500000
     )
     SELECT source,
            COUNT(*) AS n_docs,
@@ -6518,7 +6568,8 @@ def q150_corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("rn")
     )
     sampled = kept.where(
-        hash64(F.col("doc_id").cast("string"), seed="corpus1") % 100 < 50
+        hash64(F.col("doc_id").cast("string"), seed="corpus1") % 1_000_000
+        < 500_000
     )
     return sampled.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -7146,7 +7197,8 @@ def q161_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_type,
            CAST(SUM(sign) AS BIGINT) AS n,
-           ROUND(SUM(sign * value), 4) AS total_value
+           SUM(sign * CAST(floor(value * 100 + 0.5) AS BIGINT)) / 100.0
+               AS total_value
     FROM (
         SELECT event_type, value,
                CASE WHEN ts < TIMESTAMP '2024-01-15' THEN 1
@@ -7181,7 +7233,7 @@ def q162_incremental_view_maintenance(
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum("value").alias("total_value"),
+            F.sum(_cents()).alias("total_value"),
         )
     )
     sign = F.when(
@@ -7193,14 +7245,16 @@ def q162_incremental_view_maintenance(
         .groupBy("event_type")
         .agg(
             F.sum("sign").alias("n"),
-            F.sum(F.col("sign") * F.col("value")).alias("total_value"),
+            F.sum(F.col("sign") * _cents()).alias("total_value"),
         )
     )
     merged = merge_aggregate_delta(
         base, delta, ["event_type"], ["total_value"], count_col="n"
     )
     return merged.select(
-        "event_type", "n", F.round("total_value", 4).alias("total_value")
+        "event_type",
+        "n",
+        (F.col("total_value") / 100.0).alias("total_value"),
     )
 
 
@@ -7448,7 +7502,12 @@ def q166_arrow_python_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
               FROM embeddings)
     ),
     cent0 AS (
-        SELECT vec_id AS cluster, pos, x AS c FROM expl WHERE vec_id < 4
+        SELECT e.vec_id AS cluster, e.pos, e.x AS c
+        FROM expl e
+        JOIN (SELECT vec_id FROM embeddings ORDER BY vec_id
+              LIMIT (SELECT CAST(ceil(sqrt(COUNT(*))) AS BIGINT)
+                     FROM embeddings)) s
+          ON e.vec_id = s.vec_id
     ),
     {_sql_kmeans_assign("cent0", "a1")},
     {_sql_kmeans_update("a1", "cent1")},
@@ -7477,93 +7536,24 @@ def q166_arrow_python_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q167_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup (Abbas et al. 2023): semantic dedup = k-means the
-    embedding space, then prune any document too cosine-close to an
-    EARLIER document in its own cluster.  The clustering is what makes
-    it scale: candidate pairs are intra-cluster only, O(sum c_i^2)
-    instead of n^2, and cluster count grows with the corpus to cap c_i.
-    Composes two gated pieces — q141's decimal-exact Lloyd iterations
-    (bit-identical assignments on both engines) and the q45-style
-    explode-shaped cosine (dots partial-aggregate JVM-side; sims rounded
-    to 6 before thresholding so last-ulp fold differences can't flip a
-    borderline pair).  Returns the pruned set with evidence: each
-    dropped vector, its cluster, and its closest earlier neighbor's
-    similarity."""
-    from pyspark.sql import Window
+    """SemDeDup via :func:`parquery_spark.operators.semdedup.semdedup`
+    (Abbas et al. 2023): k-means the embedding space, prune any document
+    too cosine-close to an EARLIER document in its own cluster.  k scales
+    with the corpus — ``ceil(sqrt(n))`` here (the operator's default), so
+    expected cell size is √n and pair volume ≈ n·√n/2, never n²; the
+    oracle computes the identical k from its own COUNT(*).  Composes the
+    q141 decimal-exact Lloyd recipe (bit-identical assignments on both
+    engines, per-round centroids re-injected as literal KB-scale
+    metadata) with the q45-style explode-shaped cosine (dots
+    partial-aggregate JVM-side; sims rounded to 6 before thresholding).
+    Returns the pruned set with evidence: each dropped vector, its
+    cluster, and its closest earlier neighbor's similarity."""
+    from parquery_spark.operators.semdedup import semdedup
 
     emb = load(spark, sf_dir, "embeddings")
-    expl = emb.select(
-        "vec_id",
-        F.posexplode(F.col("embedding").cast("array<double>")).alias(
-            "pos", "x"
-        ),
-    ).persist()
-    cents = expl.where(F.col("vec_id") < 4).select(
-        F.col("vec_id").alias("cluster"), "pos", F.col("x").alias("c")
-    )
-    assign = None
-    for _ in range(3):
-        d = (
-            expl.join(F.broadcast(cents), "pos")
-            .groupBy("vec_id", "cluster")
-            .agg(
-                F.sum(
-                    (F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))
-                ).alias("d")
-            )
-        )
-        w = Window.partitionBy("vec_id").orderBy("d", "cluster")
-        assign = (
-            d.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
-            .select("vec_id", "cluster")
-        )
-        cents = (
-            expl.join(assign, "vec_id")
-            .groupBy("cluster", "pos")
-            .agg(
-                F.round(
-                    F.sum(F.col("x").cast("decimal(28,12)")).cast("double")
-                    / F.count(F.lit(1)),
-                    6,
-                ).alias("c")
-            )
-        )
-    assign = assign.persist()
-    norms = expl.groupBy("vec_id").agg(
-        F.sqrt(F.sum(F.col("x") * F.col("x"))).alias("nrm")
-    )
-    sides = expl.join(assign, "vec_id").join(norms, "vec_id")
-    a = sides.select(
-        F.col("cluster"),
-        F.col("vec_id").alias("id_a"),
-        "pos",
-        F.col("x").alias("xa"),
-        F.col("nrm").alias("na"),
-    )
-    b = sides.select(
-        F.col("cluster"),
-        F.col("vec_id").alias("id_drop"),
-        "pos",
-        F.col("x").alias("xb"),
-        F.col("nrm").alias("nb"),
-    )
-    dots = (
-        a.join(b, ["cluster", "pos"])
-        .where(F.col("id_a") < F.col("id_drop"))
-        .groupBy("cluster", "id_a", "id_drop", "na", "nb")
-        .agg(F.sum(F.col("xa") * F.col("xb")).alias("dot"))
-    )
-    sims = dots.select(
-        "cluster",
-        "id_drop",
-        F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6).alias("sim"),
-    )
-    return (
-        sims.where(F.col("sim") >= 0.4)
-        .groupBy(F.col("id_drop").alias("vec_id"), "cluster")
-        .agg(F.max("sim").alias("max_sim_to_earlier"))
-    )
+    return semdedup(
+        emb, id_col="vec_id", vec_col="embedding", iters=3, threshold=0.4
+    ).select("vec_id", "cluster", "max_sim_to_earlier")
 
 
 @query(
@@ -7791,14 +7781,16 @@ def q170_stream_outer_join_funnel(
     """
     WITH src AS (
         SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
-               COUNT(*) AS n, ROUND(SUM(value), 4) AS total_value
+               COUNT(*) AS n,
+               SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) / 100.0
+                   AS total_value
         FROM events GROUP BY 1, 2
     ),
     patched AS (
         SELECT day, event_type,
                CASE WHEN day >= DATE '2024-01-25' THEN n * 2 ELSE n END AS n,
                CASE WHEN day >= DATE '2024-01-25'
-                    THEN ROUND(total_value * 2, 4) ELSE total_value END
+                    THEN total_value * 2 ELSE total_value END
                    AS total_value
         FROM src
     )
@@ -7827,7 +7819,7 @@ def q171_dynamic_partition_overwrite(
     src_stat = os.stat(_path(sf_dir, "events"))
     tag = hashlib.md5(
         f"{os.path.abspath(sf_dir)}|{src_stat.st_mtime_ns}|{src_stat.st_size}"
-        .encode()
+        "|cents-v2".encode()
     ).hexdigest()[:10]
     base = os.path.join(tempfile.gettempdir(), f"pqs_dpo_{tag}")
     table_dir = os.path.join(base, "daily")
@@ -7839,7 +7831,7 @@ def q171_dynamic_partition_overwrite(
         day.alias("day"), "event_type"
     ).agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.sum("value"), 4).alias("total_value"),
+        (F.sum(_cents()) / 100.0).alias("total_value"),
     )
     if not os.path.exists(done):
         spark.conf.set(
@@ -7859,7 +7851,8 @@ def q171_dynamic_partition_overwrite(
         ).select(
             "event_type",
             (F.col("n") * 2).alias("n"),
-            F.round(F.col("total_value") * 2, 4).alias("total_value"),
+            # doubling a double is an exponent bump — exact, no re-round
+            (F.col("total_value") * 2).alias("total_value"),
             "day",
         )
         patch.repartition("day").write.mode("overwrite").partitionBy(
@@ -8076,14 +8069,16 @@ def q174_mergeable_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH daily AS (
         SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
-               COUNT(*) AS n, ROUND(SUM(value), 4) AS total_value
+               COUNT(*) AS n,
+               CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS total_cents
         FROM events GROUP BY 1, 2
     ),
     a AS (
         SELECT day,
                bit_xor(('0x' || substr(md5(event_type || '|'
                    || CAST(n AS VARCHAR) || '|'
-                   || CAST(total_value AS VARCHAR)), 1, 15))::BIGINT)
+                   || CAST(total_cents AS VARCHAR)), 1, 15))::BIGINT)
                    AS checksum
         FROM daily GROUP BY day
     ),
@@ -8093,8 +8088,8 @@ def q174_mergeable_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
                    || CAST(CASE WHEN day >= DATE '2024-01-25'
                            THEN n * 2 ELSE n END AS VARCHAR) || '|'
                    || CAST(CASE WHEN day >= DATE '2024-01-25'
-                           THEN ROUND(total_value * 2, 4)
-                           ELSE total_value END AS VARCHAR)), 1, 15))
+                           THEN total_cents * 2
+                           ELSE total_cents END AS VARCHAR)), 1, 15))
                    ::BIGINT) AS checksum
         FROM daily GROUP BY day
     )
@@ -8121,7 +8116,7 @@ def q175_partition_repair_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     day = F.date_trunc("day", F.col("ts").cast("timestamp")).cast("date")
     daily = events.groupBy(day.alias("day"), "event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.sum("value"), 4).alias("total_value"),
+        F.sum(_cents()).alias("total_cents"),
     ).persist()
 
     def checksum(df):
@@ -8130,7 +8125,7 @@ def q175_partition_repair_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "|",
                 F.col("event_type"),
                 F.col("n").cast("string"),
-                F.col("total_value").cast("string"),
+                F.col("total_cents").cast("string"),
             )
         )
         return df.groupBy("day").agg(
@@ -8144,8 +8139,8 @@ def q175_partition_repair_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
                F.col("n") * 2).otherwise(F.col("n")).alias("n"),
         F.when(
             F.col("day") >= F.lit("2024-01-25").cast("date"),
-            F.round(F.col("total_value") * 2, 4),
-        ).otherwise(F.col("total_value")).alias("total_value"),
+            F.col("total_cents") * 2,
+        ).otherwise(F.col("total_cents")).alias("total_cents"),
     )
     a = checksum(daily).select(
         "day", F.col("checksum").alias("src_checksum")
@@ -8347,7 +8342,7 @@ def q178_cross_source_dup_matrix(
     """
     WITH daily AS (
         SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
-               ROUND(SUM(value), 4) AS v
+               SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) / 100.0 AS v
         FROM events WHERE event_type = 'purchase' AND user_id < 40
         GROUP BY 1, 2
     ),
@@ -8417,7 +8412,7 @@ def q179_linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("date")
             .alias("day"),
         )
-        .agg(F.round(F.sum("value"), 4).alias("v"))
+        .agg((F.sum(_cents()) / 100.0).alias("v"))
     )
     bounds = daily.groupBy("user_id").agg(
         F.min("day").alias("mn"), F.max("day").alias("md")
@@ -8614,7 +8609,7 @@ def q182_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     sampled AS (
         SELECT * FROM kept
         WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#mix-v2'),
-                              1, 15))::BIGINT % 100 < 70
+                              1, 15))::BIGINT % 1000000 < 700000
     )
     SELECT source,
            COUNT(*) AS n_docs,
@@ -8654,7 +8649,7 @@ def q183_pipeline_api(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH daily AS (
         SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
                dayofweek(CAST(date_trunc('day', ts) AS DATE)) AS dow,
-               ROUND(SUM(value), 4) AS v
+               SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) / 100.0 AS v
         FROM events WHERE event_type = 'purchase'
         GROUP BY 1, 2
     ),
@@ -8697,7 +8692,7 @@ def q184_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = (
         events.where(F.col("event_type") == "purchase")
         .groupBy(day.alias("day"))
-        .agg(F.round(F.sum("value"), 4).alias("v"))
+        .agg((F.sum(_cents()) / 100.0).alias("v"))
         .withColumn("dow", F.dayofweek("day"))
     )
     w = (
@@ -8726,9 +8721,16 @@ def q184_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q185_item_similarity",
     """
-    WITH bi AS (
+    WITH bi0 AS (
         SELECT DISTINCT o_custkey AS cust, l_partkey AS item
         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    bi AS (
+        SELECT cust, item FROM (
+            SELECT cust, item,
+                   COUNT(*) OVER (PARTITION BY cust) AS basket_n
+            FROM bi0)
+        WHERE basket_n <= 200
     ),
     cnt AS (SELECT item, COUNT(*) AS c FROM bi GROUP BY item),
     co AS (
@@ -8755,10 +8757,22 @@ def q185_item_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer-grain self-join bounds pair volume per customer basket
     (q128's law); popularity counts broadcast back; a minimum-support
     cut (co-count >= 3) kills the noise pairs BEFORE ranking; the final
-    top-50 is TakeOrderedAndProject, not a global sort.  At 100 TB the
-    support cut is what keeps the pair relation near-linear in |bi| —
-    the heavy-hitter customers are capped upstream by basket semantics
-    (an order touches few parts)."""
+    top-50 is TakeOrderedAndProject, not a global sort.  Pair volume per
+    customer is basket², so a single degenerate customer with a 10⁴-item
+    basket would contribute 10⁸ join rows — the explicit
+    ``_Q185_MAX_BASKET`` guard (enforced identically in the oracle)
+    excludes baskets above 200 distinct items from the incidence relation
+    BEFORE the self-join, bounding the shuffle at |bi|·200 regardless of
+    corpus skew.  A basket that large is a bot/aggregator account, not a
+    shopper — dropping it is the standard CF hygiene step, not a loss.
+    The basket-size window partitions on ``cust``, the same key as the
+    self-join, so the guard shares that exchange.  At 100 TB the support
+    cut (co-count >= 3) then keeps the pair relation near-linear in
+    |bi|."""
+    from pyspark.sql import Window
+
+    _Q185_MAX_BASKET = 200
+
     orders = load(spark, sf_dir, "orders")
     li = load(spark, sf_dir, "lineitem")
     bi = (
@@ -8768,6 +8782,11 @@ def q185_item_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_partkey").alias("item"),
         )
         .distinct()
+        .withColumn(
+            "__basket_n", F.count(F.lit(1)).over(Window.partitionBy("cust"))
+        )
+        .filter(F.col("__basket_n") <= _Q185_MAX_BASKET)
+        .drop("__basket_n")
         .persist()
     )
     cnt = bi.groupBy("item").agg(F.count(F.lit(1)).alias("c"))
@@ -9258,7 +9277,8 @@ def q190_error_rate_control(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events
     )
     SELECT event_type, COUNT(*) AS n,
-           ROUND(SUM(value), 4) AS total_value,
+           SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) / 100.0
+               AS total_value,
            bit_xor(event_id) AS id_checksum
     FROM daily WHERE dayofmonth(day) <= 5
     GROUP BY event_type
@@ -9307,7 +9327,7 @@ def q191_runtime_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = fact.join(dim, F.col("day") == F.col("d"))
     out = j.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.sum("value"), 4).alias("total_value"),
+        (F.sum(_cents()) / 100.0).alias("total_value"),
         F.bit_xor("event_id").alias("id_checksum"),
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
@@ -9728,7 +9748,9 @@ def q197_effective_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     agg_p AS (
         SELECT event_type, COUNT(DISTINCT pid) AS n_entities,
-               COUNT(*) AS n, ROUND(SUM(value), 4) AS total_value
+               COUNT(*) AS n,
+               SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) / 100.0
+                   AS total_value
         FROM pseudo GROUP BY event_type
     ),
     agg_r AS (
@@ -9761,7 +9783,7 @@ def q198_pseudonymization_invariance(
         .agg(
             F.count_distinct("pid").alias("n_entities"),
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 4).alias("total_value"),
+            (F.sum(_cents()) / 100.0).alias("total_value"),
         )
     )
     agg_r = events.groupBy("event_type").agg(
@@ -9788,9 +9810,9 @@ def q198_pseudonymization_invariance(
                    AS days_active,
                epoch_us(MIN(ts)) AS first_seen_us,
                epoch_us(MAX(ts)) AS last_seen_us,
-               ROUND(SUM(CASE WHEN event_type = 'purchase' THEN value
-                              ELSE CAST(0 AS DOUBLE) END), 4)
-                   AS purchase_value,
+               SUM(CASE WHEN event_type = 'purchase'
+                        THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+                        ELSE 0 END) / 100.0 AS purchase_value,
                ROUND(SUM(CASE WHEN event_type = 'purchase'
                     THEN value * power(2.0, -LEAST(
                          datediff('day', CAST(date_trunc('day', ts) AS DATE),
@@ -9819,7 +9841,19 @@ def q199_user_feature_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     q81's conditional first-touch counts, q190's rate discipline).
     The day-distinct is this plan's only Expand; at extreme scale it
     swaps for the q164 sketch per the q65 rule.  This table is what
-    q195's tolerance-bounded as-of serves to training jobs."""
+    q195's tolerance-bounded as-of serves to training jobs.
+
+    Float discipline: ``purchase_value`` uses the integer-cents recipe
+    (exact at any scale).  ``decayed_value`` stays in the double domain
+    deliberately: the weight is a power of two, so each per-row product
+    ``value * 2^-k`` is EXACT (exponent shift) and bit-identical across
+    engines; the only divergence source is summation order, whose error
+    is bounded by group size — and the group key is ``user_id``, so group
+    cardinality is a user's event count (10²-10⁴), not corpus size.
+    Worst case ~10⁴ adds × 2⁻⁵² relative ≈ 2e-12 relative error, five
+    orders of magnitude under the 5e-7 half-way boundary of ROUND(..,6).
+    Per-key-bounded groups are the documented exemption from the cents
+    rule (NOTES.md)."""
     events = load_events(spark, sf_dir)
     day = F.date_trunc("day", F.col("ts").cast("timestamp")).cast("date")
     is_purchase = F.col("event_type") == "purchase"
@@ -9839,9 +9873,9 @@ def q199_user_feature_store(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct(day).alias("days_active"),
         F.unix_micros(F.min(ts)).alias("first_seen_us"),
         F.unix_micros(F.max(ts)).alias("last_seen_us"),
-        F.round(
-            F.sum(F.when(is_purchase, F.col("value")).otherwise(F.lit(0.0))),
-            4,
+        (
+            F.sum(F.when(is_purchase, _cents()).otherwise(F.lit(0)))
+            / 100.0
         ).alias("purchase_value"),
         F.round(
             F.sum(
@@ -9857,3 +9891,63 @@ def q199_user_feature_store(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_errors").cast("double") / F.col("n_events"), 6
         ).alias("error_rate"),
     )
+
+
+# ===========================================================================
+# Driver-snapshot ordering
+# ===========================================================================
+# The round driver's CORRECTNESS artifact records the FIRST 50 entries of
+# ``queries()`` in iteration order.  File order groups queries by theme, so
+# a naive first-50 slice would sample only the core-parity surface and leave
+# streaming / graph / sketch / maintenance families formally unverified by
+# the driver.  DRIVER_PRIORITY pins a representative 50 — core q01-q10 plus
+# at least one query per operator family — to the front; everything else
+# follows in file order.  ``reordered_queries()`` is the single source of
+# that ordering for both ``queries()`` and ``oracle_sql()`` so the driver's
+# per-key compare lines up.
+
+DRIVER_PRIORITY: list[str] = [
+    # core parity (reference aggregate_pq surface)
+    "q01_pricing_summary", "q02_global_agg", "q03_filter_in_string",
+    "q04_filter_range_and", "q05_filter_neq_notin", "q06_count_family",
+    "q07_one_min_max_stddev", "q08_passthrough",
+    "q09_missing_column_splice", "q10_groupby_only_distinct",
+    # joins
+    "q20_join_broadcast", "q22_semi_anti_join", "q31_asof_join",
+    "q32_range_join",
+    # window / top-k / set ops / grouping / scalar / time
+    "q23_window_topn", "q25_topk_global", "q26_set_ops",
+    "q92_grouping_sets", "q29_scalar_functions", "q30_time_bucket",
+    # dedup family
+    "q40_dedup_exact", "q43_minhash_lsh", "q82_indexed_dedup_probe",
+    "q102_fuzzy_match",
+    # similarity / ANN
+    "q45_embedding_topk", "q69_ann_join", "q83_ivf_ann", "q167_semdedup",
+    # text / multimodal / sketches / sampling
+    "q48_text_profile", "q50_multimodal_features", "q54_hll_sketch_rollup",
+    "q58_stratified_sample",
+    # graph
+    "q62_dedup_clusters", "q132_pagerank",
+    # pii / packing / sources
+    "q64_pii_audit", "q66_shard_packing", "q67_csv_source", "q76_json_props",
+    # streaming (real Structured Streaming drains)
+    "q84_streaming_window_counts", "q97_streaming_sessionize",
+    "q157_stream_stream_join", "q170_stream_outer_join_funnel",
+    # TPC-H shape / UDF surface
+    "q94_tpch_q3", "q131_pandas_udf_scoring", "q149_grouped_agg_udaf",
+    # maintenance & quality / sessionization / skew / pipeline
+    "q130_snapshot_diff", "q163_quality_suite", "q71_batch_sessionization",
+    "q90_salted_hot_key_agg", "q183_pipeline_api",
+]
+
+
+def reordered_queries() -> dict[
+    str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
+]:
+    """Registry with DRIVER_PRIORITY first, remainder in file order."""
+    missing = [n for n in DRIVER_PRIORITY if n not in QUERIES]
+    if missing:  # fail loudly in tests if a priority name goes stale
+        raise KeyError(f"DRIVER_PRIORITY names not in registry: {missing}")
+    ordered = {n: QUERIES[n] for n in DRIVER_PRIORITY}
+    ordered.update((n, v) for n, v in QUERIES.items() if n not in ordered)
+    return ordered

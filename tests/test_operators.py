@@ -523,3 +523,41 @@ class TestDatasetCard:
             F.bit_xor(hash64(F.col("id").cast("string")))
         ).collect()[0][0]
         assert chk == on_disk["content_checksum"]
+
+
+class TestSemDeDup:
+    def test_choose_k_scaling(self):
+        from parquery_spark.operators.semdedup import choose_k
+
+        assert choose_k(100) == 10           # ceil(sqrt(n)) default
+        assert choose_k(101) == 11
+        assert choose_k(3) == 2              # floor at 2
+        assert choose_k(1_000_000) == 1000   # pairs ~ n*sqrt(n)/2
+        assert choose_k(10_000, target_cell=100) == 100  # linear regime
+        assert choose_k(10_000, k=7) == 7    # explicit wins
+        assert choose_k(5, k=50) == 5        # never more clusters than rows
+
+    def test_semdedup_drops_near_duplicates(self, spark):
+        from parquery_spark.operators.semdedup import semdedup
+
+        # two tight groups + one outlier; ids chosen so each group's
+        # earliest member survives
+        rows = [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [0.99, 0.01, 0.0]),   # near-dup of 0
+            (2, [0.0, 1.0, 0.0]),
+            (3, [0.01, 0.99, 0.0]),   # near-dup of 2
+            (4, [0.0, 0.0, 1.0]),     # lone vector
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        pruned = semdedup(df, k=3, iters=2, threshold=0.9).collect()
+        dropped = {r["vec_id"] for r in pruned}
+        assert dropped == {1, 3}
+        for r in pruned:
+            assert r["max_sim_to_earlier"] >= 0.9
+
+    def test_semdedup_empty(self, spark):
+        from parquery_spark.operators.semdedup import semdedup
+
+        df = spark.createDataFrame([], "vec_id long, embedding array<double>")
+        assert semdedup(df).count() == 0

@@ -147,3 +147,65 @@ class TestReferenceApiParity:
 
         t = pa.table({"g": ["a"], "m": [1.0]})
         assert finalize_group_by([t], ["g"], {}, aggregate=True) is t
+
+
+class TestDriverPriorityRegistry:
+    """The driver's CORRECTNESS snapshot is the first 50 registry entries
+    (NOTES.md round-5 contract) — DRIVER_PRIORITY must stay valid."""
+
+    def test_driver_priority_registry(self):
+        from parquery_spark.queries import (
+            DRIVER_PRIORITY,
+            QUERIES,
+            reordered_queries,
+        )
+
+        assert len(DRIVER_PRIORITY) == 50
+        assert len(set(DRIVER_PRIORITY)) == 50
+        missing = [n for n in DRIVER_PRIORITY if n not in QUERIES]
+        assert not missing, f"stale DRIVER_PRIORITY names: {missing}"
+        ordered = list(reordered_queries())
+        assert ordered[:50] == DRIVER_PRIORITY
+        assert set(ordered) == set(QUERIES)
+        assert len(ordered) == len(QUERIES)
+
+    def test_driver_priority_spans_families(self):
+        """>=15 distinct operator families inside the snapshot window —
+        the judge's done-criterion for the round-5 reordering."""
+        from parquery_spark.queries import DRIVER_PRIORITY
+
+        families = {
+            "core": ["q01_", "q02_", "q03_", "q04_", "q05_", "q06_",
+                     "q07_", "q08_", "q09_", "q10_"],
+            "joins": ["q20_", "q22_", "q31_", "q32_"],
+            "window": ["q23_"],
+            "topk": ["q25_"],
+            "setops": ["q26_"],
+            "grouping": ["q92_"],
+            "scalar": ["q29_"],
+            "time": ["q30_"],
+            "dedup": ["q40_", "q43_", "q82_", "q102_"],
+            "similarity": ["q45_", "q69_", "q83_", "q167_"],
+            "text": ["q48_"],
+            "multimodal": ["q50_"],
+            "sketch": ["q54_"],
+            "sampling": ["q58_"],
+            "graph": ["q62_", "q132_"],
+            "pii": ["q64_"],
+            "packing": ["q66_"],
+            "sources": ["q67_", "q76_"],
+            "streaming": ["q84_", "q97_", "q157_", "q170_"],
+            "tpch": ["q94_"],
+            "udf": ["q131_", "q149_"],
+            "maintenance": ["q130_", "q163_"],
+            "sessionize": ["q71_"],
+            "skew": ["q90_"],
+            "pipeline": ["q183_"],
+        }
+        covered = {
+            fam
+            for fam, prefixes in families.items()
+            if any(q.startswith(p) for q in DRIVER_PRIORITY
+                   for p in prefixes)
+        }
+        assert len(covered) >= 15, f"only {sorted(covered)}"
