@@ -226,7 +226,15 @@ def build_aggregation_plan(
     paths = [file_name] if isinstance(file_name, str) else list(file_name)
     live_paths = []
     for p in paths:
-        if os.path.exists(p):
+        if relations.has_glob_magic(p):
+            # glob → sorted literal paths; an empty match behaves exactly
+            # like one missing file (skip, or raise per handle_missing_file)
+            hits = relations.expand_globs([p])
+            if hits:
+                live_paths.extend(hits)
+            elif not handle_missing_file:
+                raise OSError(f"File {p} does not exist")
+        elif os.path.exists(p):
             live_paths.append(p)
         elif not handle_missing_file:
             raise OSError(f"File {p} does not exist")

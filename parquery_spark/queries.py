@@ -9893,6 +9893,97 @@ def q199_user_feature_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q200_glob_schema_drift",
+    """
+    WITH v1 AS (
+        SELECT o_orderkey, o_totalprice, NULL::VARCHAR AS channel
+        FROM orders WHERE o_orderkey % 2 = 0
+    ),
+    v2 AS (
+        SELECT o_orderkey, o_totalprice,
+               CASE WHEN o_orderkey % 3 = 0 THEN 'web' ELSE 'store' END
+                   AS channel
+        FROM orders WHERE o_orderkey % 2 = 1
+    ),
+    u AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+    SELECT channel, ROUND(SUM(o_totalprice), 2) AS total,
+           COUNT(o_orderkey) AS n,
+           CAST(0.0 AS DOUBLE) AS g, -1 AS ghost_dim
+    FROM u GROUP BY channel
+    """,
+)
+def q200_glob_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Glob input + schema drift + tolerant splice, all through the parity
+    API in ONE query: ``aggregate_pq("dir/gen*.parquet", ...)`` over a
+    fixture whose two generations have physically different schemas (gen1
+    predates the ``channel`` column).  Pins three contracts at the query
+    level: (1) glob patterns expand to a sorted file list driver-side
+    (``relations.expand_globs``) and read as one distributed mergeSchema
+    scan; (2) a column present in only SOME files surfaces as null for the
+    others' rows — gen1's rows land in the null ``channel`` group, exactly
+    the oracle's NULL::VARCHAR generation; (3) the fully-missing-column
+    splice (U3, reference: parquery/tool.py:240-301) still applies on top:
+    ``ghost_dim`` → -1, ``ghost_m`` → 0.0.  Fixture generations are
+    written via Spark and re-laid as flat files so the glob genuinely
+    selects among siblings of one directory."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    src = _path(sf_dir, "orders")
+    st = os.stat(src)
+    ident = f"{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}|globdrift"
+    tag = hashlib.md5(ident.encode()).hexdigest()[:10]
+    base = os.path.join(tempfile.gettempdir(), f"pqs_glob_{tag}")
+    done = os.path.join(base, "_done")
+    if not os.path.exists(done):
+        orders = load(spark, sf_dir, "orders")
+        os.makedirs(base, exist_ok=True)
+        for gen, df in (
+            (
+                "gen1",
+                orders.where(F.col("o_orderkey") % 2 == 0).select(
+                    "o_orderkey", "o_totalprice"
+                ),
+            ),
+            (
+                "gen2",
+                orders.where(F.col("o_orderkey") % 2 == 1).select(
+                    "o_orderkey",
+                    "o_totalprice",
+                    F.when(F.col("o_orderkey") % 3 == 0, "web")
+                    .otherwise("store")
+                    .alias("channel"),
+                ),
+            ),
+        ):
+            gen_dir = os.path.join(base, f"_{gen}_stage")
+            df.coalesce(1).write.mode("overwrite").parquet(gen_dir)
+            part = next(
+                f for f in os.listdir(gen_dir)
+                if f.endswith(".parquet") and f.startswith("part-")
+            )
+            os.replace(
+                os.path.join(gen_dir, part),
+                os.path.join(base, f"{gen}.parquet"),
+            )
+            shutil.rmtree(gen_dir)
+        open(done, "w").close()
+
+    df = build_aggregation_plan(
+        spark,
+        os.path.join(base, "gen*.parquet"),
+        ["channel", "ghost_dim"],
+        [
+            ["o_totalprice", "sum", "total"],
+            ["o_orderkey", "count", "n"],
+            ["ghost_m", "sum", "g"],
+        ],
+    )
+    return df.withColumn("total", F.round("total", 2))
+
+
 # ===========================================================================
 # Driver-snapshot ordering
 # ===========================================================================

@@ -39,6 +39,7 @@ DataFrame handles themselves are per-session; the cache stores one per
 
 from __future__ import annotations
 
+import glob as _glob
 import os
 import threading
 from collections import OrderedDict
@@ -169,6 +170,30 @@ def _format_of_all(paths: Sequence[str]) -> str:
     return fmts.pop()
 
 
+_GLOB_MAGIC = frozenset("*?[")
+
+
+def has_glob_magic(path: str) -> bool:
+    """True when ``path`` is a glob pattern rather than a literal path."""
+    return any(ch in _GLOB_MAGIC for ch in path)
+
+
+def expand_globs(paths: Sequence[str]) -> list[str]:
+    """Expand glob patterns to sorted literal paths (driver-side, cheap —
+    one directory listing per pattern).  Non-pattern paths pass through
+    untouched; a pattern matching nothing contributes nothing (callers
+    that want missing-input errors check emptiness themselves).  Sorted
+    expansion keeps multi-file schema-merge and cache keys deterministic
+    across runs."""
+    out: list[str] = []
+    for p in paths:
+        if has_glob_magic(p):
+            out.extend(sorted(_glob.glob(p)))
+        else:
+            out.append(p)
+    return out
+
+
 def _read(spark: SparkSession, paths: Sequence[str]) -> DataFrame:
     fmt = _format_of_all(paths)
     if fmt == "csv":
@@ -217,6 +242,9 @@ def get_relation(
     go straight to ``spark.read`` — fully lazy, nothing persisted.
     """
     path_list = [paths] if isinstance(paths, str) else list(paths)
+    path_list = expand_globs(path_list)
+    if not path_list:
+        raise OSError(f"no files match: {paths}")
     if not (_ENABLED and cache):
         return _read(spark, path_list)
     try:

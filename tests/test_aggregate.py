@@ -407,3 +407,27 @@ class TestMultiFormatSources:
             fh.write('{"d": 1, "m": 2.0}\n')
         with _pytest.raises(ValueError, match="mix source formats"):
             pq_spark.aggregate_pq([c, j], ["d"], [["m", "sum", "s"]])
+
+
+class TestGlobInputs:
+    """Glob patterns expand driver-side to a sorted literal file list
+    (relations.expand_globs) and run as one mergeSchema scan."""
+
+    def test_glob_matches_literal_path(self, synthetic_pq, syn):
+        import os
+
+        pattern = os.path.join(os.path.dirname(synthetic_pq), "*.parquet")
+        r = aggregate_pq(pattern, ["f0"], [["f4", "sum", "s"]])
+        assert_matches_duckdb(
+            r, syn, "SELECT f0, SUM(f4) AS s FROM t GROUP BY f0"
+        )
+
+    def test_unmatched_glob_is_missing_file(self, tmp_path):
+        pattern = str(tmp_path / "nope-*.parquet")
+        r = aggregate_pq(pattern, ["f0"], [["f4", "sum", "s"]])
+        assert r.num_rows == 0  # handle_missing_file=True -> empty result
+        with pytest.raises(OSError):
+            aggregate_pq(
+                pattern, ["f0"], [["f4", "sum", "s"]],
+                handle_missing_file=False,
+            )

@@ -376,3 +376,113 @@ class TestTransformWithState:
             pytest.skip("protobuf present — covered by live runs")
         with pytest.raises(NotImplementedError, match="protobuf"):
             purchase_totals_transform_with_state(stream)
+
+
+class TestMidStreamKillResume:
+    def test_midstream_kill_and_resume_join_exactly_once(
+        self, spark, tmp_path
+    ):
+        """Soak beyond availableNow: run 1 is a LIVE micro-batch loop
+        (processingTime trigger) killed MID-STREAM — ``q.stop()`` fires
+        while unread files remain, so the stop point is an arbitrary batch
+        boundary, not a clean end-of-input drain.  Run 2 restarts from the
+        same checkpoint with availableNow and must (a) resume source
+        offsets without re-emitting run 1's output, (b) recover the
+        stream-stream join state so clicks buffered before the kill match
+        purchases that only arrive after the restart, (c) finish eviction.
+        The final relation must equal the batch join exactly once,
+        REGARDLESS of where the kill landed — that invariance is the
+        exactly-once contract."""
+        import datetime as dt
+        import time
+
+        from pyspark.sql import functions as F
+
+        base = dt.datetime(2024, 1, 1)
+        src = str(tmp_path / "src")
+        sink = str(tmp_path / "sink")
+        ckpt = str(tmp_path / "ckpt")
+        schema = ("event_id long, ts timestamp, user_id long, "
+                  "event_type string, value double")
+
+        def write_file(rows):
+            (spark.createDataFrame(rows, schema).coalesce(1)
+             .write.mode("append").parquet(src))
+
+        def build_join():
+            stream = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", "1").parquet(src)
+                .withWatermark("ts", "30 minutes")
+            )
+            clicks = stream.where("event_type = 'click'").select(
+                F.col("event_id").alias("c_event_id"),
+                F.col("user_id").alias("c_user"),
+                F.col("ts").alias("c_ts"),
+            )
+            purchases = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", "1").parquet(src)
+                .withWatermark("ts", "30 minutes")
+                .where("event_type = 'purchase'")
+                .select(
+                    F.col("user_id").alias("p_user"),
+                    F.col("ts").alias("p_ts"),
+                )
+            )
+            return clicks.join(
+                purchases,
+                (F.col("c_user") == F.col("p_user"))
+                & (F.col("p_ts") >= F.col("c_ts"))
+                & (F.col("p_ts") <= F.col("c_ts")
+                   + F.expr("INTERVAL 1 HOUR")),
+                "inner",
+            )
+
+        t = lambda h, m: base + dt.timedelta(hours=h, minutes=m)
+        # several single-row files so maxFilesPerTrigger=1 forces many
+        # micro-batches — the live run is mid-stream whenever we stop it
+        for i, u in enumerate((1, 2, 3, 4)):
+            write_file([(i, t(1, u), u, "click", 1.0)])
+        write_file([(10, t(1, 11), 1, "purchase", 5.0)])
+        write_file([(11, t(1, 12), 2, "purchase", 5.0)])
+
+        q1 = (
+            build_join().writeStream.format("parquet")
+            .option("path", sink).option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(processingTime="50 milliseconds").start()
+        )
+        # wait for the live loop to make SOME progress, then kill it
+        # mid-stream (files remain unprocessed for at least one side)
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if any(
+                p["numInputRows"] > 0 for p in q1.recentProgress
+            ):
+                break
+            time.sleep(0.1)
+        q1.stop()
+        q1.awaitTermination(60)
+
+        # these arrive while the stream is DOWN; user 3/4 purchases match
+        # clicks that run 1 buffered into join state before the kill
+        write_file([(12, t(1, 13), 3, "purchase", 5.0)])
+        write_file([(13, t(1, 14), 4, "purchase", 5.0)])
+        # watermark-advancing sentinels on both filtered branches
+        write_file([(14, t(10, 0), -1, "click", 0.0),
+                    (15, t(10, 0), -1, "purchase", 0.0)])
+
+        q2 = (
+            build_join().writeStream.format("parquet")
+            .option("path", sink).option("checkpointLocation", ckpt)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q2.awaitTermination(120)
+        assert q2.exception() is None
+
+        rows = (spark.read.parquet(sink).where("c_user >= 0")
+                .select("c_event_id", "c_user").collect())
+        got = sorted((r["c_event_id"], r["c_user"]) for r in rows)
+        # exactly once each, wherever the kill landed
+        assert got == [(0, 1), (1, 2), (2, 3), (3, 4)]
