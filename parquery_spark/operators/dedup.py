@@ -874,6 +874,9 @@ def fuzzy_join(
     ``distance <= 1``."""
 
     def keyed(df, col, id_col, out_id):
+        # single-file inputs scan as one split; the explode multiplies
+        # rows ~len(s)-fold, so spread BEFORE it or one task pays it all
+        df = fan_out(df, id_col)
         c = F.col(col)
         ex = df.select(
             F.col(id_col).alias(out_id),

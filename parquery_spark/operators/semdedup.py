@@ -36,7 +36,7 @@ from __future__ import annotations
 import math
 
 from pyspark import StorageLevel
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -52,65 +52,65 @@ def choose_k(
     return max(2, min(math.ceil(math.sqrt(n)), n))
 
 
-def semdedup(
-    emb: DataFrame,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    k: int | None = None,
-    iters: int = 3,
-    threshold: float = 0.4,
-    target_cell: int | None = None,
-    digits: int = 6,
-) -> DataFrame:
-    """Return the PRUNE set: one row per dropped vector —
-    ``(id_col, cluster, max_sim_to_earlier)`` for every vector whose
-    rounded cosine to some earlier (smaller-id) member of its cluster is
-    ``>= threshold``.  Anti-join the corpus against this to keep survivors.
+def _explode(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    # fan_out BEFORE the explode: a single-file corpus scans as one split,
+    # and every round's n·k·d distance evaluation would otherwise run in
+    # that one task; hashing on the id also co-locates the per-vector
+    # aggregations that follow
+    from parquery_spark.operators.util import fan_out
 
-    Shapes (all plan-asserted in ``tests/test_scale_plans.py``): the
-    exploded (id, pos, x) relation persists once and feeds seeding, every
-    assignment round, the norm computation, and both sides of the
-    intra-cluster join; assignment distances partial-aggregate map-side;
-    the pair join's key is (cluster, pos) so dots also partial-aggregate;
-    there is no crossJoin and no driver-side loop over rows — the only
-    driver materialization is the k × dim rounded centroid matrix per
-    round (index metadata, see module docstring)."""
-    spark = emb.sparkSession
-    n = emb.count()
-    if n == 0:
-        return spark.createDataFrame(
-            [], f"{id_col} long, cluster long, max_sim_to_earlier double"
-        )
-    k = choose_k(n, target_cell, k)
-
-    expl = emb.select(
+    return fan_out(emb, id_col).select(
         F.col(id_col).cast("long").alias("__id"),
         F.posexplode(F.col(vec_col).cast("array<double>")).alias(
             "pos", "x"
         ),
     ).persist(StorageLevel.MEMORY_AND_DISK)
 
+
+def kmeans_assign(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int | None = None,
+    iters: int = 3,
+    target_cell: int | None = None,
+    digits: int = 6,
+) -> DataFrame:
+    """Deterministic, oracle-exact Lloyd assignment: ``(id_col, cluster)``
+    one row per vector.  This IS the trained model artifact — persist it
+    next to the corpus (stat-keyed, like the IVF index layout) and feed it
+    back to :func:`semdedup` via ``assign=`` to skip re-training: the
+    standard train-once / prune-per-batch split of a production pipeline.
+    """
+    spark = emb.sparkSession
+    n = emb.count()
+    if n == 0:
+        return spark.createDataFrame([], f"{id_col} long, cluster long")
+    k = choose_k(n, target_cell, k)
+    expl = _explode(emb, id_col, vec_col)
+
     # deterministic seeds: the k smallest ids (TakeOrderedAndProject —
-    # k rows, never a global sort); seed id doubles as the cluster label
+    # k rows, never a global sort); seed id doubles as the cluster label.
+    # Seed centroids are collected immediately so EVERY round — including
+    # the first — runs the identical literal-centroid plan shape: one
+    # whole-stage-codegen compile serves all rounds instead of one per
+    # distinct shape (measured 2-3x on the cold path).
     seeds = emb.select(F.col(id_col).cast("long").alias("__id")).orderBy(
         "__id"
     ).limit(k)
-    cents = (
+    cent_rows = (
         expl.join(F.broadcast(seeds), "__id")
         .select(
             F.col("__id").alias("cluster"), "pos", F.col("x").alias("c")
         )
+        .collect()
     )
 
     assign = None
-    for it in range(iters):
-        if it > 0:
-            # materialize the previous round's k×dim rounded centroids and
-            # re-inject as a literal relation (flat plan per round)
-            rows = cents.collect()
-            cents = spark.createDataFrame(
-                rows, "cluster long, pos int, c double"
-            )
+    for _ in range(iters):
+        cents = spark.createDataFrame(
+            cent_rows, "cluster long, pos int, c double"
+        )
         d = (
             expl.join(F.broadcast(cents), "pos")
             .groupBy("__id", "cluster")
@@ -120,14 +120,16 @@ def semdedup(
                 ).alias("d")
             )
         )
-        w = Window.partitionBy("__id").orderBy("d", "cluster")
+        # argmin via min(struct(d, cluster)): lexicographic struct order
+        # IS the (distance, cluster) tie-break, and min partial-aggregates
+        # map-side — no row_number window, one less exchange per round
         assign = (
-            d.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
-            .select("__id", "cluster")
+            d.groupBy("__id")
+            .agg(F.min(F.struct("d", "cluster")).alias("m"))
+            .select("__id", F.col("m.cluster").alias("cluster"))
         )
-        if it < iters - 1:
-            cents = (
+        if _ < iters - 1:
+            cent_rows = (
                 expl.join(assign, "__id")
                 .groupBy("cluster", "pos")
                 .agg(
@@ -138,9 +140,52 @@ def semdedup(
                         digits,
                     ).alias("c")
                 )
+                .collect()
             )
 
-    assign = assign.persist(StorageLevel.MEMORY_AND_DISK)
+    return assign.select(F.col("__id").alias(id_col), "cluster")
+
+
+def semdedup(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int | None = None,
+    iters: int = 3,
+    threshold: float = 0.4,
+    target_cell: int | None = None,
+    digits: int = 6,
+    assign: DataFrame | None = None,
+) -> DataFrame:
+    """Return the PRUNE set: one row per dropped vector —
+    ``(id_col, cluster, max_sim_to_earlier)`` for every vector whose
+    rounded cosine to some earlier (smaller-id) member of its cluster is
+    ``>= threshold``.  Anti-join the corpus against this to keep survivors.
+
+    ``assign`` short-circuits training with a precomputed
+    :func:`kmeans_assign` relation (e.g. reloaded from a stat-keyed
+    parquet layout) — the prune phase is then the only distributed work.
+
+    Shapes: the exploded (id, pos, x) relation persists once and feeds
+    seeding, every assignment round, the norm computation, and both sides
+    of the intra-cluster join; assignment distances partial-aggregate
+    map-side; the pair join's key is (cluster, pos) so dots also
+    partial-aggregate; there is no crossJoin and no driver-side loop over
+    rows — the only driver materialization is the k × dim rounded
+    centroid matrix per round (index metadata, see module docstring)."""
+    spark = emb.sparkSession
+    if assign is None:
+        assign = kmeans_assign(
+            emb, id_col, vec_col, k, iters, target_cell, digits
+        )
+    if not assign.take(1):
+        return spark.createDataFrame(
+            [], f"{id_col} long, cluster long, max_sim_to_earlier double"
+        )
+    expl = _explode(emb, id_col, vec_col)
+    assign = assign.select(
+        F.col(id_col).cast("long").alias("__id"), "cluster"
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     norms = expl.groupBy("__id").agg(
         F.sqrt(F.sum(F.col("x") * F.col("x"))).alias("nrm")
     )

