@@ -48,6 +48,35 @@ def _cents(col: str = "value"):
     return F.floor(F.col(col) * 100 + F.lit(0.5)).cast("long")
 
 
+#: TPC-H revenue variant of the same discipline: l_extendedprice (2-dec) x
+#: (1 - l_discount) (2-dec) is a 4-decimal row value, so ROUND(SUM(..), 2)
+#: has genuine half-way exposure (a sum ending in .xx5) that a 1-ulp
+#: cross-engine difference can flip.  Scale each row to integer
+#: ten-thousandths (the per-row double product is bit-identical on both
+#: engines, so the floor is too), sum exactly in int64, then round to
+#: cents IN THE INTEGER DOMAIN: floor((S + 50) / 100) / 100.0.  The /100
+#: happens on an exactly-representable integer < 2^53, so floor is exact
+#: and identical everywhere (valid while group revenue < ~9e11 — any
+#: per-group figure; a global 100 TB total would need int128/DECIMAL).
+_SQL_REV_E4 = (
+    "CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5)"
+    " AS BIGINT)"
+)
+
+
+def _rev_e4():
+    return F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+        + F.lit(0.5)
+    ).cast("long")
+
+
+def _e4_to_cents(sum_col):
+    """Integer-domain half-up round of a summed 1e-4-scaled column to a
+    2-decimal double."""
+    return F.floor((sum_col + F.lit(50)) / F.lit(100)) / 100.0
+
+
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     # hot-relation cache: small tables come back columnar-cached and
     # re-sliced; large ones stream (size gate inside get_relation)
@@ -374,7 +403,7 @@ def q20_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT r_name, n_name,
            COUNT(l_orderkey)                                        AS n_items,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)        AS revenue
+           CAST(floor((SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)) + 50) / 100) AS DOUBLE) / 100 AS revenue
     FROM lineitem
     JOIN orders   ON l_orderkey = o_orderkey
     JOIN customer ON o_custkey  = c_custkey
@@ -402,9 +431,7 @@ def q21_join_multi_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return j.groupBy("r_name", "n_name").agg(
         F.count("l_orderkey").alias("n_items"),
-        F.round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-        ).alias("revenue"),
+        _e4_to_cents(F.sum(_rev_e4())).alias("revenue"),
     )
 
 
@@ -3189,7 +3216,7 @@ def q93_decile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q94_SQL = """
 SELECT l_orderkey,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(floor((SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)) + 50) / 100) AS DOUBLE) / 100 AS revenue,
        o_orderdate, o_shippriority
 FROM customer
 JOIN orders ON c_custkey = o_custkey
@@ -3218,7 +3245,7 @@ def q94_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q95_SQL = """
 SELECT n_name,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       CAST(floor((SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)) + 50) / 100) AS DOUBLE) / 100 AS revenue
 FROM customer
 JOIN orders ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
@@ -3533,7 +3560,7 @@ def q100_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q101_bucketed_join",
     """
     SELECT o_orderstatus, COUNT(*) AS n,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           CAST(floor((SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)) + 50) / 100) AS DOUBLE) / 100 AS revenue
     FROM orders JOIN lineitem ON o_orderkey = l_orderkey
     GROUP BY o_orderstatus
     """,
@@ -3590,9 +3617,7 @@ def q101_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderstatus")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue"),
+            _e4_to_cents(F.sum(_rev_e4())).alias("revenue"),
         )
     )
 
@@ -3947,7 +3972,7 @@ def q107_grouped_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q108_tpch_q10",
     """
     SELECT c_custkey, c_name, n_name,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(floor((SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)) + 50) / 100) AS DOUBLE) / 100 AS revenue,
            COUNT(*) AS n_items
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
@@ -3983,9 +4008,7 @@ def q108_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         joined.groupBy("c_custkey", "c_name", "n_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue"),
+            _e4_to_cents(F.sum(_rev_e4())).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
@@ -3997,14 +4020,13 @@ def q108_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q109_tpch_q14",
     """
     SELECT ROUND(CAST(100 AS DOUBLE) * SUM(CASE WHEN p_type = 'PROMO'
-                     THEN l_extendedprice * (1 - l_discount)
-                     ELSE CAST(0 AS DOUBLE) END)
-                 / SUM(l_extendedprice * (1 - l_discount)), 6)
+                     THEN CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT) ELSE 0 END)
+                 / SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)), 6)
                AS promo_revenue_pct,
-           ROUND(SUM(CASE WHEN p_type = 'PROMO'
-                     THEN l_extendedprice * (1 - l_discount)
-                     ELSE CAST(0 AS DOUBLE) END), 2) AS promo_revenue,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+           CAST(floor((SUM(CASE WHEN p_type = 'PROMO'
+                     THEN CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT) ELSE 0 END) + 50) / 100) AS DOUBLE) / 100
+               AS promo_revenue,
+           CAST(floor((SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)) + 50) / 100) AS DOUBLE) / 100 AS total_revenue
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE l_shipdate >= TIMESTAMP '1995-09-01'
       AND l_shipdate <  TIMESTAMP '1995-10-01'
@@ -4021,14 +4043,14 @@ def q109_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1995-10-01").cast("timestamp"))
     )
     part = load(spark, sf_dir, "part").select("p_partkey", "p_type")
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    rev_e4 = _rev_e4()
+    promo_e4 = F.when(F.col("p_type") == "PROMO", rev_e4).otherwise(F.lit(0))
     return li.join(part, li["l_partkey"] == part["p_partkey"]).agg(
-        F.round(F.lit(100.0) * F.sum(promo) / F.sum(rev), 6).alias(
-            "promo_revenue_pct"
-        ),
-        F.round(F.sum(promo), 2).alias("promo_revenue"),
-        F.round(F.sum(rev), 2).alias("total_revenue"),
+        F.round(
+            F.lit(100.0) * F.sum(promo_e4) / F.sum(rev_e4), 6
+        ).alias("promo_revenue_pct"),
+        _e4_to_cents(F.sum(promo_e4)).alias("promo_revenue"),
+        _e4_to_cents(F.sum(rev_e4)).alias("total_revenue"),
     )
 
 
@@ -4036,7 +4058,7 @@ def q109_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q110_tpch_q19",
     """
     SELECT COUNT(*) AS n,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           CAST(floor((SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)) + 50) / 100) AS DOUBLE) / 100 AS revenue
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
            AND l_quantity BETWEEN 1 AND 11)
@@ -4064,9 +4086,7 @@ def q110_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return j.where(cond).agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-        ).alias("revenue"),
+        _e4_to_cents(F.sum(_rev_e4())).alias("revenue"),
     )
 
 
@@ -6595,7 +6615,9 @@ def q150_corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q151_tpch_q6",
     """
-    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+    SELECT CAST(floor((SUM(CAST(floor(l_extendedprice * l_discount
+                      * 10000 + 0.5) AS BIGINT)) + 50) / 100) AS DOUBLE)
+               / 100 AS revenue,
            COUNT(*) AS n_lines
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -6621,8 +6643,14 @@ def q151_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2
+            _e4_to_cents(
+                F.sum(
+                    F.floor(
+                        F.col("l_extendedprice") * F.col("l_discount")
+                        * 10000
+                        + F.lit(0.5)
+                    ).cast("long")
+                )
             ).alias("revenue"),
             F.count(F.lit(1)).alias("n_lines"),
         )
@@ -6633,12 +6661,14 @@ def q151_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q152_tpch_q7",
     """
     SELECT supp_nation, cust_nation, l_year,
-           ROUND(SUM(volume), 2) AS revenue
+           CAST(floor((SUM(volume_e4) + 50) / 100) AS DOUBLE) / 100
+               AS revenue
     FROM (
         SELECT n1.n_name AS supp_nation,
                n2.n_name AS cust_nation,
                CAST(year(l_shipdate) AS INT) AS l_year,
-               l_extendedprice * (1 - l_discount) AS volume
+               CAST(floor(l_extendedprice * (1 - l_discount) * 10000
+                          + 0.5) AS BIGINT) AS volume_e4
         FROM lineitem
         JOIN orders   ON o_orderkey = l_orderkey
         JOIN customer ON c_custkey  = o_custkey
@@ -6697,23 +6727,20 @@ def q152_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
         "supp_nation",
         "cust_nation",
         F.year("l_shipdate").cast("int").alias("l_year"),
-    ).agg(
-        F.round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-        ).alias("revenue")
-    )
+    ).agg(_e4_to_cents(F.sum(_rev_e4())).alias("revenue"))
 
 
 @query(
     "q153_tpch_q8",
     """
     SELECT o_year,
-           ROUND(SUM(CASE WHEN nation = 'NATION_3' THEN volume
-                          ELSE CAST(0 AS DOUBLE) END) / SUM(volume), 6)
+           ROUND(CAST(SUM(CASE WHEN nation = 'NATION_3' THEN volume_e4
+                          ELSE 0 END) AS DOUBLE) / SUM(volume_e4), 6)
                AS mkt_share
     FROM (
         SELECT CAST(year(o_orderdate) AS INT) AS o_year,
-               l_extendedprice * (1 - l_discount) AS volume,
+               CAST(floor(l_extendedprice * (1 - l_discount) * 10000
+                          + 0.5) AS BIGINT) AS volume_e4,
                n2.n_name AS nation
         FROM lineitem
         JOIN part     ON p_partkey = l_partkey
@@ -6770,12 +6797,14 @@ def q153_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
     )
-    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    vol = _rev_e4()
     return j.groupBy(
         F.year("o_orderdate").cast("int").alias("o_year")
     ).agg(
         F.round(
-            F.sum(F.when(F.col("nation") == "NATION_3", vol).otherwise(F.lit(0.0)))
+            F.sum(
+                F.when(F.col("nation") == "NATION_3", vol).otherwise(F.lit(0))
+            ).cast("double")
             / F.sum(vol),
             6,
         ).alias("mkt_share")
@@ -6787,7 +6816,7 @@ def q153_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH revenue AS (
         SELECT l_suppkey AS supplier_no,
-               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)
+               CAST(floor((SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)) + 50) / 100) AS DOUBLE) / 100
                    AS total_revenue
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1997-01-01'
@@ -6814,11 +6843,7 @@ def q154_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
         )
         .groupBy(F.col("l_suppkey").alias("supplier_no"))
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("total_revenue")
-        )
+        .agg(_e4_to_cents(F.sum(_rev_e4())).alias("total_revenue"))
     )
     revenue = revenue.persist()
     mx = revenue.agg(F.max("total_revenue").alias("__mx"))
@@ -6835,7 +6860,8 @@ def q154_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q155_tpch_q17",
     """
-    SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly,
+    SELECT ROUND(CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5)
+                      AS BIGINT)) AS DOUBLE) / 700, 2) AS avg_yearly,
            COUNT(*) AS n_lines
     FROM lineitem
     JOIN part ON p_partkey = l_partkey
@@ -6868,7 +6894,14 @@ def q155_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("l_quantity") < F.col("qty_threshold"))
     )
     return j.agg(
-        F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+        F.round(
+            F.sum(
+                F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+                .cast("long")
+            ).cast("double")
+            / 700,
+            2,
+        ).alias("avg_yearly"),
         F.count(F.lit(1)).alias("n_lines"),
     )
 
