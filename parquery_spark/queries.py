@@ -10046,6 +10046,202 @@ def q200_glob_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.withColumn("total", F.round("total", 2))
 
 
+@query(
+    "q201_next_event_labels",
+    """
+    WITH marked AS (
+        SELECT event_id, user_id, ts, event_type,
+               CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                       > 1800000000
+                    THEN 1 ELSE 0 END AS is_start
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+        SELECT event_id, user_id, ts, event_type,
+               SUM(is_start) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM marked
+    )
+    SELECT event_id, user_id, CAST(sid AS BIGINT) AS sid, event_type,
+           lead(event_type) OVER s AS next_type,
+           epoch_us(lead(ts) OVER s) - epoch_us(ts) AS next_gap_us
+    FROM sess
+    WINDOW s AS (PARTITION BY user_id, sid ORDER BY ts, event_id)
+    """,
+)
+def q201_next_event_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-label GENERATION (the dataset-materialization shape a
+    next-action model trains on): every event labeled with its session's
+    next event type and the exact microsecond gap — leads within
+    (user, session), null at session end, so labels never leak across
+    the 30-minute session boundary.  Composes the q186 sessionization
+    prefix with one more window on the same (user_id) partitioning: all
+    three windows share a single exchange.  Gaps are integer
+    microseconds — engine-exact, no float discipline needed."""
+    from pyspark.sql import Window
+
+    events = load_events(spark, sf_dir)
+    ts = F.col("ts").cast("timestamp")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap_us = F.unix_micros(ts) - F.unix_micros(
+        F.lag(ts).over(w)
+    )
+    is_start = F.when(
+        gap_us.isNull() | (gap_us > 1_800_000_000), 1
+    ).otherwise(0)
+    sess = events.select(
+        "event_id",
+        "user_id",
+        ts.alias("ts"),
+        "event_type",
+        F.sum(is_start).over(run).alias("sid"),
+    )
+    sw = Window.partitionBy("user_id", "sid").orderBy("ts", "event_id")
+    return sess.select(
+        "event_id",
+        "user_id",
+        F.col("sid").cast("long").alias("sid"),
+        "event_type",
+        F.lead("event_type").over(sw).alias("next_type"),
+        (
+            F.unix_micros(F.lead("ts").over(sw)) - F.unix_micros("ts")
+        ).alias("next_gap_us"),
+    )
+
+
+@query(
+    "q202_length_bucketing",
+    """
+    WITH toks AS (
+        SELECT doc_id, source,
+               CAST(length(list_filter(string_split_regex(lower(text),
+                    '[^a-z0-9'']+'), t -> t != '')) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    bucketed AS (
+        SELECT doc_id, source, n_tokens,
+               CASE WHEN n_tokens <= 64 THEN 64
+                    WHEN n_tokens <= 128 THEN 128
+                    WHEN n_tokens <= 256 THEN 256
+                    WHEN n_tokens <= 512 THEN 512
+                    WHEN n_tokens <= 1024 THEN 1024
+                    ELSE 2048 END AS bucket
+        FROM toks WHERE n_tokens > 0
+    )
+    SELECT bucket, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(bucket - n_tokens) AS BIGINT) AS total_padding,
+           ROUND(CAST(SUM(bucket - n_tokens) AS DOUBLE)
+                 / SUM(CAST(bucket AS BIGINT)), 6) AS waste_ratio
+    FROM bucketed GROUP BY bucket
+    """,
+)
+def q202_length_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-grouped batching accounting — the padding-efficiency
+    planner every training pipeline runs before choosing bucket
+    boundaries: docs binned to power-of-two token-length buckets, per-
+    bucket padding waste vs the tokens actually carried.  Buckets are a
+    fixed integer CASE ladder (never log2 — libm rounding at exact
+    powers of two is engine-dependent); the waste ratio divides two
+    exact integer sums.  One scan, one aggregate; complements q168
+    (packing into fixed windows) with the bucketed-batching strategy."""
+    from parquery_spark.functions.text import token_count
+
+    docs = load(spark, sf_dir, "documents")
+    n = token_count(F.col("text")).cast("long")
+    bucket = (
+        F.when(n <= 64, 64)
+        .when(n <= 128, 128)
+        .when(n <= 256, 256)
+        .when(n <= 512, 512)
+        .when(n <= 1024, 1024)
+        .otherwise(2048)
+    )
+    b = docs.select(
+        n.alias("n_tokens"), bucket.alias("bucket")
+    ).where(F.col("n_tokens") > 0)
+    return b.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum(F.col("bucket") - F.col("n_tokens")).alias("total_padding"),
+        F.round(
+            F.sum(F.col("bucket") - F.col("n_tokens")).cast("double")
+            / F.sum(F.col("bucket").cast("long")),
+            6,
+        ).alias("waste_ratio"),
+    )
+
+
+@query(
+    "q203_stream_semi_join",
+    """
+    SELECT c.event_id AS c_event_id, c.user_id AS c_user
+    FROM events c
+    WHERE c.event_type = 'click'
+      AND EXISTS (
+          SELECT 1 FROM events p
+          WHERE p.event_type = 'purchase'
+            AND p.user_id = c.user_id
+            AND p.ts >= c.ts
+            AND p.ts <= c.ts + INTERVAL 1 HOUR
+      )
+    """,
+)
+def q203_stream_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT SEMI join — the third join mode of the
+    streaming surface (q157 inner, q170 left-outer): clicks that
+    convert within the hour, each emitted ONCE however many purchases
+    match — existence, not pairing, so the purchase side never fans the
+    output out.  Same watermark + time-range state bounds as the other
+    two modes; the oracle is the batch EXISTS.  Emission of a matched
+    click still waits on the watermark (the engine must rule out
+    nothing — semi means at-most-once, and once = when the window
+    closes), so the sentinel close batches flush it like q170's
+    unmatched rows."""
+    from parquery_spark.streaming.events import (
+        events_stream,
+        run_available_now,
+    )
+
+    sent_dir = _sentinel_stream_dir(
+        spark, sf_dir, types=("click", "purchase")
+    )
+    opts = {"maxFilesPerTrigger": "1"}
+    clicks = (
+        events_stream(spark, sent_dir, watermark="2 hours", options=opts)
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("c_event_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+    )
+    purchases = (
+        events_stream(spark, sent_dir, watermark="2 hours", options=opts)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+        "left_semi",
+    )
+    out = run_available_now(
+        joined, "q203_sink", output_mode="append",
+        persist_tag=os.path.basename(sent_dir),
+    )
+    return out.where(F.col("c_user") >= 0).select("c_event_id", "c_user")
+
+
 # ===========================================================================
 # Driver-snapshot ordering
 # ===========================================================================

