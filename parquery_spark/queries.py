@@ -10242,6 +10242,105 @@ def q203_stream_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.where(F.col("c_user") >= 0).select("c_event_id", "c_user")
 
 
+@query(
+    "q204_stream_full_outer_join",
+    """
+    WITH clicks AS (
+        SELECT event_id AS c_event_id, user_id AS c_user, ts AS c_ts
+        FROM events WHERE event_type = 'click'
+    ),
+    purchases AS (
+        SELECT event_id AS p_event_id, user_id AS p_user, ts AS p_ts
+        FROM events WHERE event_type = 'purchase'
+    ),
+    joined AS (
+        SELECT c.c_event_id, p.p_event_id
+        FROM clicks c
+        FULL OUTER JOIN purchases p
+          ON c.c_user = p.p_user
+         AND p.p_ts >= c.c_ts
+         AND p.p_ts <= c.c_ts + INTERVAL 1 HOUR
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN c_event_id IS NOT NULL
+                          AND p_event_id IS NOT NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+           CAST(SUM(CASE WHEN p_event_id IS NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_click_only,
+           CAST(SUM(CASE WHEN c_event_id IS NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase_only
+    FROM joined
+    """,
+)
+def q204_stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream FULL OUTER join — completes the streaming join
+    matrix (q157 inner, q170 left-outer, q203 left-semi): matched pairs
+    emit on match; unmatched CLICKS evict with null purchase AND
+    unmatched PURCHASES evict with null click, each once the watermark
+    proves no counterpart can arrive.  Both sides' states face eviction
+    pressure, so this is the mode that exercises the store on both
+    sides.  The drained relation reduces to the match/only-left/
+    only-right census and hash-matches the batch FULL OUTER twin."""
+    from parquery_spark.streaming.events import (
+        events_stream,
+        run_available_now,
+    )
+
+    sent_dir = _sentinel_stream_dir(
+        spark, sf_dir, types=("click", "purchase")
+    )
+    opts = {"maxFilesPerTrigger": "1"}
+    clicks = (
+        events_stream(spark, sent_dir, watermark="2 hours", options=opts)
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("c_event_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+    )
+    purchases = (
+        events_stream(spark, sent_dir, watermark="2 hours", options=opts)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("p_event_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+        "full_outer",
+    ).select("c_event_id", "c_user", "p_event_id", "p_user")
+    out = run_available_now(
+        joined, "q204_sink", output_mode="append",
+        persist_tag=os.path.basename(sent_dir),
+    )
+    # drop sentinel-user rows from EITHER side before the census
+    real = out.where(
+        (F.coalesce("c_user", F.lit(0)) >= 0)
+        & (F.coalesce("p_user", F.lit(0)) >= 0)
+    )
+    matched = F.col("c_event_id").isNotNull() & F.col(
+        "p_event_id"
+    ).isNotNull()
+    return real.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(matched, 1).otherwise(0)).cast("long").alias(
+            "n_matched"
+        ),
+        F.sum(
+            F.when(F.col("p_event_id").isNull(), 1).otherwise(0)
+        ).cast("long").alias("n_click_only"),
+        F.sum(
+            F.when(F.col("c_event_id").isNull(), 1).otherwise(0)
+        ).cast("long").alias("n_purchase_only"),
+    )
+
+
 # ===========================================================================
 # Driver-snapshot ordering
 # ===========================================================================
