@@ -191,14 +191,19 @@ def triangle_stats(
     map-side and never shuffles.  Above the cap the hint is DROPPED and
     the closing join runs as an ordinary shuffle join on the packed key
     (same semantics) — a hardcoded hint on an oversized relation would
-    OOM the executors instead of degrading.  The edge count needed for
-    the gate is already computed for the output's ``n_edges`` column, so
-    the check adds no extra pass.
+    OOM the executors instead of degrading.  The gate reads the
+    OPTIMIZER's size estimate (driver-side metadata, the fan_out
+    pattern) so plan construction stays fully lazy — no job runs until
+    the caller executes the result.
     """
     from pyspark.sql import functions as F
 
     edges = edges.select("u", "v").persist()
-    m = edges.count()
+    est_bytes = int(
+        edges._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    )
+    # ~16 estimated bytes per (u, v) row; compare in row units
+    m_est = est_bytes // 16
     deg = (
         edges.select(F.col("u").alias("node"))
         .unionAll(edges.select(F.col("v").alias("node")))
@@ -228,14 +233,12 @@ def triangle_stats(
         ).alias("st")
     )
     closing = oriented.select(pack.alias("st"))
-    if m <= broadcast_max_edges:
+    if m_est <= broadcast_max_edges:
         closing = F.broadcast(closing)
     tri = wedges.join(closing, "st").agg(
         F.count(F.lit(1)).alias("n_triangles")
     )
-    n_edges = edges.sparkSession.createDataFrame(
-        [(m,)], "n_edges long"
-    )
+    n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
     n_wedges = deg.agg(
         F.sum((F.col("d") * (F.col("d") - 1) / 2).cast("long")).alias(
             "n_wedges"

@@ -75,19 +75,23 @@ def kmeans_assign(
     iters: int = 3,
     target_cell: int | None = None,
     digits: int = 6,
+    _expl: DataFrame | None = None,
 ) -> DataFrame:
     """Deterministic, oracle-exact Lloyd assignment: ``(id_col, cluster)``
     one row per vector.  This IS the trained model artifact — persist it
     next to the corpus (stat-keyed, like the IVF index layout) and feed it
     back to :func:`semdedup` via ``assign=`` to skip re-training: the
     standard train-once / prune-per-batch split of a production pipeline.
-    """
+
+    ``_expl`` lets :func:`semdedup` share ITS persisted exploded relation
+    with training — the heaviest intermediate must exist once, not once
+    per phase."""
     spark = emb.sparkSession
     n = emb.count()
     if n == 0:
         return spark.createDataFrame([], f"{id_col} long, cluster long")
     k = choose_k(n, target_cell, k)
-    expl = _explode(emb, id_col, vec_col)
+    expl = _explode(emb, id_col, vec_col) if _expl is None else _expl
 
     # deterministic seeds: the k smallest ids (TakeOrderedAndProject —
     # k rows, never a global sort); seed id doubles as the cluster label.
@@ -174,18 +178,21 @@ def semdedup(
     rows — the only driver materialization is the k × dim rounded
     centroid matrix per round (index metadata, see module docstring)."""
     spark = emb.sparkSession
+    expl = _explode(emb, id_col, vec_col)
     if assign is None:
         assign = kmeans_assign(
-            emb, id_col, vec_col, k, iters, target_cell, digits
+            emb, id_col, vec_col, k, iters, target_cell, digits,
+            _expl=expl,
         )
+    # persist BEFORE the emptiness probe so the probe's job is the one
+    # that materializes the cache, not a throwaway recompute
+    assign = assign.select(
+        F.col(id_col).cast("long").alias("__id"), "cluster"
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     if not assign.take(1):
         return spark.createDataFrame(
             [], f"{id_col} long, cluster long, max_sim_to_earlier double"
         )
-    expl = _explode(emb, id_col, vec_col)
-    assign = assign.select(
-        F.col(id_col).cast("long").alias("__id"), "cluster"
-    ).persist(StorageLevel.MEMORY_AND_DISK)
     norms = expl.groupBy("__id").agg(
         F.sqrt(F.sum(F.col("x") * F.col("x"))).alias("nrm")
     )

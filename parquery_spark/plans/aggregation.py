@@ -226,7 +226,11 @@ def build_aggregation_plan(
     paths = [file_name] if isinstance(file_name, str) else list(file_name)
     live_paths = []
     for p in paths:
-        if relations.has_glob_magic(p):
+        if os.path.exists(p):
+            # literal paths win even when they contain glob magic chars
+            # ('[', '*', '?' are legal filename characters)
+            live_paths.append(p)
+        elif relations.has_glob_magic(p):
             # glob → sorted literal paths; an empty match behaves exactly
             # like one missing file (skip, or raise per handle_missing_file)
             hits = relations.expand_globs([p])
@@ -234,8 +238,6 @@ def build_aggregation_plan(
                 live_paths.extend(hits)
             elif not handle_missing_file:
                 raise OSError(f"File {p} does not exist")
-        elif os.path.exists(p):
-            live_paths.append(p)
         elif not handle_missing_file:
             raise OSError(f"File {p} does not exist")
     if not live_paths:

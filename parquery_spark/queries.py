@@ -41,9 +41,8 @@ def query(name: str, sql: str | None = None):
 #: Leave the double domain per row instead: floor(x*100+0.5) on bitwise-
 #: identical per-row doubles -> exact int64 sum -> one final /100.0 (both
 #: engines then divide the SAME integer, so the result double is identical).
-_SQL_CENTS = "CAST(floor(value * 100 + 0.5) AS BIGINT)"
-
-
+#: Oracle SQL strings inline the textual twin of each helper — keep them in
+#: lockstep when editing either form.
 def _cents(col: str = "value"):
     return F.floor(F.col(col) * 100 + F.lit(0.5)).cast("long")
 
@@ -58,12 +57,6 @@ def _cents(col: str = "value"):
 #: happens on an exactly-representable integer < 2^53, so floor is exact
 #: and identical everywhere (valid while group revenue < ~9e11 — any
 #: per-group figure; a global 100 TB total would need int128/DECIMAL).
-_SQL_REV_E4 = (
-    "CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5)"
-    " AS BIGINT)"
-)
-
-
 def _rev_e4():
     return F.floor(
         F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000

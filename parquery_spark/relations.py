@@ -184,10 +184,15 @@ def expand_globs(paths: Sequence[str]) -> list[str]:
     untouched; a pattern matching nothing contributes nothing (callers
     that want missing-input errors check emptiness themselves).  Sorted
     expansion keeps multi-file schema-merge and cache keys deterministic
-    across runs."""
+    across runs.
+
+    A path that EXISTS literally is never treated as a pattern —
+    ``*?[`` are all legal filename characters, and a real file named
+    ``events[2024].parquet`` must keep resolving to itself, not to the
+    character class ``[2024]``."""
     out: list[str] = []
     for p in paths:
-        if has_glob_magic(p):
+        if has_glob_magic(p) and not os.path.exists(p):
             out.extend(sorted(_glob.glob(p)))
         else:
             out.append(p)

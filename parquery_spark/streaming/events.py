@@ -226,6 +226,7 @@ def run_available_now(
     timeout_sec: int = 300,
     state_partitions: int | None = 8,
     persist_tag: str | None = None,
+    version: str = "v1",
 ):
     """Drain a bounded stream through the real streaming engine
     (``availableNow`` trigger → memory sink) and return the static result
@@ -244,16 +245,23 @@ def run_available_now(
 
     ``persist_tag`` (append mode only) switches from the throwaway
     memory sink to a DURABLE parquet sink + checkpoint keyed by
-    ``(name, tag)`` — the production shape of an incremental pipeline.
-    Re-running the same query over the same (stat-keyed) input resumes
-    the checkpoint, finds every source file already committed, processes
-    ZERO new batches, and the previous sink contents ARE the result:
-    that no-op resume is the streaming engine's own exactly-once
-    restart semantics doing the caching (the same contract
-    ``tests/test_multimodal_streaming.py``'s kill/restart tests prove),
-    not a result memo — new input files under the same tag would be
-    drained incrementally.  Complete-mode queries keep the memory sink
-    (file sinks are append-only)."""
+    ``(name, version, tag)`` — the production shape of an incremental
+    pipeline.  Re-running the same query over the same (stat-keyed)
+    input resumes the checkpoint, finds every source file already
+    committed, processes ZERO new batches, and the previous sink
+    contents ARE the result: that no-op resume is the streaming engine's
+    own exactly-once restart semantics doing the caching (the same
+    contract ``tests/test_multimodal_streaming.py``'s kill/restart tests
+    prove), not a result memo — new input files under the same tag drain
+    incrementally.  Complete-mode queries keep the memory sink (file
+    sinks are append-only).
+
+    ``version`` is the LOGIC version of the streaming transformation —
+    the checkpoint can only detect input changes, never code changes, so
+    editing the query's semantics while keeping the old version would
+    silently serve pre-edit results (the stat-keyed-fixture staleness
+    trap, NOTES.md).  Bump it at every call site whose transformation
+    changes."""
     import tempfile
 
     spark = stream_df.sparkSession
@@ -263,7 +271,8 @@ def run_available_now(
     try:
         if persist_tag is not None and output_mode == "append":
             base = os.path.join(
-                tempfile.gettempdir(), f"pqs_drain_{name}_{persist_tag}"
+                tempfile.gettempdir(),
+                f"pqs_drain_{name}_{version}_{persist_tag}",
             )
             sink, ckpt = os.path.join(base, "sink"), os.path.join(
                 base, "ckpt"
@@ -276,9 +285,16 @@ def run_available_now(
                 .trigger(availableNow=True)
                 .start()
             )
-            q.awaitTermination(timeout_sec)
+            finished = q.awaitTermination(timeout_sec)
             if q.exception() is not None:
                 raise q.exception()
+            if not finished:
+                # the drain overran the timeout and is STILL writing: a
+                # read now would silently return a truncated prefix
+                q.stop()
+                raise TimeoutError(
+                    f"streaming drain '{name}' exceeded {timeout_sec}s"
+                )
             return spark.read.parquet(sink)
         q = (
             stream_df.writeStream.format("memory")
@@ -287,7 +303,14 @@ def run_available_now(
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(timeout_sec)
+        finished = q.awaitTermination(timeout_sec)
+        if q.exception() is not None:
+            raise q.exception()
+        if not finished:
+            q.stop()
+            raise TimeoutError(
+                f"streaming drain '{name}' exceeded {timeout_sec}s"
+            )
     finally:
         if state_partitions is not None:
             spark.conf.set("spark.sql.shuffle.partitions", prev)

@@ -815,21 +815,32 @@ class TestRound5PlanShapes:
         rows = {r["extra"]: r["s"] for r in df.collect()}
         assert rows == {None: 3.0, "x": 3.0}
 
-    def test_kmeans_assign_fans_out_single_split_corpus(self, spark, sf_dir):
+    def test_kmeans_assign_fans_out_single_split_corpus(self, spark):
         """The n*k*d distance evaluation must not run in one task when the
-        corpus arrives as a single parquet split."""
-        from parquery_spark import relations
-        from parquery_spark.operators.semdedup import kmeans_assign
+        corpus arrives as a single split: the exploded relation feeding
+        every Lloyd round must carry MORE partitions than its one-split
+        input (i.e. fan_out's repartition actually fired)."""
+        from pyspark.sql import functions as F
 
-        emb = relations.get_relation(
-            spark, os.path.join(sf_dir, "embeddings.parquet"), cache=False
+        from parquery_spark.operators.semdedup import _explode
+
+        # big enough to clear fan_out's optimizer-size floor, one split
+        emb = (
+            spark.range(40000)  # range stats ~8B/row: clear the 128KiB floor
+            .select(
+                F.col("id").alias("vec_id"),
+                F.array(*[F.rand(seed=i) for i in range(8)]).alias(
+                    "embedding"
+                ),
+            )
+            .coalesce(1)
         )
-        assign = kmeans_assign(emb, k=4, iters=1)
-        plan = plan_of(assign)
-        # fan_out fires: a round-robin/hash repartition precedes the
-        # explode (visible as an Exchange below the Generate)
-        assert "Generate explode" in plan or "Generate posexplode" in plan
-        assert assign.count() > 0
+        assert emb.rdd.getNumPartitions() == 1
+        expl = _explode(emb, "vec_id", "embedding")
+        try:
+            assert expl.rdd.getNumPartitions() > 1
+        finally:
+            expl.unpersist()
 
     def test_semdedup_prune_has_no_window_or_cartesian(self, spark, sf_dir):
         from parquery_spark import relations
@@ -845,10 +856,20 @@ class TestRound5PlanShapes:
 
     def test_fuzzy_join_spreads_explode(self, spark):
         """fuzzy_join's deletion-variant keying explodes each string
-        len+1-fold — a single-partition input must be spread first."""
+        len+1-fold — a single-partition input must be spread first.
+        Asserted on the PLAN: an Exchange (fan_out's repartition) must sit
+        below the Generate that does the explode; without it the whole
+        len(s)-fold key explosion runs in the input's one task."""
         from parquery_spark.operators.dedup import fuzzy_join
 
-        rows = [(i, f"name-{i:06d}") for i in range(5000)]
+        rows = [
+            (i, f"somewhat-longer-name-{i:06d}") for i in range(20000)
+        ]
         df = spark.createDataFrame(rows, "id long, s string").coalesce(1)
         out = fuzzy_join(df, df, "s", "s", "id", "id")
-        assert out.rdd.getNumPartitions() > 1 or out.count() >= 5000
+        plan = plan_of(out)
+        gen = plan.find("Generate explode")
+        assert gen != -1
+        # at least one Exchange BELOW (i.e. printed after) the last
+        # Generate: the spread happens before the explode consumes rows
+        assert "Exchange" in plan[gen:]
