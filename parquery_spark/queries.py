@@ -10334,6 +10334,132 @@ def q204_stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q205_bpe_pair_counts",
+    f"""
+    WITH toks AS ({_SQL_TOKS}),
+    words AS (SELECT t.w AS word FROM toks, unnest(toks.w) AS t(w)),
+    pairs AS (
+        SELECT word[i+1:i+1] AS a, word[i+2:i+2] AS b
+        FROM (SELECT word, unnest(range(len(word) - 1)) AS i FROM words
+              WHERE len(word) >= 2)
+    )
+    SELECT a, b, COUNT(*) AS n
+    FROM pairs GROUP BY a, b
+    ORDER BY n DESC, a, b LIMIT 20
+    """,
+)
+def q205_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first step of BPE vocabulary induction over the corpus:
+    adjacent character-pair frequencies within words (with multiplicity
+    — every occurrence votes), top 20 merge candidates.  Explode-shaped
+    (token explode, then a posexplode over the character positions) so
+    the pair stream partial-aggregates map-side into at most 36² keys —
+    the shuffle carries counts, never characters; the top-20 is
+    TakeOrderedAndProject.  Iterating this (merge the winner, recount)
+    is the full BPE trainer; one round is the gateable distributed
+    kernel.  Counts are exact integers."""
+    from parquery_spark.operators.dedup import shingle_tokens
+    from parquery_spark.operators.util import fan_out
+
+    docs = load(spark, sf_dir, "documents")
+    words = fan_out(docs, "doc_id").select(
+        F.explode(shingle_tokens("text")).alias("word")
+    ).where(F.length("word") >= 2)
+    pairs = words.select(
+        F.posexplode(
+            F.expr(
+                "transform(sequence(1, length(word) - 1),"
+                " i -> substring(word, i, 2))"
+            )
+        ).alias("_pos", "pair")
+    )
+    return (
+        pairs.select(
+            F.substring("pair", 1, 1).alias("a"),
+            F.substring("pair", 2, 1).alias("b"),
+        )
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "a", "b")
+        .limit(20)
+    )
+
+
+@query(
+    "q206_template_prefix_detection",
+    f"""
+    WITH corpus AS (
+        SELECT doc_id, source,
+               CASE WHEN doc_id % 5 = 0
+                    THEN 'this document is provided under the standard license agreement version two all rights reserved worldwide inc ' || text
+                    ELSE text END AS text
+        FROM documents
+    ),
+    toks AS (
+        SELECT doc_id, list_filter(string_split_regex(lower(text),
+               '[^a-z0-9'']+'), t -> t != '') AS w FROM corpus
+    ),
+    pref AS (
+        SELECT toks.doc_id, c.source,
+               md5(array_to_string(toks.w[1:16], ' ')) AS prefix_fp
+        FROM toks JOIN corpus c USING (doc_id)
+        WHERE len(toks.w) >= 16
+    )
+    SELECT source, prefix_fp,
+           COUNT(*) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS canonical_doc
+    FROM pref
+    GROUP BY source, prefix_fp
+    HAVING COUNT(*) >= 3
+    """,
+)
+def q206_template_prefix_detection(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Template/boilerplate detection at document granularity: documents
+    opening with the SAME first-16-token prefix inside one source are
+    instances of a shared template (scraped headers, license blocks,
+    generated pages) — the cheap screen that runs before expensive
+    near-dup machinery, because a prefix fingerprint costs one hash per
+    doc and groups exactly.  Emits each template (source, prefix
+    fingerprint) with its instance count and the smallest doc id as the
+    canonical representative — the same first-id-survivor convention as
+    q40's exact dedup.  One narrow projection, one groupBy on the
+    fingerprint; no joins, no text through the shuffle.  The synthetic
+    corpus is templateless word salad, so — as q102 corrupts names to
+    exercise fuzzy matching — every fifth document is deterministically
+    prefixed with a 16-token license template here, and the detector
+    must recover exactly those groups."""
+    from parquery_spark.operators.dedup import shingle_tokens
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.lit("this document is provided under the standard license agreement version two all rights reserved worldwide inc "), F.col("text")),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    w = shingle_tokens("text")
+    pref = docs.select(
+        "doc_id",
+        "source",
+        F.md5(
+            F.array_join(F.slice(w, 1, 16), " ")
+        ).alias("prefix_fp"),
+        F.size(w).alias("__n"),
+    ).where(F.col("__n") >= 16)
+    return (
+        pref.groupBy("source", "prefix_fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("canonical_doc"),
+        )
+        .where(F.col("n_docs") >= 3)
+    )
+
+
 # ===========================================================================
 # Driver-snapshot ordering
 # ===========================================================================
