@@ -10460,6 +10460,266 @@ def q206_template_prefix_detection(
     )
 
 
+@query(
+    "q207_resample_ffill",
+    """
+    WITH daily AS (
+        SELECT o_orderpriority AS priority,
+               CAST(o_orderdate AS DATE) AS day,
+               COUNT(*) AS n_orders,
+               SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS cents
+        FROM orders GROUP BY 1, 2
+    ),
+    cal AS (
+        SELECT s.priority, CAST(u.d AS DATE) AS day
+        FROM (SELECT priority, MIN(day) AS d0, MAX(day) AS d1
+              FROM daily GROUP BY 1) s,
+             unnest(generate_series(CAST(s.d0 AS TIMESTAMP),
+                                    CAST(s.d1 AS TIMESTAMP),
+                                    INTERVAL 1 DAY)) AS u(d)
+    )
+    SELECT c.priority, c.day,
+           COALESCE(d.n_orders, 0) AS n_orders,
+           LAST_VALUE(d.cents IGNORE NULLS) OVER (
+               PARTITION BY c.priority ORDER BY c.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) / 100.0 AS last_day_value
+    FROM cal c LEFT JOIN daily d USING (priority, day)
+    """,
+)
+def q207_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar resampling + forward fill — the time-series densify the
+    reference's groupby cannot express (absent buckets simply vanish
+    from its output).  Per order priority: one row for EVERY day of the
+    key's active span, order counts zero-filled on gap days and the
+    daily order value carried forward from the most recent present day.
+
+    Plan: one exchange to the (priority, day) grain, one exchange on
+    priority for the span/calendar/fill; the calendar explodes
+    JVM-side via ``sequence()`` (rows = span days x keys, never a
+    cross product), and the fill window's span-per-key is bounded by
+    calendar days, not data volume — no single-task window at 100 TB.
+    Money stays integer-cents until the final divide (NOTES.md
+    discipline)."""
+    from parquery_spark.operators.timeseries import resample_daily
+
+    orders = load(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("priority"),
+        "o_orderdate",
+        "o_totalprice",
+    )
+    dense = resample_daily(
+        orders,
+        keys=["priority"],
+        day_col="o_orderdate",
+        aggs={
+            "n_orders": F.count(F.lit(1)),
+            "cents": F.sum(_cents("o_totalprice")),
+        },
+        zero_fill=["n_orders"],
+        ffill=["cents"],
+    )
+    return dense.select(
+        "priority",
+        "day",
+        "n_orders",
+        (F.col("cents") / 100.0).alias("last_day_value"),
+    )
+
+
+@query(
+    "q208_embedding_quantization",
+    """
+    WITH q AS (
+        SELECT label, embedding,
+               CAST(list_min(embedding) AS DOUBLE) AS mn,
+               CAST(list_max(embedding) AS DOUBLE) AS mx
+        FROM embeddings
+    ),
+    c AS (
+        SELECT label, embedding, mn, mx,
+               list_transform(embedding, x ->
+                   CAST(floor((CAST(x AS DOUBLE) - mn) / (mx - mn) * 255
+                              + 0.5) AS BIGINT)) AS codes
+        FROM q
+    ),
+    e AS (
+        SELECT label, codes,
+               list_max(list_transform(generate_series(1, len(embedding)),
+                   i -> abs(mn + CAST(codes[i] AS DOUBLE) * (mx - mn) / 255
+                            - CAST(embedding[i] AS DOUBLE)))) AS err
+        FROM c
+    )
+    SELECT label,
+           COUNT(*) AS n_vecs,
+           CAST(SUM(list_sum(codes)) AS BIGINT) AS sum_codes,
+           MAX(err) AS max_abs_err
+    FROM e GROUP BY label
+    """,
+)
+def q208_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization of the embedding corpus (4x storage and
+    ANN-scan bandwidth cut) with its distortion audit: per label, the
+    vector count, the exact integer sum of all quantization codes
+    (bit-level proof both engines produced identical codes) and the
+    worst per-component reconstruction error.
+
+    Narrow map + one partial-aggregated groupBy — zero extra shuffles,
+    scales with scan bandwidth.  Determinism: every arithmetic step is
+    explicitly DOUBLE and textually identical to the oracle, so codes
+    and errors are bit-stable cross-engine (random floats never land on
+    decimal half-way points; the only exact halves, the range
+    endpoints, floor identically — see operators/quantize.py)."""
+    from parquery_spark.operators.quantize import quantize_int8
+
+    emb = load(spark, sf_dir, "embeddings")
+    qd = quantize_int8(emb, "embedding")
+    return (
+        qd.select(
+            "label",
+            F.expr("aggregate(codes, 0L, (a, x) -> a + x)").alias("__sc"),
+            "max_abs_err",
+        )
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum("__sc").alias("sum_codes"),
+            F.max("max_abs_err").alias("max_abs_err"),
+        )
+    )
+
+
+@query(
+    "q209_exact_quantiles",
+    """
+    WITH v AS (
+        SELECT l_returnflag AS flag,
+               CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+        FROM lineitem
+    ),
+    h AS (SELECT flag, cents, COUNT(*) AS cnt FROM v GROUP BY 1, 2),
+    c AS (
+        SELECT flag, cents,
+               SUM(cnt) OVER (PARTITION BY flag ORDER BY cents
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS cum,
+               SUM(cnt) OVER (PARTITION BY flag) AS n
+        FROM h
+    )
+    SELECT flag,
+           MIN(CASE WHEN cum >= ceil(0.5 * n) THEN cents END) / 100.0 AS p50,
+           MIN(CASE WHEN cum >= ceil(0.9 * n) THEN cents END) / 100.0 AS p90,
+           MIN(CASE WHEN cum >= ceil(0.99 * n) THEN cents END) / 100.0 AS p99,
+           MAX(cents) / 100.0 AS pmax,
+           TRUE AS approx_p50_ok
+    FROM c GROUP BY flag
+    """,
+)
+def q209_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distributed order statistics (p50/p90/p99/max of extended
+    price per return flag) via histogram selection — NOT a per-group
+    sort: group to the (flag, cents) histogram first (partial-aggregated
+    shuffle bounded by the fixed price domain, <= ~1.1e7 distinct cents,
+    INDEPENDENT of corpus size), then a cumulative count over the
+    histogram picks the value at rank ceil(p*n).  The per-flag window
+    runs over histogram rows only — a documented cardinality contract,
+    same as q79's prefix-sum discipline, not a data-volume window.
+
+    Also self-gates the scale path: ``percentile_approx`` (the t-digest
+    sketch you would actually ship at 100 TB) must land within 1% of the
+    exact p50 — emitted as a boolean against the oracle's TRUE, the
+    q54 sketch-gating pattern.  Integer-cents discipline throughout;
+    selection compares integers, so no float rounding can move a rank.
+    """
+    from pyspark.sql import Window
+
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        _cents("l_extendedprice").alias("cents"),
+    )
+    hist = li.groupBy("flag", "cents").agg(F.count(F.lit(1)).alias("cnt"))
+    wc = (
+        Window.partitionBy("flag")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.withColumn("cum", F.sum("cnt").over(wc)).withColumn(
+        "n", F.sum("cnt").over(Window.partitionBy("flag"))
+    )
+    exact = cum.groupBy("flag").agg(
+        (
+            F.min(
+                F.when(
+                    F.col("cum") >= F.ceil(F.lit(0.5) * F.col("n")),
+                    F.col("cents"),
+                )
+            )
+            / 100.0
+        ).alias("p50"),
+        (
+            F.min(
+                F.when(
+                    F.col("cum") >= F.ceil(F.lit(0.9) * F.col("n")),
+                    F.col("cents"),
+                )
+            )
+            / 100.0
+        ).alias("p90"),
+        (
+            F.min(
+                F.when(
+                    F.col("cum") >= F.ceil(F.lit(0.99) * F.col("n")),
+                    F.col("cents"),
+                )
+            )
+            / 100.0
+        ).alias("p99"),
+        (F.max("cents") / 100.0).alias("pmax"),
+    )
+    approx = li.groupBy("flag").agg(
+        (F.percentile_approx("cents", 0.5, 10000) / 100.0).alias("__ap50")
+    )
+    return (
+        exact.join(F.broadcast(approx), "flag")
+        .withColumn(
+            "approx_p50_ok",
+            (F.abs(F.col("__ap50") - F.col("p50")) <= 0.01 * F.col("p50")),
+        )
+        .drop("__ap50")
+    )
+
+
+@query("q210_bpe_train_merges")  # iterative trainer: no SQL twin (pytest
+#                                 holds a pure-Python oracle instead)
+def q210_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training, 3 merge rounds over the
+    document corpus: the corpus first collapses to its distinct-word
+    histogram (production-trainer shape — merge rounds then fold over
+    |vocabulary| weighted rows, not |corpus| occurrences), then each
+    round is one map-side-combined pair-count aggregation (the q205
+    kernel — shuffle carries (a, b, count), at most |vocab|^2 keys,
+    never text) + a 1-row top-pair collect + a pure-Column greedy fold
+    rewriting the persisted symbol histogram (plan depth O(1) per
+    round, k-means-loop discipline).  Returns the
+    learned merge table (a, b, count) in merge order — deterministic
+    under the (count DESC, a, b) tie-break, property-tested against a
+    pure-Python reference in tests/test_bpe.py."""
+    from parquery_spark.operators.bpe import bpe_train
+    from parquery_spark.operators.dedup import shingle_tokens
+
+    docs = load(spark, sf_dir, "documents")
+    words = (
+        fan_out(docs, "doc_id")
+        .select(F.explode(shingle_tokens("text")).alias("word"))
+        .where(F.length("word") >= 2)
+    )
+    merges = bpe_train(words, n_merges=3)
+    return spark.createDataFrame(
+        [(i, a, b, n) for i, (a, b, n) in enumerate(merges)],
+        "merge_idx INT, a STRING, b STRING, n BIGINT",
+    )
+
+
 # ===========================================================================
 # Driver-snapshot ordering
 # ===========================================================================

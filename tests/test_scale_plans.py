@@ -873,3 +873,76 @@ class TestRound5PlanShapes:
         # at least one Exchange BELOW (i.e. printed after) the last
         # Generate: the spread happens before the explode consumes rows
         assert "Exchange" in plan[gen:]
+
+    def test_resample_calendar_has_no_cartesian_and_partitioned_fill(
+        self, spark, sf_dir
+    ):
+        """q207's densify: the calendar must come from a JVM-side
+        sequence() explode (rows = keys x span days), NEVER a cross
+        join against a generated range, and the forward-fill window
+        must be hash-partitioned on the key (no single-task window)."""
+        from parquery_spark import relations
+        from parquery_spark.operators.timeseries import resample_daily
+
+        orders = relations.get_relation(
+            spark, os.path.join(sf_dir, "orders.parquet"), cache=False
+        )
+        dense = resample_daily(
+            orders.select(
+                F.col("o_orderpriority").alias("priority"),
+                "o_orderdate", "o_totalprice",
+            ),
+            keys=["priority"],
+            day_col="o_orderdate",
+            aggs={"n": F.count(F.lit(1))},
+            zero_fill=["n"],
+            ffill=[],
+        )
+        plan = plan_of(dense)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "Generate explode(sequence(" in plan
+
+    def test_exact_quantiles_window_runs_on_histogram_not_rows(
+        self, spark, sf_dir
+    ):
+        """q209's selection: the per-flag cumulative window must consume
+        the (flag, cents) HISTOGRAM (a partial-aggregated HashAggregate
+        sits below the Window), never raw rows — that is the whole
+        domain-bounded-cardinality contract."""
+        import __spark_entry__ as e
+
+        df = e.queries()["q209_exact_quantiles"](spark, sf_dir)
+        plan = plan_of(df)
+        win = plan.find("Window")
+        assert win != -1
+        below = plan[win:]
+        assert "HashAggregate" in below and "partial_count" in below
+
+    def test_quantize_int8_is_a_pure_narrow_map(self, spark, sf_dir):
+        """Quantization must add ZERO exchanges — a narrow map over the
+        scan (scales with IO bandwidth alone) with no Python in the row
+        path."""
+        from parquery_spark import relations
+        from parquery_spark.operators.quantize import quantize_int8
+
+        emb = relations.get_relation(
+            spark, os.path.join(sf_dir, "embeddings.parquet"), cache=False
+        )
+        plan = plan_of(quantize_int8(emb))
+        assert "Exchange" not in plan
+        assert "Python" not in plan  # no BatchEvalPython / ArrowEvalPython
+
+    def test_bpe_pair_counts_partial_aggregate_before_shuffle(self, spark):
+        """The BPE kernel's shuffle must carry (a, b, partial count),
+        never the exploded pair stream: a partial HashAggregate sits
+        below the Exchange."""
+        from parquery_spark.operators.bpe import _pair_counts, symbolize
+
+        words = spark.createDataFrame(
+            [(f"word{i % 7}",) for i in range(100)], ["word"]
+        )
+        plan = plan_of(_pair_counts(symbolize(words)))
+        ex = plan.find("Exchange hashpartitioning(a")
+        assert ex != -1
+        assert "HashAggregate" in plan[ex:]  # partial agg below the shuffle
