@@ -10720,6 +10720,154 @@ def q210_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q211_pq_adc_ann",
+    # q83-style gate: exact brute-force top-1 (id + rounded squared L2)
+    # hash-matches DuckDB; PQ quality is a boolean — ADC recall@10 vs the
+    # exact top-10 must clear 0.4 or Spark emits FALSE and the round
+    # mismatches.  (Codes/codebooks are quantizer state, not hashable.)
+    """
+    WITH qs AS (
+        SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        FROM embeddings WHERE vec_id IN (0, 1, 2, 3)
+    ),
+    ranked AS (
+        SELECT qs.query_id, e.vec_id,
+               ROUND(list_sum(list_transform(generate_series(1, len(qs.qv)),
+                     i -> (CAST(e.embedding[i] AS DOUBLE) - qs.qv[i])
+                        * (CAST(e.embedding[i] AS DOUBLE) - qs.qv[i]))),
+                     6) AS d2,
+               ROW_NUMBER() OVER (
+                   PARTITION BY qs.query_id
+                   ORDER BY ROUND(list_sum(list_transform(
+                       generate_series(1, len(qs.qv)),
+                       i -> (CAST(e.embedding[i] AS DOUBLE) - qs.qv[i])
+                          * (CAST(e.embedding[i] AS DOUBLE) - qs.qv[i]))),
+                       6), e.vec_id
+               ) AS rn
+        FROM embeddings e CROSS JOIN qs
+    )
+    SELECT query_id,
+           MAX(CASE WHEN rn = 1 THEN vec_id END) AS top1_id,
+           MAX(CASE WHEN rn = 1 THEN d2 END) AS top1_d2,
+           TRUE AS recall_ok
+    FROM ranked WHERE rn <= 10 GROUP BY query_id
+    """,
+)
+def q211_pq_adc_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization end to end (Jégou et al. 2011 — the PQ rung
+    of the IVF-PQ stack, between q208's scalar quantization and q83's
+    IVF): per-subspace k-means codebooks (m=8 x k=16 — 8 bytes/vector
+    instead of 256), corpus encoded once per corpus version (stat-keyed
+    model artifact, the q82/q83/q167 pattern), queries answered the
+    production way: ADC shortlist (broadcast m x k lookup table per
+    query summed over the CODE scan — full-precision vectors never
+    touch it), then exact re-rank of the max(50, n/20)-candidate
+    shortlist only.
+
+    Exact brute-force squared-L2 top-1 per query is hash-matched against
+    the oracle (per-row left-to-right array fold on both engines, round
+    6); re-ranked recall@10 vs exact top-10 gates as a boolean >= 0.5
+    (honest bar: near-uniform synthetic embeddings are the PQ worst
+    case; measured 0.6-1.0 across SFs)."""
+    import hashlib
+    import tempfile
+
+    from parquery_spark.operators.pq import adc_topk, pq_train
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    src = _path(sf_dir, "embeddings")
+    st = os.stat(src)
+    ident = f"{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}|pq_m8k16i2"
+    tag = hashlib.md5(ident.encode()).hexdigest()[:10]
+    adir = os.path.join(tempfile.gettempdir(), f"pqs_pq_model_{tag}")
+    codes_dir = os.path.join(adir, "codes")
+    book_dir = os.path.join(adir, "codebook")
+    if not os.path.exists(os.path.join(book_dir, "_SUCCESS")):
+        codes, codebook = pq_train(emb, m=8, k=16, iters=2)
+        codes.write.mode("overwrite").parquet(codes_dir)
+        codebook.write.mode("overwrite").parquet(book_dir)
+    codes = spark.read.parquet(codes_dir)
+    codebook = spark.read.parquet(book_dir)
+
+    n = emb.count()
+    shortlist = max(50, n // 20)
+    qids = [0, 1, 2, 3]
+    qrows = emb.filter(F.col("vec_id").isin(qids)).collect()
+    queries = spark.createDataFrame(
+        [(int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in qrows],
+        "q_id long, q_vec array<double>",
+    )
+    short = adc_topk(
+        codes, codebook, queries, topk=shortlist, m=8
+    ).select("q_id", "vec_id").persist()
+    short.count()
+
+    # exact-distance fold per query (left-to-right, the oracle's
+    # list_sum order); over the full corpus for the hash-matched truth,
+    # over the shortlist only for the re-rank — TakeOrderedAndProject
+    # top-10 both ways
+    def d2_col(qv: list[float]):
+        lit_q = F.array(*[F.lit(v) for v in qv])
+        return F.round(
+            F.aggregate(
+                F.zip_with(
+                    F.col("embedding").cast("array<double>"),
+                    lit_q,
+                    lambda x, y: (x - y) * (x - y),
+                ),
+                F.lit(0.0),
+                lambda acc, e: acc + e,
+            ),
+            6,
+        )
+
+    def topk_of(src_df: DataFrame, qid: int, qv: list[float]) -> DataFrame:
+        return (
+            src_df.select(
+                F.lit(qid).cast("long").alias("query_id"),
+                "vec_id",
+                d2_col(qv).alias("d2"),
+            )
+            .orderBy("d2", "vec_id")
+            .limit(10)
+        )
+
+    import functools
+
+    exact_parts, rerank_parts = [], []
+    for r in qrows:
+        qid, qv = int(r["vec_id"]), [float(x) for x in r["embedding"]]
+        exact_parts.append(topk_of(emb, qid, qv))
+        cand = emb.join(
+            short.where(F.col("q_id") == qid).select("vec_id"), "vec_id"
+        )
+        rerank_parts.append(topk_of(cand, qid, qv))
+    exact = functools.reduce(DataFrame.unionByName, exact_parts)
+    rerank = functools.reduce(DataFrame.unionByName, rerank_parts)
+
+    e = exact.groupBy("query_id").agg(
+        F.min_by("vec_id", F.struct("d2", "vec_id")).alias("top1_id"),
+        F.min("d2").alias("top1_d2"),
+        F.collect_set("vec_id").alias("exact_ids"),
+    )
+    a = rerank.groupBy("query_id").agg(
+        F.collect_set("vec_id").alias("pq_ids")
+    )
+    return (
+        e.join(F.broadcast(a), "query_id")
+        .withColumn(
+            "recall_ok",
+            (
+                F.size(F.array_intersect("exact_ids", "pq_ids"))
+                / F.lit(10.0)
+                >= 0.5
+            ),
+        )
+        .select("query_id", "top1_id", "top1_d2", "recall_ok")
+    )
+
+
 # ===========================================================================
 # Driver-snapshot ordering
 # ===========================================================================

@@ -946,3 +946,32 @@ class TestRound5PlanShapes:
         ex = plan.find("Exchange hashpartitioning(a")
         assert ex != -1
         assert "HashAggregate" in plan[ex:]  # partial agg below the shuffle
+
+    def test_pq_adc_scan_is_broadcast_lookup_with_partial_agg(
+        self, spark, sf_dir
+    ):
+        """q211's ADC scan: the per-query m x k lookup table must join
+        into the code scan as a BROADCAST (KB-scale metadata, never a
+        shuffle of the corpus), and the distance sum must partial-
+        aggregate below its exchange.  Full-precision vectors must not
+        appear on the scan side at all."""
+        from parquery_spark import relations
+        from parquery_spark.operators.pq import adc_topk, pq_train
+
+        emb = relations.get_relation(
+            spark, os.path.join(sf_dir, "embeddings.parquet"), cache=False
+        ).select("vec_id", "embedding")
+        codes, book = pq_train(emb, m=4, k=4, iters=1)
+        qrows = emb.limit(2).collect()
+        queries = spark.createDataFrame(
+            [(int(r["vec_id"]), [float(x) for x in r["embedding"]])
+             for r in qrows],
+            "q_id long, q_vec array<double>",
+        )
+        out = adc_topk(codes, book, queries, topk=5, m=4)
+        plan = plan_of(out)
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+        ex = plan.find("Exchange hashpartitioning(q_id")
+        assert ex != -1
+        assert "HashAggregate" in plan[ex:]
