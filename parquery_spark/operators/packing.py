@@ -126,3 +126,42 @@ def write_shards(
 
     packed = pack_shards(df, size_col, shard_size, order_col)
     return write_partitioned(packed, path, ["shard_id"], mode=mode)
+
+
+def sliding_chunks(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    size: int = 64,
+    stride: int = 32,
+) -> DataFrame:
+    """Retrieval-side packing: split each document's token array into
+    overlapping sliding windows (``size`` tokens every ``stride``) — the
+    standard RAG chunking shape.  One row per (doc, chunk) with the
+    chunk's start offset, actual length, and text fingerprint.
+
+    Pure Column plan: ``sequence(0, n-1, stride)`` generates the start
+    offsets JVM-side and ``explode`` fans them out (factor ≈
+    tokens/stride — linear in corpus tokens, no join); the per-chunk
+    ``slice`` runs AFTER the explode, one slice per emitted chunk (never
+    inside a ``transform`` lambda — the HOF-hoisting hazard).  Callers
+    with single-file inputs must ``fan_out`` first, as with every
+    row-multiplying explode."""
+    n = F.size(tokens_col)
+    starts = df.where(n > 0).select(
+        id_col,
+        F.col(tokens_col).alias("__w"),
+        F.explode(
+            F.sequence(F.lit(0), n - 1, F.lit(int(stride)))
+        ).alias("start"),
+    )
+    chunk = F.slice("__w", F.col("start") + 1, size)
+    return starts.select(
+        id_col,
+        (F.col("start") / stride).cast("long").alias("chunk_idx"),
+        F.col("start").cast("long").alias("start_tok"),
+        F.least(F.lit(size), F.size("__w") - F.col("start"))
+        .cast("long")
+        .alias("chunk_len"),
+        F.md5(F.array_join(chunk, " ")).alias("chunk_fp"),
+    )

@@ -10868,6 +10868,44 @@ def q211_pq_adc_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q212_rag_chunking",
+    f"""
+    WITH toks AS ({_SQL_TOKS}),
+    starts AS (
+        SELECT doc_id, w, unnest(range(0, len(w), 32)) AS start
+        FROM toks WHERE len(w) > 0
+    )
+    SELECT doc_id,
+           CAST(start // 32 AS BIGINT) AS chunk_idx,
+           CAST(start AS BIGINT) AS start_tok,
+           CAST(least(64, len(w) - start) AS BIGINT) AS chunk_len,
+           md5(array_to_string(w[start + 1 : start + 64], ' ')) AS chunk_fp
+    FROM starts
+    """,
+)
+def q212_rag_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-side document chunking: every document split into
+    64-token sliding windows at stride 32 (the standard RAG overlap),
+    one row per chunk with offset, length, and an md5 fingerprint of the
+    chunk text — the relation an embedding/indexing stage consumes.
+
+    Via :func:`parquery_spark.operators.packing.sliding_chunks`: start
+    offsets generate JVM-side (``sequence`` + explode, factor ≈
+    tokens/32 — linear, no join), the per-chunk ``slice`` runs after the
+    explode (never inside a ``transform`` lambda — the HOF-hoisting
+    hazard), and the fingerprint keeps chunk TEXT out of the shuffle
+    wherever this composes with dedup (q206) or the q45 indexing path.
+    """
+    from parquery_spark.operators.dedup import shingle_tokens
+    from parquery_spark.operators.packing import sliding_chunks
+
+    docs = fan_out(load(spark, sf_dir, "documents"), "doc_id").select(
+        "doc_id", shingle_tokens("text").alias("w")
+    )
+    return sliding_chunks(docs, "doc_id", "w", size=64, stride=32)
+
+
 # ===========================================================================
 # Driver-snapshot ordering
 # ===========================================================================
@@ -10887,12 +10925,14 @@ DRIVER_PRIORITY: list[str] = [
     "q04_filter_range_and", "q05_filter_neq_notin", "q06_count_family",
     "q07_one_min_max_stddev", "q08_passthrough",
     "q09_missing_column_splice", "q10_groupby_only_distinct",
-    # joins
-    "q20_join_broadcast", "q22_semi_anti_join", "q31_asof_join",
-    "q32_range_join",
-    # window / top-k / set ops / grouping / scalar / time
-    "q23_window_topn", "q25_topk_global", "q26_set_ops",
+    # joins (semi/anti stays gate-covered via q22; asof/range represent)
+    "q20_join_broadcast", "q31_asof_join", "q32_range_join",
+    # window / top-k / set ops / grouping / scalar / time / order stats
+    "q23_window_topn", "q26_set_ops",
     "q92_grouping_sets", "q29_scalar_functions", "q30_time_bucket",
+    "q209_exact_quantiles",
+    # round-5 families: time-series densify + embedding compression
+    "q207_resample_ffill", "q208_embedding_quantization",
     # dedup family
     "q40_dedup_exact", "q43_minhash_lsh", "q82_indexed_dedup_probe",
     "q102_fuzzy_match",
@@ -10904,7 +10944,7 @@ DRIVER_PRIORITY: list[str] = [
     # graph
     "q62_dedup_clusters", "q132_pagerank",
     # pii / packing / sources
-    "q64_pii_audit", "q66_shard_packing", "q67_csv_source", "q76_json_props",
+    "q64_pii_audit", "q66_shard_packing", "q67_csv_source",
     # streaming (real Structured Streaming drains)
     "q84_streaming_window_counts", "q97_streaming_sessionize",
     "q157_stream_stream_join", "q170_stream_outer_join_funnel",
