@@ -10352,35 +10352,44 @@ def q204_stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q205_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The first step of BPE vocabulary induction over the corpus:
     adjacent character-pair frequencies within words (with multiplicity
-    — every occurrence votes), top 20 merge candidates.  Explode-shaped
-    (token explode, then a posexplode over the character positions) so
-    the pair stream partial-aggregates map-side into at most 36² keys —
-    the shuffle carries counts, never characters; the top-20 is
+    — every occurrence votes), top 20 merge candidates.  Production-
+    trainer shape (operators/bpe.py): the corpus collapses to its
+    DISTINCT-word histogram first (one partial-aggregated shuffle with
+    at most |vocabulary| keys), so the per-character explode runs over
+    vocabulary entries and pair votes weight by word frequency — the
+    char-pair stream then partial-aggregates into at most 36² keys; the
+    shuffle carries counts, never characters, and the top-20 is
     TakeOrderedAndProject.  Iterating this (merge the winner, recount)
-    is the full BPE trainer; one round is the gateable distributed
-    kernel.  Counts are exact integers."""
+    is the full BPE trainer (q210); one round is the gateable
+    distributed kernel.  Counts are exact integers."""
     from parquery_spark.operators.dedup import shingle_tokens
     from parquery_spark.operators.util import fan_out
 
     docs = load(spark, sf_dir, "documents")
-    words = fan_out(docs, "doc_id").select(
-        F.explode(shingle_tokens("text")).alias("word")
-    ).where(F.length("word") >= 2)
-    pairs = words.select(
+    vocab = (
+        fan_out(docs, "doc_id")
+        .select(F.explode(shingle_tokens("text")).alias("word"))
+        .where(F.length("word") >= 2)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    pairs = vocab.select(
+        "w",
         F.posexplode(
             F.expr(
                 "transform(sequence(1, length(word) - 1),"
                 " i -> substring(word, i, 2))"
             )
-        ).alias("_pos", "pair")
+        ).alias("_pos", "pair"),
     )
     return (
         pairs.select(
             F.substring("pair", 1, 1).alias("a"),
             F.substring("pair", 2, 1).alias("b"),
+            "w",
         )
         .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.sum("w").alias("n"))
         .orderBy(F.desc("n"), "a", "b")
         .limit(20)
     )
@@ -10904,6 +10913,106 @@ def q212_rag_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", shingle_tokens("text").alias("w")
     )
     return sliding_chunks(docs, "doc_id", "w", size=64, stride=32)
+
+
+@query(
+    "q213_matryoshka_eval",
+    # fully hash-matched (unlike the q83/q211 recall booleans): BOTH
+    # rankings are exact brute force, so overlap/top1 are deterministic
+    # integers on both engines
+    """
+    WITH qs AS (
+        SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        FROM embeddings WHERE vec_id IN (0, 1, 2, 3)
+    ),
+    sims AS (
+        SELECT qs.query_id, e.vec_id,
+               ROUND(list_dot_product(e.embedding::DOUBLE[], qs.qv) /
+                     (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                            e.embedding::DOUBLE[]))
+                      * sqrt(list_dot_product(qs.qv, qs.qv))), 6) AS simf,
+               ROUND(list_dot_product((e.embedding[1:16])::DOUBLE[],
+                                      qs.qv[1:16]) /
+                     (sqrt(list_dot_product((e.embedding[1:16])::DOUBLE[],
+                                            (e.embedding[1:16])::DOUBLE[]))
+                      * sqrt(list_dot_product(qs.qv[1:16], qs.qv[1:16]))),
+                     6) AS simt
+        FROM embeddings e CROSS JOIN qs
+    ),
+    r AS (
+        SELECT query_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY simf DESC, vec_id) AS rf,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY simt DESC, vec_id) AS rt
+        FROM sims
+    )
+    SELECT query_id,
+           MAX(CASE WHEN rf = 1 THEN vec_id END) AS top1_full,
+           MAX(CASE WHEN rt = 1 THEN vec_id END) AS top1_trunc,
+           CAST(COUNT(CASE WHEN rf <= 10 AND rt <= 10 THEN 1 END)
+                AS BIGINT) AS overlap_at_10
+    FROM r GROUP BY query_id
+    """,
+)
+def q213_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style truncation evaluation: how much retrieval
+    quality survives when the 64-dim embeddings are truncated to their
+    first 16 dims (4x cheaper storage/scan — the dimension-reduction
+    sibling of q208's precision reduction and q211's PQ)?  Per probe
+    query: exact full-dim top-1, exact truncated top-1, and the overlap
+    between the two exact top-10 sets — the standard eval a pipeline
+    runs before committing to a cheaper index.
+
+    Every ranking is brute-force-exact (q45's explode-shaped cosine,
+    TakeOrderedAndProject top-k per query — no window over the corpus),
+    so the whole output hash-matches the oracle; integers only."""
+    from parquery_spark.operators.similarity import cosine_topk
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb16 = emb.select("vec_id", F.slice("embedding", 1, 16).alias("embedding"))
+    qids = [0, 1, 2, 3]
+    qrows = emb.filter(F.col("vec_id").isin(qids)).collect()
+
+    import functools
+
+    def tag(df: DataFrame, qid: int) -> DataFrame:
+        return df.select(
+            F.lit(qid).cast("long").alias("query_id"), "vec_id", "cosine_sim"
+        )
+
+    full_parts, trunc_parts = [], []
+    for r in qrows:
+        qid = int(r["vec_id"])
+        qv = [float(x) for x in r["embedding"]]
+        full_parts.append(tag(cosine_topk(emb, qv, 10), qid))
+        trunc_parts.append(tag(cosine_topk(emb16, qv[:16], 10), qid))
+    full = functools.reduce(DataFrame.unionByName, full_parts)
+    trunc = functools.reduce(DataFrame.unionByName, trunc_parts)
+
+    f = full.groupBy("query_id").agg(
+        F.max_by(
+            "vec_id", F.struct("cosine_sim", (-F.col("vec_id")).alias("t"))
+        ).alias("top1_full"),
+        F.collect_set("vec_id").alias("full_ids"),
+    )
+    t = trunc.groupBy("query_id").agg(
+        F.max_by(
+            "vec_id", F.struct("cosine_sim", (-F.col("vec_id")).alias("t"))
+        ).alias("top1_trunc"),
+        F.collect_set("vec_id").alias("trunc_ids"),
+    )
+    return (
+        f.join(F.broadcast(t), "query_id")
+        .select(
+            "query_id",
+            "top1_full",
+            "top1_trunc",
+            F.size(F.array_intersect("full_ids", "trunc_ids"))
+            .cast("long")
+            .alias("overlap_at_10"),
+        )
+    )
 
 
 # ===========================================================================
