@@ -561,3 +561,84 @@ class TestSemDeDup:
 
         df = spark.createDataFrame([], "vec_id long, embedding array<double>")
         assert semdedup(df).count() == 0
+
+
+class TestRound5Operators:
+    def test_quantize_constant_vector_guard(self, spark):
+        """mx == mn must quantize to all-zero codes with zero error, not
+        divide by zero (the oracle data never exercises this branch)."""
+        from parquery_spark.operators.quantize import quantize_int8
+
+        df = spark.createDataFrame(
+            [(0, [1.5, 1.5, 1.5]), (1, [0.0, 1.0, 2.0])],
+            "vec_id long, embedding array<float>",
+        )
+        rows = {r["vec_id"]: r for r in quantize_int8(df).collect()}
+        assert rows[0]["codes"] == [0, 0, 0]
+        assert rows[0]["max_abs_err"] == 0.0
+        assert rows[1]["codes"] == [0, 128, 255]  # midpoint rounds half-up
+        assert rows[1]["max_abs_err"] <= (2.0 - 0.0) / 510 + 1e-9
+
+    def test_resample_single_day_span(self, spark):
+        """A key whose whole history is one day yields exactly one row
+        (sequence(d, d) is a 1-element calendar, not empty/error)."""
+        import datetime
+
+        from pyspark.sql import functions as F
+
+        from parquery_spark.operators.timeseries import resample_daily
+
+        df = spark.createDataFrame(
+            [("a", datetime.date(2024, 1, 5), 10),
+             ("b", datetime.date(2024, 1, 1), 1),
+             ("b", datetime.date(2024, 1, 4), 2)],
+            "k string, d date, v int",
+        )
+        out = resample_daily(
+            df, keys=["k"], day_col="d",
+            aggs={"n": F.count(F.lit(1)), "s": F.sum("v")},
+            zero_fill=["n"], ffill=["s"],
+        ).collect()
+        by_key = {}
+        for r in out:
+            by_key.setdefault(r["k"], []).append(r)
+        assert len(by_key["a"]) == 1
+        # b: 4-day dense span, gap days zero-count and s carried forward
+        bs = sorted(by_key["b"], key=lambda r: r["day"])
+        assert [r["n"] for r in bs] == [1, 0, 0, 1]
+        assert [r["s"] for r in bs] == [1, 1, 1, 2]
+
+    def test_sliding_chunks_short_and_empty_docs(self, spark):
+        """Docs shorter than one window emit exactly one (truncated)
+        chunk; zero-token docs emit nothing."""
+        from parquery_spark.operators.packing import sliding_chunks
+
+        df = spark.createDataFrame(
+            [(1, ["a", "b", "c"]), (2, [])],
+            "doc_id long, w array<string>",
+        )
+        rows = sliding_chunks(df, "doc_id", "w", size=64, stride=32).collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert (r["doc_id"], r["chunk_idx"], r["start_tok"], r["chunk_len"]) \
+            == (1, 0, 0, 3)
+
+    def test_pq_train_empty_corpus(self, spark):
+        from parquery_spark.operators.pq import pq_train
+
+        empty = spark.createDataFrame(
+            [], "vec_id long, embedding array<float>"
+        )
+        codes, book = pq_train(empty, m=4, k=4, iters=1)
+        assert codes.count() == 0 and book.count() == 0
+
+    def test_pq_train_rejects_indivisible_dim(self, spark):
+        import pytest as _pytest
+
+        from parquery_spark.operators.pq import pq_train
+
+        df = spark.createDataFrame(
+            [(0, [0.1, 0.2, 0.3])], "vec_id long, embedding array<float>"
+        )
+        with _pytest.raises(ValueError, match="not divisible"):
+            pq_train(df, m=2, k=2, iters=1)
