@@ -10698,8 +10698,74 @@ def q209_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q210_bpe_train_merges")  # iterative trainer: no SQL twin (pytest
-#                                 holds a pure-Python oracle instead)
+@query(
+    "q210_bpe_train_merges",
+    # The 3-round trainer, unrolled into SQL: each learned symbol is
+    # encoded as a placeholder char (chr(1)/chr(2)), because SQL
+    # replace() IS greedy left-to-right non-overlapping pair merging —
+    # exactly the BPE merge semantics of the Spark fold (and the
+    # pure-Python reference in tests/test_bpe.py).  Pairs are counted
+    # in the encoded char domain and decoded back before the
+    # (count DESC, a, b) tie-break so both engines compare identical
+    # symbol strings.
+    f"""
+    WITH toks AS ({_SQL_TOKS}),
+    words AS (SELECT t.w AS word FROM toks, unnest(toks.w) AS t(w)
+              WHERE len(t.w) >= 2),
+    p1 AS (
+        SELECT word[i+1:i+1] AS a, word[i+2:i+2] AS b, COUNT(*) AS n
+        FROM (SELECT word, unnest(range(len(word) - 1)) AS i FROM words)
+        GROUP BY a, b
+    ),
+    t1 AS (SELECT a, b, n FROM p1 ORDER BY n DESC, a, b LIMIT 1),
+    w2 AS (SELECT replace(word, (SELECT t1.a || t1.b FROM t1), chr(1))
+               AS word FROM words),
+    p2raw AS (
+        SELECT word[i+1:i+1] AS a, word[i+2:i+2] AS b, COUNT(*) AS n
+        FROM (SELECT word, unnest(range(len(word) - 1)) AS i FROM w2
+              WHERE len(word) >= 2)
+        GROUP BY a, b
+    ),
+    p2 AS (
+        SELECT CASE WHEN a = chr(1) THEN (SELECT t1.a || t1.b FROM t1)
+                    ELSE a END AS a,
+               CASE WHEN b = chr(1) THEN (SELECT t1.a || t1.b FROM t1)
+                    ELSE b END AS b,
+               n
+        FROM p2raw
+    ),
+    t2 AS (SELECT a, b, n FROM p2 ORDER BY n DESC, a, b LIMIT 1),
+    enc2 AS (
+        SELECT CASE WHEN t2.a = (SELECT t1.a || t1.b FROM t1) THEN chr(1)
+                    ELSE t2.a END ||
+               CASE WHEN t2.b = (SELECT t1.a || t1.b FROM t1) THEN chr(1)
+                    ELSE t2.b END AS pat
+        FROM t2
+    ),
+    w3 AS (SELECT replace(word, (SELECT pat FROM enc2), chr(2))
+               AS word FROM w2),
+    p3raw AS (
+        SELECT word[i+1:i+1] AS a, word[i+2:i+2] AS b, COUNT(*) AS n
+        FROM (SELECT word, unnest(range(len(word) - 1)) AS i FROM w3
+              WHERE len(word) >= 2)
+        GROUP BY a, b
+    ),
+    p3 AS (
+        SELECT CASE WHEN a = chr(1) THEN (SELECT t1.a || t1.b FROM t1)
+                    WHEN a = chr(2) THEN (SELECT t2.a || t2.b FROM t2)
+                    ELSE a END AS a,
+               CASE WHEN b = chr(1) THEN (SELECT t1.a || t1.b FROM t1)
+                    WHEN b = chr(2) THEN (SELECT t2.a || t2.b FROM t2)
+                    ELSE b END AS b,
+               n
+        FROM p3raw
+    ),
+    t3 AS (SELECT a, b, n FROM p3 ORDER BY n DESC, a, b LIMIT 1)
+    SELECT 0 AS merge_idx, a, b, n FROM t1
+    UNION ALL SELECT 1, a, b, n FROM t2
+    UNION ALL SELECT 2, a, b, n FROM t3
+    """,
+)
 def q210_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE tokenizer training, 3 merge rounds over the
     document corpus: the corpus first collapses to its distinct-word
