@@ -11081,6 +11081,117 @@ def q213_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q214_bpe_tokenize_accounting",
+    # q210's unrolled trainer chain, extended: after the 3rd merge the
+    # corpus is STILL one placeholder char per symbol, so the token
+    # count of a word is just len() of its encoded string — tokenizer
+    # application and corpus accounting fall out of the same replace
+    # chain.  1-char words train nothing (range(0) is empty) but still
+    # count 1 token each.
+    f"""
+    WITH toks AS ({_SQL_TOKS}),
+    words AS (SELECT d.source, t.w AS word
+              FROM toks JOIN documents d USING (doc_id),
+                   unnest(toks.w) AS t(w)),
+    p1 AS (
+        SELECT word[i+1:i+1] AS a, word[i+2:i+2] AS b, COUNT(*) AS n
+        FROM (SELECT word, unnest(range(len(word) - 1)) AS i FROM words)
+        GROUP BY a, b
+    ),
+    t1 AS (SELECT a, b, n FROM p1 ORDER BY n DESC, a, b LIMIT 1),
+    w2 AS (SELECT source, replace(word, (SELECT t1.a || t1.b FROM t1),
+                                  chr(1)) AS word FROM words),
+    p2raw AS (
+        SELECT word[i+1:i+1] AS a, word[i+2:i+2] AS b, COUNT(*) AS n
+        FROM (SELECT word, unnest(range(len(word) - 1)) AS i FROM w2)
+        GROUP BY a, b
+    ),
+    p2 AS (
+        SELECT CASE WHEN a = chr(1) THEN (SELECT t1.a || t1.b FROM t1)
+                    ELSE a END AS a,
+               CASE WHEN b = chr(1) THEN (SELECT t1.a || t1.b FROM t1)
+                    ELSE b END AS b,
+               n
+        FROM p2raw
+    ),
+    t2 AS (SELECT a, b, n FROM p2 ORDER BY n DESC, a, b LIMIT 1),
+    enc2 AS (
+        SELECT CASE WHEN t2.a = (SELECT t1.a || t1.b FROM t1) THEN chr(1)
+                    ELSE t2.a END ||
+               CASE WHEN t2.b = (SELECT t1.a || t1.b FROM t1) THEN chr(1)
+                    ELSE t2.b END AS pat
+        FROM t2
+    ),
+    w3 AS (SELECT source, replace(word, (SELECT pat FROM enc2), chr(2))
+               AS word FROM w2),
+    p3raw AS (
+        SELECT word[i+1:i+1] AS a, word[i+2:i+2] AS b, COUNT(*) AS n
+        FROM (SELECT word, unnest(range(len(word) - 1)) AS i FROM w3)
+        GROUP BY a, b
+    ),
+    p3 AS (
+        SELECT CASE WHEN a = chr(1) THEN (SELECT t1.a || t1.b FROM t1)
+                    WHEN a = chr(2) THEN (SELECT t2.a || t2.b FROM t2)
+                    ELSE a END AS a,
+               CASE WHEN b = chr(1) THEN (SELECT t1.a || t1.b FROM t1)
+                    WHEN b = chr(2) THEN (SELECT t2.a || t2.b FROM t2)
+                    ELSE b END AS b,
+               n
+        FROM p3raw
+    ),
+    t3 AS (SELECT a, b, n FROM p3 ORDER BY n DESC, a, b LIMIT 1),
+    enc3 AS (
+        SELECT CASE WHEN t3.a = (SELECT t1.a || t1.b FROM t1) THEN chr(1)
+                    WHEN t3.a = (SELECT t2.a || t2.b FROM t2) THEN chr(2)
+                    ELSE t3.a END ||
+               CASE WHEN t3.b = (SELECT t1.a || t1.b FROM t1) THEN chr(1)
+                    WHEN t3.b = (SELECT t2.a || t2.b FROM t2) THEN chr(2)
+                    ELSE t3.b END AS pat
+        FROM t3
+    ),
+    w4 AS (SELECT source, replace(word, (SELECT pat FROM enc3), chr(3))
+               AS word FROM w3)
+    SELECT source,
+           COUNT(*) AS n_words,
+           CAST(SUM(len(word)) AS BIGINT) AS n_tokens_bpe
+    FROM w4 GROUP BY source
+    """,
+)
+def q214_bpe_tokenize_accounting(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Tokenizer lifecycle end to end: TRAIN 3 BPE merges on the corpus
+    (operators/bpe.py — distributed pair counts over the word
+    histogram), APPLY them with the greedy fold, and ACCOUNT tokens per
+    source — the number a data-mixture planner actually budgets with
+    (q160/q197 consume exactly this grain).
+
+    The application runs on the (source, word) HISTOGRAM too: the fold
+    rewrites each distinct word once per source and the counts weight
+    the sum — |vocab| x |sources| fold rows, not |corpus|.  All-integer
+    output, exactly hash-matched: the oracle unrolls the same trainer
+    (q210's placeholder-encoded replace chain, where one encoded char =
+    one symbol, so post-merge token count is just len())."""
+    from parquery_spark.operators.bpe import bpe_apply, bpe_train
+
+    docs = fan_out(load(spark, sf_dir, "documents"), "doc_id")
+    from parquery_spark.operators.dedup import shingle_tokens
+
+    words = docs.select(
+        "source", F.explode(shingle_tokens("text")).alias("word")
+    )
+    merges = bpe_train(words.select("word"), n_merges=3)
+    hist = words.groupBy("source", "word").agg(
+        F.count(F.lit(1)).alias("w")
+    )
+    tok = bpe_apply(hist, merges)
+    return tok.groupBy("source").agg(
+        F.sum("w").alias("n_words"),
+        F.sum(F.col("w") * F.size("tokens")).alias("n_tokens_bpe"),
+    )
+
+
 # ===========================================================================
 # Driver-snapshot ordering
 # ===========================================================================
