@@ -80,12 +80,20 @@ def symbolize(df: DataFrame, words_col: str = "word") -> DataFrame:
     collapses to its DISTINCT-word histogram first (how production BPE
     trainers run — pair votes weight by word frequency), so every merge
     round folds over |vocabulary| rows, not |corpus| occurrences."""
-    return df.groupBy(words_col).agg(F.count(F.lit(1)).alias("w")).select(
-        F.expr(
-            f"transform(sequence(1, length({words_col})),"
-            f" i -> substring({words_col}, i, 1))"
-        ).alias("syms"),
-        "w",
+    # empty strings must be dropped BEFORE sequence(1, length(..)):
+    # sequence(1, 0) counts DOWN (NOTES.md hazard), turning '' into a
+    # garbage ["", ""] symbol array that would pass the pair filter
+    return (
+        df.where(F.length(words_col) > 0)
+        .groupBy(words_col)
+        .agg(F.count(F.lit(1)).alias("w"))
+        .select(
+            F.expr(
+                f"transform(sequence(1, length({words_col})),"
+                f" i -> substring({words_col}, i, 1))"
+            ).alias("syms"),
+            "w",
+        )
     )
 
 
@@ -131,10 +139,15 @@ def bpe_apply(
     (array<string>)."""
     out = df.withColumn(
         "syms",
-        F.expr(
-            f"transform(sequence(1, length({words_col})),"
-            f" i -> substring({words_col}, i, 1))"
-        ),
+        # '' tokenizes to [], not to sequence(1, 0)'s down-counting
+        # ["", ""] garbage (NOTES.md hazard)
+        F.when(
+            F.length(words_col) > 0,
+            F.expr(
+                f"transform(sequence(1, length({words_col})),"
+                f" i -> substring({words_col}, i, 1))"
+            ),
+        ).otherwise(F.array().cast("array<string>")),
     )
     for a, b, _ in merges:
         out = out.withColumn("syms", _merge_expr(a, b))

@@ -72,6 +72,7 @@ def pq_train(
 
     code_parts: list[DataFrame] = []
     book_parts: list[DataFrame] = []
+    assigns: list[DataFrame] = []
     for s in range(m):
         sub = emb.select(
             F.col(id_col).cast("long").alias(id_col),
@@ -81,6 +82,7 @@ def pq_train(
             sub, id_col=id_col, vec_col="embedding", k=k, iters=iters,
             digits=digits,
         ).persist(StorageLevel.MEMORY_AND_DISK)
+        assigns.append(assign)
         # subspace codebook: decimal-exact mean of member subvectors at
         # each local position (labels are seed ids — arbitrary longs —
         # which ADC joins through; density of 0..k-1 is not required)
@@ -120,6 +122,15 @@ def pq_train(
         )
     )
     codebook = reduce(lambda a, b: a.unionByName(b), book_parts)
+    # materialize the outputs, then release the per-subspace assignment
+    # caches — otherwise every pq_train call leaves m persisted
+    # relations pinned for the session lifetime
+    codes = codes.persist(StorageLevel.MEMORY_AND_DISK)
+    codebook = codebook.persist(StorageLevel.MEMORY_AND_DISK)
+    codes.count()
+    codebook.count()
+    for a in assigns:
+        a.unpersist()
     return codes, codebook
 
 
@@ -147,6 +158,10 @@ def adc_topk(
     if mm is None:
         mm = codebook.agg(F.max("sub")).take(1)[0][0] + 1
     dims = queries.select(F.size(q_vec).alias("d")).take(1)[0]["d"]
+    if dims % mm != 0:
+        raise ValueError(
+            f"query dim {dims} not divisible by m={mm} subspaces"
+        )
     w = dims // mm
     qcomp = queries.select(
         q_id,
@@ -179,6 +194,10 @@ def adc_topk(
         .groupBy(q_id, id_col)
         .agg(F.round(F.sum("dist"), 6).alias("adc_dist"))
     )
+    # row_number + immediate `<= k` filter is Spark's WindowGroupLimit
+    # trigger: each partition keeps only its local top-k BEFORE the
+    # per-query exchange, so no task ever sorts a corpus-sized
+    # partition (plan-asserted in tests/test_scale_plans.py)
     wnd = F.row_number().over(
         Window.partitionBy(q_id).orderBy("adc_dist", id_col)
     )

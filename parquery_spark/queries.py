@@ -10363,7 +10363,6 @@ def q205_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the full BPE trainer (q210); one round is the gateable
     distributed kernel.  Counts are exact integers."""
     from parquery_spark.operators.dedup import shingle_tokens
-    from parquery_spark.operators.util import fan_out
 
     docs = load(spark, sf_dir, "documents")
     vocab = (
@@ -10375,12 +10374,12 @@ def q205_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pairs = vocab.select(
         "w",
-        F.posexplode(
+        F.explode(
             F.expr(
                 "transform(sequence(1, length(word) - 1),"
                 " i -> substring(word, i, 2))"
             )
-        ).alias("_pos", "pair"),
+        ).alias("pair"),
     )
     return (
         pairs.select(
@@ -10798,9 +10797,10 @@ def q210_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q211_pq_adc_ann",
     # q83-style gate: exact brute-force top-1 (id + rounded squared L2)
-    # hash-matches DuckDB; PQ quality is a boolean — ADC recall@10 vs the
-    # exact top-10 must clear 0.4 or Spark emits FALSE and the round
-    # mismatches.  (Codes/codebooks are quantizer state, not hashable.)
+    # hash-matches DuckDB; PQ quality is a boolean — re-ranked recall@10
+    # vs the exact top-10 must clear 0.5 or Spark emits FALSE and the
+    # round mismatches.  (Codes/codebooks are quantizer state, not
+    # hashable.)
     """
     WITH qs AS (
         SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
@@ -10862,6 +10862,8 @@ def q211_pq_adc_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         codes, codebook = pq_train(emb, m=8, k=16, iters=2)
         codes.write.mode("overwrite").parquet(codes_dir)
         codebook.write.mode("overwrite").parquet(book_dir)
+        codes.unpersist()
+        codebook.unpersist()
     codes = spark.read.parquet(codes_dir)
     codebook = spark.read.parquet(book_dir)
 

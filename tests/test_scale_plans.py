@@ -975,3 +975,7 @@ class TestRound5PlanShapes:
         ex = plan.find("Exchange hashpartitioning(q_id")
         assert ex != -1
         assert "HashAggregate" in plan[ex:]
+        # the per-query top-k must be WindowGroupLimit-pruned: each
+        # partition keeps its local top-k BEFORE the q_id exchange, so
+        # no task sorts a corpus-sized candidate set
+        assert "WindowGroupLimit" in plan
