@@ -1,0 +1,116 @@
+"""10x scale smoke: blow the sf0.1 fact tables up by a factor
+(key-shifted unions — same value distributions, x10 cardinality on the
+fact keys), run representative registered queries end-to-end at BOTH
+scales in one session, and report wall times + output rows.
+
+This is the measured answer to "does the plan survive a 10x scale-up":
+a healthy operator's wall time grows ~linearly (bounded by scan +
+shuffle of 10x the rows) and its output stays correct-shaped; a
+quadratic candidate generator or a single-task funnel blows past
+linear immediately.
+
+Usage::
+
+    python scripts/scale_smoke.py [factor] [out_dir]
+
+Writes nothing outside ``out_dir`` (default ``/tmp/pqs_scale_smoke``);
+dimension tables are symlinked, fact tables are rewritten with shifted
+keys so every join still resolves.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+SRC = "/root/testdata/sf0.1"
+DIMS = ["region", "nation", "customer", "supplier", "part", "embeddings"]
+# fact table -> (key columns to shift, shift stride)
+FACTS = {
+    "lineitem": (["l_orderkey"], 10_000_000),
+    "orders": (["o_orderkey"], 10_000_000),
+    "events": (["event_id"], 100_000_000),
+    "documents": (["doc_id"], 10_000_000),
+}
+QUERIES = [
+    "q01_pricing_summary",      # full-scan agg
+    "q30_time_bucket",          # events windowed agg
+    "q40_dedup_exact",          # hash-groupBy dedup (10x -> 10-dup groups)
+    "q207_resample_ffill",      # calendar densify + ffill
+    "q209_exact_quantiles",     # histogram order statistics
+    "q212_rag_chunking",        # explode-shaped chunking
+]
+
+
+def build(spark, factor: int, out_dir: str) -> str:
+    from pyspark.sql import functions as F
+
+    os.makedirs(out_dir, exist_ok=True)
+    for t in DIMS:
+        dst = os.path.join(out_dir, f"{t}.parquet")
+        if not os.path.exists(dst):
+            os.symlink(os.path.join(SRC, f"{t}.parquet"), dst)
+    for t, (keys, stride) in FACTS.items():
+        dst = os.path.join(out_dir, f"{t}.parquet")
+        if os.path.exists(os.path.join(dst, "_SUCCESS")):
+            continue
+        base = spark.read.parquet(os.path.join(SRC, f"{t}.parquet"))
+        copies = None
+        for i in range(factor):
+            c = base
+            for k in keys:
+                c = c.withColumn(k, F.col(k) + F.lit(i * stride))
+            copies = c if copies is None else copies.unionByName(c)
+        copies.write.mode("overwrite").parquet(dst)
+    return out_dir
+
+
+def run(spark, sf_dir: str, names: list[str]) -> dict:
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    out = {}
+    for name in names:
+        t0 = time.time()
+        n = qs[name](spark, sf_dir).count()
+        out[name] = {"sec": round(time.time() - t0, 2), "rows": n}
+    return out
+
+
+if __name__ == "__main__":
+    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/pqs_scale_smoke"
+
+    from parquery_spark.session import get_spark
+
+    spark = get_spark("scale_smoke")
+    t0 = time.time()
+    build(spark, factor, out_dir)
+    build_sec = round(time.time() - t0, 1)
+
+    base = run(spark, SRC, QUERIES)
+    big = run(spark, out_dir, QUERIES)
+    report = {
+        "factor": factor,
+        "build_sec": build_sec,
+        "queries": {
+            q: {
+                "sf0.1_sec": base[q]["sec"],
+                f"x{factor}_sec": big[q]["sec"],
+                "time_ratio": round(
+                    big[q]["sec"] / max(base[q]["sec"], 1e-9), 1
+                ),
+                "rows_ratio": round(
+                    big[q]["rows"] / max(base[q]["rows"], 1), 2
+                ),
+            }
+            for q in QUERIES
+        },
+    }
+    print(json.dumps(report, indent=1))

@@ -586,3 +586,106 @@ class TestWeightedMedianProperty:
             .collect()
         }
         assert got == {"A": reference("A"), "B": reference("B")}
+
+
+class TestResampleProperties:
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        obs=st.lists(
+            st.tuples(
+                st.sampled_from(["a", "b"]),
+                st.integers(0, 40),  # day offset
+                st.integers(-5, 5),
+            ),
+            min_size=1,
+            max_size=40,
+        )
+    )
+    def test_matches_sequential_densify_ffill(self, spark, obs):
+        """resample_daily == the obvious per-key python densify: one row
+        per day of the key's span, counts zero-filled, sums carried
+        forward from the latest present day."""
+        import datetime
+
+        from pyspark.sql import functions as F
+
+        from parquery_spark.operators.timeseries import resample_daily
+
+        base = datetime.date(2024, 3, 1)
+        rows = [
+            (k, base + datetime.timedelta(days=d), v) for k, d, v in obs
+        ]
+        df = spark.createDataFrame(rows, "k string, d date, v long")
+        got = {
+            (r["k"], r["day"]): (r["n"], r["s"])
+            for r in resample_daily(
+                df, keys=["k"], day_col="d",
+                aggs={"n": F.count(F.lit(1)), "s": F.sum("v")},
+                zero_fill=["n"], ffill=["s"],
+            ).collect()
+        }
+        # python reference
+        want = {}
+        per_key = {}
+        for k, day, v in rows:
+            per_key.setdefault(k, {}).setdefault(day, []).append(v)
+        for k, days in per_key.items():
+            d0, d1 = min(days), max(days)
+            last = None
+            d = d0
+            while d <= d1:
+                if d in days:
+                    last = sum(days[d])
+                    want[(k, d)] = (len(days[d]), last)
+                else:
+                    want[(k, d)] = (0, last)
+                d += datetime.timedelta(days=1)
+        assert got == want
+
+
+class TestSlidingChunkProperties:
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        docs=st.lists(
+            st.lists(st.sampled_from(["x", "yy", "z0"]), max_size=20),
+            min_size=1,
+            max_size=10,
+        ),
+        size=st.integers(1, 8),
+        stride=st.integers(1, 8),
+    )
+    def test_matches_sequential_windows(self, spark, docs, size, stride):
+        import hashlib
+
+        from parquery_spark.operators.packing import sliding_chunks
+
+        df = spark.createDataFrame(
+            [(i, toks) for i, toks in enumerate(docs)],
+            "doc_id long, w array<string>",
+        )
+        got = {
+            (r["doc_id"], r["chunk_idx"]): (
+                r["start_tok"], r["chunk_len"], r["chunk_fp"]
+            )
+            for r in sliding_chunks(
+                df, "doc_id", "w", size=size, stride=stride
+            ).collect()
+        }
+        want = {}
+        for i, toks in enumerate(docs):
+            for ci, start in enumerate(range(0, len(toks), stride)):
+                chunk = toks[start:start + size]
+                want[(i, ci)] = (
+                    start,
+                    len(chunk),
+                    hashlib.md5(" ".join(chunk).encode()).hexdigest(),
+                )
+        assert got == want
