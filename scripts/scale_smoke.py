@@ -48,8 +48,12 @@ QUERIES = [
 ]
 
 
-def build(spark, factor: int, out_dir: str) -> str:
-    from pyspark.sql import functions as F
+def build(factor: int, out_dir: str) -> str:
+    # single-FILE parquet outputs (the engine's relation cache reads
+    # file metadata directly, matching the reference's file-path API)
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
 
     os.makedirs(out_dir, exist_ok=True)
     for t in DIMS:
@@ -58,16 +62,22 @@ def build(spark, factor: int, out_dir: str) -> str:
             os.symlink(os.path.join(SRC, f"{t}.parquet"), dst)
     for t, (keys, stride) in FACTS.items():
         dst = os.path.join(out_dir, f"{t}.parquet")
-        if os.path.exists(os.path.join(dst, "_SUCCESS")):
+        if os.path.exists(dst):
             continue
-        base = spark.read.parquet(os.path.join(SRC, f"{t}.parquet"))
-        copies = None
+        base = pq.read_table(os.path.join(SRC, f"{t}.parquet"))
+        copies = []
         for i in range(factor):
             c = base
             for k in keys:
-                c = c.withColumn(k, F.col(k) + F.lit(i * stride))
-            copies = c if copies is None else copies.unionByName(c)
-        copies.write.mode("overwrite").parquet(dst)
+                idx = c.schema.get_field_index(k)
+                shifted = pc.add(c.column(k), pa.scalar(
+                    i * stride, type=c.schema.field(k).type))
+                c = c.set_column(idx, c.schema.field(k), shifted)
+            copies.append(c)
+        pq.write_table(
+            pa.concat_tables(copies), dst, compression="zstd",
+            row_group_size=256 * 1024,
+        )
     return out_dir
 
 
@@ -77,9 +87,13 @@ def run(spark, sf_dir: str, names: list[str]) -> dict:
     qs = e.queries()
     out = {}
     for name in names:
-        t0 = time.time()
-        n = qs[name](spark, sf_dir).count()
-        out[name] = {"sec": round(time.time() - t0, 2), "rows": n}
+        best, n = None, 0
+        for _ in range(2):  # min of 2: first run absorbs codegen warmup
+            t0 = time.time()
+            n = qs[name](spark, sf_dir).count()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        out[name] = {"sec": round(best, 2), "rows": n}
     return out
 
 
@@ -91,7 +105,7 @@ if __name__ == "__main__":
 
     spark = get_spark("scale_smoke")
     t0 = time.time()
-    build(spark, factor, out_dir)
+    build(factor, out_dir)
     build_sec = round(time.time() - t0, 1)
 
     base = run(spark, SRC, QUERIES)
