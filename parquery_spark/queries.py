@@ -11194,6 +11194,166 @@ def q214_bpe_tokenize_accounting(
     )
 
 
+@query(
+    "q215_loo_target_encoding",
+    """
+    WITH v AS (
+        SELECT o_orderkey, o_orderpriority AS priority,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        FROM orders
+    ),
+    g AS (
+        SELECT priority, SUM(cents) AS s, COUNT(*) AS n
+        FROM v GROUP BY priority
+    )
+    SELECT v.o_orderkey, v.priority,
+           CASE WHEN g.n > 1
+                THEN CAST(g.s - v.cents AS DOUBLE) / (g.n - 1) / 100
+                ELSE NULL END AS loo_avg_price
+    FROM v JOIN g USING (priority)
+    """,
+)
+def q215_loo_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding — the leakage-safe categorical
+    feature (each row's category encoded as the target mean of every
+    OTHER row in its category, so a model can't read its own label
+    back).  Same leakage discipline as q78's trailing windows and
+    q112's group-disjoint split.
+
+    Scale shape: NOT a window over the corpus (a per-category window
+    would sort data volume); one partial-aggregated groupBy to the
+    category stats (rows = |categories|), broadcast back, narrow
+    arithmetic.  Determinism: (S - x) and (n - 1) are exact integers;
+    the single division of the same two integers is the same double on
+    both engines — no summation-order exposure anywhere."""
+    v = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("priority"),
+        _cents("o_totalprice").alias("cents"),
+    )
+    g = v.groupBy("priority").agg(
+        F.sum("cents").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    return v.join(F.broadcast(g), "priority").select(
+        "o_orderkey",
+        "priority",
+        F.when(
+            F.col("n") > 1,
+            (F.col("s") - F.col("cents")).cast("double")
+            / (F.col("n") - 1)
+            / 100,
+        ).alias("loo_avg_price"),
+    )
+
+
+@query(
+    "q216_ranking_metrics",
+    """
+    WITH qs AS (
+        SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        FROM embeddings WHERE vec_id IN (0, 1, 2, 3)
+    ),
+    sims AS (
+        SELECT qs.query_id, e.vec_id,
+               ROUND(list_dot_product(e.embedding::DOUBLE[], qs.qv) /
+                     (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                            e.embedding::DOUBLE[]))
+                      * sqrt(list_dot_product(qs.qv, qs.qv))), 6) AS simf,
+               ROUND(list_dot_product((e.embedding[1:16])::DOUBLE[],
+                                      qs.qv[1:16]) /
+                     (sqrt(list_dot_product((e.embedding[1:16])::DOUBLE[],
+                                            (e.embedding[1:16])::DOUBLE[]))
+                      * sqrt(list_dot_product(qs.qv[1:16], qs.qv[1:16]))),
+                     6) AS simt
+        FROM embeddings e CROSS JOIN qs
+    ),
+    r AS (
+        SELECT query_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY simf DESC, vec_id) AS rf,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY simt DESC, vec_id) AS rt
+        FROM sims
+    ),
+    idcg AS (
+        SELECT SUM(1.0 / log2(i + 1)) AS v
+        FROM (SELECT unnest(range(1, 11)) AS i)
+    )
+    SELECT query_id,
+           ROUND(SUM(CASE WHEN rf <= 10
+                          THEN 1.0 / log2(rt + 1) ELSE 0 END)
+                 / (SELECT v FROM idcg), 6) AS ndcg_at_10,
+           ROUND(1.0 / MIN(CASE WHEN rf <= 10 THEN rt END), 6) AS mrr
+    FROM r WHERE rt <= 10
+    GROUP BY query_id
+    """,
+)
+def q216_ranking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded retrieval-quality metrics — nDCG@10 and MRR of the
+    16-dim truncated ranking against full-dim relevance (binary: the
+    exact full top-10) — the metric layer on top of q213's set overlap
+    that an index-selection pipeline actually reports.  Both rankings
+    are brute-force-exact, so the metrics hash-match the oracle
+    (rounded 6; each is a <=10-term sum of identical doubles).
+
+    Plan: the two top-10 lists come from TakeOrderedAndProject per
+    probe query (q213's shape — no corpus-volume window); positions
+    are assigned by a window over the 10 SURVIVING rows per query, and
+    the metric reduction is a 10-row aggregate per query."""
+    from pyspark.sql import Window
+
+    from parquery_spark.operators.similarity import cosine_topk
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb16 = emb.select(
+        "vec_id", F.slice("embedding", 1, 16).alias("embedding")
+    )
+    qrows = emb.filter(F.col("vec_id").isin([0, 1, 2, 3])).collect()
+
+    import functools
+    import math
+
+    idcg = sum(1.0 / math.log2(i + 1) for i in range(1, 11))
+
+    def tag(df: DataFrame, qid: int) -> DataFrame:
+        return df.select(
+            F.lit(qid).cast("long").alias("query_id"), "vec_id", "cosine_sim"
+        )
+
+    full_parts, trunc_parts = [], []
+    for r in qrows:
+        qid = int(r["vec_id"])
+        qv = [float(x) for x in r["embedding"]]
+        full_parts.append(tag(cosine_topk(emb, qv, 10), qid))
+        trunc_parts.append(tag(cosine_topk(emb16, qv[:16], 10), qid))
+    full = functools.reduce(DataFrame.unionByName, full_parts)
+    trunc = functools.reduce(DataFrame.unionByName, trunc_parts)
+
+    # positions within each 10-row survivor list (window over <=10 rows
+    # per query — k-bounded, not corpus-bounded)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), "vec_id"
+    )
+    ranked_t = trunc.withColumn("rt", F.row_number().over(w))
+    rel = full.select("query_id", "vec_id", F.lit(1).alias("rel"))
+    joined = ranked_t.join(rel, ["query_id", "vec_id"], "left")
+    return joined.groupBy("query_id").agg(
+        F.round(
+            F.sum(
+                F.when(
+                    F.col("rel").isNotNull(),
+                    1.0 / F.log2(F.col("rt") + 1),
+                ).otherwise(0.0)
+            )
+            / F.lit(idcg),
+            6,
+        ).alias("ndcg_at_10"),
+        F.round(
+            1.0 / F.min(F.when(F.col("rel").isNotNull(), F.col("rt"))), 6
+        ).alias("mrr"),
+    )
+
+
 # ===========================================================================
 # Driver-snapshot ordering
 # ===========================================================================
