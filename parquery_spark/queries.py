@@ -11354,6 +11354,153 @@ def q216_ranking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q217_dp_histogram_release",
+    """
+    WITH h AS (
+        SELECT event_type, CAST(month(ts) AS BIGINT) AS m, COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    u AS (
+        SELECT event_type, m, n,
+               CAST(('0x' || substr(md5(event_type || '|' ||
+                    CAST(m AS VARCHAR) || '#42'), 1, 15)) AS BIGINT)
+                   / 1152921504606846976.0 AS u01
+        FROM h
+    )
+    SELECT event_type, m,
+           ROUND(GREATEST(0.0, n +
+               CASE WHEN u01 < 0.5
+                    THEN ln(GREATEST(1e-18, 2 * u01))
+                    ELSE -ln(GREATEST(1e-18, 2 * (1 - u01))) END), 4)
+               AS dp_count
+    FROM u
+    """,
+)
+def q217_dp_histogram_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private histogram release (eps = 1, sensitivity 1
+    -> Laplace b = 1): per (event_type, month) event counts with
+    Laplace noise, clamped non-negative — the privacy-preserving
+    statistics-release step that completes the privacy suite (q64 PII
+    detect/redact, q182 k-anonymity, q198 pseudonymization).
+
+    The noise is SEEDED, not sampled: u01 = the q58-family 60-bit md5
+    hash of the group key mapped to [0, 1), pushed through the Laplace
+    inverse CDF (ln(2u) / -ln(2(1-u))) — both engines evaluate the
+    identical double pipeline, so the release is reproducible AND
+    hash-matches the oracle (round 4).  A production run swaps the
+    group-key hash for hash(key || release_nonce) — same plan, fresh
+    draw per release.  Plan: one partial-aggregated groupBy (rows =
+    |types| x 12), then narrow arithmetic; nothing else shuffles."""
+    from parquery_spark.operators.dedup import hash64
+
+    ev = load_events(spark, sf_dir)
+    h = ev.groupBy(
+        "event_type", F.month("ts").cast("long").alias("m")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    key = F.concat(
+        F.col("event_type"), F.lit("|"), F.col("m").cast("string")
+    )
+    u01 = hash64(key, 42) / F.lit(float(1 << 60))
+    noise = F.when(
+        u01 < 0.5, F.log(F.greatest(F.lit(1e-18), 2 * u01))
+    ).otherwise(-F.log(F.greatest(F.lit(1e-18), 2 * (1 - u01))))
+    return h.select(
+        "event_type",
+        "m",
+        F.round(
+            F.greatest(F.lit(0.0), F.col("n") + noise), 4
+        ).alias("dp_count"),
+    )
+
+
+@query(
+    "q218_multivector_retrieval",
+    """
+    WITH qs AS (
+        SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        FROM embeddings WHERE vec_id IN (0, 1, 2, 3)
+    ),
+    sims AS (
+        SELECT qs.query_id, e.label,
+               ROUND(list_dot_product(e.embedding::DOUBLE[], qs.qv) /
+                     (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                            e.embedding::DOUBLE[]))
+                      * sqrt(list_dot_product(qs.qv, qs.qv))), 6) AS sim
+        FROM embeddings e CROSS JOIN qs
+    ),
+    grp AS (
+        SELECT query_id, label, MAX(sim) AS max_sim, COUNT(*) AS n_vecs
+        FROM sims GROUP BY query_id, label
+    ),
+    r AS (
+        SELECT query_id, label, max_sim, n_vecs,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY max_sim DESC, label) AS rn
+        FROM grp
+    )
+    SELECT query_id, label, max_sim, CAST(rn AS BIGINT) AS rank
+    FROM r WHERE rn <= 3
+    """,
+)
+def q218_multivector_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-vector (ColBERT/late-interaction-style) retrieval: a
+    "document" is its GROUP of vectors (label here), scored by the max
+    similarity over its members — retrieve the top-3 groups per probe
+    query.  The aggregation shape that passage-level indexes need:
+    vector-level sims reduce group-wise BEFORE any ranking, so the
+    shuffle carries |groups| rows per query, not |vectors|.
+
+    Exact end to end: per-row left-to-right array folds (the oracle's
+    ``list_dot_product`` order — narrow, no shuffle until the
+    group-max), then a partial-aggregated group-max and a rank over
+    |groups| x |queries| rows — cardinality-bounded, never
+    corpus-volume.  Hash-matched including the rounded max sims."""
+    from pyspark.sql import Window
+
+    emb = load(spark, sf_dir, "embeddings")
+    qrows = emb.filter(F.col("vec_id").isin([0, 1, 2, 3])).collect()
+
+    import functools
+
+    def fold_dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, e: acc + e,
+        )
+
+    parts = []
+    ed = F.col("embedding").cast("array<double>")
+    for r in qrows:
+        qid = int(r["vec_id"])
+        qv = [float(x) for x in r["embedding"]]
+        qq = sum(v * v for v in qv)  # left-to-right, = list_dot_product
+        lit_q = F.array(*[F.lit(v) for v in qv])
+        sim = F.round(
+            fold_dot(ed, lit_q)
+            / (F.sqrt(fold_dot(ed, ed)) * F.lit(qq ** 0.5)),
+            6,
+        )
+        parts.append(
+            emb.select(
+                F.lit(qid).cast("long").alias("query_id"),
+                "label",
+                sim.alias("sim"),
+            )
+        )
+    allsims = functools.reduce(DataFrame.unionByName, parts)
+    grp = allsims.groupBy("query_id", "label").agg(
+        F.max("sim").alias("max_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("max_sim"), "label")
+    return (
+        grp.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 3)
+        .select("query_id", "label", "max_sim", "rank")
+    )
+
+
 # ===========================================================================
 # Driver-snapshot ordering
 # ===========================================================================
