@@ -11501,6 +11501,187 @@ def q218_multivector_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q219_source_kl_divergence",
+    f"""
+    WITH toks AS ({_SQL_TOKS}),
+    words AS (SELECT d.source, t.w AS word
+              FROM toks JOIN documents d USING (doc_id),
+                   unnest(toks.w) AS t(w)),
+    ws AS (SELECT source, word, COUNT(*) AS c FROM words GROUP BY 1, 2),
+    st AS (SELECT source, SUM(c) AS tot FROM ws GROUP BY 1),
+    cw AS (SELECT word, SUM(c) AS cc FROM ws GROUP BY 1),
+    ct AS (SELECT SUM(c) AS ctot FROM ws)
+    SELECT ws.source,
+           CAST(st.tot AS BIGINT) AS n_tokens,
+           ROUND(SUM((CAST(ws.c AS DOUBLE) / st.tot)
+                     * ln((CAST(ws.c AS DOUBLE) / st.tot)
+                          / (CAST(cw.cc AS DOUBLE) / ct.ctot))), 6)
+               AS kl_to_corpus
+    FROM ws
+    JOIN st USING (source)
+    JOIN cw USING (word)
+    CROSS JOIN ct
+    GROUP BY ws.source, st.tot
+    """,
+)
+def q219_source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Information-theoretic source profiling: KL(p_source || p_corpus)
+    over the word distribution — the categorical-distribution sibling
+    of q129's numeric PSI drift, and the signal a mixture planner uses
+    to spot off-distribution sources before weighting them (q160).
+
+    Shuffles carry the (source, word) histogram (|sources| x |vocab|
+    keys), never tokens; the corpus marginal is a |vocab|-row broadcast
+    and the final KL is a per-source sum over vocab terms (round 6 —
+    a bounded-cardinality sum, ulp-safe).  Counts are exact integers
+    until the single ratio per term."""
+    from parquery_spark.operators.dedup import shingle_tokens
+
+    docs = fan_out(load(spark, sf_dir, "documents"), "doc_id")
+    ws = (
+        docs.select(
+            "source", F.explode(shingle_tokens("text")).alias("word")
+        )
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist()
+    )
+    st = ws.groupBy("source").agg(F.sum("c").alias("tot"))
+    cw = ws.groupBy("word").agg(F.sum("c").alias("cc"))
+    ct = ws.agg(F.sum("c").alias("ctot"))
+    p = F.col("c").cast("double") / F.col("tot")
+    q = F.col("cc").cast("double") / F.col("ctot")
+    out = (
+        ws.join(F.broadcast(st), "source")
+        .join(F.broadcast(cw), "word")
+        .crossJoin(F.broadcast(ct))  # one-row corpus total
+        .groupBy("source", "tot")
+        .agg(F.round(F.sum(p * F.log(p / q)), 6).alias("kl_to_corpus"))
+        .select(
+            "source",
+            F.col("tot").cast("long").alias("n_tokens"),
+            "kl_to_corpus",
+        )
+    )
+    return out
+
+
+@query(
+    "q220_triplet_mining",
+    """
+    WITH qs AS (
+        SELECT vec_id AS anchor, label AS a_label,
+               embedding::DOUBLE[] AS qv
+        FROM embeddings WHERE vec_id IN (0, 1, 2, 3)
+    ),
+    sims AS (
+        SELECT qs.anchor, qs.a_label, e.vec_id, e.label,
+               ROUND(list_dot_product(e.embedding::DOUBLE[], qs.qv) /
+                     (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                            e.embedding::DOUBLE[]))
+                      * sqrt(list_dot_product(qs.qv, qs.qv))), 6) AS sim
+        FROM embeddings e CROSS JOIN qs
+        WHERE e.vec_id <> qs.anchor
+    ),
+    pos AS (
+        SELECT anchor, vec_id AS pos_id, sim AS pos_sim,
+               ROW_NUMBER() OVER (PARTITION BY anchor
+                                  ORDER BY sim DESC, vec_id) AS rn
+        FROM sims WHERE label = a_label
+    ),
+    neg AS (
+        SELECT anchor, vec_id AS neg_id, sim AS neg_sim,
+               ROW_NUMBER() OVER (PARTITION BY anchor
+                                  ORDER BY sim DESC, vec_id) AS rn
+        FROM sims WHERE label <> a_label
+    )
+    SELECT p.anchor, p.pos_id, p.pos_sim, n.neg_id, n.neg_sim,
+           ROUND(p.pos_sim - n.neg_sim, 6) AS margin
+    FROM pos p JOIN neg n USING (anchor)
+    WHERE p.rn = 1 AND n.rn = 1
+    """,
+)
+def q220_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training data mining: for each anchor, the hardest
+    positive (most-similar vector with the SAME label, excluding self)
+    and the hardest negative (most-similar with a DIFFERENT label) —
+    the (anchor, positive, hard-negative) triplets an embedding-model
+    fine-tune trains on, with the margin the loss would see.
+
+    Exact sims via per-row left-to-right folds (oracle's
+    list_dot_product order); the per-anchor argmaxes are
+    max_by-with-struct-tie-break aggregates (partial-aggregated — no
+    corpus-volume window), matching the oracle's (sim DESC, vec_id)
+    rank."""
+    emb = load(spark, sf_dir, "embeddings")
+    qrows = emb.filter(F.col("vec_id").isin([0, 1, 2, 3])).collect()
+
+    import functools
+
+    def fold_dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, e: acc + e,
+        )
+
+    ed = F.col("embedding").cast("array<double>")
+    parts = []
+    for r in qrows:
+        qid = int(r["vec_id"])
+        qv = [float(x) for x in r["embedding"]]
+        qq = sum(v * v for v in qv)
+        lit_q = F.array(*[F.lit(v) for v in qv])
+        sim = F.round(
+            fold_dot(ed, lit_q)
+            / (F.sqrt(fold_dot(ed, ed)) * F.lit(qq ** 0.5)),
+            6,
+        )
+        parts.append(
+            emb.where(F.col("vec_id") != qid).select(
+                F.lit(qid).cast("long").alias("anchor"),
+                F.lit(int(r["label"])).alias("a_label"),
+                "vec_id",
+                "label",
+                sim.alias("sim"),
+            )
+        )
+    sims = functools.reduce(DataFrame.unionByName, parts)
+    best = F.max_by(
+        F.struct("vec_id", "sim"),
+        F.struct("sim", (-F.col("vec_id")).alias("t")),
+    )
+    pos = (
+        sims.where(F.col("label") == F.col("a_label"))
+        .groupBy("anchor")
+        .agg(best.alias("b"))
+        .select(
+            "anchor",
+            F.col("b.vec_id").alias("pos_id"),
+            F.col("b.sim").alias("pos_sim"),
+        )
+    )
+    neg = (
+        sims.where(F.col("label") != F.col("a_label"))
+        .groupBy("anchor")
+        .agg(best.alias("b"))
+        .select(
+            "anchor",
+            F.col("b.vec_id").alias("neg_id"),
+            F.col("b.sim").alias("neg_sim"),
+        )
+    )
+    return pos.join(neg, "anchor").select(
+        "anchor",
+        "pos_id",
+        "pos_sim",
+        "neg_id",
+        "neg_sim",
+        F.round(F.col("pos_sim") - F.col("neg_sim"), 6).alias("margin"),
+    )
+
+
 # ===========================================================================
 # Driver-snapshot ordering
 # ===========================================================================
