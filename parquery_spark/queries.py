@@ -11705,15 +11705,18 @@ DRIVER_PRIORITY: list[str] = [
     "q20_join_broadcast", "q31_asof_join", "q32_range_join",
     # window / top-k / set ops / grouping / scalar / time / order stats
     "q23_window_topn", "q26_set_ops",
-    "q92_grouping_sets", "q29_scalar_functions", "q30_time_bucket",
+    "q92_grouping_sets", "q29_scalar_functions",
     "q209_exact_quantiles",
-    # round-5 families: time-series densify + embedding compression
+    # round-5 families: time-series densify, embedding compression,
+    # feature encoding, retrieval metrics (q30/q69 stay gate-covered;
+    # their families keep q207 / q45+q83 as representatives)
     "q207_resample_ffill", "q208_embedding_quantization",
+    "q215_loo_target_encoding", "q216_ranking_metrics",
     # dedup family
     "q40_dedup_exact", "q43_minhash_lsh", "q82_indexed_dedup_probe",
     "q102_fuzzy_match",
     # similarity / ANN
-    "q45_embedding_topk", "q69_ann_join", "q83_ivf_ann", "q167_semdedup",
+    "q45_embedding_topk", "q83_ivf_ann", "q167_semdedup",
     # text / multimodal / sketches / sampling
     "q48_text_profile", "q50_multimodal_features", "q54_hll_sketch_rollup",
     "q58_stratified_sample",
