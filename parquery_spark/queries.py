@@ -10697,6 +10697,34 @@ def q209_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: trained-tokenizer memo, keyed by corpus file identity + params — the
+#: in-process twin of the stat-keyed /tmp model artifacts (q83/q167/
+#: q211): q210 (train) and q214 (apply+account) share one training run
+#: per corpus version.  1-char words carry no pairs, so training on the
+#: full vs len>=2-filtered word stream yields identical merges.
+_BPE_MERGES_CACHE: dict[tuple, list[tuple[str, str, int]]] = {}
+
+
+def _bpe_merges(
+    spark: SparkSession, sf_dir: str, n_merges: int = 3
+) -> list[tuple[str, str, int]]:
+    from parquery_spark.operators.bpe import bpe_train
+    from parquery_spark.operators.dedup import shingle_tokens
+
+    src = _path(sf_dir, "documents")
+    st = os.stat(src)
+    key = (os.path.abspath(src), st.st_mtime_ns, st.st_size, n_merges)
+    if key not in _BPE_MERGES_CACHE:
+        docs = load(spark, sf_dir, "documents")
+        words = (
+            fan_out(docs, "doc_id")
+            .select(F.explode(shingle_tokens("text")).alias("word"))
+            .where(F.length("word") >= 2)
+        )
+        _BPE_MERGES_CACHE[key] = bpe_train(words, n_merges=n_merges)
+    return _BPE_MERGES_CACHE[key]
+
+
 @query(
     "q210_bpe_train_merges",
     # The 3-round trainer, unrolled into SQL: each learned symbol is
@@ -10778,16 +10806,7 @@ def q210_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     learned merge table (a, b, count) in merge order — deterministic
     under the (count DESC, a, b) tie-break, property-tested against a
     pure-Python reference in tests/test_bpe.py."""
-    from parquery_spark.operators.bpe import bpe_train
-    from parquery_spark.operators.dedup import shingle_tokens
-
-    docs = load(spark, sf_dir, "documents")
-    words = (
-        fan_out(docs, "doc_id")
-        .select(F.explode(shingle_tokens("text")).alias("word"))
-        .where(F.length("word") >= 2)
-    )
-    merges = bpe_train(words, n_merges=3)
+    merges = _bpe_merges(spark, sf_dir)
     return spark.createDataFrame(
         [(i, a, b, n) for i, (a, b, n) in enumerate(merges)],
         "merge_idx INT, a STRING, b STRING, n BIGINT",
@@ -11175,7 +11194,7 @@ def q214_bpe_tokenize_accounting(
     output, exactly hash-matched: the oracle unrolls the same trainer
     (q210's placeholder-encoded replace chain, where one encoded char =
     one symbol, so post-merge token count is just len())."""
-    from parquery_spark.operators.bpe import bpe_apply, bpe_train
+    from parquery_spark.operators.bpe import bpe_apply
 
     docs = fan_out(load(spark, sf_dir, "documents"), "doc_id")
     from parquery_spark.operators.dedup import shingle_tokens
@@ -11183,7 +11202,7 @@ def q214_bpe_tokenize_accounting(
     words = docs.select(
         "source", F.explode(shingle_tokens("text")).alias("word")
     )
-    merges = bpe_train(words.select("word"), n_merges=3)
+    merges = _bpe_merges(spark, sf_dir)
     hist = words.groupBy("source", "word").agg(
         F.count(F.lit(1)).alias("w")
     )
