@@ -11477,17 +11477,12 @@ def q218_multivector_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-volume.  Hash-matched including the rounded max sims."""
     from pyspark.sql import Window
 
+    from parquery_spark.operators.similarity import dot_literal, norm
+
     emb = load(spark, sf_dir, "embeddings")
     qrows = emb.filter(F.col("vec_id").isin([0, 1, 2, 3])).collect()
 
     import functools
-
-    def fold_dot(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, e: acc + e,
-        )
 
     parts = []
     ed = F.col("embedding").cast("array<double>")
@@ -11495,10 +11490,9 @@ def q218_multivector_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         qid = int(r["vec_id"])
         qv = [float(x) for x in r["embedding"]]
         qq = sum(v * v for v in qv)  # left-to-right, = list_dot_product
-        lit_q = F.array(*[F.lit(v) for v in qv])
         sim = F.round(
-            fold_dot(ed, lit_q)
-            / (F.sqrt(fold_dot(ed, ed)) * F.lit(qq ** 0.5)),
+            dot_literal(F.col("embedding"), qv)
+            / (norm(ed) * F.lit(qq ** 0.5)),
             6,
         )
         parts.append(
@@ -11533,10 +11527,11 @@ def q218_multivector_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     ct AS (SELECT SUM(c) AS ctot FROM ws)
     SELECT ws.source,
            CAST(st.tot AS BIGINT) AS n_tokens,
-           ROUND(SUM((CAST(ws.c AS DOUBLE) / st.tot)
+           ROUND(CAST(SUM(CAST(floor((CAST(ws.c AS DOUBLE) / st.tot)
                      * ln((CAST(ws.c AS DOUBLE) / st.tot)
-                          / (CAST(cw.cc AS DOUBLE) / ct.ctot))), 6)
-               AS kl_to_corpus
+                          / (CAST(cw.cc AS DOUBLE) / ct.ctot))
+                     * 1000000000 + 0.5) AS BIGINT)) AS DOUBLE)
+                 / 1000000000, 6) AS kl_to_corpus
     FROM ws
     JOIN st USING (source)
     JOIN cw USING (word)
@@ -11551,10 +11546,12 @@ def q219_source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     to spot off-distribution sources before weighting them (q160).
 
     Shuffles carry the (source, word) histogram (|sources| x |vocab|
-    keys), never tokens; the corpus marginal is a |vocab|-row broadcast
-    and the final KL is a per-source sum over vocab terms (round 6 —
-    a bounded-cardinality sum, ulp-safe).  Counts are exact integers
-    until the single ratio per term."""
+    keys), never tokens; the corpus marginal is a |vocab|-row broadcast.
+    The KL reduction uses the integer-scaling discipline (NOTES.md):
+    each term p*ln(p/q) is bit-identical per row on both engines, so
+    floor(term * 1e9 + 0.5) is an identical int64, the SUM is exact,
+    and the one final /1e9 divides the same integer everywhere — no
+    summation-order exposure at any vocabulary size."""
     from parquery_spark.operators.dedup import shingle_tokens
 
     docs = fan_out(load(spark, sf_dir, "documents"), "doc_id")
@@ -11571,12 +11568,19 @@ def q219_source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     ct = ws.agg(F.sum("c").alias("ctot"))
     p = F.col("c").cast("double") / F.col("tot")
     q = F.col("cc").cast("double") / F.col("ctot")
+    term_e9 = F.floor(
+        p * F.log(p / q) * F.lit(1000000000) + F.lit(0.5)
+    ).cast("long")
     out = (
         ws.join(F.broadcast(st), "source")
         .join(F.broadcast(cw), "word")
         .crossJoin(F.broadcast(ct))  # one-row corpus total
         .groupBy("source", "tot")
-        .agg(F.round(F.sum(p * F.log(p / q)), 6).alias("kl_to_corpus"))
+        .agg(
+            F.round(
+                F.sum(term_e9).cast("double") / F.lit(1000000000), 6
+            ).alias("kl_to_corpus")
+        )
         .select(
             "source",
             F.col("tot").cast("long").alias("n_tokens"),
@@ -11633,17 +11637,12 @@ def q220_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     max_by-with-struct-tie-break aggregates (partial-aggregated — no
     corpus-volume window), matching the oracle's (sim DESC, vec_id)
     rank."""
+    from parquery_spark.operators.similarity import dot_literal, norm
+
     emb = load(spark, sf_dir, "embeddings")
     qrows = emb.filter(F.col("vec_id").isin([0, 1, 2, 3])).collect()
 
     import functools
-
-    def fold_dot(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, e: acc + e,
-        )
 
     ed = F.col("embedding").cast("array<double>")
     parts = []
@@ -11651,10 +11650,9 @@ def q220_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         qid = int(r["vec_id"])
         qv = [float(x) for x in r["embedding"]]
         qq = sum(v * v for v in qv)
-        lit_q = F.array(*[F.lit(v) for v in qv])
         sim = F.round(
-            fold_dot(ed, lit_q)
-            / (F.sqrt(fold_dot(ed, ed)) * F.lit(qq ** 0.5)),
+            dot_literal(F.col("embedding"), qv)
+            / (norm(ed) * F.lit(qq ** 0.5)),
             6,
         )
         parts.append(

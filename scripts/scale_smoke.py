@@ -13,7 +13,9 @@ Usage::
 
     python scripts/scale_smoke.py [factor] [out_dir]
 
-Writes nothing outside ``out_dir`` (default ``/tmp/pqs_scale_smoke``);
+Writes nothing outside ``out_dir`` (default
+``/tmp/pqs_scale_smoke_x{factor}`` — factor-keyed so runs at different
+factors can't serve each other stale tables);
 dimension tables are symlinked, fact tables are rewritten with shifted
 keys so every join still resolves.
 """
@@ -90,7 +92,11 @@ def run(spark, sf_dir: str, names: list[str]) -> dict:
         best, n = None, 0
         for _ in range(2):  # min of 2: first run absorbs codegen warmup
             t0 = time.time()
-            n = qs[name](spark, sf_dir).count()
+            # len(collect()), not count(): count() lets Catalyst prune
+            # the per-row output expressions (md5 fingerprints, filled
+            # values), which would time a cheaper plan than consumers
+            # run — bench.py materializes the same way
+            n = len(qs[name](spark, sf_dir).collect())
             dt = time.time() - t0
             best = dt if best is None else min(best, dt)
         out[name] = {"sec": round(best, 2), "rows": n}
@@ -99,7 +105,12 @@ def run(spark, sf_dir: str, names: list[str]) -> dict:
 
 if __name__ == "__main__":
     factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-    out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/pqs_scale_smoke"
+    # factor-keyed default dir: reusing one dir across factors would
+    # silently serve stale tables built at the other factor
+    out_dir = (
+        sys.argv[2] if len(sys.argv) > 2
+        else f"/tmp/pqs_scale_smoke_x{factor}"
+    )
 
     from parquery_spark.session import get_spark
 
