@@ -9750,14 +9750,19 @@ def q196_rolling_bitmap_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT source, n_tokens,
                COUNT(*) OVER (PARTITION BY fingerprint) AS dup_count
         FROM fp
+    ),
+    by_mult AS (
+        SELECT source, dup_count,
+               CAST(SUM(n_tokens) AS BIGINT) AS tok
+        FROM weighted GROUP BY source, dup_count
     )
     SELECT source,
-           CAST(SUM(n_tokens) AS BIGINT) AS raw_tokens,
-           ROUND(SUM(CAST(n_tokens AS DOUBLE) / dup_count), 4)
+           CAST(SUM(tok) AS BIGINT) AS raw_tokens,
+           ROUND(SUM(CAST(tok AS DOUBLE) / dup_count), 4)
                AS effective_tokens,
-           ROUND(SUM(CAST(n_tokens AS DOUBLE) / dup_count)
-                 / SUM(n_tokens), 6) AS uniqueness_ratio
-    FROM weighted GROUP BY source
+           ROUND(SUM(CAST(tok AS DOUBLE) / dup_count)
+                 / SUM(tok), 6) AS uniqueness_ratio
+    FROM by_mult GROUP BY source
     """,
 )
 def q197_effective_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -9768,7 +9773,14 @@ def q197_effective_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     q160's weights instead of raw counts (raw counts over-budget
     heavily-mirrored sources).  One fingerprint shuffle computes the
     duplicate multiplicity (a count window at fingerprint grain, q150's
-    shuffle reused); everything else stays at source grain."""
+    shuffle reused); everything else stays at source grain.  The
+    1/dup_count weights are summed at (source, dup_count) grain first —
+    the integer token totals collapse exactly, so the only floating
+    addition is over the handful of distinct multiplicities (~10 terms,
+    ~10 ulps) instead of one term per document: the summation-order
+    error no longer grows with corpus size, so the ROUND boundary is
+    scale-stable (the hazard class NOTES.md documents for
+    double-domain ROUND(SUM) aggregates)."""
     from pyspark.sql import Window
 
     from parquery_spark.functions.text import fingerprint, token_count
@@ -9780,14 +9792,17 @@ def q197_effective_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("fingerprint")
     weighted = docs.withColumn("dup_count", F.count(F.lit(1)).over(w))
-    return weighted.groupBy("source").agg(
-        F.sum("n_tokens").alias("raw_tokens"),
+    by_mult = weighted.groupBy("source", "dup_count").agg(
+        F.sum("n_tokens").alias("tok")
+    )
+    return by_mult.groupBy("source").agg(
+        F.sum("tok").alias("raw_tokens"),
         F.round(
-            F.sum(F.col("n_tokens").cast("double") / F.col("dup_count")), 4
+            F.sum(F.col("tok").cast("double") / F.col("dup_count")), 4
         ).alias("effective_tokens"),
         F.round(
-            F.sum(F.col("n_tokens").cast("double") / F.col("dup_count"))
-            / F.sum("n_tokens"),
+            F.sum(F.col("tok").cast("double") / F.col("dup_count"))
+            / F.sum("tok"),
             6,
         ).alias("uniqueness_ratio"),
     )
