@@ -178,10 +178,16 @@ def main():
             for k, v in parity.items()
             if not k.endswith("per_query") and k != "specs"
         }
+    # Structural cap: the driver tail-captures ~2000 chars of stdout, so
+    # the line must ALWAYS fit — drop optional payloads largest-first until
+    # it does, then hard-assert.  bench_results.json keeps everything.
     line = json.dumps(result)
-    if len(line) > 1900:  # last-ditch guard: never exceed the tail window
-        result.pop("queries", None)
+    for victim in ("queries", "parity_workload"):
+        if len(line) < 1800:
+            break
+        result.pop(victim, None)
         line = json.dumps(result)
+    assert len(line) < 1800, f"bench stdout line too long: {len(line)}"
     print(line)
 
 

@@ -34,7 +34,7 @@ from typing import Any, Sequence
 import pyarrow as pa
 from pyspark.sql import DataFrame, SparkSession
 
-from parquery_spark import relations
+from parquery_spark import relations, tool
 from parquery_spark.plans.aggregation import build_aggregation_plan
 from parquery_spark.session import get_small_query_session, get_spark
 
@@ -167,6 +167,12 @@ def aggregate_pq(
 
     try:
         return attempt()
+    except tool.MissingInputError:
+        # hard failure (handle_missing_file=False and the path never
+        # existed): retrying re-runs the same pre-flight to the same end —
+        # re-raise immediately, matching the reference's retry scope (the
+        # engine aggregation only, reference: aggregate_duckdb.py:144-166)
+        raise
     except OSError as exc:
         logger.warning(
             "OSError aggregating %s (%s); invalidating cached relations and "

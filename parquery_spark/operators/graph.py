@@ -191,19 +191,17 @@ def triangle_stats(
     map-side and never shuffles.  Above the cap the hint is DROPPED and
     the closing join runs as an ordinary shuffle join on the packed key
     (same semantics) — a hardcoded hint on an oversized relation would
-    OOM the executors instead of degrading.  The gate reads the
-    OPTIMIZER's size estimate (driver-side metadata, the fan_out
-    pattern) so plan construction stays fully lazy — no job runs until
-    the caller executes the result.
+    OOM the executors instead of degrading.  The gate uses the EXACT
+    edge count (one count job against the just-persisted edge relation —
+    the same cache every downstream branch reads anyway): an optimizer
+    byte estimate over a compressed parquet scan can undercount rows
+    several-fold and broadcast exactly the oversized relation this gate
+    exists to keep off the executors' heaps.
     """
     from pyspark.sql import functions as F
 
     edges = edges.select("u", "v").persist()
-    est_bytes = int(
-        edges._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
-    )
-    # ~16 estimated bytes per (u, v) row; compare in row units
-    m_est = est_bytes // 16
+    m_est = edges.count()
     deg = (
         edges.select(F.col("u").alias("node"))
         .unionAll(edges.select(F.col("v").alias("node")))

@@ -152,12 +152,27 @@ def adc_topk(
     codebook — is broadcast into the code scan.  Output:
     ``(q_id, id_col, adc_dist, rank)``.
     """
+    def _empty():
+        # keep the non-empty path's column types (q_id/id ride through
+        # from the inputs; only adc_dist/rank are synthesized)
+        qt = dict(queries.dtypes).get(q_id, "bigint")
+        it = dict(codes.dtypes).get(id_col, "bigint")
+        return codes.sparkSession.createDataFrame(
+            [], f"{q_id} {qt}, {id_col} {it}, adc_dist double, rank int"
+        )
+
     # query subvector components at (sub, pos) — positions are
     # subspace-local to match the codebook layout
     mm = m
     if mm is None:
-        mm = codebook.agg(F.max("sub")).take(1)[0][0] + 1
-    dims = queries.select(F.size(q_vec).alias("d")).take(1)[0]["d"]
+        top_sub = codebook.agg(F.max("sub")).take(1)[0][0]
+        if top_sub is None:  # empty codebook (pq_train on an empty corpus)
+            return _empty()
+        mm = top_sub + 1
+    dim_row = queries.select(F.size(q_vec).alias("d")).take(1)
+    if not dim_row:  # empty probe batch — mirror pq_train's empty path
+        return _empty()
+    dims = dim_row[0]["d"]
     if dims % mm != 0:
         raise ValueError(
             f"query dim {dims} not divisible by m={mm} subspaces"

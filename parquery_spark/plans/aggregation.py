@@ -237,9 +237,9 @@ def build_aggregation_plan(
             if hits:
                 live_paths.extend(hits)
             elif not handle_missing_file:
-                raise OSError(f"File {p} does not exist")
+                raise tool.MissingInputError(f"File {p} does not exist")
         elif not handle_missing_file:
-            raise OSError(f"File {p} does not exist")
+            raise tool.MissingInputError(f"File {p} does not exist")
     if not live_paths:
         return empty_result_plan(spark, result_cols)
 

@@ -10561,16 +10561,20 @@ def q207_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     c AS (
         SELECT label, embedding, mn, mx,
-               list_transform(embedding, x ->
+               CASE WHEN mx > mn THEN list_transform(embedding, x ->
                    CAST(floor((CAST(x AS DOUBLE) - mn) / (mx - mn) * 255
-                              + 0.5) AS BIGINT)) AS codes
+                              + 0.5) AS BIGINT))
+               ELSE list_transform(embedding, x -> CAST(0 AS BIGINT))
+               END AS codes
         FROM q
     ),
     e AS (
         SELECT label, codes,
+               CASE WHEN mx > mn THEN
                list_max(list_transform(generate_series(1, len(embedding)),
                    i -> abs(mn + CAST(codes[i] AS DOUBLE) * (mx - mn) / 255
-                            - CAST(embedding[i] AS DOUBLE)))) AS err
+                            - CAST(embedding[i] AS DOUBLE))))
+               ELSE 0.0 END AS err
         FROM c
     )
     SELECT label,

@@ -249,7 +249,9 @@ def get_relation(
     path_list = [paths] if isinstance(paths, str) else list(paths)
     path_list = expand_globs(path_list)
     if not path_list:
-        raise OSError(f"no files match: {paths}")
+        from parquery_spark.tool import MissingInputError
+
+        raise MissingInputError(f"no files match: {paths}")
     if not (_ENABLED and cache):
         return _read(spark, path_list)
     try:

@@ -56,6 +56,15 @@ class FilterValueError(ValueError):
     """Legacy exception type kept for API parity (reference: parquery/tool.py:45-46)."""
 
 
+class MissingInputError(OSError):
+    """An input path that must exist (``handle_missing_file=False``) does
+    not.  A *hard* failure: unlike a transient ``OSError`` (stale NFS
+    handle, replaced inode), retrying cannot help — ``aggregate_pq``'s
+    retry-once wrapper re-raises this immediately instead of re-running
+    the pre-flight (the reference retries only the engine aggregation,
+    reference: parquery/aggregate_duckdb.py:144-166)."""
+
+
 def normalize_measure_cols(
     measure_cols: Sequence[Any],
 ) -> list[list[str]]:
@@ -151,6 +160,9 @@ def _rename(df, fn):
     new = [fn(c) for c in df.columns]
     if hasattr(df, "toDF"):  # Spark DataFrame
         return df.toDF(*new)
+    if not hasattr(df, "copy"):  # polars DataFrame (no .copy; reference:
+        # parquery/tool.py:49-83 accepts polars in the same positions)
+        return df.rename(dict(zip(df.columns, new)))
     df = df.copy()
     df.columns = new
     return df

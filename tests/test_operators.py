@@ -632,6 +632,35 @@ class TestRound5Operators:
         codes, book = pq_train(empty, m=4, k=4, iters=1)
         assert codes.count() == 0 and book.count() == 0
 
+    def test_adc_topk_empty_codebook_and_queries(self, spark):
+        """Empty codebook (trained on an empty corpus) or an empty probe
+        batch returns an empty result instead of crashing — mirroring
+        pq_train's graceful empty path."""
+        from parquery_spark.operators.pq import adc_topk, pq_train
+
+        empty = spark.createDataFrame(
+            [], "vec_id long, embedding array<float>"
+        )
+        codes, book = pq_train(empty, m=4, k=4, iters=1)
+        probes = spark.createDataFrame(
+            [(0, [0.1, 0.2, 0.3, 0.4])], "q_id long, q_vec array<double>"
+        )
+        out = adc_topk(codes, book, probes, topk=3)
+        assert out.count() == 0
+        assert out.columns == ["q_id", "vec_id", "adc_dist", "rank"]
+
+        corpus = spark.createDataFrame(
+            [(i, [float(i), 1.0, 0.0, 2.0]) for i in range(8)],
+            "vec_id long, embedding array<float>",
+        )
+        codes2, book2 = pq_train(corpus, m=2, k=2, iters=1)
+        no_probes = spark.createDataFrame(
+            [], "q_id long, q_vec array<double>"
+        )
+        out2 = adc_topk(codes2, book2, no_probes, topk=3)
+        assert out2.count() == 0
+        assert out2.columns == ["q_id", "vec_id", "adc_dist", "rank"]
+
     def test_pq_train_rejects_indivisible_dim(self, spark):
         import pytest as _pytest
 

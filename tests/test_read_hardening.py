@@ -124,6 +124,29 @@ class TestTransientRetry:
         with pytest.raises(OSError, match="persistent"):
             aggregate_pq(target, ["a-31"], [["m1", "sum"]])
 
+    def test_hard_missing_file_not_retried(self, spark, tmp_path, monkeypatch):
+        """``handle_missing_file=False`` on a never-existed path is a HARD
+        failure: exactly one pre-flight, no retry (the reference's retry
+        wraps only the engine aggregation, aggregate_duckdb.py:144-166)."""
+        from parquery_spark.tool import MissingInputError
+
+        real = agg.build_aggregation_plan
+        calls = {"n": 0}
+
+        def counting(*args, **kwargs):
+            calls["n"] += 1
+            return real(*args, **kwargs)
+
+        monkeypatch.setattr(agg, "build_aggregation_plan", counting)
+        with pytest.raises(MissingInputError):
+            aggregate_pq(
+                str(tmp_path / "never_written.parquet"),
+                ["a-31"],
+                [["m1", "sum"]],
+                handle_missing_file=False,
+            )
+        assert calls["n"] == 1
+
     def test_retry_with_pin_takes_fresh_snapshot(self, spark, tmp_path, monkeypatch):
         """Each attempt pins a FRESH snapshot (the reference opens a fresh fd
         per attempt) and every snapshot is cleaned up, including the failing

@@ -86,6 +86,31 @@ class TestNaturalNames:
         assert nat.columns == ["d_n_1", "m"]
         assert tool.df_to_original_name(nat).columns == ["d-1", "m"]
 
+    def test_polars_rename(self):
+        """Polars path (reference: parquery/tool.py:49-83 accepts polars
+        frames): no ``.copy()`` on polars — must go through ``.rename``."""
+        pl = pytest.importorskip("polars")
+        df = pl.DataFrame({"d-1": [1], "m": [2.0]})
+        nat = tool.df_to_natural_name(df)
+        assert nat.columns == ["d_n_1", "m"]
+        assert tool.df_to_original_name(nat).columns == ["d-1", "m"]
+
+    def test_polars_shaped_rename_duck_type(self):
+        """Polars isn't installed in this environment; a duck-typed stand-in
+        (``columns`` + ``rename(mapping)``, NO ``copy``) pins the branch the
+        real polars frame takes."""
+
+        class FakePolars:
+            def __init__(self, cols):
+                self.columns = list(cols)
+
+            def rename(self, mapping):
+                return FakePolars([mapping.get(c, c) for c in self.columns])
+
+        out = tool.df_to_natural_name(FakePolars(["d-1", "m"]))
+        assert out.columns == ["d_n_1", "m"]
+        assert tool.df_to_original_name(out).columns == ["d-1", "m"]
+
 
 class TestReferenceApiParity:
     """Every name the reference exports from `parquery` must import from
