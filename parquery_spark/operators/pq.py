@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from parquery_spark.operators.semdedup import kmeans_assign
+from parquery_spark.operators.semdedup import _explode, kmeans_assign
 
 
 def pq_train(
@@ -72,66 +72,72 @@ def pq_train(
 
     code_parts: list[DataFrame] = []
     book_parts: list[DataFrame] = []
-    assigns: list[DataFrame] = []
-    for s in range(m):
-        sub = emb.select(
-            F.col(id_col).cast("long").alias(id_col),
-            F.slice(F.col(vec_col), s * w + 1, w).alias("embedding"),
-        )
-        assign = kmeans_assign(
-            sub, id_col=id_col, vec_col="embedding", k=k, iters=iters,
-            digits=digits,
-        ).persist(StorageLevel.MEMORY_AND_DISK)
-        assigns.append(assign)
-        # subspace codebook: decimal-exact mean of member subvectors at
-        # each local position (labels are seed ids — arbitrary longs —
-        # which ADC joins through; density of 0..k-1 is not required)
-        expl = sub.select(
-            id_col,
-            F.posexplode(F.col("embedding").cast("array<double>")).alias(
-                "pos", "x"
-            ),
-        )
-        book = (
-            expl.join(assign, id_col)
-            .groupBy("cluster", "pos")
-            .agg(
-                F.round(
-                    F.sum(F.col("x").cast("decimal(28,12)")).cast("double")
-                    / F.count(F.lit(1)),
-                    digits,
-                ).alias("c")
+    transient: list[DataFrame] = []
+    try:
+        for s in range(m):
+            sub = emb.select(
+                F.col(id_col).cast("long").alias(id_col),
+                F.slice(F.col(vec_col), s * w + 1, w).alias("embedding"),
             )
-            .select(F.lit(s).alias("sub"), "cluster", "pos", "c")
-        )
-        code_parts.append(
-            assign.select(id_col, F.lit(s).alias("sub"), "cluster")
-        )
-        book_parts.append(book)
+            # ONE persisted exploded relation per subspace, shared between
+            # the Lloyd loop (via _expl) and the codebook mean below —
+            # and released in the finally, so a pq_train call pins nothing
+            # beyond its own (persisted, returned) codes/codebook
+            expl = _explode(sub, id_col, "embedding")
+            transient.append(expl)
+            assign = kmeans_assign(
+                sub, id_col=id_col, vec_col="embedding", k=k, iters=iters,
+                digits=digits, _expl=expl,
+            ).persist(StorageLevel.MEMORY_AND_DISK)
+            transient.append(assign)
+            # subspace codebook: decimal-exact mean of member subvectors at
+            # each local position (labels are seed ids — arbitrary longs —
+            # which ADC joins through; density of 0..k-1 is not required)
+            book = (
+                expl.withColumnRenamed("__id", id_col)
+                .join(assign, id_col)
+                .groupBy("cluster", "pos")
+                .agg(
+                    F.round(
+                        F.sum(F.col("x").cast("decimal(28,12)")).cast("double")
+                        / F.count(F.lit(1)),
+                        digits,
+                    ).alias("c")
+                )
+                .select(F.lit(s).alias("sub"), "cluster", "pos", "c")
+            )
+            code_parts.append(
+                assign.select(id_col, F.lit(s).alias("sub"), "cluster")
+            )
+            book_parts.append(book)
 
-    codes = reduce(lambda a, b: a.unionByName(b), code_parts)
-    codes = (
-        codes.groupBy(id_col)
-        .agg(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(F.struct("sub", "cluster"))
-                ),
-                lambda p: p["cluster"],
-            ).alias("codes")
+        codes = reduce(lambda a, b: a.unionByName(b), code_parts)
+        codes = (
+            codes.groupBy(id_col)
+            .agg(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("sub", "cluster"))
+                    ),
+                    lambda p: p["cluster"],
+                ).alias("codes")
+            )
         )
-    )
-    codebook = reduce(lambda a, b: a.unionByName(b), book_parts)
-    # materialize the outputs, then release the per-subspace assignment
-    # caches — otherwise every pq_train call leaves m persisted
-    # relations pinned for the session lifetime
-    codes = codes.persist(StorageLevel.MEMORY_AND_DISK)
-    codebook = codebook.persist(StorageLevel.MEMORY_AND_DISK)
-    codes.count()
-    codebook.count()
-    for a in assigns:
-        a.unpersist()
-    return codes, codebook
+        codebook = reduce(lambda a, b: a.unionByName(b), book_parts)
+        # materialize the outputs, then (finally) release every per-subspace
+        # cache — otherwise each pq_train call leaves m exploded + m
+        # assignment relations pinned for the session lifetime
+        codes = codes.persist(StorageLevel.MEMORY_AND_DISK)
+        codebook = codebook.persist(StorageLevel.MEMORY_AND_DISK)
+        codes.count()
+        codebook.count()
+        return codes, codebook
+    finally:
+        for h in transient:
+            try:
+                h.unpersist()
+            except Exception:  # pragma: no cover - session teardown race
+                pass
 
 
 def adc_topk(

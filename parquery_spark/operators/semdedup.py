@@ -83,15 +83,21 @@ def kmeans_assign(
     back to :func:`semdedup` via ``assign=`` to skip re-training: the
     standard train-once / prune-per-batch split of a production pipeline.
 
-    ``_expl`` lets :func:`semdedup` share ITS persisted exploded relation
-    with training — the heaviest intermediate must exist once, not once
-    per phase."""
+    ``_expl`` lets :func:`semdedup` (and :func:`~parquery_spark.operators.
+    pq.pq_train`) share ITS persisted exploded relation with training —
+    the heaviest intermediate must exist once, not once per phase, and the
+    owner of the handle unpersists it.  When this function owns the
+    explode (``_expl=None``) it materializes the returned assignment
+    (persisted MEMORY_AND_DISK) and releases the exploded relation before
+    returning — callers ``unpersist()`` the result when done with the
+    model artifact."""
     spark = emb.sparkSession
     n = emb.count()
     if n == 0:
         return spark.createDataFrame([], f"{id_col} long, cluster long")
     k = choose_k(n, target_cell, k)
-    expl = _explode(emb, id_col, vec_col) if _expl is None else _expl
+    owns_expl = _expl is None
+    expl = _explode(emb, id_col, vec_col) if owns_expl else _expl
 
     # deterministic seeds: the k smallest ids (TakeOrderedAndProject —
     # k rows, never a global sort); seed id doubles as the cluster label.
@@ -110,44 +116,54 @@ def kmeans_assign(
         .collect()
     )
 
-    assign = None
-    for _ in range(iters):
-        cents = spark.createDataFrame(
-            cent_rows, "cluster long, pos int, c double"
-        )
-        d = (
-            expl.join(F.broadcast(cents), "pos")
-            .groupBy("__id", "cluster")
-            .agg(
-                F.sum(
-                    (F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))
-                ).alias("d")
+    try:
+        assign = None
+        for _ in range(iters):
+            cents = spark.createDataFrame(
+                cent_rows, "cluster long, pos int, c double"
             )
-        )
-        # argmin via min(struct(d, cluster)): lexicographic struct order
-        # IS the (distance, cluster) tie-break, and min partial-aggregates
-        # map-side — no row_number window, one less exchange per round
-        assign = (
-            d.groupBy("__id")
-            .agg(F.min(F.struct("d", "cluster")).alias("m"))
-            .select("__id", F.col("m.cluster").alias("cluster"))
-        )
-        if _ < iters - 1:
-            cent_rows = (
-                expl.join(assign, "__id")
-                .groupBy("cluster", "pos")
+            d = (
+                expl.join(F.broadcast(cents), "pos")
+                .groupBy("__id", "cluster")
                 .agg(
-                    F.round(
-                        F.sum(F.col("x").cast("decimal(28,12)"))
-                        .cast("double")
-                        / F.count(F.lit(1)),
-                        digits,
-                    ).alias("c")
+                    F.sum(
+                        (F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))
+                    ).alias("d")
                 )
-                .collect()
             )
+            # argmin via min(struct(d, cluster)): lexicographic struct order
+            # IS the (distance, cluster) tie-break, and min partial-aggregates
+            # map-side — no row_number window, one less exchange per round
+            assign = (
+                d.groupBy("__id")
+                .agg(F.min(F.struct("d", "cluster")).alias("m"))
+                .select("__id", F.col("m.cluster").alias("cluster"))
+            )
+            if _ < iters - 1:
+                cent_rows = (
+                    expl.join(assign, "__id")
+                    .groupBy("cluster", "pos")
+                    .agg(
+                        F.round(
+                            F.sum(F.col("x").cast("decimal(28,12)"))
+                            .cast("double")
+                            / F.count(F.lit(1)),
+                            digits,
+                        ).alias("c")
+                    )
+                    .collect()
+                )
 
-    return assign.select(F.col("__id").alias(id_col), "cluster")
+        out = assign.select(F.col("__id").alias(id_col), "cluster")
+        if owns_expl:
+            # materialize the model artifact, then release the exploded
+            # relation — the n·d intermediate must not outlive training
+            out = out.persist(StorageLevel.MEMORY_AND_DISK)
+            out.count()
+        return out
+    finally:
+        if owns_expl:
+            expl.unpersist()
 
 
 def semdedup(
@@ -176,7 +192,12 @@ def semdedup(
     map-side; the pair join's key is (cluster, pos) so dots also
     partial-aggregate; there is no crossJoin and no driver-side loop over
     rows — the only driver materialization is the k × dim rounded
-    centroid matrix per round (index metadata, see module docstring)."""
+    centroid matrix per round (index metadata, see module docstring).
+
+    Lifecycle: the prune set is materialized here (persisted — it is the
+    small output, one row per dropped vector) so the heavyweight
+    intermediates (exploded relation, assignment) can be released before
+    returning; callers ``unpersist()`` the result when done."""
     spark = emb.sparkSession
     expl = _explode(emb, id_col, vec_col)
     if assign is None:
@@ -189,43 +210,50 @@ def semdedup(
     assign = assign.select(
         F.col(id_col).cast("long").alias("__id"), "cluster"
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    if not assign.take(1):
-        return spark.createDataFrame(
-            [], f"{id_col} long, cluster long, max_sim_to_earlier double"
+    try:
+        if not assign.take(1):
+            return spark.createDataFrame(
+                [], f"{id_col} long, cluster long, max_sim_to_earlier double"
+            )
+        norms = expl.groupBy("__id").agg(
+            F.sqrt(F.sum(F.col("x") * F.col("x"))).alias("nrm")
         )
-    norms = expl.groupBy("__id").agg(
-        F.sqrt(F.sum(F.col("x") * F.col("x"))).alias("nrm")
-    )
-    sides = expl.join(assign, "__id").join(norms, "__id")
-    a = sides.select(
-        "cluster",
-        F.col("__id").alias("id_a"),
-        "pos",
-        F.col("x").alias("xa"),
-        F.col("nrm").alias("na"),
-    )
-    b = sides.select(
-        "cluster",
-        F.col("__id").alias("id_drop"),
-        "pos",
-        F.col("x").alias("xb"),
-        F.col("nrm").alias("nb"),
-    )
-    dots = (
-        a.join(b, ["cluster", "pos"])
-        .where(F.col("id_a") < F.col("id_drop"))
-        .groupBy("cluster", "id_a", "id_drop", "na", "nb")
-        .agg(F.sum(F.col("xa") * F.col("xb")).alias("dot"))
-    )
-    sims = dots.select(
-        "cluster",
-        "id_drop",
-        F.round(F.col("dot") / (F.col("na") * F.col("nb")), digits).alias(
-            "sim"
-        ),
-    )
-    return (
-        sims.where(F.col("sim") >= threshold)
-        .groupBy(F.col("id_drop").alias(id_col), "cluster")
-        .agg(F.max("sim").alias("max_sim_to_earlier"))
-    )
+        sides = expl.join(assign, "__id").join(norms, "__id")
+        a = sides.select(
+            "cluster",
+            F.col("__id").alias("id_a"),
+            "pos",
+            F.col("x").alias("xa"),
+            F.col("nrm").alias("na"),
+        )
+        b = sides.select(
+            "cluster",
+            F.col("__id").alias("id_drop"),
+            "pos",
+            F.col("x").alias("xb"),
+            F.col("nrm").alias("nb"),
+        )
+        dots = (
+            a.join(b, ["cluster", "pos"])
+            .where(F.col("id_a") < F.col("id_drop"))
+            .groupBy("cluster", "id_a", "id_drop", "na", "nb")
+            .agg(F.sum(F.col("xa") * F.col("xb")).alias("dot"))
+        )
+        sims = dots.select(
+            "cluster",
+            "id_drop",
+            F.round(F.col("dot") / (F.col("na") * F.col("nb")), digits).alias(
+                "sim"
+            ),
+        )
+        out = (
+            sims.where(F.col("sim") >= threshold)
+            .groupBy(F.col("id_drop").alias(id_col), "cluster")
+            .agg(F.max("sim").alias("max_sim_to_earlier"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        out.count()
+        return out
+    finally:
+        expl.unpersist()
+        assign.unpersist()

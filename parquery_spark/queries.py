@@ -7601,8 +7601,11 @@ def q167_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load(spark, sf_dir, "embeddings")
     if not os.path.exists(os.path.join(adir, "_SUCCESS")):
-        kmeans_assign(emb, id_col="vec_id", vec_col="embedding", iters=3) \
-            .write.mode("overwrite").parquet(adir)
+        trained = kmeans_assign(
+            emb, id_col="vec_id", vec_col="embedding", iters=3
+        )
+        trained.write.mode("overwrite").parquet(adir)
+        trained.unpersist()  # artifact now lives on disk
     assign = spark.read.parquet(adir)
     return semdedup(
         emb, id_col="vec_id", vec_col="embedding", threshold=0.4,

@@ -632,6 +632,36 @@ class TestRound5Operators:
         codes, book = pq_train(empty, m=4, k=4, iters=1)
         assert codes.count() == 0 and book.count() == 0
 
+    def test_pq_train_and_semdedup_release_caches(self, spark):
+        """pq_train/semdedup/kmeans_assign must not pin per-call
+        intermediates (exploded relations, assignments) for the session
+        lifetime: after unpersisting the RETURNED artifacts, the
+        persistent-RDD count is back to where it started."""
+        from parquery_spark.operators.pq import pq_train
+        from parquery_spark.operators.semdedup import kmeans_assign, semdedup
+
+        def n_persisted():
+            return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+        corpus = spark.createDataFrame(
+            [(i, [float(i % 5), 1.0, float(i % 3), 2.0]) for i in range(64)],
+            "vec_id long, embedding array<float>",
+        )
+        base = n_persisted()
+
+        codes, book = pq_train(corpus, m=2, k=2, iters=2)
+        codes.unpersist()
+        book.unpersist()
+        assert n_persisted() == base
+
+        assign = kmeans_assign(corpus, k=3, iters=2)
+        assign.unpersist()
+        assert n_persisted() == base
+
+        pruned = semdedup(corpus, k=3, iters=2, threshold=0.99)
+        pruned.unpersist()
+        assert n_persisted() == base
+
     def test_adc_topk_empty_codebook_and_queries(self, spark):
         """Empty codebook (trained on an empty corpus) or an empty probe
         batch returns an empty result instead of crashing — mirroring
