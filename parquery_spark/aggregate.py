@@ -34,7 +34,7 @@ from typing import Any, Sequence
 import pyarrow as pa
 from pyspark.sql import DataFrame, SparkSession
 
-from parquery_spark import relations, tool
+from parquery_spark import fs, relations, tool
 from parquery_spark.plans.aggregation import build_aggregation_plan
 from parquery_spark.session import get_small_query_session, get_spark
 
@@ -210,18 +210,26 @@ def _pinned_snapshot(file_name):
     out: list[str] = []
     try:
         for p in paths:
-            if not os.path.exists(p):
+            if not fs.is_local(p):
+                # object stores have no inodes to pin (and no hardlinks);
+                # their PUT-then-visible overwrite model doesn't exhibit
+                # the reclaimed-inode race this guards against — pass the
+                # URI through un-snapshotted
                 out.append(p)
                 continue
-            snap = f"{p}.snapshot-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+            lp = fs.local_part(p)
+            if not os.path.exists(lp):
+                out.append(p)
+                continue
+            snap = f"{lp}.snapshot-{os.getpid()}-{uuid.uuid4().hex[:8]}"
             try:
-                os.link(p, snap)
+                os.link(lp, snap)
             except OSError:
                 snap = os.path.join(
                     tempfile.gettempdir(),
-                    f"{os.path.basename(p)}.snapshot-{uuid.uuid4().hex[:8]}",
+                    f"{os.path.basename(lp)}.snapshot-{uuid.uuid4().hex[:8]}",
                 )
-                shutil.copy2(p, snap)
+                shutil.copy2(lp, snap)
             snaps.append(snap)
             out.append(snap)
         yield out[0] if isinstance(file_name, str) else out
@@ -242,8 +250,10 @@ SMALL_INPUT_BYTES = 256 << 20
 def _is_small_input(file_name) -> bool:
     paths = [file_name] if isinstance(file_name, str) else list(file_name)
     try:
-        total = sum(os.path.getsize(p) for p in paths if os.path.exists(p))
+        total = sum(fs.getsize(p) for p in paths if fs.exists(p))
     except OSError:
+        # unknown size (remote URI without a metadata backend): treat as
+        # large — the full-session scale path is the safe default
         return False
     return total < SMALL_INPUT_BYTES
 

@@ -33,7 +33,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from parquery_spark import relations, tool
+from parquery_spark import fs, relations, tool
 
 # op name → Spark aggregate expression builder.
 # Semantics pinned in SURVEY.md §2.3 (divergences documented there):
@@ -223,10 +223,15 @@ def build_aggregation_plan(
     # only some files surfaces as nulls via mergeSchema, so filters on it
     # exclude those files' rows — the per-file "unknown dimension
     # contributes nothing" contract, preserved across the dataset.
+    # All existence/stat/footer probes go through parquery_spark.fs — on
+    # s3a://hdfs://gs:// URIs the POSIX calls this replaces reported
+    # "missing" for files that exist, silently emptying the result.  The
+    # shim's failure posture is the opposite: a path no backend can probe
+    # is assumed PRESENT and the Spark scan raises the real error.
     paths = [file_name] if isinstance(file_name, str) else list(file_name)
     live_paths = []
     for p in paths:
-        if os.path.exists(p):
+        if fs.exists(p):
             # literal paths win even when they contain glob magic chars
             # ('[', '*', '?' are legal filename characters)
             live_paths.append(p)
@@ -245,11 +250,19 @@ def build_aggregation_plan(
 
     requested = {*groupby_cols, *(m[0] for m in measures), *(f[0] for f in filters)}
     existing: set[str] = set()
+    schema_unknown = False
     for p in live_paths:
         try:
             existing |= relations.schema_names(p) & requested
         except Exception:
-            pass
+            # footer unreadable (no metadata backend for the scheme, or a
+            # corrupt file): cannot PROVE any column absent — proceed with
+            # every requested column assumed present and let the scan
+            # surface the real error.  Treating "unknown" as "empty
+            # schema" would silently zero the result.
+            schema_unknown = True
+    if schema_unknown:
+        existing = set(requested)
     if not existing:
         return empty_result_plan(spark, result_cols)
     if any(f[0] not in existing for f in filters):
@@ -351,10 +364,12 @@ def build_aggregation_plan(
 
 
 def _cached_small_input(paths: Sequence[str]) -> bool:
-    """True when the input is under the hot-relation-cache size bound."""
+    """True when the input is under the hot-relation-cache size bound.
+    Unknown sizes (remote URIs without a metadata backend) are NOT small —
+    the scale path is the safe default."""
     try:
         return (
-            sum(os.path.getsize(p) for p in paths)
+            sum(fs.getsize(p) for p in paths)
             < relations.MAX_CACHED_INPUT_BYTES
         )
     except OSError:

@@ -48,6 +48,8 @@ from typing import Sequence
 import pyarrow.parquet as papq
 from pyspark.sql import DataFrame, SparkSession
 
+from parquery_spark import fs
+
 #: Inputs at or above this total size are never cached (scale path).
 MAX_CACHED_INPUT_BYTES = int(
     os.environ.get("PARQUERY_SPARK_RELATION_CACHE_MAX_FILE_BYTES", str(256 << 20))
@@ -95,9 +97,15 @@ def schema_names(path: str) -> frozenset:
     parquet/ORC from the footer, CSV from the header row, JSON-lines from
     the keys of the first rows (a sample — untyped formats have no footer;
     columns appearing only deep in the file surface at read time via
-    Spark's own inference)."""
-    st = os.stat(path)
-    key = (os.path.abspath(path), st.st_mtime_ns, st.st_size)
+    Spark's own inference).
+
+    Filesystem-agnostic: local paths read directly; remote URIs stat and
+    open through :mod:`parquery_spark.fs` (Hadoop FS / pyarrow.fs).  When
+    no backend can answer, this RAISES ``OSError`` — callers must treat
+    "schema unknown" as "assume the columns exist" and let the Spark scan
+    fail loud, never as an empty schema (the silent-empty-result class)."""
+    mtime_ns, size = fs.stat(path)
+    key = (fs.canonical(path), mtime_ns, size)
     with _lock:
         names = _schema_names.get(key)
         if names is not None:
@@ -106,16 +114,21 @@ def schema_names(path: str) -> frozenset:
     fmt = format_of(path)
     if fmt == "csv":
         import csv as _csv
+        import io as _io
 
-        with open(path, newline="") as fh:
-            names = frozenset(next(_csv.reader(fh), []))
+        with fs.open_input(path) as fh:
+            text = _io.TextIOWrapper(fh, newline="")
+            names = frozenset(next(_csv.reader(text), []))
+            text.detach()
     elif fmt == "json":
+        import io as _io
         import json as _json
 
         keys: set[str] = set()
-        with open(path) as fh:
+        with fs.open_input(path) as fh:
+            text = _io.TextIOWrapper(fh)
             for _ in range(100):
-                line = fh.readline()
+                line = text.readline()
                 if not line:
                     break
                 line = line.strip()
@@ -124,13 +137,22 @@ def schema_names(path: str) -> frozenset:
                         keys |= set(_json.loads(line))
                     except ValueError:
                         pass
+            text.detach()
         names = frozenset(keys)
     elif fmt == "orc":
         from pyarrow import orc as _orc
 
-        names = frozenset(_orc.ORCFile(path).schema.names)
+        if fs.is_local(path):
+            names = frozenset(_orc.ORCFile(fs.local_part(path)).schema.names)
+        else:
+            with fs.open_input(path) as fh:
+                names = frozenset(_orc.ORCFile(fh).schema.names)
     else:
-        names = frozenset(papq.read_schema(path).names)
+        if fs.is_local(path):
+            names = frozenset(papq.read_schema(fs.local_part(path)).names)
+        else:
+            with fs.open_input(path) as fh:
+                names = frozenset(papq.read_schema(fh).names)
     with _lock:
         _schema_names[key] = names
         while len(_schema_names) > _MAX_SCHEMA_ENTRIES:
@@ -139,11 +161,7 @@ def schema_names(path: str) -> frozenset:
 
 
 def _stat_key(paths: Sequence[str]) -> tuple:
-    parts = tuple(
-        (os.path.abspath(p), (st := os.stat(p)).st_mtime_ns, st.st_size)
-        for p in paths
-    )
-    return parts
+    return tuple((fs.canonical(p), *fs.stat(p)) for p in paths)
 
 
 #: extension → source format.  Parquet is the reference's only format
@@ -189,11 +207,20 @@ def expand_globs(paths: Sequence[str]) -> list[str]:
     A path that EXISTS literally is never treated as a pattern —
     ``*?[`` are all legal filename characters, and a real file named
     ``events[2024].parquet`` must keep resolving to itself, not to the
-    character class ``[2024]``."""
+    character class ``[2024]``.
+
+    Remote URIs expand through Hadoop ``globStatus`` (the semantics
+    Spark's own file index applies); when no backend can expand a remote
+    pattern it passes through VERBATIM — Spark's readers glob natively,
+    so deferring beats wrongly reporting zero matches."""
     out: list[str] = []
     for p in paths:
-        if has_glob_magic(p) and not os.path.exists(p):
-            out.extend(sorted(_glob.glob(p)))
+        if has_glob_magic(p) and not fs.exists(p):
+            hits = fs.glob(p)
+            if hits is None:
+                out.append(p)
+            else:
+                out.extend(hits)
         else:
             out.append(p)
     return out
@@ -224,14 +251,18 @@ def _plan_slices(paths: Sequence[str]) -> int:
     """Driver-side, footer-only: how many partitions the cached relation
     should have.  More slices than row groups → repartition once at build.
     Non-parquet sources have no row metadata; slice by bytes instead
-    (~2 MiB of source text per slice)."""
+    (~2 MiB of source text per slice).  Remote inputs keep their natural
+    partitioning (0): the re-slice is a repair for the degenerate
+    local single-row-group layout, not worth a remote footer fetch."""
+    if not all(fs.is_local(p) for p in paths):
+        return 0
     if any(format_of(p) != "parquet" for p in paths):
-        total = sum(os.path.getsize(p) for p in paths)
+        total = sum(fs.getsize(p) for p in paths)
         return max(1, min(total // (2 << 20), os.cpu_count() or 8))
     rows = 0
     groups = 0
     for p in paths:
-        md = papq.read_metadata(p)
+        md = papq.read_metadata(fs.local_part(p))
         rows += md.num_rows
         groups += md.num_row_groups
     want = max(1, min(rows // ROWS_PER_SLICE, os.cpu_count() or 8))
@@ -255,8 +286,10 @@ def get_relation(
     if not (_ENABLED and cache):
         return _read(spark, path_list)
     try:
-        total = sum(os.path.getsize(p) for p in path_list)
+        total = sum(fs.getsize(p) for p in path_list)
     except OSError:
+        # unknown size (e.g. remote URI with no metadata backend): go
+        # straight to the lazy uncached scan — the scale path
         return _read(spark, path_list)
     if total >= MAX_CACHED_INPUT_BYTES:
         return _read(spark, path_list)
@@ -265,7 +298,7 @@ def get_relation(
         key = _stat_key(path_list)
     except OSError:
         return _read(spark, path_list)
-    paths_id = tuple(os.path.abspath(p) for p in path_list)
+    paths_id = tuple(fs.canonical(p) for p in path_list)
 
     with _lock:
         stale_key = _by_paths.get(paths_id)
@@ -324,7 +357,7 @@ def get_relation_view(
     try:
         ident = _stat_key(path_list)
     except OSError:
-        ident = tuple(os.path.abspath(p) for p in path_list)
+        ident = tuple(fs.canonical(p) for p in path_list)
     # cache=True and cache=False views live in separate namespaces: the
     # uncached (streaming-scan) contract must never resolve through a view
     # registered from a persisted relation, and vice versa — and downstream
@@ -398,7 +431,7 @@ def invalidate(paths: str | Sequence[str] | None = None) -> None:
             _by_paths.clear()
             return
         path_list = [paths] if isinstance(paths, str) else list(paths)
-        paths_id = tuple(os.path.abspath(p) for p in path_list)
+        paths_id = tuple(fs.canonical(p) for p in path_list)
         key = _by_paths.pop(paths_id, None)
         if key is not None:
             _evict(key)
