@@ -187,7 +187,16 @@ def main():
             break
         result.pop(victim, None)
         line = json.dumps(result)
-    assert len(line) < 1800, f"bench stdout line too long: {len(line)}"
+    if len(line) >= 1800:
+        # unconditional last resort (an assert would vanish under -O and,
+        # when it fired, would drop the whole result line): emit only the
+        # scalar summary keys — guaranteed small, still driver-parseable
+        result = {
+            k: v
+            for k, v in result.items()
+            if isinstance(v, (int, float, str, bool)) or v is None
+        }
+        line = json.dumps(result)
     print(line)
 
 

@@ -51,9 +51,17 @@ def scheme_of(path: str) -> str | None:
 
 
 def is_local(path: str) -> bool:
-    """True when the path resolves through POSIX ``os.*`` calls."""
+    """True when the path resolves through POSIX ``os.*`` calls.  A
+    ``file://host/path`` URI with a non-empty authority is NOT local —
+    ``os.*`` cannot serve a remote host, so it routes through the Hadoop
+    backend (whose LocalFileSystem understands the authority form)."""
     s = scheme_of(path)
-    return s is None or s in _LOCAL_SCHEMES
+    if s is None:
+        return True
+    if s not in _LOCAL_SCHEMES:
+        return False
+    rest = path[len(s) + 3:]
+    return rest == "" or rest.startswith("/")
 
 
 def local_part(path: str) -> str:
@@ -61,8 +69,9 @@ def local_part(path: str) -> str:
     s = scheme_of(path)
     if s in _LOCAL_SCHEMES:
         rest = path[len(s) + 3:]
-        # file:///abs/path and file:/abs/path both mean /abs/path;
-        # file://host/path keeps the (rare) host form intact
+        # file:///abs/path (empty authority) -> /abs/path; the rare
+        # file://host/path form is rejected by is_local() and resolves
+        # through the remote backends instead of reaching os.*
         if not rest.startswith("/"):
             rest = "/" + rest
         return rest
@@ -246,7 +255,8 @@ def open_input(path: str):
     if h is not None:
         try:
             size = int(h[0].getFileStatus(h[1]).getLen())
-            return _JStream(h[0].open(h[1]), size)
+            spark = _active_spark()
+            return _JStream(h[0].open(h[1]), size, spark._jvm)
         except Exception:
             pass
     raise OSError(f"cannot open {path}: no filesystem backend for scheme "
@@ -259,29 +269,40 @@ class _JStream:
     close; pyarrow wraps arbitrary Python file objects via PythonFile,
     which seeks from the END to find the footer — hence the size)."""
 
-    def __init__(self, jstream, size: int):
+    def __init__(self, jstream, size: int, jvm):
         self._j = jstream
         self._size = size
+        self._jvm = jvm
         self._pos = 0
 
     def read(self, n=-1):
-        if n is None or n < 0:  # pragma: no cover - pyarrow always sizes
-            chunks = []
-            while True:
-                b = self.read(1 << 20)
-                if not b:
-                    break
-                chunks.append(b)
-            return b"".join(chunks)
-        buf = bytearray(n)
-        got = 0
-        while got < n:
-            r = self._j.read(self._pos + got, buf, got, n - got)
-            if r <= 0:
-                break
-            got += r
-        self._pos += got
-        return bytes(buf[:got])
+        # CRITICAL: never read through a py4j out-parameter buffer — py4j
+        # passes byte[] arguments BY VALUE, so JVM-side writes into the
+        # buffer are silently dropped and the caller would see NUL bytes
+        # instead of file data (ADVICE r6).  Instead the JVM RETURNS the
+        # bytes: IOUtils.toByteArray(stream, len) (commons-io ships with
+        # Hadoop) and py4j converts the returned byte[] to Python bytes.
+        avail = max(self._size - self._pos, 0)
+        if n is None or n < 0:
+            n = avail
+        n = min(n, avail)
+        if n == 0:
+            return b""
+        try:
+            self._j.seek(self._pos)
+            data = bytes(
+                self._jvm.org.apache.commons.io.IOUtils.toByteArray(self._j, n)
+            )
+        except Exception as exc:
+            raise OSError(
+                f"JVM stream read failed at pos={self._pos} len={n}: {exc}"
+            ) from exc
+        if len(data) != n:
+            # fail loud rather than hand a truncated/garbage buffer to the
+            # footer parser (short reads must not look like real content)
+            raise OSError(f"short JVM stream read: wanted {n}, got {len(data)}")
+        self._pos += n
+        return data
 
     def seek(self, offset, whence=0):
         if whence == 0:

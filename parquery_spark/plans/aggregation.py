@@ -251,19 +251,30 @@ def build_aggregation_plan(
     requested = {*groupby_cols, *(m[0] for m in measures), *(f[0] for f in filters)}
     existing: set[str] = set()
     schema_unknown = False
+    readable_paths = []
     for p in live_paths:
         try:
             existing |= relations.schema_names(p) & requested
+            readable_paths.append(p)
+        except relations.SchemaUnreadableError:
+            # reference parity: a LOCAL file that opens but whose footer/
+            # header cannot be parsed (corrupt/truncated) contributes an
+            # empty column set — it is excluded from the scan, and a query
+            # with no readable columns answers empty (reference:
+            # parquery/tool.py:135-142, aggregate.py:165-170)
+            continue
         except Exception:
-            # footer unreadable (no metadata backend for the scheme, or a
-            # corrupt file): cannot PROVE any column absent — proceed with
-            # every requested column assumed present and let the scan
+            # schema UNKNOWN (remote path with no metadata backend, auth or
+            # transient failure): cannot PROVE any column absent — proceed
+            # with every requested column assumed present and let the scan
             # surface the real error.  Treating "unknown" as "empty
             # schema" would silently zero the result.
             schema_unknown = True
+            readable_paths.append(p)
+    live_paths = readable_paths
     if schema_unknown:
         existing = set(requested)
-    if not existing:
+    if not existing or not live_paths:
         return empty_result_plan(spark, result_cols)
     if any(f[0] not in existing for f in filters):
         # "the real value for the dimension is unknown for the file, the

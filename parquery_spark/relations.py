@@ -92,6 +92,15 @@ _schema_names: "OrderedDict[tuple, frozenset]" = OrderedDict()
 _MAX_SCHEMA_ENTRIES = 256
 
 
+class SchemaUnreadableError(Exception):
+    """A LOCAL file was opened but its footer/header could not be parsed
+    (corrupt or truncated).  Reference parity: such a file contributes an
+    empty column set and the query answers empty (reference:
+    parquery/tool.py:135-142, aggregate.py:165-170).  Distinct from the
+    backend-absent ``OSError`` (remote path, no metadata backend), which
+    callers must treat as "assume the columns exist" / fail loud."""
+
+
 def schema_names(path: str) -> frozenset:
     """Column names, driver-side and cheap, cached by file stat identity:
     parquet/ORC from the footer, CSV from the header row, JSON-lines from
@@ -103,7 +112,10 @@ def schema_names(path: str) -> frozenset:
     open through :mod:`parquery_spark.fs` (Hadoop FS / pyarrow.fs).  When
     no backend can answer, this RAISES ``OSError`` — callers must treat
     "schema unknown" as "assume the columns exist" and let the Spark scan
-    fail loud, never as an empty schema (the silent-empty-result class)."""
+    fail loud, never as an empty schema (the silent-empty-result class).
+    A *local* file that opens but fails to parse raises
+    :class:`SchemaUnreadableError` instead — the reference's tolerant
+    contract maps that to an empty result."""
     mtime_ns, size = fs.stat(path)
     key = (fs.canonical(path), mtime_ns, size)
     with _lock:
@@ -111,6 +123,25 @@ def schema_names(path: str) -> frozenset:
         if names is not None:
             _schema_names.move_to_end(key)
             return names
+    if fs.is_local(path):
+        try:
+            names = _parse_schema_names(path)
+        except Exception as exc:
+            # the file EXISTS and os.open succeeded/failed on content, so
+            # "unreadable" here means corrupt/truncated, not backend-absent
+            raise SchemaUnreadableError(f"unreadable schema: {path}") from exc
+    else:
+        # remote: any failure (no backend, auth, transient) must NOT look
+        # like "empty schema" — propagate so callers assume-present
+        names = _parse_schema_names(path)
+    with _lock:
+        _schema_names[key] = names
+        while len(_schema_names) > _MAX_SCHEMA_ENTRIES:
+            _schema_names.popitem(last=False)
+    return names
+
+
+def _parse_schema_names(path: str) -> frozenset:
     fmt = format_of(path)
     if fmt == "csv":
         import csv as _csv
@@ -153,10 +184,6 @@ def schema_names(path: str) -> frozenset:
         else:
             with fs.open_input(path) as fh:
                 names = frozenset(papq.read_schema(fh).names)
-    with _lock:
-        _schema_names[key] = names
-        while len(_schema_names) > _MAX_SCHEMA_ENTRIES:
-            _schema_names.popitem(last=False)
     return names
 
 

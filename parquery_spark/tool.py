@@ -160,8 +160,13 @@ def _rename(df, fn):
     new = [fn(c) for c in df.columns]
     if hasattr(df, "toDF"):  # Spark DataFrame
         return df.toDF(*new)
-    if not hasattr(df, "copy"):  # polars DataFrame (no .copy; reference:
-        # parquery/tool.py:49-83 accepts polars in the same positions)
+    is_polars = type(df).__module__.split(".")[0] == "polars"  # positive
+    # detection (reference: parquery/tool.py:49-83 accepts polars in the
+    # same positions).  The duck-type fallback keeps polars-SHAPED frames
+    # (mapping-rename, no pandas .copy) working even if the module name
+    # ever differs — but a positive polars match wins regardless of any
+    # future polars release adding .copy.
+    if is_polars or (hasattr(df, "rename") and not hasattr(df, "copy")):
         return df.rename(dict(zip(df.columns, new)))
     df = df.copy()
     df.columns = new

@@ -207,3 +207,48 @@ class TestTransientRetry:
         res = aggregate_pq(target, ["a-31"], [["m1", "sum"]])
         assert _result_map(res) == {20251201: 1.0}
         assert invalidated == [target]
+
+
+class TestCorruptLocalFooter:
+    """Reference parity for LOCAL corrupt files (reference:
+    parquery/tool.py:135-142, aggregate.py:165-170): a file that exists
+    but whose footer cannot be parsed contributes an empty column set and
+    the query answers EMPTY — distinct from the remote backend-absent
+    case, which assumes columns present and fails loud at scan time."""
+
+    def _corrupt(self, tmp_path, name="corrupt.parquet"):
+        bad = str(tmp_path / name)
+        with open(bad, "wb") as fh:
+            fh.write(b"PAR1 this is definitely not a parquet footer " * 8)
+        return bad
+
+    def test_corrupt_local_parquet_answers_empty(self, spark, tmp_path):
+        bad = self._corrupt(tmp_path)
+        res = aggregate_pq(bad, ["g"], [["m1", "sum"]])
+        assert res.num_rows == 0
+
+    def test_corrupt_member_of_list_contributes_nothing(self, spark, tmp_path):
+        good = str(tmp_path / "good.parquet")
+        _write(good, [20251201, 20251202])
+        bad = self._corrupt(tmp_path)
+        res = aggregate_pq([good, bad], ["a-31"], [["m1", "sum"]])
+        assert _result_map(res) == {20251201: 1.0, 20251202: 1.0}
+
+    def test_schema_names_raises_typed_error(self, spark, tmp_path):
+        from parquery_spark import relations
+
+        bad = self._corrupt(tmp_path)
+        with pytest.raises(relations.SchemaUnreadableError):
+            relations.schema_names(bad)
+
+    def test_truncated_parquet_answers_empty(self, spark, tmp_path):
+        """A real parquet truncated mid-footer (the likelier production
+        corruption) takes the same parity path."""
+        good = str(tmp_path / "whole.parquet")
+        _write(good, [20251201])
+        data = open(good, "rb").read()
+        bad = str(tmp_path / "truncated.parquet")
+        with open(bad, "wb") as fh:
+            fh.write(data[: max(len(data) // 2, 8)])
+        res = aggregate_pq(bad, ["a-31"], [["m1", "sum"]])
+        assert res.num_rows == 0
