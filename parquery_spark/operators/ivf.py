@@ -64,7 +64,9 @@ def train_ivf_centroids(
     src = df.select(F.col(vec_col).cast("array<double>").alias("v"))
     if sample_fraction is not None:
         src = src.sample(fraction=sample_fraction, seed=seed)
-    norm = F.sqrt(F.aggregate("v", F.lit(0.0), lambda a, x: a + x * x))
+    from parquery_spark.operators.similarity import norm as _norm
+
+    norm = _norm(F.col("v"))
     unit = F.transform("v", lambda x: x / norm)
     feats = src.select(array_to_vector(unit).alias("features"))
     model = (

@@ -42,17 +42,56 @@ def _as_double(vec: Column | str) -> Column:
     return c.cast("array<double>")
 
 
-def dot(a: Column, b: Column) -> Column:
-    """Dot product of two array<double> columns — fused zip_with/aggregate."""
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
+def fold_sum(arr: Column | str, term=None) -> Column:
+    """THE bit-stable elementwise-sum kernel — every per-row float
+    distance/score in the engine routes through here (directly or via
+    :func:`dot`/:func:`norm`/:func:`fold_sum_pairs`).
+
+    Pinned semantics, do not vary them per call site:
+
+    * the input array is CAST to ``array<double>`` (float32 inputs widen
+      BEFORE any arithmetic — mixed-precision accumulation is the other
+      half of the cross-engine divergence class);
+    * the accumulator starts at DOUBLE ``0.0``;
+    * elements are added strictly left-to-right in array order.
+
+    That recipe is bit-identical to DuckDB's ``list_sum`` /
+    ``list_dot_product`` over the same values (property-pinned in
+    ``tests/test_property.py``), which is what keeps distance/score
+    oracles hash-exact at every SF.  The tempting alternative —
+    ``posexplode`` + ``SUM`` partial aggregation — is NOT order-stable
+    across engines for per-PAIR math and silently diverges at larger SFs
+    (the retired NOTES.md round-4 hazard; the one blessed explode form is
+    :func:`_explode_sums`, whose per-id contiguity argument is local to
+    this module).
+
+    ``term`` optionally maps each (double) element inside the fold, e.g.
+    ``fold_sum(a, lambda v: v * v)`` for a squared norm.
+    """
+    a = (F.col(arr) if isinstance(arr, str) else arr).cast("array<double>")
+    t = term if term is not None else (lambda v: v)
+    return F.aggregate(a, F.lit(0.0), lambda acc, v: acc + t(v))
+
+
+def fold_sum_pairs(a: Column, b: Column, pair) -> Column:
+    """Bit-stable fold over element pairs of two equal-length arrays:
+    ``sum(pair(a_i, b_i))`` left-to-right.  ``zip_with`` evaluates both
+    inputs once; the product array is then folded by :func:`fold_sum`
+    under its pinned semantics."""
+    return fold_sum(
+        F.zip_with(
+            a.cast("array<double>"), b.cast("array<double>"), pair
+        )
     )
 
 
+def dot(a: Column, b: Column) -> Column:
+    """Dot product of two array<double> columns — fused zip_with/aggregate."""
+    return fold_sum_pairs(a, b, lambda x, y: x * y)
+
+
 def norm(a: Column) -> Column:
-    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+    return F.sqrt(fold_sum(a, lambda v: v * v))
 
 
 def cosine(a: Column, b: Column) -> Column:

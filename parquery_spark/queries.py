@@ -10925,17 +10925,13 @@ def q211_pq_adc_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     # list_sum order); over the full corpus for the hash-matched truth,
     # over the shortlist only for the re-rank — TakeOrderedAndProject
     # top-10 both ways
+    from parquery_spark.operators.similarity import fold_sum_pairs
+
     def d2_col(qv: list[float]):
         lit_q = F.array(*[F.lit(v) for v in qv])
         return F.round(
-            F.aggregate(
-                F.zip_with(
-                    F.col("embedding").cast("array<double>"),
-                    lit_q,
-                    lambda x, y: (x - y) * (x - y),
-                ),
-                F.lit(0.0),
-                lambda acc, e: acc + e,
+            fold_sum_pairs(
+                F.col("embedding"), lit_q, lambda x, y: (x - y) * (x - y)
             ),
             6,
         )

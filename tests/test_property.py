@@ -689,3 +689,132 @@ class TestSlidingChunkProperties:
                     hashlib.md5(" ".join(chunk).encode()).hexdigest(),
                 )
         assert got == want
+
+
+class TestFoldKernelProperties:
+    """The shared bit-stable fold kernel (similarity.fold_sum): pinned
+    CAST-to-DOUBLE + left-to-right accumulation must be BIT-identical to
+    DuckDB's list_sum / list_dot_product — the invariant every
+    distance/score oracle hash depends on (retired NOTES.md hazard)."""
+
+    @staticmethod
+    def _bits(x):
+        import struct
+
+        return struct.pack("<d", float(x))
+
+    @settings(
+        max_examples=30,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        st.lists(
+            st.floats(
+                min_value=-1e12,
+                max_value=1e12,
+                allow_nan=False,
+                allow_infinity=False,
+                width=64,
+            ),
+            min_size=1,
+            max_size=64,
+        )
+    )
+    def test_fold_sum_bit_equals_duckdb_list_sum(self, spark, vals):
+        from pyspark.sql import functions as F
+
+        from parquery_spark.operators.similarity import fold_sum, fold_sum_pairs
+
+        df = spark.createDataFrame([(vals,)], "a array<double>")
+        got_sum, got_dot = df.select(
+            fold_sum(F.col("a")).alias("s"),
+            fold_sum_pairs(F.col("a"), F.col("a"), lambda x, y: x * y).alias("d"),
+        ).first()
+
+        con = duckdb.connect()
+        want_sum, want_dot = con.execute(
+            "SELECT list_sum(a), list_dot_product(a, a) FROM "
+            "(SELECT CAST(? AS DOUBLE[]) AS a)",
+            [vals],
+        ).fetchone()
+        con.close()
+        assert self._bits(got_sum) == self._bits(want_sum)
+        assert self._bits(got_dot) == self._bits(want_dot)
+
+    @pytest.mark.parametrize("sf", ["sf0.001", "sf0.01", "sf0.1"])
+    def test_fold_kernel_bit_stable_on_testdata(self, spark, sf):
+        """Every embedding row at every SF: Spark fold-norm² and
+        fold-dot(first-row) bit-equal DuckDB's list fold — real float32
+        data widened to double, the exact shape q211/q218/q220 score."""
+        import os
+
+        from pyspark.sql import functions as F
+
+        from parquery_spark.operators.similarity import dot, fold_sum
+
+        path = f"/root/testdata/{sf}/embeddings.parquet"
+        if not os.path.exists(path):
+            pytest.skip(f"no {sf} testdata")
+        emb = spark.read.parquet(path)
+        q = [
+            float(x)
+            for x in emb.where(F.col("vec_id") == 0).first()["embedding"]
+        ]
+        lit_q = F.array(*[F.lit(v) for v in q])
+        got = {
+            r["vec_id"]: (self._bits(r["n2"]), self._bits(r["dq"]))
+            for r in emb.select(
+                "vec_id",
+                fold_sum(F.col("embedding"), lambda v: v * v).alias("n2"),
+                dot(F.col("embedding").cast("array<double>"), lit_q).alias("dq"),
+            ).collect()
+        }
+        con = duckdb.connect()
+        want = {
+            vid: (self._bits(n2), self._bits(dq))
+            for vid, n2, dq in con.execute(
+                f"""
+                SELECT vec_id,
+                       list_sum(list_transform(embedding,
+                                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+                       list_dot_product(
+                           list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                           CAST(? AS DOUBLE[]))
+                FROM '{path}'
+                """,
+                [q],
+            ).fetchall()
+        }
+        con.close()
+        assert got == want
+
+    def test_no_handrolled_float_folds_outside_kernel(self):
+        """Grep guard: every F.aggregate fold in the package outside the
+        kernel module must be a NON-float-sum fold (integer vote, string
+        merge, max).  A new float-sum fold belongs in
+        similarity.fold_sum — hand-rolling one re-opens the cross-engine
+        summation-order hazard this kernel retired."""
+        import pathlib
+        import re
+
+        pkg = pathlib.Path(__file__).resolve().parents[1] / "parquery_spark"
+        offenders = []
+        for py in pkg.rglob("*.py"):
+            if py.name == "similarity.py":  # the kernel lives here
+                continue
+            text = py.read_text()
+            for m in re.finditer(r"F\.aggregate\(", text):
+                # a float-sum fold carries the DOUBLE 0.0 accumulator
+                window = text[m.start(): m.start() + 400]
+                if re.search(r"F\.lit\(0\.0\)", window):
+                    offenders.append(f"{py.relative_to(pkg)}:{m.start()}")
+            # expr-string folds: aggregate(..., 0.0, ...) inside SQL text
+            for m in re.finditer(r"F\.expr\([^)]*aggregate\(", text):
+                window = text[m.start(): m.start() + 400]
+                if re.search(r"\b0\.0\b", window):
+                    offenders.append(f"{py.relative_to(pkg)}:{m.start()}")
+        assert offenders == [], (
+            "float-sum folds outside similarity.fold_sum (route them "
+            f"through the kernel): {offenders}"
+        )
