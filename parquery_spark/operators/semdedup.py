@@ -6,25 +6,36 @@ similarity to an EARLIER document in its own cluster exceeds a threshold.
 The clustering is what makes it scale: candidate pairs are intra-cluster
 only, Σ_i c_i² instead of n².  That bound only holds if **k grows with the
 corpus** — with constant k the expected cell size c_i = n/k grows linearly
-and the pair volume quadratically.  Hence ``k`` here defaults to
-``ceil(sqrt(n))`` (cells of expected size √n, total pairs ≈ n·√n/2) and
-can instead be derived from a ``target_cell`` size (``k = ceil(n/target)``,
-pairs ≈ n·target/2 — linear in n), which is the 100 TB setting: pick the
-largest cell a single shuffle partition comfortably verifies.
+and the pair volume quadratically.  Hence ``k`` here derives from a
+``target_cell`` size (``k = ceil(n/target)``, pairs ≈ n·target/2 — linear
+in n; default ``DEFAULT_TARGET_CELL``): pick the largest cell a single
+shuffle partition comfortably verifies.  (The old ``ceil(sqrt(n))``
+default is gone — it silently grew cells AND the centroid matrix with n;
+pass ``k=ceil(sqrt(n))`` explicitly if you want that trade.)
 
-Oracle-exact by construction (the q141/q167 recipe): deterministic seeding
-(the k smallest ids, a ``TakeOrderedAndProject`` — never a full sort),
-centroid means computed in DECIMAL (summation-order independent) and
-rounded to ``digits`` so both engines feed bit-identical centroids into
-each assignment round, assignments tie-broken by (distance, cluster), and
-pair similarities rounded before thresholding.
+Training shape (the 100 TB path, round 7):
 
-Per-round centroids are materialized to the driver: k × dim rounded
-doubles are index metadata (KB–MB at any sane k — the same contract as
-:mod:`parquery_spark.operators.ivf`'s centroid matrix), and re-injecting
-them as a literal relation keeps every round's plan flat — no
-iteratively-deepening lineage, no Janino blowup, and each round reuses the
-persisted exploded relation instead of recomputing the whole chain.
+* **Assignment is a vectorized Arrow-batched kernel**, not a SQL join:
+  per batch, distances to all k centroids accumulate position-by-position
+  in numpy (``acc += (x_p - c_p)²`` left-to-right over positions) — the
+  EXACT fold order of the SQL ``SUM`` over a position-contiguous explode
+  and of DuckDB's fold, so assignments stay bit-identical to the oracle
+  recipe while never materializing the O(n·k·d) joined row set.  FLOPs
+  run in numpy at memory bandwidth instead of one hash-agg row each.
+* **Lloyd iterations train on a deterministic hash-sample** (md5-mod
+  stride over ids — portable to the SQL oracle) capped at
+  ``sample_rows``; only the FINAL assignment touches the full corpus,
+  once.  Per-iteration driver/broadcast bytes are the k × dim centroid
+  matrix with ``k ≤ min(k, sample_rows)`` — bounded by the training
+  budget, independent of n.
+* Centroid updates stay DECIMAL-exact means rounded to ``digits``
+  (summation-order independent) over the exploded TRAINING set only.
+
+Oracle-exact by construction (the q141/q167/q221 recipe): deterministic
+seeding (the k smallest training ids, a ``TakeOrderedAndProject`` — never
+a full sort), bit-identical per-round centroids on both engines,
+assignments tie-broken by (distance, cluster), and pair similarities
+rounded before thresholding.
 
 The reference (visualfabriq/parquery) has no similarity/dedup operators —
 this module is part of the beyond-reference LLM-pipeline surface
@@ -35,21 +46,130 @@ from __future__ import annotations
 
 import math
 
+import numpy as np
+import pandas as pd
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+#: default expected cell size when neither ``k`` nor ``target_cell`` is
+#: given — keeps intra-cell pair volume linear in n (≈ n·256/2) and is
+#: small enough that one shuffle partition verifies a cell comfortably
+DEFAULT_TARGET_CELL = 256
+
+#: default Lloyd training budget: iterations run on a deterministic
+#: hash-sample of at most this many vectors, so per-iteration cost and
+#: the k × dim centroid matrix are bounded regardless of corpus size
+DEFAULT_SAMPLE_ROWS = 65536
 
 
 def choose_k(
     n: int, target_cell: int | None = None, k: int | None = None
 ) -> int:
     """Cluster count for a corpus of ``n`` vectors: explicit ``k`` wins,
-    else ``ceil(n / target_cell)``, else the ``ceil(sqrt(n))`` default."""
+    else ``ceil(n / target_cell)`` with ``target_cell`` defaulting to
+    :data:`DEFAULT_TARGET_CELL` (linear-in-n pair volume; the old
+    ``ceil(sqrt(n))`` default grew cells with n and is no longer
+    implicit)."""
     if k is not None:
         return max(2, min(k, n))
-    if target_cell is not None:
-        return max(2, min(math.ceil(n / target_cell), n))
-    return max(2, min(math.ceil(math.sqrt(n)), n))
+    if target_cell is None:
+        target_cell = DEFAULT_TARGET_CELL
+    return max(2, min(math.ceil(n / target_cell), n))
+
+
+def _sample_filter(id_col, stride: int):
+    """Deterministic, engine-portable membership test for the training
+    sample: keep ids whose 60-bit md5 prefix is ≡ 0 (mod stride).  The
+    identical predicate in the SQL oracle is
+    ``('0x' || substr(md5(id::VARCHAR), 1, 15))::BIGINT % stride = 0``."""
+    h = F.conv(
+        F.substring(F.md5(id_col.cast("long").cast("string")), 1, 15), 16, 10
+    ).cast("bigint")
+    return h % stride == 0
+
+
+def _centroid_matrix(cent_rows):
+    """(labels, C, clens): cluster labels ascending, the k × dim centroid
+    matrix, and each centroid's own position count, from collected
+    (cluster, pos, c) rows."""
+    labels = sorted({int(r["cluster"]) for r in cent_rows})
+    dim = max(int(r["pos"]) for r in cent_rows) + 1
+    lab_ix = {c: i for i, c in enumerate(labels)}
+    C = np.zeros((len(labels), dim), dtype=np.float64)
+    clens = np.zeros(len(labels), dtype=np.int64)
+    for r in cent_rows:
+        i, p = lab_ix[int(r["cluster"])], int(r["pos"])
+        C[i, p] = float(r["c"])
+        clens[i] = max(clens[i], p + 1)
+    return np.asarray(labels, dtype=np.int64), C, clens
+
+
+def _assign_with(emb: DataFrame, id_col: str, vec_col: str,
+                 labels, C, clens):
+    """One vectorized assignment pass: ``((__id, cluster) DataFrame,
+    centroid broadcast)`` covering every vector with at least one
+    component (SQL parity: an empty vector joins no positions and gets NO
+    assignment row).  The caller may ``destroy()`` the broadcast once the
+    result is fully consumed.
+
+    Bit-identity contract: distances accumulate ``(x_p - c_p)²``
+    position-by-position left-to-right in float64 — the same fold order
+    as ``SUM`` over a position-contiguous explode (Spark hash-agg) and as
+    the DuckDB oracle — and ties break to the smallest cluster label
+    (labels ascend, ``argmin`` keeps the first minimum).  Positions
+    beyond either side's length contribute nothing, matching the SQL
+    inner join on ``pos``."""
+    from pyspark.sql.functions import pandas_udf
+
+    spark = emb.sparkSession
+    bc = spark.sparkContext.broadcast((labels, C, clens))
+
+    @pandas_udf("bigint")
+    def _assign(v: pd.Series) -> pd.Series:
+        labs, cents, cl = bc.value
+        k, d = cents.shape
+        uniform = bool((cl == d).all())
+        arrs = v.to_numpy()
+        n_rows = len(arrs)
+        out = np.zeros(n_rows, dtype=np.int64)
+        valid = np.zeros(n_rows, dtype=bool)
+        lens = np.fromiter(
+            (0 if a is None else len(a) for a in arrs),
+            dtype=np.int64, count=n_rows,
+        )
+        for ln in np.unique(lens):
+            if ln == 0:
+                continue
+            ix = np.nonzero(lens == ln)[0]
+            X = np.empty((len(ix), ln), dtype=np.float64)
+            for row, i in enumerate(ix):
+                # float32 → float64 widening BEFORE arithmetic (exact),
+                # the pinned CAST-to-DOUBLE discipline
+                X[row, :] = np.asarray(arrs[i], dtype=np.float64)
+            span = min(int(ln), d)
+            acc = np.zeros((len(ix), k), dtype=np.float64)
+            for p in range(span):
+                diff = X[:, p, None] - cents[None, :, p]
+                sq = diff * diff
+                if not uniform:
+                    # a centroid shorter than p has no pos-p row in the
+                    # SQL join: zero its contribution (×0.0 and +0.0 are
+                    # bit-exact identities on the non-negative acc)
+                    sq *= (p < cl)[None, :]
+                acc += sq
+            out[ix] = labs[np.argmin(acc, axis=1)]
+            valid[ix] = True
+        res = pd.Series(out).astype("Int64")
+        res[~valid] = pd.NA
+        return res
+
+    df = emb.select(
+        F.col(id_col).cast("long").alias("__id"),
+        _assign(F.col(vec_col)).alias("cluster"),
+    ).where(F.col("cluster").isNotNull())
+    return df, bc
 
 
 def _explode(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
@@ -75,6 +195,7 @@ def kmeans_assign(
     iters: int = 3,
     target_cell: int | None = None,
     digits: int = 6,
+    sample_rows: int | None = DEFAULT_SAMPLE_ROWS,
     _expl: DataFrame | None = None,
 ) -> DataFrame:
     """Deterministic, oracle-exact Lloyd assignment: ``(id_col, cluster)``
@@ -83,87 +204,118 @@ def kmeans_assign(
     back to :func:`semdedup` via ``assign=`` to skip re-training: the
     standard train-once / prune-per-batch split of a production pipeline.
 
+    Execution shape (round 7): every assignment pass is the vectorized
+    Arrow-batched kernel (:func:`_assign_with` — bit-identical fold order
+    to the SQL/DuckDB recipe, no O(n·k·d) joined rows), and when the
+    corpus exceeds ``sample_rows`` the Lloyd iterations run on a
+    deterministic md5-mod hash-sample (:func:`_sample_filter`, portable
+    to the SQL oracle — gated by q221) with only the FINAL pass touching
+    the full corpus.  Per-iteration driver traffic is the k × dim rounded
+    centroid matrix with k capped by the training-set size — bounded by
+    the ``sample_rows`` budget, independent of n.  ``sample_rows=None``
+    forces full-corpus training (the q167/q211 oracle setting at test
+    SFs, where n is under the default budget anyway).
+
     ``_expl`` lets :func:`semdedup` (and :func:`~parquery_spark.operators.
-    pq.pq_train`) share ITS persisted exploded relation with training —
-    the heaviest intermediate must exist once, not once per phase, and the
-    owner of the handle unpersists it.  When this function owns the
-    explode (``_expl=None``) it materializes the returned assignment
-    (persisted MEMORY_AND_DISK) and releases the exploded relation before
-    returning — callers ``unpersist()`` the result when done with the
-    model artifact."""
+    pq.pq_train`) share ITS persisted exploded relation with the centroid
+    updates when training is unsampled — the owner of the handle
+    unpersists it.  When this function owns its intermediates it
+    materializes the returned assignment (persisted MEMORY_AND_DISK) and
+    releases them before returning — callers ``unpersist()`` the result
+    when done with the model artifact."""
     spark = emb.sparkSession
     n = emb.count()
     if n == 0:
         return spark.createDataFrame([], f"{id_col} long, cluster long")
-    k = choose_k(n, target_cell, k)
-    owns_expl = _expl is None
-    expl = _explode(emb, id_col, vec_col) if owns_expl else _expl
 
-    # deterministic seeds: the k smallest ids (TakeOrderedAndProject —
-    # k rows, never a global sort); seed id doubles as the cluster label.
-    # Seed centroids are collected immediately so EVERY round — including
-    # the first — runs the identical literal-centroid plan shape: one
-    # whole-stage-codegen compile serves all rounds instead of one per
-    # distinct shape (measured 2-3x on the cold path).
-    seeds = emb.select(F.col(id_col).cast("long").alias("__id")).orderBy(
-        "__id"
-    ).limit(k)
-    cent_rows = (
-        expl.join(F.broadcast(seeds), "__id")
-        .select(
-            F.col("__id").alias("cluster"), "pos", F.col("x").alias("c")
+    # -- training set: deterministic hash-sample once past the budget ----
+    stride = 1
+    if sample_rows is not None and n > sample_rows:
+        stride = math.ceil(n / sample_rows)
+    train = emb
+    n_train = n
+    if stride > 1:
+        train = emb.where(_sample_filter(F.col(id_col), stride))
+        n_train = train.count()
+        if n_train == 0:  # pathological hash void on a tiny corpus
+            train, n_train, stride = emb, n, 1
+    k = min(choose_k(n, target_cell, k), max(n_train, 2))
+
+    # deterministic seeds: the k smallest TRAINING ids
+    # (TakeOrderedAndProject — k rows, never a global sort); seed id
+    # doubles as the cluster label.  Seed vectors come back whole — the
+    # k × dim matrix is the same driver-side index metadata every later
+    # round ships, no explode involved.
+    seed_rows = (
+        train.select(
+            F.col(id_col).cast("long").alias("__id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
         )
+        .orderBy("__id")
+        .limit(k)
         .collect()
     )
+    seed_rows = [r for r in seed_rows if r["v"]]  # empty vector = no cell
+    if not seed_rows:
+        return spark.createDataFrame([], f"{id_col} long, cluster long")
+    labels = np.asarray([int(r["__id"]) for r in seed_rows], dtype=np.int64)
+    dim = max(len(r["v"]) for r in seed_rows)
+    C = np.zeros((len(labels), dim), dtype=np.float64)
+    clens = np.zeros(len(labels), dtype=np.int64)
+    for i, r in enumerate(seed_rows):
+        C[i, : len(r["v"])] = np.asarray(r["v"], dtype=np.float64)
+        clens[i] = len(r["v"])
 
+    # exploded TRAINING relation — needed only for the DECIMAL-exact
+    # centroid updates between rounds (bounded by the sample budget)
+    owns_texpl = False
+    texpl = None
+    if iters > 1:
+        if _expl is not None and stride == 1:
+            texpl = _expl
+        else:
+            texpl = _explode(train, id_col, vec_col)
+            owns_texpl = True
+
+    spent_bc = []
     try:
-        assign = None
-        for _ in range(iters):
-            cents = spark.createDataFrame(
-                cent_rows, "cluster long, pos int, c double"
-            )
-            d = (
-                expl.join(F.broadcast(cents), "pos")
-                .groupBy("__id", "cluster")
+        for _ in range(iters - 1):
+            assign_t, bc = _assign_with(train, id_col, vec_col,
+                                        labels, C, clens)
+            cent_rows = (
+                texpl.join(assign_t, "__id")
+                .groupBy("cluster", "pos")
                 .agg(
-                    F.sum(
-                        (F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))
-                    ).alias("d")
+                    F.round(
+                        F.sum(F.col("x").cast("decimal(28,12)"))
+                        .cast("double")
+                        / F.count(F.lit(1)),
+                        digits,
+                    ).alias("c")
                 )
+                .collect()
             )
-            # argmin via min(struct(d, cluster)): lexicographic struct order
-            # IS the (distance, cluster) tie-break, and min partial-aggregates
-            # map-side — no row_number window, one less exchange per round
-            assign = (
-                d.groupBy("__id")
-                .agg(F.min(F.struct("d", "cluster")).alias("m"))
-                .select("__id", F.col("m.cluster").alias("cluster"))
-            )
-            if _ < iters - 1:
-                cent_rows = (
-                    expl.join(assign, "__id")
-                    .groupBy("cluster", "pos")
-                    .agg(
-                        F.round(
-                            F.sum(F.col("x").cast("decimal(28,12)"))
-                            .cast("double")
-                            / F.count(F.lit(1)),
-                            digits,
-                        ).alias("c")
-                    )
-                    .collect()
-                )
+            spent_bc.append(bc)
+            if not cent_rows:  # every training vector lost its assignment
+                break
+            labels, C, clens = _centroid_matrix(cent_rows)
 
-        out = assign.select(F.col("__id").alias(id_col), "cluster")
-        if owns_expl:
-            # materialize the model artifact, then release the exploded
-            # relation — the n·d intermediate must not outlive training
+        out, _final_bc = _assign_with(emb, id_col, vec_col, labels, C, clens)
+        out = out.select(F.col("__id").alias(id_col), "cluster")
+        if _expl is None:
+            # materialize the model artifact so the training intermediates
+            # (sample explode, iteration broadcasts) can be released now
             out = out.persist(StorageLevel.MEMORY_AND_DISK)
             out.count()
         return out
     finally:
-        if owns_expl:
-            expl.unpersist()
+        if owns_texpl:
+            texpl.unpersist()
+        for bc in spent_bc:  # iteration centroids are dead after .collect()
+            try:
+                bc.destroy()
+            except Exception:  # pragma: no cover - session teardown race
+                pass
 
 
 def semdedup(
@@ -175,6 +327,7 @@ def semdedup(
     threshold: float = 0.4,
     target_cell: int | None = None,
     digits: int = 6,
+    sample_rows: int | None = DEFAULT_SAMPLE_ROWS,
     assign: DataFrame | None = None,
 ) -> DataFrame:
     """Return the PRUNE set: one row per dropped vector —
@@ -203,7 +356,7 @@ def semdedup(
     if assign is None:
         assign = kmeans_assign(
             emb, id_col, vec_col, k, iters, target_cell, digits,
-            _expl=expl,
+            sample_rows=sample_rows, _expl=expl,
         )
     # persist BEFORE the emptiness probe so the probe's job is the one
     # that materializes the cache, not a throwaway recompute

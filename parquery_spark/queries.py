@@ -5931,13 +5931,14 @@ def q140_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_kmeans_assign(cent: str, out: str) -> str:
+def _sql_kmeans_assign(cent: str, out: str, expl: str = "expl") -> str:
     """Assignment CTE: nearest centroid per vector (rank over distance,
-    cluster id as tie-break)."""
+    cluster id as tie-break).  ``expl`` selects which exploded relation
+    the pass runs over — the full corpus, or a training sample (q221)."""
     return f"""{out}_d AS (
         SELECT e.vec_id, c.cluster,
                SUM((e.x - c.c) * (e.x - c.c)) AS d
-        FROM expl e JOIN {cent} c ON e.pos = c.pos
+        FROM {expl} e JOIN {cent} c ON e.pos = c.pos
         GROUP BY e.vec_id, c.cluster
     ),
     {out} AS (
@@ -5950,14 +5951,14 @@ def _sql_kmeans_assign(cent: str, out: str) -> str:
     )"""
 
 
-def _sql_kmeans_update(assign: str, out: str) -> str:
+def _sql_kmeans_update(assign: str, out: str, expl: str = "expl") -> str:
     """Centroid update CTE: decimal-exact per-(cluster,pos) mean,
     rounded to 6 digits (the engine-stable float contract)."""
     return f"""{out} AS (
         SELECT a.cluster, e.pos,
                ROUND(CAST(SUM(CAST(e.x AS DECIMAL(28,12))) AS DOUBLE)
                      / COUNT(*), 6) AS c
-        FROM expl e JOIN {assign} a ON e.vec_id = a.vec_id
+        FROM {expl} e JOIN {assign} a ON e.vec_id = a.vec_id
         GROUP BY a.cluster, e.pos
     )"""
 
@@ -7540,7 +7541,8 @@ def q166_arrow_python_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT e.vec_id AS cluster, e.pos, e.x AS c
         FROM expl e
         JOIN (SELECT vec_id FROM embeddings ORDER BY vec_id
-              LIMIT (SELECT CAST(ceil(sqrt(COUNT(*))) AS BIGINT)
+              LIMIT (SELECT GREATEST(2, CAST(ceil(COUNT(*) / 64.0)
+                                             AS BIGINT))
                      FROM embeddings)) s
           ON e.vec_id = s.vec_id
     ),
@@ -7574,12 +7576,12 @@ def q167_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup via :func:`parquery_spark.operators.semdedup.semdedup`
     (Abbas et al. 2023): k-means the embedding space, prune any document
     too cosine-close to an EARLIER document in its own cluster.  k scales
-    with the corpus — ``ceil(sqrt(n))`` here (the operator's default), so
-    expected cell size is √n and pair volume ≈ n·√n/2, never n²; the
-    oracle computes the identical k from its own COUNT(*).  Composes the
-    q141 decimal-exact Lloyd recipe (bit-identical assignments on both
-    engines, per-round centroids re-injected as literal KB-scale
-    metadata) with the q45-style explode-shaped cosine (dots
+    with the corpus via ``target_cell`` (here 64: ``k = ceil(n/64)``,
+    cells of expected size 64, pair volume ≈ 32·n — linear in n, never
+    n²); the oracle computes the identical k from its own COUNT(*).
+    Assignment runs the vectorized Arrow-batched Lloyd kernel
+    (bit-identical fold order to the oracle — no O(n·k·d) join rows),
+    composed with the q45-style explode-shaped cosine (dots
     partial-aggregate JVM-side; sims rounded to 6 before thresholding).
     Returns the pruned set with evidence: each dropped vector, its
     cluster, and its closest earlier neighbor's similarity.
@@ -7595,14 +7597,20 @@ def q167_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     src = _path(sf_dir, "embeddings")
     st = os.stat(src)
-    ident = f"{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}|kmeans3"
+    ident = (
+        f"{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}"
+        "|kmeans4-vec-tc64"  # logic-version tag: vectorized kernel +
+        # target_cell-derived k (round 7) — a stale kmeans3 artifact
+        # would silently mask the new training path
+    )
     tag = hashlib.md5(ident.encode()).hexdigest()[:10]
     adir = os.path.join(tempfile.gettempdir(), f"pqs_semdedup_{tag}")
 
     emb = load(spark, sf_dir, "embeddings")
     if not os.path.exists(os.path.join(adir, "_SUCCESS")):
         trained = kmeans_assign(
-            emb, id_col="vec_id", vec_col="embedding", iters=3
+            emb, id_col="vec_id", vec_col="embedding", iters=3,
+            target_cell=64,
         )
         trained.write.mode("overwrite").parquet(adir)
         trained.unpersist()  # artifact now lives on disk
@@ -10894,7 +10902,11 @@ def q211_pq_adc_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     src = _path(sf_dir, "embeddings")
     st = os.stat(src)
-    ident = f"{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}|pq_m8k16i2"
+    # v2 logic tag: vectorized Lloyd kernel (round 7) — force re-encode so
+    # the gate exercises the new training path, not a stale artifact
+    ident = (
+        f"{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}|pq_m8k16i2v2"
+    )
     tag = hashlib.md5(ident.encode()).hexdigest()[:10]
     adir = os.path.join(tempfile.gettempdir(), f"pqs_pq_model_{tag}")
     codes_dir = os.path.join(adir, "codes")
@@ -11715,6 +11727,75 @@ def q220_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         "neg_sim",
         F.round(F.col("pos_sim") - F.col("neg_sim"), 6).alias("margin"),
     )
+
+
+@query(
+    "q221_kmeans_sampled",
+    f"""
+    WITH expl AS (
+        SELECT vec_id,
+               CAST(z[2] AS INTEGER) AS pos,
+               CAST(z[1] AS DOUBLE) AS x
+        FROM (SELECT vec_id,
+                     unnest(list_zip(embedding::DOUBLE[],
+                                     range(len(embedding)))) AS z
+              FROM embeddings)
+    ),
+    samp AS (
+        SELECT vec_id FROM embeddings
+        WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT
+              % (SELECT CAST(ceil(COUNT(*) / 128.0) AS BIGINT)
+                 FROM embeddings) = 0
+    ),
+    texpl AS (SELECT e.* FROM expl e JOIN samp USING (vec_id)),
+    cent0 AS (
+        SELECT e.vec_id AS cluster, e.pos, e.x AS c
+        FROM texpl e
+        JOIN (SELECT vec_id FROM samp ORDER BY vec_id LIMIT 4) s
+          USING (vec_id)
+    ),
+    {_sql_kmeans_assign("cent0", "a1", expl="texpl")},
+    {_sql_kmeans_update("a1", "cent1", expl="texpl")},
+    {_sql_kmeans_assign("cent1", "a2", expl="texpl")},
+    {_sql_kmeans_update("a2", "cent2", expl="texpl")},
+    {_sql_kmeans_assign("cent2", "a3")}
+    SELECT cluster, COUNT(*) AS n,
+           bit_xor(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))
+                   ::BIGINT) AS member_checksum
+    FROM a3 GROUP BY cluster
+    """,
+)
+def q221_kmeans_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION k-means training shape, oracle-gated: Lloyd
+    iterations run on a deterministic md5-mod hash-sample (here
+    ``sample_rows=128`` → stride ``ceil(n/128)``, active at every test
+    SF), assignment runs the vectorized Arrow-batched kernel, and only
+    the FINAL pass touches the full corpus.  The oracle replicates the
+    identical sample (same md5-prefix predicate), seeds (4 smallest
+    SAMPLE ids), two DECIMAL-exact update rounds over the sample, and
+    the full-corpus final assignment — proving the scale path
+    bit-matches the exact recipe, not just the full-corpus path that
+    q141/q167 pin.  At 100 TB the sample bounds per-iteration cost and
+    the k × dim driver matrix by the training budget, independent of
+    corpus size (SCALING.md)."""
+    from parquery_spark.operators.dedup import hash64
+    from parquery_spark.operators.semdedup import kmeans_assign
+
+    emb = load(spark, sf_dir, "embeddings")
+    assign = kmeans_assign(
+        emb, id_col="vec_id", vec_col="embedding", k=4, iters=3,
+        sample_rows=128,
+    )
+    out = assign.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.bit_xor(hash64(F.col("vec_id").cast("string"))).alias(
+            "member_checksum"
+        ),
+    )
+    out = out.persist()
+    out.count()
+    assign.unpersist()
+    return out
 
 
 # ===========================================================================

@@ -529,11 +529,13 @@ class TestSemDeDup:
     def test_choose_k_scaling(self):
         from parquery_spark.operators.semdedup import choose_k
 
-        assert choose_k(100) == 10           # ceil(sqrt(n)) default
-        assert choose_k(101) == 11
+        # default = target_cell regime (DEFAULT_TARGET_CELL=256): pair
+        # volume linear in n, never the old sqrt(n) cell growth
+        assert choose_k(100) == 2            # floor at 2
+        assert choose_k(256 * 10) == 10
         assert choose_k(3) == 2              # floor at 2
-        assert choose_k(1_000_000) == 1000   # pairs ~ n*sqrt(n)/2
-        assert choose_k(10_000, target_cell=100) == 100  # linear regime
+        assert choose_k(1_000_000) == 3907   # ceil(n/256)
+        assert choose_k(10_000, target_cell=100) == 100  # explicit cell
         assert choose_k(10_000, k=7) == 7    # explicit wins
         assert choose_k(5, k=50) == 5        # never more clusters than rows
 
