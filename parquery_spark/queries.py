@@ -11798,6 +11798,94 @@ def q221_kmeans_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+@query(
+    "q222_binary_file_ingest",
+    """
+    WITH sel AS (
+        SELECT doc_id, text,
+               md5(text) AS content_hash,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               CASE CAST(doc_id % 3 AS INTEGER)
+                    WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                    ELSE 'video' END AS media_type,
+               ('0x' || substr(md5(text), 1, 8))::BIGINT AS seed
+        FROM documents WHERE doc_id < 60
+    )
+    SELECT doc_id, media_type, n_bytes, content_hash,
+           CASE WHEN media_type = 'audio' THEN NULL
+                ELSE CAST(64 + seed % 1024 AS INTEGER) END AS width,
+           CASE WHEN media_type = 'audio' THEN NULL
+                ELSE CAST(64 + (seed // 1024) % 1024 AS INTEGER)
+                END AS height,
+           CASE WHEN media_type = 'image' THEN CAST(1 AS INTEGER)
+                ELSE CAST(1 + seed % 300 AS INTEGER) END AS n_frames,
+           TRUE AS decode_ok
+    FROM sel
+    """,
+)
+def q222_binary_file_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-file multimodal ingest end to end: a directory of real media
+    files (stat-keyed fixture — 60 files whose bytes derive from the
+    ``documents`` corpus, extensions cycling png/wav/mp4) is ingested
+    with :func:`parquery_spark.sources.binary.read_binary_files`
+    (distributed ``binaryFile`` listing+read, extension → media_type),
+    then feature-extracted through the Arrow-batched ``mapInPandas``
+    decode plumbing (:func:`extract_media_features`, codec honestly
+    stubbed).  The oracle recomputes every feature from the SAME bytes
+    via the documents table — what's gated is that listing, reading,
+    typing, batching and decode bookkeeping lose nothing.
+
+    Scale shape: the driver lists paths; tasks read bytes (no driver
+    data path); ``pathGlobFilter``/``modifiedAfter`` prune at listing
+    time; the payload column is dropped before any shuffle."""
+    import hashlib
+    import tempfile
+
+    from parquery_spark.operators.multimodal import extract_media_features
+    from parquery_spark.sources.binary import read_binary_files
+
+    src = _path(sf_dir, "documents")
+    st = os.stat(src)
+    ident = f"{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}|media60v1"
+    tag = hashlib.md5(ident.encode()).hexdigest()[:10]
+    fdir = os.path.join(tempfile.gettempdir(), f"pqs_media_{tag}")
+    if not os.path.exists(os.path.join(fdir, "_DONE")):
+        import pyarrow.parquet as papq
+
+        os.makedirs(fdir, exist_ok=True)
+        tbl = papq.read_table(src, columns=["doc_id", "text"])
+        exts = {0: "png", 1: "wav", 2: "mp4"}
+        for doc_id, text in zip(
+            tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist()
+        ):
+            if doc_id < 60:
+                p = os.path.join(
+                    fdir, f"doc_{doc_id:06d}.{exts[doc_id % 3]}"
+                )
+                with open(p + ".tmp", "wb") as fh:
+                    fh.write(text.encode("utf-8"))
+                os.replace(p + ".tmp", p)
+        with open(os.path.join(fdir, "_DONE"), "w") as fh:
+            fh.write("ok")
+
+    raw = read_binary_files(
+        spark, fdir, path_glob="doc_*", media_type="auto"
+    ).select("path", "payload", "media_type")
+    feats = extract_media_features(raw)
+    return feats.select(
+        F.regexp_extract(F.col("path"), r"doc_(\d+)\.", 1)
+        .cast("long")
+        .alias("doc_id"),
+        "media_type",
+        "n_bytes",
+        "content_hash",
+        "width",
+        "height",
+        "n_frames",
+        "decode_ok",
+    )
+
+
 # ===========================================================================
 # Driver-snapshot ordering
 # ===========================================================================

@@ -539,3 +539,70 @@ class TestPersistentDrainIncremental:
         write_file([(3, base + dt.timedelta(minutes=1), 3, 1.0)])
         r3 = sorted(r["event_id"] for r in drain().collect())
         assert r3 == [1, 2, 3]
+
+
+class TestBinaryFileSource:
+    """sources/binary.py: distributed raw-file ingest wired into the
+    multimodal contract (payload + media_type)."""
+
+    @pytest.fixture()
+    def media_dir(self, tmp_path):
+        (tmp_path / "a.png").write_bytes(b"png-bytes")
+        (tmp_path / "b.wav").write_bytes(b"wav-bytes")
+        (tmp_path / "c.xyz").write_bytes(b"mystery")
+        sub = tmp_path / "nested"
+        sub.mkdir()
+        (sub / "d.mp4").write_bytes(b"vid-bytes")
+        return str(tmp_path)
+
+    def test_auto_media_type_and_payload(self, spark, media_dir):
+        from parquery_spark.sources.binary import read_binary_files
+
+        rows = {
+            os.path.basename(r["path"]): r
+            for r in read_binary_files(spark, media_dir).collect()
+        }
+        assert set(rows) == {"a.png", "b.wav", "c.xyz", "d.mp4"}
+        assert rows["a.png"]["media_type"] == "image"
+        assert rows["b.wav"]["media_type"] == "audio"
+        assert rows["d.mp4"]["media_type"] == "video"  # recursive lookup
+        assert rows["c.xyz"]["media_type"] == "unknown"
+        assert bytes(rows["a.png"]["payload"]) == b"png-bytes"
+        assert rows["a.png"]["length"] == len(b"png-bytes")
+
+    def test_path_glob_prunes_at_listing(self, spark, media_dir):
+        from parquery_spark.sources.binary import read_binary_files
+
+        got = read_binary_files(spark, media_dir, path_glob="*.png").collect()
+        assert [os.path.basename(r["path"]) for r in got] == ["a.png"]
+
+    def test_modified_after_prunes(self, spark, media_dir):
+        from parquery_spark.sources.binary import read_binary_files
+
+        assert (
+            read_binary_files(
+                spark, media_dir, modified_after="2100-01-01T00:00:00"
+            ).count()
+            == 0
+        )
+
+    def test_feeds_feature_extraction(self, spark, media_dir):
+        import hashlib
+
+        from parquery_spark.operators.multimodal import extract_media_features
+        from parquery_spark.sources.binary import read_binary_files
+
+        raw = read_binary_files(spark, media_dir, path_glob="*.png").select(
+            "path", "payload", "media_type"
+        )
+        feats = extract_media_features(raw).collect()
+        assert len(feats) == 1
+        assert feats[0]["content_hash"] == hashlib.md5(b"png-bytes").hexdigest()
+        assert feats[0]["decode_ok"] is True
+        assert "payload" not in feats[0].asDict()
+
+    def test_constant_media_type(self, spark, media_dir):
+        from parquery_spark.sources.binary import read_binary_files
+
+        got = read_binary_files(spark, media_dir, media_type="image")
+        assert {r["media_type"] for r in got.collect()} == {"image"}
