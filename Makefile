@@ -1,0 +1,37 @@
+# Round-close ritual: everything the round's artifacts depend on, in the
+# order that keeps them consistent with the code they vouch for.
+#
+#   make test        - full pytest
+#   make gate        - full Spark-vs-DuckDB oracle gate at sf0.01
+#   make gate-all    - gate at all three SFs
+#   make plan-audit  - regenerate PLAN_AUDIT.md (MUST run at round close:
+#                      a stale audit vouches for plans that no longer
+#                      exist - VERDICT r6 #7)
+#   make bench       - bench.py at sf0.1 (run alone: CPU contention skews)
+#   make close       - gate + plan-audit + bench, sequentially
+
+SF_DIR ?= /root/testdata/sf0.01
+
+.PHONY: test gate gate-all plan-audit bench close
+
+test:
+	python -m pytest tests/ -q
+
+gate:
+	python scripts/check_queries.py $(SF_DIR)
+
+gate-all:
+	python scripts/check_queries.py /root/testdata/sf0.001
+	python scripts/check_queries.py /root/testdata/sf0.01
+	python scripts/check_queries.py /root/testdata/sf0.1
+
+plan-audit:
+	python scripts/plan_audit.py $(SF_DIR)
+
+bench:
+	python bench.py
+
+scale-smoke:
+	python scripts/scale_smoke.py 10
+
+close: gate plan-audit bench

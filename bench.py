@@ -8,11 +8,14 @@ Timing excludes session startup and the one-time JVM/codegen warmup (a
 trivial count over lineitem) but includes full plan + execution + collect
 per query — the end-to-end latency a caller of the engine sees.
 
-Noise handling: the slow tail (>1.5s) re-runs once, keeping the min; the
-parity head-to-head uses median-of-5 for all three engines.  Re-runs may
-hit the engine's own caches (hot-relation cache, CacheManager) — the same
-warm-state benefit the embedded reference engines get from the OS page
-cache on their re-reads.
+Noise handling: EVERY query runs twice (min-of-2; first-run colds kept in
+the artifact) and the stdout line carries a measured ``noise_floor`` (the
+relative spread of 5 back-to-back canary runs) so round-over-round diffs
+can separate signal from host contention.  The parity head-to-head uses
+median-of-5 for all three engines.  Re-runs may hit the engine's own
+caches (hot-relation cache, CacheManager) — the same warm-state benefit
+the embedded reference engines get from the OS page cache on their
+re-reads.
 """
 
 from __future__ import annotations
@@ -109,19 +112,32 @@ def main():
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
     # The host this runs on shows multi-minute noise windows (identical
-    # workloads swing 2-4x).  Queries that landed in such a window get ONE
-    # re-run, keeping the min — the second sample is taken minutes later,
-    # outside the burst.  Bounded: only the slow tail re-runs.  The cold
-    # (first-run) time is kept alongside, so the cold-vs-warm delta —
-    # dominated by Janino codegen for the wide-aggregate queries — is
-    # auditable from the artifact.
+    # workloads swing 2-4x).  EVERY query gets a second run, keeping the
+    # min — the second sample lands minutes after the first, outside the
+    # burst — so round-over-round diffs compare signal, not scheduler
+    # contention (VERDICT r6 #5).  The cold (first-run) time is kept
+    # alongside, so the cold-vs-warm delta — dominated by Janino codegen
+    # for the wide-aggregate queries — is auditable from the artifact.
     cold = dict(timings)
-    for name in [n for n, t in timings.items() if t > 1.5]:
-        t, _ = run_query(fns[name])
+    for name, fn in fns.items():
+        t, _ = run_query(fn)
         if t < timings[name]:
-            print(f"# {name}: rerun {t:.3f}s < {timings[name]:.3f}s "
-                  "(keeping min)", file=sys.stderr)
             timings[name] = round(t, 4)
+    print(f"# min-of-2 total: {sum(timings.values()):.1f}s "
+          f"(cold {sum(cold.values()):.1f}s)", file=sys.stderr)
+
+    # Empirical noise floor: the relative spread of 5 back-to-back runs of
+    # a fixed warm canary query.  A round-over-round per-query delta below
+    # this number is indistinguishable from host noise by construction.
+    noise_floor = None
+    canary = next(iter(fns))
+    try:
+        samples = [run_query(fns[canary])[0] for _ in range(5)]
+        noise_floor = round((max(samples) - min(samples)) / min(samples), 4)
+        print(f"# noise floor ({canary}, 5 runs): {noise_floor}",
+              file=sys.stderr)
+    except Exception:  # pragma: no cover - canary failure must not kill bench
+        pass
 
     def _qnum(name: str) -> int:
         m = re.match(r"q(\d+)", name)
@@ -137,6 +153,8 @@ def main():
         "cpus": int(cpus),
         "n_queries": len(timings),
         "core_parity_seconds": round(sum(core.values()), 4),
+        "noise_floor": noise_floor,
+        "timing_discipline": "min-of-2",
     }
     m = re.search(r"sf([0-9.]+)", sf_dir)
     if m:

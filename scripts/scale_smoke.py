@@ -32,13 +32,17 @@ sys.path.insert(
 )
 
 SRC = "/root/testdata/sf0.1"
-DIMS = ["region", "nation", "customer", "supplier", "part", "embeddings"]
+DIMS = ["region", "nation", "customer", "supplier", "part"]
 # fact table -> (key columns to shift, shift stride)
 FACTS = {
     "lineitem": (["l_orderkey"], 10_000_000),
     "orders": (["o_orderkey"], 10_000_000),
     "events": (["event_id"], 100_000_000),
     "documents": (["doc_id"], 10_000_000),
+    # embeddings scale too (round 7): the ANN/dedup corpus — vec_ids
+    # shift so stat-keyed model artifacts retrain per scale, honestly
+    # including index-build cost in the measured growth
+    "embeddings": (["vec_id"], 10_000_000),
 }
 QUERIES = [
     "q01_pricing_summary",      # full-scan agg
@@ -47,6 +51,10 @@ QUERIES = [
     "q207_resample_ffill",      # calendar densify + ffill
     "q209_exact_quantiles",     # histogram order statistics
     "q212_rag_chunking",        # explode-shaped chunking
+    # heavy near-dup / ANN families (VERDICT r6 #6): measured, not argued
+    "q43_minhash_lsh",          # band-bucketed LSH near-dup
+    "q167_semdedup",            # k-means cells + intra-cell pairs
+    "q211_pq_adc_ann",          # PQ train + ADC scan + re-rank
 ]
 
 
@@ -83,14 +91,38 @@ def build(factor: int, out_dir: str) -> str:
     return out_dir
 
 
+def shuffle_written(spark):
+    """Total shuffle-write bytes so far via the status REST API (the
+    bench.py probe); None when the UI is off."""
+    try:
+        import urllib.request
+
+        ui = spark.sparkContext.uiWebUrl
+        if not ui:
+            return None
+        apps = json.load(
+            urllib.request.urlopen(ui + "/api/v1/applications", timeout=5)
+        )
+        stages = json.load(
+            urllib.request.urlopen(
+                f"{ui}/api/v1/applications/{apps[0]['id']}/stages",
+                timeout=10,
+            )
+        )
+        return sum(st.get("shuffleWriteBytes", 0) for st in stages)
+    except Exception:
+        return None
+
+
 def run(spark, sf_dir: str, names: list[str]) -> dict:
     import __spark_entry__ as e
 
     qs = e.queries()
     out = {}
     for name in names:
-        best, n = None, 0
-        for _ in range(2):  # min of 2: first run absorbs codegen warmup
+        best, n, shuf = None, 0, None
+        for i in range(2):  # min of 2: first run absorbs codegen warmup
+            s0 = shuffle_written(spark)
             t0 = time.time()
             # len(collect()), not count(): count() lets Catalyst prune
             # the per-row output expressions (md5 fingerprints, filled
@@ -98,8 +130,16 @@ def run(spark, sf_dir: str, names: list[str]) -> dict:
             # run — bench.py materializes the same way
             n = len(qs[name](spark, sf_dir).collect())
             dt = time.time() - t0
+            if i == 1:
+                # shuffle bytes from the WARM run: the model-artifact
+                # families (q167/q211) train on run 1 at whichever scale
+                # has no cached artifact yet — the warm run compares the
+                # steady-state probe/prune plan at both scales
+                s1 = shuffle_written(spark)
+                if s0 is not None and s1 is not None:
+                    shuf = s1 - s0
             best = dt if best is None else min(best, dt)
-        out[name] = {"sec": round(best, 2), "rows": n}
+        out[name] = {"sec": round(best, 2), "rows": n, "shuffle_bytes": shuf}
     return out
 
 
@@ -107,10 +147,13 @@ if __name__ == "__main__":
     factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     # factor-keyed default dir: reusing one dir across factors would
     # silently serve stale tables built at the other factor
+    # v2: embeddings became a scaled fact (a v1 dir has it symlinked)
     out_dir = (
         sys.argv[2] if len(sys.argv) > 2
-        else f"/tmp/pqs_scale_smoke_x{factor}"
+        else f"/tmp/pqs_scale_smoke_x{factor}v2"
     )
+
+    os.environ.setdefault("PARQUERY_SPARK_CONF_spark__ui__enabled", "true")
 
     from parquery_spark.session import get_spark
 
@@ -133,6 +176,16 @@ if __name__ == "__main__":
                 ),
                 "rows_ratio": round(
                     big[q]["rows"] / max(base[q]["rows"], 1), 2
+                ),
+                "shuffle_ratio": (
+                    round(big[q]["shuffle_bytes"]
+                          / max(base[q]["shuffle_bytes"], 1), 1)
+                    if big[q]["shuffle_bytes"] is not None
+                    and base[q]["shuffle_bytes"] is not None else None
+                ),
+                "sf0.1_shuffle_mb": (
+                    round(base[q]["shuffle_bytes"] / 1e6, 1)
+                    if base[q]["shuffle_bytes"] is not None else None
                 ),
             }
             for q in QUERIES
