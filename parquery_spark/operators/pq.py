@@ -70,46 +70,56 @@ def pq_train(
         raise ValueError(f"dim {d} not divisible by m={m} subspaces")
     w = d // m
 
-    code_parts: list[DataFrame] = []
-    book_parts: list[DataFrame] = []
     transient: list[DataFrame] = []
+
+    def _train_subspace(s: int):
+        """One subspace's Lloyd train + codebook — independent of every
+        other subspace, so the m trainings run on concurrent driver
+        threads (Spark schedules their jobs side by side; at m=8 the
+        cold train is wall-clocked by the slowest subspace, not the
+        sum)."""
+        sub = emb.select(
+            F.col(id_col).cast("long").alias(id_col),
+            F.slice(F.col(vec_col), s * w + 1, w).alias("embedding"),
+        )
+        # ONE persisted exploded relation per subspace, shared between
+        # the Lloyd loop (via _expl) and the codebook mean below —
+        # and released in the finally, so a pq_train call pins nothing
+        # beyond its own (persisted, returned) codes/codebook
+        expl = _explode(sub, id_col, "embedding")
+        transient.append(expl)  # registered as soon as it exists, so the
+        # finally releases it even when a SIBLING subspace thread fails
+        assign = kmeans_assign(
+            sub, id_col=id_col, vec_col="embedding", k=k, iters=iters,
+            digits=digits, _expl=expl,
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        transient.append(assign)
+        # subspace codebook: decimal-exact mean of member subvectors at
+        # each local position (labels are seed ids — arbitrary longs —
+        # which ADC joins through; density of 0..k-1 is not required)
+        book = (
+            expl.withColumnRenamed("__id", id_col)
+            .join(assign, id_col)
+            .groupBy("cluster", "pos")
+            .agg(
+                F.round(
+                    F.sum(F.col("x").cast("decimal(28,12)")).cast("double")
+                    / F.count(F.lit(1)),
+                    digits,
+                ).alias("c")
+            )
+            .select(F.lit(s).alias("sub"), "cluster", "pos", "c")
+        )
+        code_part = assign.select(id_col, F.lit(s).alias("sub"), "cluster")
+        return s, code_part, book
+
     try:
-        for s in range(m):
-            sub = emb.select(
-                F.col(id_col).cast("long").alias(id_col),
-                F.slice(F.col(vec_col), s * w + 1, w).alias("embedding"),
-            )
-            # ONE persisted exploded relation per subspace, shared between
-            # the Lloyd loop (via _expl) and the codebook mean below —
-            # and released in the finally, so a pq_train call pins nothing
-            # beyond its own (persisted, returned) codes/codebook
-            expl = _explode(sub, id_col, "embedding")
-            transient.append(expl)
-            assign = kmeans_assign(
-                sub, id_col=id_col, vec_col="embedding", k=k, iters=iters,
-                digits=digits, _expl=expl,
-            ).persist(StorageLevel.MEMORY_AND_DISK)
-            transient.append(assign)
-            # subspace codebook: decimal-exact mean of member subvectors at
-            # each local position (labels are seed ids — arbitrary longs —
-            # which ADC joins through; density of 0..k-1 is not required)
-            book = (
-                expl.withColumnRenamed("__id", id_col)
-                .join(assign, id_col)
-                .groupBy("cluster", "pos")
-                .agg(
-                    F.round(
-                        F.sum(F.col("x").cast("decimal(28,12)")).cast("double")
-                        / F.count(F.lit(1)),
-                        digits,
-                    ).alias("c")
-                )
-                .select(F.lit(s).alias("sub"), "cluster", "pos", "c")
-            )
-            code_parts.append(
-                assign.select(id_col, F.lit(s).alias("sub"), "cluster")
-            )
-            book_parts.append(book)
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(m, 8)) as pool:
+            trained = list(pool.map(_train_subspace, range(m)))
+        code_parts = [t[1] for t in trained]
+        book_parts = [t[2] for t in trained]
 
         codes = reduce(lambda a, b: a.unionByName(b), code_parts)
         codes = (
