@@ -38,6 +38,12 @@ def main():
     # REST API — scale evidence (shuffle BYTES, not just seconds) lands in
     # the artifact; queries still run identically if the UI fails to bind
     os.environ.setdefault("PARQUERY_SPARK_CONF_spark__ui__enabled", "true")
+    # the shuffle probe walks UI-retained stages; a 206-query × 2-run bench
+    # far exceeds the default 1000 retained — raise it so deltas don't
+    # undercount (negative deltas are dropped by shuffle_delta anyway)
+    os.environ.setdefault(
+        "PARQUERY_SPARK_CONF_spark__ui__retainedStages", "20000"
+    )
 
     import __spark_entry__ as entrymod
     from parquery_spark.session import get_spark
@@ -58,27 +64,11 @@ def main():
     # Arrow collect path (toArrow jars/classes) is a one-time process cost
     spark.sql("select 1 as x").toArrow()
 
-    def shuffle_written():
-        """Total shuffle-write bytes so far (completed+active stages) via
-        the status REST API; None when the UI is off or unreachable."""
-        try:
-            import urllib.request
+    from parquery_spark.diagnostics import shuffle_delta
+    from parquery_spark.diagnostics import shuffle_written as _shuffle_probe
 
-            ui = spark.sparkContext.uiWebUrl
-            if not ui:
-                return None
-            apps = json.load(
-                urllib.request.urlopen(ui + "/api/v1/applications", timeout=5)
-            )
-            app_id = apps[0]["id"]
-            stages = json.load(
-                urllib.request.urlopen(
-                    f"{ui}/api/v1/applications/{app_id}/stages", timeout=10
-                )
-            )
-            return sum(st.get("shuffleWriteBytes", 0) for st in stages)
-        except Exception:
-            return None
+    def shuffle_written():
+        return _shuffle_probe(spark)
 
     def run_query(fn):
         t0 = time.perf_counter()
@@ -107,8 +97,9 @@ def main():
         t, n = run_query(fn)
         s1 = shuffle_written()
         timings[name] = round(t, 4)
-        if s0 is not None and s1 is not None:
-            shuffle_bytes[name] = s1 - s0
+        d = shuffle_delta(s0, s1)
+        if d is not None:
+            shuffle_bytes[name] = d
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
     # The host this runs on shows multi-minute noise windows (identical

@@ -57,20 +57,24 @@ def quantize_int8(
         ),
     ).otherwise(F.transform(vec_col, lambda x: F.lit(0).cast("long")))
     out = out.withColumn(codes_col, codes)
-    # max-of-elements (order-free — NOT the fold-sum hazard class); the
-    # coalesce keeps the historical 0.0 answer for an empty vector
-    err = F.coalesce(
-        F.array_max(
-            F.zip_with(
-                codes_col,
-                vec_col,
-                lambda c, x: F.abs(
-                    F.col("__mn") + c.cast("double") * rng / 255
-                    - x.cast("double")
-                ),
-            )
+    # max-of-elements (order-free — NOT the fold-sum hazard class).  The
+    # empty-vector case keeps the historical 0.0 answer; a NULL vector
+    # stays NULL (a missing embedding must not report a perfect error)
+    err = F.when(
+        F.col(vec_col).isNotNull(),
+        F.coalesce(
+            F.array_max(
+                F.zip_with(
+                    codes_col,
+                    vec_col,
+                    lambda c, x: F.abs(
+                        F.col("__mn") + c.cast("double") * rng / 255
+                        - x.cast("double")
+                    ),
+                )
+            ),
+            F.lit(0.0),
         ),
-        F.lit(0.0),
     )
     return (
         out.withColumn(err_col, err)

@@ -282,6 +282,9 @@ def kmeans_assign(
         for _ in range(iters - 1):
             assign_t, bc = _assign_with(train, id_col, vec_col,
                                         labels, C, clens)
+            # registered BEFORE the collect so a failed round still
+            # releases its centroid broadcast in the finally
+            spent_bc.append(bc)
             cent_rows = (
                 texpl.join(assign_t, "__id")
                 .groupBy("cluster", "pos")
@@ -295,11 +298,16 @@ def kmeans_assign(
                 )
                 .collect()
             )
-            spent_bc.append(bc)
             if not cent_rows:  # every training vector lost its assignment
                 break
             labels, C, clens = _centroid_matrix(cent_rows)
 
+        # the FINAL broadcast is deliberately NOT destroyed here: it backs
+        # the returned plan (a persisted relation can still recompute after
+        # executor loss / cache eviction).  Once the caller releases the
+        # result, the closure reference drops and Spark's ContextCleaner
+        # reclaims the broadcast — bounded by one k×dim matrix per LIVE
+        # model, not per call.
         out, _final_bc = _assign_with(emb, id_col, vec_col, labels, C, clens)
         out = out.select(F.col("__id").alias(id_col), "cluster")
         if _expl is None:

@@ -11853,18 +11853,19 @@ def q222_binary_file_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         import pyarrow.parquet as papq
 
         os.makedirs(fdir, exist_ok=True)
-        tbl = papq.read_table(src, columns=["doc_id", "text"])
+        # predicate pushed into the parquet read: only the 60 fixture
+        # rows reach the driver, not the whole corpus's text
+        tbl = papq.read_table(
+            src, columns=["doc_id", "text"], filters=[("doc_id", "<", 60)]
+        )
         exts = {0: "png", 1: "wav", 2: "mp4"}
         for doc_id, text in zip(
             tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist()
         ):
-            if doc_id < 60:
-                p = os.path.join(
-                    fdir, f"doc_{doc_id:06d}.{exts[doc_id % 3]}"
-                )
-                with open(p + ".tmp", "wb") as fh:
-                    fh.write(text.encode("utf-8"))
-                os.replace(p + ".tmp", p)
+            p = os.path.join(fdir, f"doc_{doc_id:06d}.{exts[doc_id % 3]}")
+            with open(p + ".tmp", "wb") as fh:
+                fh.write(text.encode("utf-8"))
+            os.replace(p + ".tmp", p)
         with open(os.path.join(fdir, "_DONE"), "w") as fh:
             fh.write("ok")
 

@@ -126,9 +126,19 @@ def schema_names(path: str) -> frozenset:
     if fs.is_local(path):
         try:
             names = _parse_schema_names(path)
+        except OSError:
+            # I/O failure on a local file (EACCES, transient NFS EIO,
+            # EMFILE...) is NOT the corrupt-content class: propagate, so
+            # the caller assumes the columns exist and the Spark scan
+            # fails LOUD — rebranding it "unreadable" would silently drop
+            # the file from the scan (the silent-partial-result class).
+            # pyarrow's ArrowIOError subclasses OSError, which is exactly
+            # right: an unreadable disk is an I/O problem, not parity.
+            raise
         except Exception as exc:
-            # the file EXISTS and os.open succeeded/failed on content, so
-            # "unreadable" here means corrupt/truncated, not backend-absent
+            # the file opened and CONTENT failed to parse (ArrowInvalid
+            # magic/footer, csv/json/unicode garbage): reference parity —
+            # corrupt local files contribute an empty column set
             raise SchemaUnreadableError(f"unreadable schema: {path}") from exc
     else:
         # remote: any failure (no backend, auth, transient) must NOT look

@@ -91,31 +91,10 @@ def build(factor: int, out_dir: str) -> str:
     return out_dir
 
 
-def shuffle_written(spark):
-    """Total shuffle-write bytes so far via the status REST API (the
-    bench.py probe); None when the UI is off."""
-    try:
-        import urllib.request
-
-        ui = spark.sparkContext.uiWebUrl
-        if not ui:
-            return None
-        apps = json.load(
-            urllib.request.urlopen(ui + "/api/v1/applications", timeout=5)
-        )
-        stages = json.load(
-            urllib.request.urlopen(
-                f"{ui}/api/v1/applications/{apps[0]['id']}/stages",
-                timeout=10,
-            )
-        )
-        return sum(st.get("shuffleWriteBytes", 0) for st in stages)
-    except Exception:
-        return None
-
-
 def run(spark, sf_dir: str, names: list[str]) -> dict:
     import __spark_entry__ as e
+
+    from parquery_spark.diagnostics import shuffle_delta, shuffle_written
 
     qs = e.queries()
     out = {}
@@ -135,9 +114,8 @@ def run(spark, sf_dir: str, names: list[str]) -> dict:
                 # families (q167/q211) train on run 1 at whichever scale
                 # has no cached artifact yet — the warm run compares the
                 # steady-state probe/prune plan at both scales
-                s1 = shuffle_written(spark)
-                if s0 is not None and s1 is not None:
-                    shuf = s1 - s0
+                # eviction-guarded: a negative raw delta is "unknown"
+                shuf = shuffle_delta(s0, shuffle_written(spark))
             best = dt if best is None else min(best, dt)
         out[name] = {"sec": round(best, 2), "rows": n, "shuffle_bytes": shuf}
     return out
@@ -154,6 +132,9 @@ if __name__ == "__main__":
     )
 
     os.environ.setdefault("PARQUERY_SPARK_CONF_spark__ui__enabled", "true")
+    os.environ.setdefault(
+        "PARQUERY_SPARK_CONF_spark__ui__retainedStages", "20000"
+    )
 
     from parquery_spark.session import get_spark
 

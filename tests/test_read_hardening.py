@@ -252,3 +252,25 @@ class TestCorruptLocalFooter:
             fh.write(data[: max(len(data) // 2, 8)])
         res = aggregate_pq(bad, ["a-31"], [["m1", "sum"]])
         assert res.num_rows == 0
+
+    def test_local_io_error_assumes_present_not_empty(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """An I/O failure in the LOCAL schema probe (EACCES/EIO — not
+        corrupt content) must NOT take the corrupt-content parity path:
+        the pre-flight assumes the columns exist and the scan proceeds —
+        here the file is healthy, so the query answers CORRECTLY instead
+        of returning the silent empty result a SchemaUnreadableError
+        mapping would produce."""
+        from parquery_spark import relations
+
+        good = str(tmp_path / "good.parquet")
+        _write(good, [20251201])
+
+        def boom(path):
+            raise PermissionError(13, "Permission denied", path)
+
+        monkeypatch.setattr(relations, "_parse_schema_names", boom)
+        relations.invalidate()
+        res = aggregate_pq(good, ["a-31"], [["m1", "sum"]])
+        assert _result_map(res) == {20251201: 1.0}
