@@ -949,3 +949,106 @@ def winnow_fingerprints(
         .select(id_col, "fingerprint")
         .distinct()
     )
+
+
+def substring_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 8,
+    max_gram_occ: int = 64,
+) -> DataFrame:
+    """Exact-substring duplicate spans (the ExactSubstr family of
+    "Deduplicating Training Data Makes Language Models Better", Lee et al.
+    2022): find every maximal run of >= ``min_tokens`` consecutive words
+    shared verbatim between two documents, with its position in BOTH docs
+    — the artifact you need to *cut* duplicated text, not merely flag the
+    document (which MinHash/SimHash/winnowing already do).
+
+    Suffix arrays don't distribute; the equivalent join-shaped plan does:
+
+    1. posexplode each doc into its ``min_tokens``-word grams (narrow);
+    2. drop grams occurring once (no partner) or more than
+       ``max_gram_occ`` times (boilerplate stop-grams — the hot keys that
+       would otherwise quadratically blow the bucket join, same cap role
+       as ``max_bucket_size`` in ``lsh_candidate_pairs``);
+    3. self-equi-join on the gram (shuffle on the gram key; per-key
+       fan-out <= max_gram_occ**2 by construction);
+    4. merge hits into maximal spans: matches of one shared run all lie
+       on one diagonal (pos_a - pos_b constant) at consecutive pos_a, so
+       ``pos_a - row_number()`` over (pair, diagonal) is constant exactly
+       within a maximal run (the classic gaps-and-islands key) — one
+       shuffle on (doc_a, doc_b), then a plain groupBy.
+
+    At 100 TB the only with-n driver/executor term is the per-gram-key
+    bucket, capped by ``max_gram_occ``; everything else is narrow or
+    key-partitioned.  (For petabyte shuffles, swap the join key for
+    ``xxhash64(gram)`` and keep the gram equality as a residual — halves
+    shuffle bytes at zero semantic cost; kept as the raw string here so
+    the DuckDB oracle twin is textually identical.)
+
+    Returns one row per maximal span:
+    ``(doc_a, doc_b, a_start, b_start, span_tokens)`` with doc_a < doc_b,
+    1-based token offsets, span_tokens >= min_tokens.
+    """
+    from pyspark.sql import Window
+
+    L = int(min_tokens)
+    if L < 2:
+        raise ValueError("min_tokens must be >= 2")
+    toks = df.select(
+        F.col(id_col).alias("__id"),
+        F.split(F.col(text_col), " ").alias("__t"),
+    ).where(F.size("__t") >= L)
+    # sequence() counts DOWN when start > stop (NOTES.md hazard) — the
+    # size filter above guarantees 1 <= size - L + 1
+    grams = toks.select(
+        "__id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("__t") - L + 1),
+                lambda p: F.concat_ws(" ", F.slice("__t", p, L)),
+            )
+        ).alias("__p0", "gram"),
+    ).select("__id", (F.col("__p0") + 1).alias("pos"), "gram")
+    keep = (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .where((F.col("__n") >= 2) & (F.col("__n") <= max_gram_occ))
+        .select("gram")
+    )
+    occ = grams.join(keep, "gram")
+    a = occ.select(
+        F.col("gram"),
+        F.col("__id").alias("doc_a"),
+        F.col("pos").alias("pos_a"),
+    )
+    b = occ.select(
+        F.col("gram").alias("__gb"),
+        F.col("__id").alias("doc_b"),
+        F.col("pos").alias("pos_b"),
+    )
+    hits = a.join(
+        b, (a["gram"] == b["__gb"]) & (a["doc_a"] < b["doc_b"])
+    ).select("doc_a", "doc_b", "pos_a", "pos_b")
+    diag = F.col("pos_a") - F.col("pos_b")
+    w = Window.partitionBy("doc_a", "doc_b", diag).orderBy("pos_a")
+    isl = hits.select(
+        "doc_a",
+        "doc_b",
+        "pos_a",
+        "pos_b",
+        diag.alias("__diag"),
+        (F.col("pos_a") - F.row_number().over(w)).alias("__island"),
+    )
+    return (
+        isl.groupBy("doc_a", "doc_b", "__diag", "__island")
+        .agg(
+            F.min("pos_a").cast("int").alias("a_start"),
+            F.min("pos_b").cast("int").alias("b_start"),
+            (F.max("pos_a") - F.min("pos_a") + L).cast("int").alias(
+                "span_tokens"
+            ),
+        )
+        .select("doc_a", "doc_b", "a_start", "b_start", "span_tokens")
+    )

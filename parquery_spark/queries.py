@@ -11887,6 +11887,63 @@ def q222_binary_file_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SUBSTR_L = 8
+_SUBSTR_CAP = 64
+
+_SUBSTRING_SPANS_SQL = f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        WHERE len(string_split(text, ' ')) >= {_SUBSTR_L}
+    ),
+    grams AS (
+        SELECT doc_id, pos,
+               array_to_string(t[pos:pos+{_SUBSTR_L}-1], ' ') AS gram
+        FROM toks, unnest(range(1, len(t) - {_SUBSTR_L} + 2)) AS u(pos)
+    ),
+    keep AS (
+        SELECT gram FROM grams GROUP BY gram
+        HAVING COUNT(*) BETWEEN 2 AND {_SUBSTR_CAP}
+    ),
+    occ AS (SELECT g.* FROM grams g JOIN keep USING (gram)),
+    hits AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.pos AS pos_a, b.pos AS pos_b
+        FROM occ a JOIN occ b ON a.gram = b.gram AND a.doc_id < b.doc_id
+    ),
+    isl AS (
+        SELECT *, pos_a - pos_b AS diag,
+               pos_a - ROW_NUMBER() OVER (
+                   PARTITION BY doc_a, doc_b, pos_a - pos_b
+                   ORDER BY pos_a) AS island
+        FROM hits
+    )
+    SELECT doc_a, doc_b,
+           CAST(MIN(pos_a) AS INTEGER) AS a_start,
+           CAST(MIN(pos_b) AS INTEGER) AS b_start,
+           CAST(MAX(pos_a) - MIN(pos_a) + {_SUBSTR_L} AS INTEGER)
+               AS span_tokens
+    FROM isl GROUP BY doc_a, doc_b, diag, island
+    """
+
+
+@query("q223_substring_spans", _SUBSTRING_SPANS_SQL)
+def q223_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplicate spans (ExactSubstr, Lee et al. 2022): every
+    maximal verbatim run of >= 8 shared words between two documents, with
+    its 1-based start offset in BOTH docs — the positional artifact needed
+    to cut duplicated text rather than drop whole documents (which the
+    MinHash / SimHash / winnowing family covers).  All-integer output, no
+    float discipline needed; the gaps-and-islands diagonal merge is
+    deterministic on both engines."""
+    from parquery_spark.operators.dedup import substring_spans
+
+    docs = load(spark, sf_dir, "documents")
+    return substring_spans(
+        docs, "text", "doc_id",
+        min_tokens=_SUBSTR_L, max_gram_occ=_SUBSTR_CAP,
+    )
+
+
 # ===========================================================================
 # Driver-snapshot ordering
 # ===========================================================================

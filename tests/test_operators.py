@@ -703,3 +703,78 @@ class TestRound5Operators:
         )
         with _pytest.raises(ValueError, match="not divisible"):
             pq_train(df, m=2, k=2, iters=1)
+
+
+class TestSubstringSpans:
+    def _df(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_identical_docs_one_full_span(self, spark):
+        from parquery_spark.operators.dedup import substring_spans
+
+        words = " ".join(f"w{i}" for i in range(20))
+        df = self._df(spark, [(1, words), (2, words)])
+        out = substring_spans(df, min_tokens=8).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert (r.doc_a, r.doc_b) == (1, 2)
+        assert (r.a_start, r.b_start, r.span_tokens) == (1, 1, 20)
+
+    def test_offset_substring_and_short_doc(self, spark):
+        from parquery_spark.operators.dedup import substring_spans
+
+        base = [f"w{i}" for i in range(30)]
+        shared = base[10:22]  # 12 tokens, positions 11..22 in doc 1
+        df = self._df(
+            spark,
+            [
+                (1, " ".join(base)),
+                (2, "x y z " + " ".join(shared)),
+                (3, "too short"),  # < min_tokens: contributes nothing
+            ],
+        )
+        out = substring_spans(df, min_tokens=8).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert (r.doc_a, r.doc_b) == (1, 2)
+        assert (r.a_start, r.b_start, r.span_tokens) == (11, 4, 12)
+
+    def test_two_disjoint_spans_not_merged(self, spark):
+        from parquery_spark.operators.dedup import substring_spans
+
+        a = [f"a{i}" for i in range(8)]
+        b = [f"b{i}" for i in range(8)]
+        df = self._df(
+            spark,
+            [
+                (1, " ".join(a) + " gap1 gap2 " + " ".join(b)),
+                (2, " ".join(a) + " other1 other2 " + " ".join(b)),
+            ],
+        )
+        out = sorted(
+            substring_spans(df, min_tokens=8).collect(),
+            key=lambda r: r.a_start,
+        )
+        assert [(r.a_start, r.b_start, r.span_tokens) for r in out] == [
+            (1, 1, 8),
+            (11, 11, 8),
+        ]
+
+    def test_stop_gram_cap_drops_boilerplate(self, spark):
+        from parquery_spark.operators.dedup import substring_spans
+
+        boiler = " ".join(f"c{i}" for i in range(8))
+        rows = [(i, boiler) for i in range(1, 12)]  # 11 occurrences
+        df = self._df(spark, rows)
+        # cap 10 < 11 occurrences: the gram is a stop-gram, no pairs
+        assert substring_spans(df, min_tokens=8, max_gram_occ=10).count() == 0
+        # raising the cap restores all C(11,2) pairs
+        assert substring_spans(df, min_tokens=8, max_gram_occ=64).count() == 55
+
+    def test_min_tokens_validation(self, spark):
+        import pytest as _pytest
+
+        from parquery_spark.operators.dedup import substring_spans
+
+        with _pytest.raises(ValueError):
+            substring_spans(self._df(spark, [(1, "a b")]), min_tokens=1)
