@@ -1052,3 +1052,79 @@ def substring_spans(
         )
         .select("doc_a", "doc_b", "a_start", "b_start", "span_tokens")
     )
+
+
+def substring_dedup_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 8,
+    max_gram_occ: int = 64,
+) -> DataFrame:
+    """Per-document removal accounting for exact-substring dedup: take
+    every span ``substring_spans`` found, cut it from the LATER document
+    of each pair (keep-first convention: doc_a < doc_b, so doc_b loses
+    the span), merge the possibly-overlapping cut intervals per document
+    (one doc can duplicate many partners), and report how many tokens
+    the cut removes vs keeps.  ``kept_tokens = 0`` marks a verbatim
+    subset of an earlier doc — droppable outright.
+
+    The interval merge is the standard gaps-and-islands running-max:
+    after the span shuffle (keyed by doc), everything is one window pass
+    and a groupBy per doc — no join back to the pair space.  Output is
+    one row per AFFECTED document:
+    ``(doc_id, n_tokens, removed_tokens, kept_tokens, n_cut_spans)``.
+    """
+    from pyspark.sql import Window
+
+    spans = substring_spans(
+        df, text_col, id_col,
+        min_tokens=min_tokens, max_gram_occ=max_gram_occ,
+    )
+    ivals = spans.select(
+        F.col("doc_b").alias("__doc"),
+        F.col("b_start").cast("long").alias("s"),
+        (F.col("b_start") + F.col("span_tokens") - 1).cast("long").alias(
+            "e"
+        ),
+    )
+    wprev = (
+        Window.partitionBy("__doc")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wrun = Window.partitionBy("__doc").orderBy("s", "e")
+    marked = ivals.withColumn(
+        "__new",
+        F.when(
+            F.col("s") > F.coalesce(F.max("e").over(wprev), F.lit(-1)),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    ).withColumn("__isl", F.sum("__new").over(wrun))
+    merged = (
+        marked.groupBy("__doc", "__isl")
+        .agg(F.min("s").alias("ms"), F.max("e").alias("me"))
+        .groupBy("__doc")
+        .agg(
+            F.sum(F.col("me") - F.col("ms") + 1).alias("removed_tokens"),
+            F.count(F.lit(1)).alias("n_cut_spans"),
+        )
+    )
+    lens = df.select(
+        F.col(id_col).alias("__doc"),
+        F.size(F.split(F.col(text_col), " ")).cast("long").alias(
+            "n_tokens"
+        ),
+    )
+    return (
+        merged.join(lens, "__doc")
+        .select(
+            F.col("__doc").alias(id_col),
+            "n_tokens",
+            F.col("removed_tokens").cast("long").alias("removed_tokens"),
+            (F.col("n_tokens") - F.col("removed_tokens"))
+            .cast("long")
+            .alias("kept_tokens"),
+            F.col("n_cut_spans").cast("long").alias("n_cut_spans"),
+        )
+    )

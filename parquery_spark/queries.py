@@ -11944,6 +11944,91 @@ def q223_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SUBSTRING_DEDUP_SQL = f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        WHERE len(string_split(text, ' ')) >= {_SUBSTR_L}
+    ),
+    grams AS (
+        SELECT doc_id, pos,
+               array_to_string(t[pos:pos+{_SUBSTR_L}-1], ' ') AS gram
+        FROM toks, unnest(range(1, len(t) - {_SUBSTR_L} + 2)) AS u(pos)
+    ),
+    keep AS (
+        SELECT gram FROM grams GROUP BY gram
+        HAVING COUNT(*) BETWEEN 2 AND {_SUBSTR_CAP}
+    ),
+    occ AS (SELECT g.* FROM grams g JOIN keep USING (gram)),
+    hits AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.pos AS pos_a, b.pos AS pos_b
+        FROM occ a JOIN occ b ON a.gram = b.gram AND a.doc_id < b.doc_id
+    ),
+    isl AS (
+        SELECT *, pos_a - pos_b AS diag,
+               pos_a - ROW_NUMBER() OVER (
+                   PARTITION BY doc_a, doc_b, pos_a - pos_b
+                   ORDER BY pos_a) AS island
+        FROM hits
+    ),
+    spans AS (
+        SELECT doc_a, doc_b, MIN(pos_b) AS b_start,
+               MAX(pos_a) - MIN(pos_a) + {_SUBSTR_L} AS span_tokens
+        FROM isl GROUP BY doc_a, doc_b, diag, island
+    ),
+    ivals AS (
+        SELECT doc_b AS doc_id, b_start AS s,
+               b_start + span_tokens - 1 AS e
+        FROM spans
+    ),
+    marked AS (
+        SELECT doc_id, s, e,
+               CASE WHEN s > COALESCE(MAX(e) OVER (
+                        PARTITION BY doc_id ORDER BY s, e
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), -1)
+                    THEN 1 ELSE 0 END AS new_i
+        FROM ivals
+    ),
+    grp AS (
+        SELECT doc_id, s, e,
+               SUM(new_i) OVER (
+                   PARTITION BY doc_id ORDER BY s, e) AS isl2
+        FROM marked
+    ),
+    merged AS (
+        SELECT doc_id, MIN(s) AS ms, MAX(e) AS me
+        FROM grp GROUP BY doc_id, isl2
+    )
+    SELECT m.doc_id,
+           CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(SUM(m.me - m.ms + 1) AS BIGINT) AS removed_tokens,
+           CAST(len(string_split(d.text, ' '))
+                - SUM(m.me - m.ms + 1) AS BIGINT) AS kept_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_cut_spans
+    FROM merged m JOIN documents d ON m.doc_id = d.doc_id
+    GROUP BY m.doc_id, d.text
+    """
+
+
+@query("q224_substring_dedup_stats", _SUBSTRING_DEDUP_SQL)
+def q224_substring_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup REMOVAL accounting: cut every q223 span from
+    the later doc of its pair (keep-first), merge overlapping cut intervals
+    per doc, report removed vs kept token counts.  kept_tokens = 0 flags a
+    doc that is a verbatim subset of an earlier one (droppable outright) —
+    the decision artifact a corpus-cleaning pipeline actually consumes.
+    All-integer output; the interval merge is one window pass after the
+    span shuffle, no join back to pair space."""
+    from parquery_spark.operators.dedup import substring_dedup_stats
+
+    docs = load(spark, sf_dir, "documents")
+    return substring_dedup_stats(
+        docs, "text", "doc_id",
+        min_tokens=_SUBSTR_L, max_gram_occ=_SUBSTR_CAP,
+    )
+
+
 # ===========================================================================
 # Driver-snapshot ordering
 # ===========================================================================

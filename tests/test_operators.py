@@ -778,3 +778,42 @@ class TestSubstringSpans:
 
         with _pytest.raises(ValueError):
             substring_spans(self._df(spark, [(1, "a b")]), min_tokens=1)
+
+
+class TestSubstringDedupStats:
+    def test_subset_doc_fully_removed(self, spark):
+        from parquery_spark.operators.dedup import substring_dedup_stats
+
+        base = [f"w{i}" for i in range(20)]
+        df = spark.createDataFrame(
+            [(1, " ".join(base)), (2, " ".join(base[5:15]))],
+            "doc_id long, text string",
+        )
+        out = substring_dedup_stats(df, min_tokens=8).collect()
+        assert len(out) == 1  # only the later doc is cut
+        r = out[0]
+        assert r.doc_id == 2
+        assert (r.n_tokens, r.removed_tokens, r.kept_tokens) == (10, 10, 0)
+
+    def test_overlapping_spans_merge_before_counting(self, spark):
+        from parquery_spark.operators.dedup import substring_dedup_stats
+
+        # doc 3 shares tokens 1..12 with doc 1 and tokens 5..16 with
+        # doc 2: the two cut intervals overlap on 5..12 and must merge to
+        # one 16-token removal, not 12 + 12 = 24
+        words = [f"w{i}" for i in range(16)]
+        df = spark.createDataFrame(
+            [
+                (1, " ".join(words[0:12])),
+                (2, " ".join(words[4:16])),
+                (3, " ".join(words)),
+            ],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r for r in
+               substring_dedup_stats(df, min_tokens=8).collect()}
+        assert out[3].removed_tokens == 16
+        assert out[3].kept_tokens == 0
+        assert out[3].n_cut_spans == 1
+        # doc 2 also loses its 8-token overlap with doc 1 (w4..w11)
+        assert out[2].removed_tokens == 8
