@@ -979,3 +979,29 @@ class TestRound5PlanShapes:
         # partition keeps its local top-k BEFORE the q_id exchange, so
         # no task sorts a corpus-sized candidate set
         assert "WindowGroupLimit" in plan
+
+
+class TestSubstringSpanPlans:
+    def test_no_cartesian_no_python_partial_agg(self, spark, sf_dir):
+        from parquery_spark import relations
+        from parquery_spark.operators.dedup import (
+            substring_dedup_stats,
+            substring_spans,
+        )
+
+        docs = relations.get_relation(
+            spark, os.path.join(sf_dir, "documents.parquet")
+        )
+        for df in (
+            substring_spans(docs, min_tokens=8, max_gram_occ=64),
+            substring_dedup_stats(docs, min_tokens=8, max_gram_occ=64),
+        ):
+            plan = plan_of(df)
+            # the pair join is an equi-join on the gram key, never a
+            # cross product, and the whole pipeline stays JVM-side
+            assert "CartesianProduct" not in plan
+            assert "BroadcastNestedLoop" not in plan
+            assert "EvalPython" not in plan
+            # stop-gram occurrence count combines map-side before its
+            # exchange (the only corpus-sized aggregation in the plan)
+            assert "partial_count" in plan
