@@ -996,9 +996,10 @@ def substring_spans(
     L = int(min_tokens)
     if L < 2:
         raise ValueError("min_tokens must be >= 2")
-    toks = df.select(
-        F.col(id_col).alias("__id"),
-        F.split(F.col(text_col), " ").alias("__t"),
+    toks = fan_out(
+        df.select(F.col(id_col).alias("__id"), F.col(text_col)), "__id"
+    ).select(
+        "__id", F.split(F.col(text_col), " ").alias("__t")
     ).where(F.size("__t") >= L)
     # sequence() counts DOWN when start > stop (NOTES.md hazard) — the
     # size filter above guarantees 1 <= size - L + 1
@@ -1011,13 +1012,22 @@ def substring_spans(
             )
         ).alias("__p0", "gram"),
     ).select("__id", (F.col("__p0") + 1).alias("pos"), "gram")
-    keep = (
-        grams.groupBy("gram")
-        .agg(F.count(F.lit(1)).alias("__n"))
+    # occurrence-count via window (one shuffle on the gram key) instead
+    # of groupBy + join-back: same filter semantics, one fewer gram
+    # derivation.  Both self-join sides read `occ`; persist it or the
+    # tokenize → explode → window subtree runs twice (same hazard and
+    # same fix as ``lsh_candidate_pairs``'s `sized`).  The window's
+    # hashpartitioning(gram) survives the persist, so the self-join
+    # adds no further exchange.
+    from pyspark import StorageLevel
+
+    occ = (
+        grams.withColumn(
+            "__n", F.count(F.lit(1)).over(Window.partitionBy("gram"))
+        )
         .where((F.col("__n") >= 2) & (F.col("__n") <= max_gram_occ))
-        .select("gram")
-    )
-    occ = grams.join(keep, "gram")
+        .drop("__n")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     a = occ.select(
         F.col("gram"),
         F.col("__id").alias("doc_a"),

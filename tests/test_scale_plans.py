@@ -1002,6 +1002,9 @@ class TestSubstringSpanPlans:
             assert "CartesianProduct" not in plan
             assert "BroadcastNestedLoop" not in plan
             assert "EvalPython" not in plan
-            # stop-gram occurrence count combines map-side before its
-            # exchange (the only corpus-sized aggregation in the plan)
-            assert "partial_count" in plan
+            # span merge aggregates partially before its exchange (the
+            # corpus-sized aggregation); the stop-gram filter is a
+            # window count on the gram key, persisted so the self-join
+            # reads one materialization
+            assert "partial_min" in plan
+            assert "InMemoryTableScan" in plan
