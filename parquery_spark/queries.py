@@ -11890,7 +11890,11 @@ def q222_binary_file_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SUBSTR_L = 8
 _SUBSTR_CAP = 64
 
-_SUBSTRING_SPANS_SQL = f"""
+# shared CTE chain for the exact-substring family (q223/q224): tokenize →
+# positional grams → stop-gram cap → gram self-join → diagonal islands.
+# One fragment interpolated into both oracles so the gram recipe cannot
+# drift between the span query and its removal-accounting consumer.
+_SUBSTR_SPAN_CTES = f"""
     WITH toks AS (
         SELECT doc_id, string_split(text, ' ') AS t FROM documents
         WHERE len(string_split(text, ' ')) >= {_SUBSTR_L}
@@ -11916,7 +11920,9 @@ _SUBSTRING_SPANS_SQL = f"""
                    PARTITION BY doc_a, doc_b, pos_a - pos_b
                    ORDER BY pos_a) AS island
         FROM hits
-    )
+    )"""
+
+_SUBSTRING_SPANS_SQL = f"""{_SUBSTR_SPAN_CTES}
     SELECT doc_a, doc_b,
            CAST(MIN(pos_a) AS INTEGER) AS a_start,
            CAST(MIN(pos_b) AS INTEGER) AS b_start,
@@ -11944,33 +11950,7 @@ def q223_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SUBSTRING_DEDUP_SQL = f"""
-    WITH toks AS (
-        SELECT doc_id, string_split(text, ' ') AS t FROM documents
-        WHERE len(string_split(text, ' ')) >= {_SUBSTR_L}
-    ),
-    grams AS (
-        SELECT doc_id, pos,
-               array_to_string(t[pos:pos+{_SUBSTR_L}-1], ' ') AS gram
-        FROM toks, unnest(range(1, len(t) - {_SUBSTR_L} + 2)) AS u(pos)
-    ),
-    keep AS (
-        SELECT gram FROM grams GROUP BY gram
-        HAVING COUNT(*) BETWEEN 2 AND {_SUBSTR_CAP}
-    ),
-    occ AS (SELECT g.* FROM grams g JOIN keep USING (gram)),
-    hits AS (
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-               a.pos AS pos_a, b.pos AS pos_b
-        FROM occ a JOIN occ b ON a.gram = b.gram AND a.doc_id < b.doc_id
-    ),
-    isl AS (
-        SELECT *, pos_a - pos_b AS diag,
-               pos_a - ROW_NUMBER() OVER (
-                   PARTITION BY doc_a, doc_b, pos_a - pos_b
-                   ORDER BY pos_a) AS island
-        FROM hits
-    ),
+_SUBSTRING_DEDUP_SQL = f"""{_SUBSTR_SPAN_CTES},
     spans AS (
         SELECT doc_a, doc_b, MIN(pos_b) AS b_start,
                MAX(pos_a) - MIN(pos_a) + {_SUBSTR_L} AS span_tokens

@@ -53,6 +53,36 @@ _PY = re.compile(
     r"|MapInPandas|AggregateInPandas|PythonUDTF|MapGroupsInPandas"
 )
 
+_PLAN_ID = re.compile(r"\[plan_id=(\d+)\]")
+
+
+def _count_exchanges(plan: str, marks: tuple[str, ...] | str) -> int:
+    """Count exchanges by DISTINCT plan_id, not string occurrence.
+
+    The executedPlan string reprints a cached relation's child subtree
+    under EVERY InMemoryTableScan that references it, so a query reading
+    one cached exploded relation from 8 consumers shows the same
+    cache-fill exchange 8 times (identical plan_id) while it executes
+    once at cache fill.  Occurrence counting inflated q167's shuffle
+    count 10 -> 26 after the round-7 k-means rewrite added cached-
+    relation consumers; distinct-plan_id counting restores "number of
+    exchange OPERATORS in the plan".  Lines without a plan_id (older
+    string forms) fall back to occurrence counting.
+    """
+    if isinstance(marks, str):
+        marks = (marks,)
+    ids: set[str] = set()
+    fallback = 0
+    for line in plan.splitlines():
+        if not any(m in line for m in marks):
+            continue
+        m = _PLAN_ID.search(line)
+        if m:
+            ids.add(m.group(1))
+        else:
+            fallback += 1
+    return len(ids) + fallback
+
 #: Queries whose plan legitimately carries the flagged shape, with the
 #: one-line justification.  python_eval violations surface in the
 #: summary; bnl_join counts are listed by name in the summary so a
@@ -68,6 +98,11 @@ WHITELIST = {
         " — the documented numpy-blocked Gram kernel",
         "q166_arrow_python_udf": "Arrow scalar UDF surface demo",
         "q181_dead_letter_udf": "dead-letter mapInPandas wrapper IS the operator",
+        "q221_kmeans_sampled": "Arrow-batched pandas_udf assignment kernel"
+        " (semdedup._assign_with) IS the operator under test — the"
+        " vectorized replacement for the SQL distance fan-out",
+        "q222_binary_file_ingest": "mapInPandas feature extraction over"
+        " binaryFile payloads IS the operator (same codec surface as q50)",
     },
     "bnl_join": {},  # populated by broadcast-of-one-row aggregates; audited below
 }
@@ -90,10 +125,19 @@ def audit(sf_dir: str, names: list[str] | None = None) -> list[dict]:
         except Exception as exc:  # noqa: BLE001 — audit must finish
             rows.append({"name": name, "error": str(exc)[:120]})
             continue
+        # With AQE, toString prints the current/final plan AND a full
+        # "== Initial Plan ==" duplicate; count only the first tree or
+        # every operator doubles.
+        cut = plan.find("== Initial Plan ==")
+        if cut != -1:
+            plan = plan[:cut]
         row = {"name": name}
         for key, mark in MARKS.items():
             if key == "shuffles":
-                row[key] = sum(plan.count(m) for m in _SHUFFLE_MARKS)
+                row[key] = _count_exchanges(plan, _SHUFFLE_MARKS)
+            elif key in ("single_partition", "broadcast_exchanges",
+                         "reused_exchanges"):
+                row[key] = _count_exchanges(plan, mark)
             elif key == "python_eval":
                 row[key] = len(_PY.findall(plan))
             else:
@@ -107,10 +151,15 @@ def render(rows: list[dict], sf_dir: str) -> str:
         "# PLAN_AUDIT — physical-plan shapes for every registered query",
         "",
         f"Generated by `scripts/plan_audit.py` at `{sf_dir}`.",
-        "Counts from the executedPlan string (AQE initial plan — the",
-        "upper bound AQE can only improve at runtime).  `shuffles` =",
-        "hash/range/single-partition exchanges (actual data movement;",
-        "broadcast and reused exchange nodes are counted separately).",
+        "Counts from the executedPlan string, truncated to the first",
+        "(current/final) tree when AQE also prints its Initial Plan",
+        "duplicate; exchange nodes are deduplicated by plan_id because",
+        "a cached relation's fill plan is reprinted under every",
+        "InMemoryTableScan that references it while executing once.",
+        "Non-exchange operator counts can still include such reprints",
+        "(upper bounds).  `shuffles` = distinct hash/range/single-",
+        "partition exchanges (actual data movement; broadcast and",
+        "reused exchange nodes are counted separately).",
         "`single_part` = `Exchange SinglePartition` (global funnel:",
         "justified only for final top-k/limit or scalar results); `py` =",
         "Python row-path operators (whitelisted UDF-surface demos only);",
