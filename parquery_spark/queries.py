@@ -80,6 +80,50 @@ def _path(sf_dir: str, table: str) -> str:
     return os.path.join(sf_dir, f"{table}.parquet")
 
 
+def _materialize_once(final_dir: str, build, marker: str = "_SUCCESS") -> str:
+    """Publish a stat-keyed fixture directory ATOMICALLY: build into a
+    private tmp root, then one ``os.rename`` to the final path.
+
+    The naive pattern — check ``final/marker``, else run a multi-file
+    Spark write INTO ``final`` — has two races that bit this repo (gate
+    and scale_smoke running concurrently saw FAILED_READ_FILE): a reader
+    can list the directory mid-write, and two builders can interleave
+    file sets.  Build-then-rename closes both: readers only ever see a
+    complete artifact (the marker is inside the renamed tree), and when
+    two builders race, the rename loser discards its (bit-equivalent —
+    content is a pure function of the stat key) copy.
+
+    ``build(tmp_dir)`` must leave ``tmp_dir/marker`` present (Spark's
+    committer writes ``_SUCCESS`` at every output root; multi-dir
+    fixtures pass the LAST-written subpath, e.g. ``"codebook/_SUCCESS"``,
+    as the marker).  A half-written ``final_dir`` from a crashed legacy
+    run (no marker) is cleared before publishing.
+    """
+    import shutil
+    import uuid
+
+    if os.path.exists(os.path.join(final_dir, marker)):
+        return final_dir
+    # unique per ATTEMPT (not per process): two threads of one session
+    # racing the same fixture must not share a build root
+    tmp = f"{final_dir}.build-{uuid.uuid4().hex[:12]}"
+    build(tmp)
+    if not os.path.exists(os.path.join(tmp, marker)):
+        raise OSError(
+            f"fixture builder for {final_dir!r} did not produce {marker!r}"
+        )
+    if os.path.isdir(final_dir) and not os.path.exists(
+        os.path.join(final_dir, marker)
+    ):
+        shutil.rmtree(final_dir, ignore_errors=True)
+    try:
+        os.rename(tmp, final_dir)
+    except OSError:
+        # lost the publish race — the winner's artifact is equivalent
+        shutil.rmtree(tmp, ignore_errors=True)
+    return final_dir
+
+
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.ts is parquet TIMESTAMP(NANOS), which Spark's reader rejects;
     read it as long (runtime-settable legacy conf) and truncate ns→µs —
@@ -2606,11 +2650,13 @@ def q82_indexed_dedup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = os.path.join(tempfile.gettempdir(), f"pqs_mh_idx_{tag}")
     docs = load(spark, sf_dir, "documents")
     corpus = docs.filter(F.col("doc_id") % 20 != 0)
-    if not os.path.exists(os.path.join(idx, "_SUCCESS")):
-        write_minhash_index(
-            corpus.select("doc_id", "text"), idx, "text", "doc_id",
+    idx = _materialize_once(
+        idx,
+        lambda t: write_minhash_index(
+            corpus.select("doc_id", "text"), t, "text", "doc_id",
             num_hashes=16, bands=4, shingle_k=2,
-        )
+        ),
+    )
     new = docs.filter(F.col("doc_id") % 20 == 0)
     return lsh_join_indexed(
         spark, idx, new.select("doc_id", "text"), "text", "doc_id",
@@ -2685,12 +2731,14 @@ def q83_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = hashlib.md5(ident.encode()).hexdigest()[:10]
     idx = os.path.join(tempfile.gettempdir(), f"pqs_ivf_idx_{tag}")
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    cent_path = os.path.join(idx, "centroids.npy")
-    if not os.path.exists(cent_path):
+
+    def _build_ivf(t):
         centroids = ivf.train_ivf_centroids(emb, k=k_cells, seed=7)
-        ivf.write_ivf_index(emb, idx, centroids)
-        np.save(cent_path, centroids)
-    centroids = np.load(cent_path)
+        ivf.write_ivf_index(emb, t, centroids)
+        np.save(os.path.join(t, "centroids.npy"), centroids)
+
+    idx = _materialize_once(idx, _build_ivf, marker="centroids.npy")
+    centroids = np.load(os.path.join(idx, "centroids.npy"))
 
     qvecs = {
         r["vec_id"]: list(r["embedding"])
@@ -3438,14 +3486,15 @@ def q98_partitioned_dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
     ident = f"{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}|byday"
     tag = hashlib.md5(ident.encode()).hexdigest()[:10]
     lay = os.path.join(tempfile.gettempdir(), f"pqs_events_byday_{tag}")
-    if not os.path.exists(os.path.join(lay, "_SUCCESS")):
+
+    def _build_byday(t):
         events = load_events(spark, sf_dir).select(
             "event_id", "ts", "user_id", "event_type", "value",
             F.col("ts").cast("date").alias("day"),
         )
-        write_partitioned(
-            events.repartition("day"), lay, ["day"]
-        )
+        write_partitioned(events.repartition("day"), t, ["day"])
+
+    lay = _materialize_once(lay, _build_byday)
 
     from parquery_spark.operators.util import index_relation
 
@@ -4703,18 +4752,23 @@ def q120_compaction_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     st = os.stat(src)
     ident = f"{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}|compact"
     tag = hashlib.md5(ident.encode()).hexdigest()[:10]
-    frag = os.path.join(tempfile.gettempdir(), f"pqs_frag_{tag}")
-    compacted = os.path.join(tempfile.gettempdir(), f"pqs_compacted_{tag}")
-    if not os.path.exists(os.path.join(compacted, "_SUCCESS")):
+    root = os.path.join(tempfile.gettempdir(), f"pqs_compact_{tag}")
+
+    def _build_compacted(t):
+        frag = os.path.join(t, "frag")
         load(spark, sf_dir, "lineitem").repartition(64).write.mode(
             "overwrite"
         ).parquet(frag)
         stats = compact_files(
-            spark, frag, compacted, target_bytes=8 * 1024 * 1024
+            spark, frag, os.path.join(t, "compacted"),
+            target_bytes=8 * 1024 * 1024,
         )
         assert stats["files_after"] < stats["files_before"], stats
 
-    li = spark.read.parquet(compacted)
+    root = _materialize_once(
+        root, _build_compacted, marker=os.path.join("compacted", "_SUCCESS")
+    )
+    li = spark.read.parquet(os.path.join(root, "compacted"))
     row_str = F.concat_ws(
         "|",
         F.col("l_orderkey").cast("string"),
@@ -4995,7 +5049,6 @@ def q126_streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     ident = f"{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}|supsert"
     tag = hashlib.md5(ident.encode()).hexdigest()[:10]
     base = os.path.join(tempfile.gettempdir(), f"pqs_supsert_{tag}")
-    final_ptr = os.path.join(base, "FINAL")
 
     def latest_per_user(df):
         w = Window.partitionBy("user_id").orderBy(
@@ -5007,8 +5060,8 @@ def q126_streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("user_id", "ts", "event_type", "value", "event_id")
         )
 
-    if not os.path.exists(final_ptr):
-        os.makedirs(base, exist_ok=True)
+    def _build_supsert(t):
+        os.makedirs(t, exist_ok=True)
         # fixture writes must be MICROS (session default; re-assert for
         # sessions built elsewhere): INT96 sniffs as timestamp[ns] and
         # breaks the stream schema dispatch
@@ -5024,7 +5077,7 @@ def q126_streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             "props",
         )
         # three time-ordered source files -> three micro-batches
-        src_dir = os.path.join(base, "src")
+        src_dir = os.path.join(t, "src")
         wt = Window.orderBy("ts", "event_id")
         tiled = events.withColumn("__tile", F.ntile(3).over(wt))
         for i in (1, 2, 3):
@@ -5034,7 +5087,7 @@ def q126_streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
                 os.path.join(src_dir, f"t{i}")
             )
         # FileStreamSource orders by mtime: pin the intended batch order
-        flat = os.path.join(base, "stream_src")
+        flat = os.path.join(t, "stream_src")
         os.makedirs(flat, exist_ok=True)
         import glob as _glob
 
@@ -5054,7 +5107,7 @@ def q126_streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             else:
                 cur = spark.read.parquet(state["cur"])
                 new = upsert(cur, latest, ["user_id"])
-            out = os.path.join(base, f"v{batch_id}")
+            out = os.path.join(t, f"v{batch_id}")
             new.write.mode("overwrite").parquet(out)
             state["cur"] = out
 
@@ -5064,19 +5117,20 @@ def q126_streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         q = (
             stream.writeStream.foreachBatch(merge)
             .option(
-                "checkpointLocation", os.path.join(base, "ckpt")
+                "checkpointLocation", os.path.join(t, "ckpt")
             )
             .trigger(availableNow=True)
             .start()
         )
         q.awaitTermination(300)
         assert state["cur"] is not None
-        with open(final_ptr + ".tmp", "w") as f:
-            f.write(state["cur"])
-        os.replace(final_ptr + ".tmp", final_ptr)
+        # RELATIVE name: the build root is renamed on publish
+        with open(os.path.join(t, "FINAL"), "w") as f:
+            f.write(os.path.basename(state["cur"]))
 
-    with open(final_ptr) as f:
-        snap_dir = f.read().strip()
+    base = _materialize_once(base, _build_supsert, marker="FINAL")
+    with open(os.path.join(base, "FINAL")) as f:
+        snap_dir = os.path.join(base, f.read().strip())
     snap = spark.read.parquet(snap_dir)
     return snap.select(
         "user_id",
@@ -5607,14 +5661,15 @@ def q135_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     st = os.stat(src)
     ident = f"{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}|zorder"
     tag = hashlib.md5(ident.encode()).hexdigest()[:10]
-    zdir = os.path.join(tempfile.gettempdir(), f"pqs_zorder_{tag}")
-    if not os.path.exists(os.path.join(zdir, "_SUCCESS")):
-        write_zordered(
+    zdir = _materialize_once(
+        os.path.join(tempfile.gettempdir(), f"pqs_zorder_{tag}"),
+        lambda t: write_zordered(
             load(spark, sf_dir, "lineitem"),
-            zdir,
+            t,
             ("l_partkey", "l_suppkey"),
             n_files=8,
-        )
+        ),
+    )
     li = spark.read.parquet(zdir)
     return li.where(
         F.col("l_partkey").between(100, 300)
@@ -5819,21 +5874,25 @@ def q138_schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     ident = f"{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}|evo"
     tag = hashlib.md5(ident.encode()).hexdigest()[:10]
     base = os.path.join(tempfile.gettempdir(), f"pqs_evo_{tag}")
-    v1_dir, v2_dir = os.path.join(base, "v1"), os.path.join(base, "v2")
-    if not os.path.exists(os.path.join(v2_dir, "_SUCCESS")):
+
+    def _build_generations(t):
         orders = load(spark, sf_dir, "orders")
         orders.where(F.col("o_orderkey") % 2 == 0).select(
             "o_orderkey", "o_totalprice"
-        ).write.mode("overwrite").parquet(v1_dir)
+        ).write.mode("overwrite").parquet(os.path.join(t, "v1"))
         orders.where(F.col("o_orderkey") % 2 == 1).select(
             "o_orderkey",
             "o_totalprice",
             F.when(F.col("o_orderkey") % 3 == 0, "web")
             .otherwise("store")
             .alias("channel"),
-        ).write.mode("overwrite").parquet(v2_dir)
-    v1 = spark.read.parquet(v1_dir)
-    v2 = spark.read.parquet(v2_dir)
+        ).write.mode("overwrite").parquet(os.path.join(t, "v2"))
+
+    base = _materialize_once(
+        base, _build_generations, marker=os.path.join("v2", "_SUCCESS")
+    )
+    v1 = spark.read.parquet(os.path.join(base, "v1"))
+    v2 = spark.read.parquet(os.path.join(base, "v2"))
     unioned = v1.unionByName(v2, allowMissingColumns=True)
     return unioned.groupBy(
         F.coalesce(F.col("channel"), F.lit("<pre-schema>")).alias("channel")
@@ -7607,13 +7666,16 @@ def q167_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     adir = os.path.join(tempfile.gettempdir(), f"pqs_semdedup_{tag}")
 
     emb = load(spark, sf_dir, "embeddings")
-    if not os.path.exists(os.path.join(adir, "_SUCCESS")):
+
+    def _build_assign(t):
         trained = kmeans_assign(
             emb, id_col="vec_id", vec_col="embedding", iters=3,
             target_cell=64,
         )
-        trained.write.mode("overwrite").parquet(adir)
+        trained.write.mode("overwrite").parquet(t)
         trained.unpersist()  # artifact now lives on disk
+
+    adir = _materialize_once(adir, _build_assign)
     assign = spark.read.parquet(adir)
     return semdedup(
         emb, id_col="vec_id", vec_col="embedding", threshold=0.4,
@@ -7888,8 +7950,6 @@ def q171_dynamic_partition_overwrite(
         "|cents-v2".encode()
     ).hexdigest()[:10]
     base = os.path.join(tempfile.gettempdir(), f"pqs_dpo_{tag}")
-    table_dir = os.path.join(base, "daily")
-    done = os.path.join(base, "_done")
 
     events = load_events(spark, sf_dir)
     day = F.date_trunc("day", F.col("ts").cast("timestamp")).cast("date")
@@ -7899,7 +7959,9 @@ def q171_dynamic_partition_overwrite(
         F.count(F.lit(1)).alias("n"),
         (F.sum(_cents()) / 100.0).alias("total_value"),
     )
-    if not os.path.exists(done):
+
+    def _build_dpo(t):
+        table_dir = os.path.join(t, "daily")
         spark.conf.set(
             "spark.sql.sources.partitionOverwriteMode", "dynamic"
         )
@@ -7935,9 +7997,10 @@ def q171_dynamic_partition_overwrite(
         assert not untouched, (
             f"dynamic overwrite rewrote untouched partitions: {untouched}"
         )
-        os.makedirs(base, exist_ok=True)
-        open(done, "w").close()
-    out = spark.read.parquet(table_dir)
+        open(os.path.join(t, "_done"), "w").close()
+
+    base = _materialize_once(base, _build_dpo, marker="_done")
+    out = spark.read.parquet(os.path.join(base, "daily"))
     return out.select(
         F.unix_micros(F.col("day").cast("timestamp")).alias("day_us"),
         "event_type",
@@ -9371,25 +9434,27 @@ def q191_runtime_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .encode()
     ).hexdigest()[:10]
     base = os.path.join(tempfile.gettempdir(), f"pqs_dppq_{tag}")
-    fact_dir = os.path.join(base, "fact")
-    dim_dir = os.path.join(base, "dim")
-    done = os.path.join(base, "_done")
     events = load_events(spark, sf_dir)
-    if not os.path.exists(done):
+
+    def _build_star(t):
         day = F.date_trunc("day", F.col("ts").cast("timestamp")).cast("date")
         events.select(
             "event_id", "event_type", "value", day.alias("day")
         ).repartition("day").write.mode("overwrite").partitionBy(
             "day"
-        ).parquet(fact_dir)
+        ).parquet(os.path.join(t, "fact"))
         events.select(
             F.date_trunc("day", F.col("ts").cast("timestamp"))
             .cast("date")
             .alias("d")
-        ).distinct().write.mode("overwrite").parquet(dim_dir)
-        open(done, "w").close()
-    fact = spark.read.parquet(fact_dir)
-    dim = spark.read.parquet(dim_dir).where(F.dayofmonth("d") <= 5)
+        ).distinct().write.mode("overwrite").parquet(os.path.join(t, "dim"))
+        open(os.path.join(t, "_done"), "w").close()
+
+    base = _materialize_once(base, _build_star, marker="_done")
+    fact = spark.read.parquet(os.path.join(base, "fact"))
+    dim = spark.read.parquet(os.path.join(base, "dim")).where(
+        F.dayofmonth("d") <= 5
+    )
     j = fact.join(dim, F.col("day") == F.col("d"))
     out = j.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
@@ -10017,10 +10082,10 @@ def q200_glob_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ident = f"{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}|globdrift"
     tag = hashlib.md5(ident.encode()).hexdigest()[:10]
     base = os.path.join(tempfile.gettempdir(), f"pqs_glob_{tag}")
-    done = os.path.join(base, "_done")
-    if not os.path.exists(done):
+
+    def _build_gens(t):
         orders = load(spark, sf_dir, "orders")
-        os.makedirs(base, exist_ok=True)
+        os.makedirs(t, exist_ok=True)
         for gen, df in (
             (
                 "gen1",
@@ -10039,7 +10104,7 @@ def q200_glob_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             ),
         ):
-            gen_dir = os.path.join(base, f"_{gen}_stage")
+            gen_dir = os.path.join(t, f"_{gen}_stage")
             df.coalesce(1).write.mode("overwrite").parquet(gen_dir)
             part = next(
                 f for f in os.listdir(gen_dir)
@@ -10047,10 +10112,12 @@ def q200_glob_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             os.replace(
                 os.path.join(gen_dir, part),
-                os.path.join(base, f"{gen}.parquet"),
+                os.path.join(t, f"{gen}.parquet"),
             )
             shutil.rmtree(gen_dir)
-        open(done, "w").close()
+        open(os.path.join(t, "_done"), "w").close()
+
+    base = _materialize_once(base, _build_gens, marker="_done")
 
     df = build_aggregation_plan(
         spark,
@@ -10909,16 +10976,21 @@ def q211_pq_adc_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tag = hashlib.md5(ident.encode()).hexdigest()[:10]
     adir = os.path.join(tempfile.gettempdir(), f"pqs_pq_model_{tag}")
-    codes_dir = os.path.join(adir, "codes")
-    book_dir = os.path.join(adir, "codebook")
-    if not os.path.exists(os.path.join(book_dir, "_SUCCESS")):
+
+    def _build_pq(t):
         codes, codebook = pq_train(emb, m=8, k=16, iters=2)
-        codes.write.mode("overwrite").parquet(codes_dir)
-        codebook.write.mode("overwrite").parquet(book_dir)
+        codes.write.mode("overwrite").parquet(os.path.join(t, "codes"))
+        codebook.write.mode("overwrite").parquet(
+            os.path.join(t, "codebook")
+        )
         codes.unpersist()
         codebook.unpersist()
-    codes = spark.read.parquet(codes_dir)
-    codebook = spark.read.parquet(book_dir)
+
+    adir = _materialize_once(
+        adir, _build_pq, marker=os.path.join("codebook", "_SUCCESS")
+    )
+    codes = spark.read.parquet(os.path.join(adir, "codes"))
+    codebook = spark.read.parquet(os.path.join(adir, "codebook"))
 
     n = emb.count()
     shortlist = max(50, n // 20)

@@ -1,6 +1,8 @@
 """Unit tests for the pure-Python semantics layer (reference test model:
 tests/test_tool.py + spec-normalization behavior in tests/test_parquery.py)."""
 
+import os
+
 import pyarrow as pa
 import pytest
 
@@ -234,3 +236,86 @@ class TestDriverPriorityRegistry:
                    for p in prefixes)
         }
         assert len(covered) >= 15, f"only {sorted(covered)}"
+
+
+class TestMaterializeOnce:
+    def test_builds_once_and_publishes_atomically(self, tmp_path):
+        from parquery_spark.queries import _materialize_once
+
+        calls = []
+
+        def build(t):
+            os.makedirs(t)
+            with open(os.path.join(t, "data.txt"), "w") as f:
+                f.write("payload")
+            with open(os.path.join(t, "_SUCCESS"), "w") as f:
+                f.write("")
+            calls.append(t)
+
+        final = str(tmp_path / "artifact")
+        got = _materialize_once(final, build)
+        assert got == final
+        assert open(os.path.join(final, "data.txt")).read() == "payload"
+        # second call: marker present, no rebuild
+        _materialize_once(final, build)
+        assert len(calls) == 1
+
+    def test_racing_builders_one_wins_other_discards(self, tmp_path):
+        import threading
+
+        from parquery_spark.queries import _materialize_once
+
+        final = str(tmp_path / "artifact")
+        barrier = threading.Barrier(2)
+        errors = []
+
+        def build(t):
+            os.makedirs(t)
+            with open(os.path.join(t, "data.txt"), "w") as f:
+                f.write("payload")
+            with open(os.path.join(t, "_SUCCESS"), "w") as f:
+                f.write("")
+            barrier.wait(timeout=10)  # both finish building before publish
+
+        def run():
+            try:
+                _materialize_once(final, build)
+            except Exception as exc:  # noqa: BLE001
+                errors.append(exc)
+
+        ts = [threading.Thread(target=run) for _ in range(2)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        assert not errors
+        # exactly the final artifact remains; no tmp roots leak
+        assert open(os.path.join(final, "data.txt")).read() == "payload"
+        leftovers = [p for p in os.listdir(tmp_path) if p != "artifact"]
+        assert leftovers == []
+
+    def test_half_written_legacy_dir_is_replaced(self, tmp_path):
+        from parquery_spark.queries import _materialize_once
+
+        final = str(tmp_path / "artifact")
+        os.makedirs(final)  # crashed legacy run: no marker inside
+        with open(os.path.join(final, "orphan.txt"), "w") as f:
+            f.write("junk")
+
+        def build(t):
+            os.makedirs(t)
+            open(os.path.join(t, "_SUCCESS"), "w").close()
+
+        _materialize_once(final, build)
+        assert os.path.exists(os.path.join(final, "_SUCCESS"))
+        assert not os.path.exists(os.path.join(final, "orphan.txt"))
+
+    def test_builder_missing_marker_raises(self, tmp_path):
+        import pytest as _pytest
+
+        from parquery_spark.queries import _materialize_once
+
+        with _pytest.raises(OSError, match="_SUCCESS"):
+            _materialize_once(
+                str(tmp_path / "artifact"), lambda t: os.makedirs(t)
+            )
