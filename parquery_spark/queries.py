@@ -3624,34 +3624,47 @@ def q101_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = hashlib.md5(ident.encode()).hexdigest()[:10]
     base = os.path.join(tempfile.gettempdir(), f"pqs_bucketed_{tag}")
 
-    for table, key, cols in (
+    specs = (
         ("orders", "o_orderkey", "o_orderkey, o_orderstatus"),
         ("lineitem", "l_orderkey",
          "l_orderkey, l_extendedprice, l_discount"),
-    ):
-        name = f"pqs_b_{table}_{tag}"
-        loc = os.path.join(base, table)
-        if spark.catalog.tableExists(name):
-            continue
+    )
+    for table, _key, _cols in specs:
         load(spark, sf_dir, table).createOrReplaceTempView(f"__src_{table}")
-        if os.path.exists(loc):
-            # data persisted by an earlier session: re-register the
-            # external bucketed table, trusting the existing layout
-            schema = ", ".join(
-                f"{f.name} {f.dataType.simpleString()}"
-                for f in spark.table(f"__src_{table}")
-                .selectExpr(*cols.split(", ")).schema.fields
-            )
+
+    def _build_bucketed(t):
+        # CTAS through a staging catalog name at the tmp location, then
+        # drop the (external) staging entry — files stay, the data
+        # publishes atomically with the root rename below
+        for table, key, cols in specs:
+            stage = f"pqs_stage_{table}_{tag}"
+            spark.sql(f"DROP TABLE IF EXISTS {stage}")
             spark.sql(
-                f"CREATE TABLE {name} ({schema}) USING parquet "
-                f"CLUSTERED BY ({key}) INTO 8 BUCKETS LOCATION '{loc}'"
-            )
-        else:
-            spark.sql(
-                f"CREATE TABLE {name} USING parquet "
-                f"CLUSTERED BY ({key}) INTO 8 BUCKETS LOCATION '{loc}' "
+                f"CREATE TABLE {stage} USING parquet "
+                f"CLUSTERED BY ({key}) INTO 8 BUCKETS "
+                f"LOCATION '{os.path.join(t, table)}' "
                 f"AS SELECT {cols} FROM __src_{table}"
             )
+            spark.sql(f"DROP TABLE {stage}")
+
+    base = _materialize_once(
+        base, _build_bucketed, marker=os.path.join("lineitem", "_SUCCESS")
+    )
+    for table, key, cols in specs:
+        name = f"pqs_b_{table}_{tag}"
+        if spark.catalog.tableExists(name):
+            continue
+        # register the external bucketed table over the published layout
+        schema = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}"
+            for f in spark.table(f"__src_{table}")
+            .selectExpr(*cols.split(", ")).schema.fields
+        )
+        spark.sql(
+            f"CREATE TABLE {name} ({schema}) USING parquet "
+            f"CLUSTERED BY ({key}) INTO 8 BUCKETS "
+            f"LOCATION '{os.path.join(base, table)}'"
+        )
     o = spark.table(f"pqs_b_orders_{tag}")
     li = spark.table(f"pqs_b_lineitem_{tag}")
     return (
