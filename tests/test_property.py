@@ -818,3 +818,66 @@ class TestFoldKernelProperties:
             "float-sum folds outside similarity.fold_sum (route them "
             f"through the kernel): {offenders}"
         )
+
+
+def _brute_spans(docs: dict[int, list[str]], L: int) -> set[tuple]:
+    """Independent reference for substring_spans: for every doc pair,
+    walk every diagonal and emit each maximal run of >= L equal tokens.
+    O(n^2) per pair — fine at property-test sizes, and shares NO code or
+    plan shape with the SQL islands construction it checks."""
+    out = set()
+    ids = sorted(docs)
+    for ai in range(len(ids)):
+        for bi in range(ai + 1, len(ids)):
+            a, b = docs[ids[ai]], docs[ids[bi]]
+            for diag in range(-(len(b) - 1), len(a)):
+                i = max(0, diag)
+                j = i - diag
+                run = 0
+                while i <= len(a) and j <= len(b):
+                    if i < len(a) and j < len(b) and a[i] == b[j]:
+                        run += 1
+                    else:
+                        if run >= L:
+                            out.add((
+                                ids[ai], ids[bi],
+                                i - run + 1, j - run + 1, run,
+                            ))
+                        run = 0
+                    i += 1
+                    j += 1
+    return out
+
+
+class TestSubstringSpanProperties:
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(data=st.data())
+    def test_spans_match_bruteforce(self, spark, data):
+        from parquery_spark.operators.dedup import substring_spans
+
+        L = 3
+        # tiny vocabulary forces shared runs; short docs keep the
+        # quadratic reference fast
+        word = st.sampled_from(["a", "b", "c"])
+        n_docs = data.draw(st.integers(2, 4))
+        docs = {
+            i + 1: data.draw(st.lists(word, min_size=0, max_size=12))
+            for i in range(n_docs)
+        }
+        # max_gram_occ high enough that the cap never fires — the brute
+        # force has no cap, so this isolates the span-merge logic
+        df = spark.createDataFrame(
+            [(i, " ".join(ws)) for i, ws in docs.items()],
+            "doc_id long, text string",
+        )
+        got = {
+            (r.doc_a, r.doc_b, r.a_start, r.b_start, r.span_tokens)
+            for r in substring_spans(
+                df, min_tokens=L, max_gram_occ=10_000
+            ).collect()
+        }
+        assert got == _brute_spans(docs, L)
