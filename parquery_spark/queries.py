@@ -11024,38 +11024,38 @@ def q211_pq_adc_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     # top-10 both ways
     from parquery_spark.operators.similarity import fold_sum_pairs
 
-    def d2_col(qv: list[float]):
-        lit_q = F.array(*[F.lit(v) for v in qv])
-        return F.round(
-            fold_sum_pairs(
-                F.col("embedding"), lit_q, lambda x, y: (x - y) * (x - y)
-            ),
-            6,
-        )
+    # ONE corpus scan serves all queries: broadcast the 4-row probe
+    # batch, fold the pairwise distance on the joined arrays (same
+    # left-to-right order as the per-query literal form), then per-query
+    # window top-10 — WindowGroupLimit prunes each partition's candidate
+    # set before the q_id exchange, so no task sorts corpus-sized data.
+    # (The previous shape unioned 2 subplans PER QUERY — 12 scans whose
+    # fixed stage overhead dominated the 4s warm time in local mode.)
+    from pyspark.sql import Window
 
-    def topk_of(src_df: DataFrame, qid: int, qv: list[float]) -> DataFrame:
+    d2_pair = F.round(
+        fold_sum_pairs(
+            F.col("embedding"), F.col("q_vec"),
+            lambda x, y: (x - y) * (x - y),
+        ),
+        6,
+    )
+    wq = Window.partitionBy("query_id").orderBy("d2", "vec_id")
+
+    def topk_all(src_df: DataFrame) -> DataFrame:
+        scored = src_df.select(
+            F.col("q_id").alias("query_id"), "vec_id", d2_pair.alias("d2")
+        )
         return (
-            src_df.select(
-                F.lit(qid).cast("long").alias("query_id"),
-                "vec_id",
-                d2_col(qv).alias("d2"),
-            )
-            .orderBy("d2", "vec_id")
-            .limit(10)
+            scored.withColumn("__rk", F.row_number().over(wq))
+            .where(F.col("__rk") <= 10)
+            .drop("__rk")
         )
 
-    import functools
-
-    exact_parts, rerank_parts = [], []
-    for r in qrows:
-        qid, qv = int(r["vec_id"]), [float(x) for x in r["embedding"]]
-        exact_parts.append(topk_of(emb, qid, qv))
-        cand = emb.join(
-            short.where(F.col("q_id") == qid).select("vec_id"), "vec_id"
-        )
-        rerank_parts.append(topk_of(cand, qid, qv))
-    exact = functools.reduce(DataFrame.unionByName, exact_parts)
-    rerank = functools.reduce(DataFrame.unionByName, rerank_parts)
+    exact = topk_all(emb.crossJoin(F.broadcast(queries)))
+    rerank = topk_all(
+        short.join(F.broadcast(queries), "q_id").join(emb, "vec_id")
+    )
 
     e = exact.groupBy("query_id").agg(
         F.min_by("vec_id", F.struct("d2", "vec_id")).alias("top1_id"),
