@@ -2717,7 +2717,6 @@ def q83_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
     from parquery_spark.operators import ivf
-    from parquery_spark.operators.similarity import cosine_topk
 
     # nprobe=8 of 16 cells: these synthetic embeddings are near-uniform
     # (weak cluster structure — the ANN worst case), so honest recall
@@ -2752,9 +2751,35 @@ def q83_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import functools
 
-    exact = functools.reduce(
-        DataFrame.unionByName,
-        [tag_q(cosine_topk(emb, qvecs[q], topk), q) for q in _Q83_QUERY_IDS],
+    from pyspark.sql import Window
+
+    from parquery_spark.operators.similarity import cosine
+
+    # exact truth: ONE corpus scan for the whole probe batch — broadcast
+    # the 4-row query relation, fold-compute cosine on the joined arrays
+    # (textually the oracle's list_dot_product recipe, including the
+    # query-norm fold), per-query window top-k (WindowGroupLimit-pruned).
+    # The IVF side stays per-query: each probe prunes a DIFFERENT cell
+    # set, and partition pruning needs literal filters.
+    qdf = spark.createDataFrame(
+        [(int(q), [float(x) for x in qvecs[q]]) for q in _Q83_QUERY_IDS],
+        "query_id long, qv array<double>",
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), "vec_id"
+    )
+    exact = (
+        emb.crossJoin(F.broadcast(qdf))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine(F.col("embedding"), F.col("qv")), 6).alias(
+                "cosine_sim"
+            ),
+        )
+        .withColumn("__rk", F.row_number().over(wq))
+        .where(F.col("__rk") <= topk)
+        .drop("__rk")
     )
     approx = functools.reduce(
         DataFrame.unionByName,
