@@ -43,6 +43,7 @@ def pq_train(
     k: int = 16,
     iters: int = 2,
     digits: int = 6,
+    sample_rows: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Train per-subspace codebooks and encode the corpus.
 
@@ -55,6 +56,14 @@ def pq_train(
       the same decimal-mean recipe as the Lloyd loop itself).
 
     The vector dimension must divide evenly by ``m``.
+
+    ``sample_rows`` defaults to ``None`` (full-corpus Lloyd training —
+    the oracle-exact setting gated by q211) rather than inheriting
+    :func:`kmeans_assign`'s budget default: a caller whose gate compares
+    against a full-corpus oracle must not silently switch to sampled
+    training when the corpus outgrows the budget.  Pass an explicit
+    budget to opt in to hash-sampled training at scale (the q221-gated
+    path).
     """
     dim_row = emb.select(F.size(vec_col).alias("d")).take(1)
     if not dim_row:
@@ -91,7 +100,7 @@ def pq_train(
         # finally releases it even when a SIBLING subspace thread fails
         assign = kmeans_assign(
             sub, id_col=id_col, vec_col="embedding", k=k, iters=iters,
-            digits=digits, _expl=expl,
+            digits=digits, sample_rows=sample_rows, _expl=expl,
         ).persist(StorageLevel.MEMORY_AND_DISK)
         transient.append(assign)
         # subspace codebook: decimal-exact mean of member subvectors at

@@ -119,8 +119,14 @@ def _materialize_once(final_dir: str, build, marker: str = "_SUCCESS") -> str:
     try:
         os.rename(tmp, final_dir)
     except OSError:
-        # lost the publish race — the winner's artifact is equivalent
+        # Either we lost the publish race (the winner's artifact is
+        # equivalent — content is a pure function of the stat key) or the
+        # rename genuinely failed (EACCES, EXDEV, ...).  Distinguish by
+        # re-checking the marker: a missing artifact here would otherwise
+        # surface much later as a confusing read error far from the cause.
         shutil.rmtree(tmp, ignore_errors=True)
+        if not os.path.exists(os.path.join(final_dir, marker)):
+            raise
     return final_dir
 
 
@@ -3660,9 +3666,13 @@ def q101_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _build_bucketed(t):
         # CTAS through a staging catalog name at the tmp location, then
         # drop the (external) staging entry — files stay, the data
-        # publishes atomically with the root rename below
+        # publishes atomically with the root rename below.  The staging
+        # name carries the per-ATTEMPT build-root suffix: two threads of
+        # one session racing this fixture (the case _materialize_once
+        # handles) must not collide on CREATE/DROP of one catalog name.
+        attempt = os.path.basename(t).rsplit("-", 1)[-1]
         for table, key, cols in specs:
-            stage = f"pqs_stage_{table}_{tag}"
+            stage = f"pqs_stage_{table}_{tag}_{attempt}"
             spark.sql(f"DROP TABLE IF EXISTS {stage}")
             spark.sql(
                 f"CREATE TABLE {stage} USING parquet "
@@ -7709,6 +7719,11 @@ def q167_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         trained = kmeans_assign(
             emb, id_col="vec_id", vec_col="embedding", iters=3,
             target_cell=64,
+            # the DuckDB oracle always trains full-corpus; pinning
+            # sample_rows=None keeps the gate honest at ANY SF instead of
+            # relying on test corpora staying under the default budget
+            # (q221 gates the sampled path explicitly)
+            sample_rows=None,
         )
         trained.write.mode("overwrite").parquet(t)
         trained.unpersist()  # artifact now lives on disk
