@@ -182,12 +182,16 @@ def gram_sets(
     hash-repartitions on the id so the shingle compute runs on all cores
     AND the downstream ``groupBy(id)`` partial-agg needs no further
     shuffle; on a well-split cluster-scale corpus it is a no-op (no
-    gratuitous full-text shuffle).  NOTE: multiple consumers of the
-    returned DataFrame each re-execute the shingle pass — Catalyst pushes
-    the consumers' differing column renames below the exchange, so
-    ReusedExchange never unifies the subtrees.  A caller fanning the sets
-    out to several consumers must ``persist()`` (as
-    :func:`lsh_verified_pairs` does) or stage them to storage."""
+    gratuitous full-text shuffle).  NOTE on fan-out: consumers whose
+    plans stay canonically identical up to an exchange (an ALIAS-based
+    self-join, or two branches hash-partitioned by the same column over
+    the identical subtree) share the exchange via ReuseExchange and the
+    shingle pass below it runs once; a consumer with a structurally
+    different plan (e.g. a groupBy at another key) re-executes the
+    narrow shingle projection.  A caller fanning the sets out to many
+    heterogeneous consumers stages them to storage (or passes a
+    caller-OWNED persisted handle via the ``sets`` parameters) — the
+    operators here deliberately persist nothing themselves."""
     grams = (
         word_shingles(text_col, shingle_k) if shingle_k > 1
         else shingle_tokens(text_col)
@@ -257,6 +261,7 @@ def lsh_candidate_pairs(
     shingle_k: int = 3,
     max_bucket_size: int = 1000,
     sets: DataFrame | None = None,
+    banded: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash-LSH candidate pairs with estimated Jaccard.
 
@@ -266,28 +271,21 @@ def lsh_candidate_pairs(
     ``max_bucket_size`` are dropped (degenerate content); at corpus scale
     this bounds the worst-case join fan-out.
 
+    ``banded`` injects a precomputed :func:`band_keys` relation —
+    typically a stat-keyed STORAGE artifact (signatures are a pure
+    function of the corpus version; production computes them once per
+    corpus, not once per query — :func:`write_minhash_index` is the
+    partitioned variant of the same idea).  When omitted, the banding is
+    derived inline and the self-join sides share one execution of it via
+    ReuseExchange (alias self-join, no persisted intermediate).
+
     Returns (id_a, id_b, est_jaccard) with id_a < id_b, deduplicated across
     bands.
     """
-    rows = num_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k, sets=sets)
-
-    banded = sigs.select(
-        id_col,
-        "sig",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(b).alias("band"),
-                    F.md5(F.concat_ws(",", *[
-                        F.element_at("sig", b * rows + r + 1).cast("string")
-                        for r in range(rows)
-                    ])).alias("band_key"),
-                )
-                for b in range(bands)
-            ])
-        ).alias("bk"),
-    ).select(id_col, "sig", "bk.band", "bk.band_key")
+    if banded is None:
+        banded = band_keys(
+            df, text_col, id_col, num_hashes, bands, shingle_k, sets=sets
+        )
 
     # drop degenerate buckets before the join
     sized = banded.withColumn(
@@ -295,27 +293,31 @@ def lsh_candidate_pairs(
         F.count(F.lit(1)).over(Window.partitionBy("band", "band_key")),
     ).filter(F.col("bucket_n") <= max_bucket_size)
 
-    # Both sides of the self-join read `sized`; persist it or the whole
-    # shingle → explode → 16-way min-agg → banding → window subtree runs
-    # twice (consumer renames are pushed below the exchanges, so
-    # ReusedExchange never unifies the sides).  One compact row per
-    # (doc, band) — bands × corpus rows, disk-spilling past memory.
-    from pyspark import StorageLevel
-
-    sized = sized.persist(StorageLevel.MEMORY_AND_DISK)
-
-    left = sized.select(
-        F.col("band"), F.col("band_key"),
-        F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"),
-    )
-    right = sized.select(
-        F.col("band"), F.col("band_key"),
-        F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"),
-    )
+    # Alias-based SELF-join over the one plan object: both sides are
+    # canonically identical, so Catalyst's ReuseExchange unifies their
+    # shuffle subtrees and the shingle → explode → 16-way min-agg →
+    # banding map work executes ONCE, the second side reading the same
+    # map output.  (The previous form pre-renamed each side with a
+    # select(); those differing projections were pushed below the
+    # exchanges, defeating the reuse, and the operator compensated with
+    # a MEMORY_AND_DISK persist it never released — one leaked
+    # corpus-sized cache per call.  The alias form needs no cache at
+    # all.)  Only the bucket-count window above the reused exchange runs
+    # per side — a sort+count over already-shuffled compact rows.
+    la, lb = sized.alias("__la"), sized.alias("__lb")
     pairs = (
-        left.join(right, ["band", "band_key"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b")
+        la.join(
+            lb,
+            (F.col("__la.band") == F.col("__lb.band"))
+            & (F.col("__la.band_key") == F.col("__lb.band_key")),
+        )
+        .filter(F.col(f"__la.{id_col}") < F.col(f"__lb.{id_col}"))
+        .select(
+            F.col(f"__la.{id_col}").alias("id_a"),
+            F.col(f"__lb.{id_col}").alias("id_b"),
+            F.col("__la.sig").alias("sig_a"),
+            F.col("__lb.sig").alias("sig_b"),
+        )
         .dropDuplicates(["id_a", "id_b"])
     )
     n_eq = sum(
@@ -365,24 +367,25 @@ def jaccard_pairs(
     *informative* grams, the standard stop-word-filtered similarity.
     Only pairs with ``jaccard >= threshold`` (after 6-digit rounding) are
     returned; pairs with zero overlap are definitionally below any
-    positive threshold."""
-    from pyspark import StorageLevel
+    positive threshold.
 
+    Cache contract: NONE — this operator persists nothing.  The two
+    inverted-index join sides are an alias self-join whose exchange
+    subtrees ReuseExchange unifies (the index is built once); only the
+    per-doc size branch re-runs the narrow shingle projection, an extra
+    corpus map scan with no extra shuffle.  A caller that needs
+    shingle-once across MANY consumers stages the sets to storage (the
+    ``write_minhash_index`` pattern) and owns that artifact."""
     grams = (
         word_shingles(text_col, shingle_k) if shingle_k > 1
         else shingle_tokens(text_col)
     )
     blocks = list(block_cols or [])
-    # `base` fans out to the size relation AND both sides of the inverted-
-    # index self-join — persist it so the corpus is shingled once, not
-    # three times (one array row per doc, the gram_sets shape).
     base = fan_out(
         df.select(*blocks, F.col(id_col), F.col(text_col)), id_col
     ).select(
         *blocks, F.col(id_col), F.array_distinct(grams).alias("gram_set")
-    ).withColumn("n_grams", F.size("gram_set")).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    ).withColumn("n_grams", F.size("gram_set"))
     sizes = base.select(F.col(id_col), F.col("n_grams"))
     exploded = base.select(
         *blocks, F.col(id_col), F.explode("gram_set").alias("g")
@@ -392,22 +395,25 @@ def jaccard_pairs(
         # exactly like the self-join key, so the exchange is shared with
         # step 2 rather than adding one; per-doc sizes are recomputed over
         # the surviving grams (capped-vocabulary Jaccard, see docstring)
-        # the capped index feeds the size recount AND both join sides —
-        # persist past the window so the df-count shuffle runs once
         exploded = exploded.withColumn(
             "__df",
             F.count(F.lit(1)).over(Window.partitionBy(*blocks, "g")),
-        ).filter(F.col("__df") <= max_df).drop("__df").persist(
-            StorageLevel.MEMORY_AND_DISK
-        )
+        ).filter(F.col("__df") <= max_df).drop("__df")
         sizes = exploded.groupBy(id_col).agg(
             F.count(F.lit(1)).alias("n_grams")
         )
-    a = exploded.select(*blocks, F.col(id_col).alias("id_a"), "g")
-    b = exploded.select(*blocks, F.col(id_col).alias("id_b"), "g")
+    # alias self-join: both sides canonically identical → ReuseExchange
+    # builds the inverted index once (no persisted intermediate)
+    ja, jb = exploded.alias("__ja"), exploded.alias("__jb")
+    cond = F.col(f"__ja.{id_col}") < F.col(f"__jb.{id_col}")
+    for kcol in [*blocks, "g"]:
+        cond = (F.col(f"__ja.{kcol}") == F.col(f"__jb.{kcol}")) & cond
     co = (
-        a.join(b, [*blocks, "g"])
-        .filter(F.col("id_a") < F.col("id_b"))
+        ja.join(jb, cond)
+        .select(
+            F.col(f"__ja.{id_col}").alias("id_a"),
+            F.col(f"__jb.{id_col}").alias("id_b"),
+        )
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
@@ -530,24 +536,21 @@ def simhash_candidates(
     bits: int = 32,
     bands: int = 4,
     max_hamming: int = 3,
+    table: DataFrame | None = None,
 ) -> DataFrame:
     """SimHash near-dup candidates: band the ``bits``-bit hash into
     ``bands`` chunks (pigeonhole: hamming ≤ bands-1 ⇒ some band equal),
-    join on (band, chunk), verify hamming distance ≤ ``max_hamming``."""
+    join on (band, chunk), verify hamming distance ≤ ``max_hamming``.
+
+    ``table`` injects a precomputed :func:`simhash_table` relation
+    (``(id, sh)``, ~16 bytes/doc) — the stat-keyed storage-artifact form:
+    signatures are a pure function of the corpus version, so production
+    computes them once per corpus and probes them per query."""
     band_bits = bits // bands
     mask = (1 << band_bits) - 1
-    # The banded table feeds BOTH sides of the self-join; without a
-    # materialization boundary Spark computes the whole tokenize + 60-vote
-    # aggregation subtree once per consumer (ReusedExchange never unifies
-    # the two renamed sides).  The signature relation is one (id, long) row
-    # per doc — persisting it is the stage-to-storage pattern, ~16 bytes/doc
-    # at any corpus scale, spilling to disk past executor memory.
-    from pyspark import StorageLevel
-
-    sh = simhash_table(df, text_col, id_col, bits).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-    banded = sh.select(
+    if table is None:
+        table = simhash_table(df, text_col, id_col, bits)
+    banded = table.select(
         id_col, "sh",
         F.explode(F.array(*[
             F.struct(
@@ -556,11 +559,25 @@ def simhash_candidates(
             ) for b in range(bands)
         ])).alias("bk"),
     ).select(id_col, "sh", "bk.band", "bk.chunk")
-    a = banded.select("band", "chunk", F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
-    b = banded.select("band", "chunk", F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    # alias self-join → ReuseExchange unifies the two sides' shuffle
+    # subtrees, so the tokenize + 60-vote aggregation executes once and
+    # the second side reads the same map output — the zero-cache
+    # replacement for the MEMORY_AND_DISK persist this operator used to
+    # leak per call (see lsh_candidate_pairs for the full rationale)
+    sa, sb = banded.alias("__ha"), banded.alias("__hb")
     pairs = (
-        a.join(b, ["band", "chunk"])
-        .filter(F.col("id_a") < F.col("id_b"))
+        sa.join(
+            sb,
+            (F.col("__ha.band") == F.col("__hb.band"))
+            & (F.col("__ha.chunk") == F.col("__hb.chunk")),
+        )
+        .filter(F.col(f"__ha.{id_col}") < F.col(f"__hb.{id_col}"))
+        .select(
+            F.col(f"__ha.{id_col}").alias("id_a"),
+            F.col(f"__hb.{id_col}").alias("id_b"),
+            F.col("__ha.sh").alias("sh_a"),
+            F.col("__hb.sh").alias("sh_b"),
+        )
         .dropDuplicates(["id_a", "id_b"])
     )
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("long")
@@ -579,6 +596,7 @@ def lsh_verified_pairs(
     shingle_k: int = 2,
     threshold: float = 0.5,
     max_bucket_size: int = 1000,
+    sets: DataFrame | None = None,
 ) -> DataFrame:
     """Two-stage near-dup detection — the corpus-scale production pattern:
 
@@ -589,25 +607,24 @@ def lsh_verified_pairs(
        only — per-pair set intersection is affordable because the
        candidate set is orders of magnitude smaller than all pairs.
 
-    The distinct-shingle sets are computed ONCE (:func:`gram_sets`) and
-    **persisted** (MEMORY_AND_DISK, one compact row per doc): the signature
-    pass and both sides of the verification join all read the cached sets,
-    so the corpus is shingled exactly once, not three times.  At cluster
-    scale this is the stage-to-storage pattern — the per-doc set relation
-    is a few KB/doc and spills to disk if it outgrows executor memory.
-    (Exchange reuse cannot do this implicitly: each consumer's column
-    renames get pushed below the repartition, so the exchange subtrees are
-    not canonically identical and ReusedExchange never fires.)
-
     Returns (id_a, id_b, jaccard) for candidates whose exact Jaccard (over
     distinct ``shingle_k``-word shingles, rounded to 6 digits) meets the
     threshold.  Recall is governed by the banding: P(candidate) =
     1-(1-j^rows)^bands.
-    """
-    from pyspark import StorageLevel
 
-    sets = gram_sets(df, text_col, id_col, shingle_k, partition_by_id=True)
-    sets = sets.persist(StorageLevel.MEMORY_AND_DISK)
+    Cache contract: NONE when ``sets`` is omitted — this operator
+    persists nothing.  The two verification sides share one ``gram_sets``
+    fan-out exchange (ReuseExchange — both sides hash-partition by the
+    id over the identical subtree), so the corpus is shingled once for
+    verification plus once for the signature pass: an extra narrow map
+    scan, no extra shuffle, no leaked session cache.  A caller chaining
+    MANY consumers over the same sets passes a caller-OWNED (persisted
+    or staged-to-storage) relation via ``sets`` and releases it.
+    """
+    if sets is None:
+        sets = gram_sets(
+            df, text_col, id_col, shingle_k, partition_by_id=True
+        )
     cands = lsh_candidate_pairs(
         df, text_col, id_col,
         num_hashes=num_hashes, bands=bands, shingle_k=shingle_k,
@@ -636,6 +653,7 @@ def lsh_join(
     bands: int = 4,
     shingle_k: int = 3,
     max_bucket_size: int = 1000,
+    corpus_banded: DataFrame | None = None,
 ) -> DataFrame:
     """INCREMENTAL dedup: MinHash-LSH candidate pairs between a NEW batch
     and the EXISTING corpus (never within either side) — the ingest-time
@@ -647,11 +665,15 @@ def lsh_join(
     cap applied to the CORPUS side — that bounds fan-out per band key by
     ``max_bucket_size`` regardless of corpus size.  At scale the corpus
     side's banded signatures are a persisted index (band_key-partitioned
-    parquet), so each batch join prunes to matching buckets.
+    parquet), so each batch join prunes to matching buckets; pass that
+    stored relation (or any precomputed :func:`band_keys` output for the
+    corpus) via ``corpus_banded`` so the accumulated corpus is never
+    re-minhashed per arriving batch — a row's band keys depend only on
+    its own text, so a filtered slice of a full-corpus banding is
+    exactly the slice's banding.
 
     Returns ``(new_id, corpus_id, est_jaccard)``.
     """
-    from pyspark import StorageLevel
 
     def banded(df):
         return band_keys(df, text_col, id_col, num_hashes, bands, shingle_k)
@@ -661,7 +683,7 @@ def lsh_join(
         F.col(id_col).alias("new_id"), F.col("sig").alias("sig_a"),
     )
     right = (
-        banded(corpus_df)
+        (banded(corpus_df) if corpus_banded is None else corpus_banded)
         .withColumn(
             "bucket_n",
             F.count(F.lit(1)).over(Window.partitionBy("band", "band_key")),
@@ -671,7 +693,6 @@ def lsh_join(
             F.col("band"), F.col("band_key"),
             F.col(id_col).alias("corpus_id"), F.col("sig").alias("sig_b"),
         )
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     pairs = (
         left.join(right, ["band", "band_key"])
@@ -695,6 +716,7 @@ def band_keys(
     num_hashes: int = 16,
     bands: int = 4,
     shingle_k: int = 3,
+    sets: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash band keys: ``(id, sig, band, band_key)`` — one row per
     (document, band).  A document's band keys depend only on its own
@@ -702,7 +724,9 @@ def band_keys(
     and a corpus's banded rows can be PERSISTED once (see
     :func:`write_minhash_index`) instead of recomputed per batch."""
     rows = num_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
+    sigs = minhash_signatures(
+        df, text_col, id_col, num_hashes, shingle_k, sets=sets
+    )
     return sigs.select(
         id_col,
         "sig",
@@ -794,14 +818,20 @@ def lsh_join_indexed(
     to the unindexed :func:`lsh_join`.
 
     Returns ``(new_id, corpus_id, est_jaccard)`` — same contract and same
-    results as :func:`lsh_join` with the same parameters."""
-    from pyspark import StorageLevel
+    results as :func:`lsh_join` with the same parameters.
 
+    The batch's band keys are computed twice — once eagerly for the
+    driver-side probe enumeration, once lazily in the returned join plan.
+    That is the deliberate zero-cache trade: the NEW side is a small
+    arriving batch by definition (the index side is where the corpus
+    lives), so re-minhashing it costs one narrow map over the batch,
+    while a persist here would pin one leaked cache per ingest call in a
+    long-lived session."""
     left = band_keys(
         new_df, text_col, id_col, num_hashes, bands, shingle_k
     ).withColumn(
         "bk_prefix", F.substring("band_key", 1, BAND_PREFIX_CHARS)
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    )
 
     by_band: dict[int, set[str]] = {}
     for r in left.select("band", "bk_prefix").distinct().collect():
@@ -957,6 +987,7 @@ def substring_spans(
     id_col: str = "doc_id",
     min_tokens: int = 8,
     max_gram_occ: int = 64,
+    gram_key: str = "raw",
 ) -> DataFrame:
     """Exact-substring duplicate spans (the ExactSubstr family of
     "Deduplicating Training Data Makes Language Models Better", Lee et al.
@@ -982,10 +1013,22 @@ def substring_spans(
 
     At 100 TB the only with-n driver/executor term is the per-gram-key
     bucket, capped by ``max_gram_occ``; everything else is narrow or
-    key-partitioned.  (For petabyte shuffles, swap the join key for
-    ``xxhash64(gram)`` and keep the gram equality as a residual — halves
-    shuffle bytes at zero semantic cost; kept as the raw string here so
-    the DuckDB oracle twin is textually identical.)
+    key-partitioned.
+
+    ``gram_key`` picks the shuffle/join key representation:
+
+    - ``"raw"`` (default): the ``min_tokens``-word gram STRING itself —
+      textually identical to the DuckDB oracle twin, exact at any scale.
+    - ``"hash"``: each gram is reduced to TWO independent ``xxhash64``
+      values (different seeds) immediately after gram construction and
+      the string is dropped, so the shuffled row is ``(id, pos, 16
+      bytes)`` instead of ``(id, pos, ~6·min_tokens bytes)`` — the
+      petabyte-shuffle form.  A false span needs a 128-bit double
+      collision between two DIFFERENT grams sharing an occurrence
+      window: by the birthday bound, ~n²/2¹²⁹ expected corpus-wide
+      (≈ 3e-19 even at 10¹⁵ grams) — far below the hardware-error
+      floor, which is why suffix-array ExactSubstr implementations
+      hash their grams the same way.
 
     Returns one row per maximal span:
     ``(doc_a, doc_b, a_start, b_start, span_tokens)`` with doc_a < doc_b,
@@ -1012,35 +1055,47 @@ def substring_spans(
             )
         ).alias("__p0", "gram"),
     ).select("__id", (F.col("__p0") + 1).alias("pos"), "gram")
+    if gram_key == "hash":
+        # drop the gram string before anything shuffles: key = two
+        # independent 64-bit hashes (see docstring for the collision
+        # bound); xxhash64 is JVM-side, seeded by its first argument
+        grams = grams.select(
+            "__id", "pos",
+            F.xxhash64("gram").alias("g1"),
+            F.xxhash64(F.lit(1), "gram").alias("g2"),
+        )
+        keys = ["g1", "g2"]
+    elif gram_key == "raw":
+        keys = ["gram"]
+    else:
+        raise ValueError(
+            f"gram_key must be 'raw' or 'hash' (got {gram_key!r})"
+        )
     # occurrence-count via window (one shuffle on the gram key) instead
     # of groupBy + join-back: same filter semantics, one fewer gram
-    # derivation.  Both self-join sides read `occ`; persist it or the
-    # tokenize → explode → window subtree runs twice (same hazard and
-    # same fix as ``lsh_candidate_pairs``'s `sized`).  The window's
-    # hashpartitioning(gram) survives the persist, so the self-join
-    # adds no further exchange.
-    from pyspark import StorageLevel
-
+    # derivation.  The window's hashpartitioning(key) is exactly the
+    # self-join's required distribution, and the alias self-join below
+    # keeps both sides canonically identical, so ReuseExchange unifies
+    # them: the tokenize → explode → window map work executes once with
+    # NO persisted intermediate (this operator used to leak a
+    # MEMORY_AND_DISK gram cache per call).
     occ = (
         grams.withColumn(
-            "__n", F.count(F.lit(1)).over(Window.partitionBy("gram"))
+            "__n", F.count(F.lit(1)).over(Window.partitionBy(*keys))
         )
         .where((F.col("__n") >= 2) & (F.col("__n") <= max_gram_occ))
         .drop("__n")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    a = occ.select(
-        F.col("gram"),
-        F.col("__id").alias("doc_a"),
-        F.col("pos").alias("pos_a"),
     )
-    b = occ.select(
-        F.col("gram").alias("__gb"),
-        F.col("__id").alias("doc_b"),
-        F.col("pos").alias("pos_b"),
+    oa, ob = occ.alias("__ga"), occ.alias("__gb")
+    cond = F.col("__ga.__id") < F.col("__gb.__id")
+    for kcol in keys:
+        cond = (F.col(f"__ga.{kcol}") == F.col(f"__gb.{kcol}")) & cond
+    hits = oa.join(ob, cond).select(
+        F.col("__ga.__id").alias("doc_a"),
+        F.col("__gb.__id").alias("doc_b"),
+        F.col("__ga.pos").alias("pos_a"),
+        F.col("__gb.pos").alias("pos_b"),
     )
-    hits = a.join(
-        b, (a["gram"] == b["__gb"]) & (a["doc_a"] < b["doc_b"])
-    ).select("doc_a", "doc_b", "pos_a", "pos_b")
     diag = F.col("pos_a") - F.col("pos_b")
     w = Window.partitionBy("doc_a", "doc_b", diag).orderBy("pos_a")
     isl = hits.select(
@@ -1070,6 +1125,7 @@ def substring_dedup_stats(
     id_col: str = "doc_id",
     min_tokens: int = 8,
     max_gram_occ: int = 64,
+    spans: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document removal accounting for exact-substring dedup: take
     every span ``substring_spans`` found, cut it from the LATER document
@@ -1084,13 +1140,21 @@ def substring_dedup_stats(
     and a groupBy per doc — no join back to the pair space.  Output is
     one row per AFFECTED document:
     ``(doc_id, n_tokens, removed_tokens, kept_tokens, n_cut_spans)``.
+
+    Pass a precomputed :func:`substring_spans` relation via ``spans``
+    (same ``min_tokens``; typically a staged-to-storage span artifact —
+    the pattern the assignment/codebook model artifacts use) to skip
+    the gram join entirely: a pipeline that writes the span table and
+    then accounts removals against it should derive both from ONE span
+    pass, not two.
     """
     from pyspark.sql import Window
 
-    spans = substring_spans(
-        df, text_col, id_col,
-        min_tokens=min_tokens, max_gram_occ=max_gram_occ,
-    )
+    if spans is None:
+        spans = substring_spans(
+            df, text_col, id_col,
+            min_tokens=min_tokens, max_gram_occ=max_gram_occ,
+        )
     ivals = spans.select(
         F.col("doc_b").alias("__doc"),
         F.col("b_start").cast("long").alias("s"),

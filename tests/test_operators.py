@@ -778,6 +778,35 @@ class TestSubstringSpans:
 
         with _pytest.raises(ValueError):
             substring_spans(self._df(spark, [(1, "a b")]), min_tokens=1)
+        with _pytest.raises(ValueError, match="gram_key"):
+            substring_spans(
+                self._df(spark, [(1, "a b")]), gram_key="md5"
+            ).collect()
+
+    def test_hash_gram_key_matches_raw(self, spark, sf_dir):
+        """The 16-byte double-xxhash64 shuffle key (petabyte form) must
+        produce byte-identical spans to the raw-string key on a real
+        corpus — same windows, same islands, same offsets."""
+        import os
+
+        from parquery_spark.operators.dedup import substring_spans
+
+        docs = spark.read.parquet(
+            os.path.join(sf_dir, "documents.parquet")
+        )
+        raw = sorted(
+            map(tuple, substring_spans(docs, min_tokens=8).collect())
+        )
+        hashed = sorted(
+            map(
+                tuple,
+                substring_spans(
+                    docs, min_tokens=8, gram_key="hash"
+                ).collect(),
+            )
+        )
+        assert raw == hashed
+        assert raw  # non-vacuous: the corpus has duplicate spans
 
 
 class TestSubstringDedupStats:
@@ -817,3 +846,79 @@ class TestSubstringDedupStats:
         assert out[3].n_cut_spans == 1
         # doc 2 also loses its 8-token overlap with doc 1 (w4..w11)
         assert out[2].removed_tokens == 8
+
+
+class TestDedupCacheContract:
+    """The dedup family's release contract (round-8): no operator leaks a
+    persisted relation into the session.  Self-join intermediates are
+    deduplicated by ReuseExchange over alias self-joins, not by persist();
+    the substring span table is a stat-keyed STORAGE artifact; the only
+    in-session caches are the documented session-keyed ones (relation
+    cache, q42/q62's shared pair relation), which fill once per corpus
+    and never grow per call."""
+
+    NAMES = [
+        "q40_dedup_exact",
+        "q41_fingerprint_dedup",
+        "q42_jaccard_pairs",
+        "q43_minhash_lsh",
+        "q44_simhash",
+        "q62_dedup_clusters",
+        "q75_incremental_dedup",
+        "q82_indexed_dedup_probe",
+        "q102_fuzzy_match",
+        "q223_substring_spans",
+        "q224_substring_dedup_stats",
+    ]
+
+    @staticmethod
+    def _n_cached(spark) -> int:
+        # CacheManager entries = persisted DataFrames (the leak class:
+        # they are NEVER auto-reclaimed).  localCheckpoint RDD blocks
+        # (graph iteration lineage truncation) are deliberately NOT
+        # counted: the ContextCleaner reaps them when the plan is
+        # garbage-collected.
+        return (
+            spark._jsparkSession.sharedState()
+            .cacheManager().cachedData().size()
+        )
+
+    def test_repeat_runs_add_no_cached_relations(self, spark, sf_dir):
+        import __spark_entry__ as e
+
+        qs = e.queries()
+        # first pass fills the bounded session-keyed caches (relation
+        # cache, the shared verified-pair relation) and the disk
+        # artifacts; per-CALL growth after that is a leak
+        for name in self.NAMES:
+            qs[name](spark, sf_dir).collect()
+        before = self._n_cached(spark)
+        for name in self.NAMES:
+            qs[name](spark, sf_dir).collect()
+            # <= not ==: the ContextCleaner may concurrently reap
+            # unreferenced entries, which is shrinkage, not a leak
+            assert self._n_cached(spark) <= before, (
+                f"{name} leaked a persisted relation "
+                f"({self._n_cached(spark)} > {before})"
+            )
+
+    def test_operators_persist_nothing(self, spark, sf_dir):
+        """Direct operator calls (no query-layer artifacts involved)
+        leave the persistent-RDD ledger unchanged."""
+        import os
+
+        from parquery_spark.operators import dedup
+
+        docs = spark.read.parquet(
+            os.path.join(sf_dir, "documents.parquet")
+        )
+        before = self._n_cached(spark)
+        dedup.lsh_candidate_pairs(docs, "text", "doc_id").collect()
+        dedup.simhash_candidates(docs, "text", "doc_id", bits=60,
+                                 bands=5, max_hamming=4).collect()
+        dedup.jaccard_pairs(docs, "text", "doc_id",
+                            threshold=0.5).collect()
+        dedup.substring_spans(docs, min_tokens=8).collect()
+        dedup.substring_dedup_stats(docs, min_tokens=8).collect()
+        dedup.lsh_verified_pairs(docs, "text", "doc_id").collect()
+        assert self._n_cached(spark) <= before

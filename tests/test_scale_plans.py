@@ -982,16 +982,25 @@ class TestRound5PlanShapes:
 
 
 class TestSubstringSpanPlans:
-    def test_no_cartesian_no_python_partial_agg(self, spark, sf_dir):
-        from parquery_spark import relations
+    @staticmethod
+    def _uncached_docs(spark, sf_dir, tmp_path):
+        # hardlinked copy: the CacheManager substitutes a cached
+        # InMemoryRelation into ANY same-path read (hazard), which would
+        # put an InMemoryTableScan at the leaf and mask the zero-cache
+        # assertions below when other tests have warmed the relation
+        link = tmp_path / "documents.parquet"
+        if not link.exists():
+            os.link(os.path.join(sf_dir, "documents.parquet"), link)
+        return spark.read.parquet(str(link))
+
+    def test_no_cartesian_no_python_partial_agg(self, spark, sf_dir,
+                                                tmp_path):
         from parquery_spark.operators.dedup import (
             substring_dedup_stats,
             substring_spans,
         )
 
-        docs = relations.get_relation(
-            spark, os.path.join(sf_dir, "documents.parquet")
-        )
+        docs = self._uncached_docs(spark, sf_dir, tmp_path)
         for df in (
             substring_spans(docs, min_tokens=8, max_gram_occ=64),
             substring_dedup_stats(docs, min_tokens=8, max_gram_occ=64),
@@ -1003,8 +1012,52 @@ class TestSubstringSpanPlans:
             assert "BroadcastNestedLoop" not in plan
             assert "EvalPython" not in plan
             # span merge aggregates partially before its exchange (the
-            # corpus-sized aggregation); the stop-gram filter is a
-            # window count on the gram key, persisted so the self-join
-            # reads one materialization
+            # corpus-sized aggregation); the self-join sides share one
+            # gram derivation with NO persisted intermediate (alias
+            # self-join — ReuseExchange unifies the sides at execution)
             assert "partial_min" in plan
-            assert "InMemoryTableScan" in plan
+            assert "InMemoryTableScan" not in plan
+
+    def test_self_join_reuses_exchange_not_cache(self, spark, sf_dir,
+                                                  tmp_path):
+        """The dedup self-joins' zero-cache contract is only honest if
+        ReuseExchange actually unifies the two sides: after execution,
+        the final adaptive plan must contain a ReusedExchange and no
+        InMemoryTableScan — the expensive map subtree ran once."""
+        from parquery_spark.operators.dedup import (
+            lsh_candidate_pairs,
+            simhash_candidates,
+            substring_spans,
+        )
+
+        docs = self._uncached_docs(spark, sf_dir, tmp_path)
+        for df in (
+            substring_spans(docs, min_tokens=8, max_gram_occ=64),
+            lsh_candidate_pairs(docs, "text", "doc_id"),
+            simhash_candidates(docs, "text", "doc_id", bits=60, bands=5),
+        ):
+            df.collect()  # AQE reuse is visible in the FINAL plan
+            plan = plan_of(df)
+            cut = plan.find("== Initial Plan ==")
+            if cut != -1:
+                plan = plan[:cut]
+            assert "ReusedExchange" in plan
+            assert "InMemoryTableScan" not in plan
+
+    def test_hash_gram_key_shuffles_hashes_not_strings(self, spark,
+                                                       sf_dir, tmp_path):
+        """gram_key='hash' (the petabyte-shuffle form) must join on the
+        two xxhash64 columns and keep the raw gram string out of every
+        exchange: the shuffled row is (id, pos, 16 bytes), not the
+        ~50-byte gram text."""
+        from parquery_spark.operators.dedup import substring_spans
+
+        docs = self._uncached_docs(spark, sf_dir, tmp_path)
+        plan = plan_of(
+            substring_spans(docs, min_tokens=8, gram_key="hash")
+        )
+        assert "xxhash64" in plan
+        for line in plan.splitlines():
+            if "Exchange hashpartitioning" in line:
+                assert "gram#" not in line, line
+                assert "g1#" in line or "doc_a" in line or "__id" in line
