@@ -1,7 +1,9 @@
 """Multimodal column handling: image/audio/video payloads as opaque
 ``binary`` columns with typed metadata, processed via Arrow-batched
-``mapInPandas`` — the Spark-side plumbing (schema, batching, partitioning)
-is real; the codec itself is stubbed because media libraries are not
+``mapInPandas``.  The Spark-side plumbing (schema, batching,
+partitioning) is real; IMAGE header decoding (PNG/JPEG dimensions,
+corruption detection) is real pure-byte parsing; audio/video decode and
+pixel-level transforms remain stubbed because media libraries are not
 available in this environment.
 
 Design for 100 TB:
@@ -15,8 +17,10 @@ Design for 100 TB:
 * Derived features come back as ordinary columns, so downstream filtering/
   dedup/similarity compose with everything else in this package.
 
-Swap :func:`_decode_stub` for a real codec (PIL/ffmpeg/torchaudio) in
-production — the signature and batch shape are the contract.
+Image HEADERS (PNG signature+IHDR, JPEG SOF marker walk) are parsed for
+real by :func:`parse_image_dims`; swap :func:`_decode_stub`'s audio/video
+branch for a real codec (ffmpeg/torchaudio) in production — the signature
+and batch shape are the contract.
 """
 
 from __future__ import annotations
@@ -45,24 +49,115 @@ MEDIA_FEATURES_SCHEMA = T.StructType(
 )
 
 
-def _decode_stub(payload: bytes, media_type: str) -> dict[str, Any]:
-    """STUB decoder: deterministic fake features derived from the payload
-    bytes.  A real deployment replaces this with PIL / ffmpeg / torchaudio —
-    media codec libraries are not installed in this environment.
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
-    Raises ``NotImplementedError`` for media types the stub doesn't model,
-    exactly as a real codec registry would for unknown formats.
+#: JPEG start-of-frame markers that carry dimensions (C0-CF minus the
+#: non-SOF entries: C4=DHT, C8=JPG extension, CC=DAC)
+_JPEG_NON_SOF = (0xC4, 0xC8, 0xCC)
+
+
+def parse_image_dims(payload: bytes) -> tuple[int, int] | None:
+    """REAL header-level dimension parse for PNG and JPEG — pure byte
+    parsing, no image library, which is all a metadata-extraction
+    pipeline needs (pixel decode stays behind the stub).
+
+    PNG: 8-byte signature, then the IHDR chunk (mandated first): width
+    and height are the two big-endian u32s at offsets 16 and 20.  JPEG:
+    SOI then a marker walk — each segment is ``FF <marker> <u16 len>``;
+    the first SOFn segment carries ``precision(1) height(2) width(2)``.
+
+    Returns ``(width, height)`` or ``None`` for bytes that are not a
+    well-formed PNG/JPEG header (truncation, bad magic, zero dims,
+    malformed segment chain) — the caller reports ``decode_ok=false``
+    instead of erroring the scan."""
+    if payload[:8] == _PNG_SIG:
+        if len(payload) >= 24 and payload[12:16] == b"IHDR":
+            w = int.from_bytes(payload[16:20], "big")
+            h = int.from_bytes(payload[20:24], "big")
+            if w > 0 and h > 0:
+                return w, h
+        return None
+    if payload[:2] == b"\xff\xd8":
+        i, n = 2, len(payload)
+        while i + 4 <= n:
+            if payload[i] != 0xFF:
+                return None
+            marker = payload[i + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2  # standalone markers carry no length
+                continue
+            if marker == 0xD9:  # EOI before any SOF
+                return None
+            seg_len = int.from_bytes(payload[i + 2:i + 4], "big")
+            if seg_len < 2:
+                return None
+            if 0xC0 <= marker <= 0xCF and marker not in _JPEG_NON_SOF:
+                if i + 9 <= n and seg_len >= 7:
+                    h = int.from_bytes(payload[i + 5:i + 7], "big")
+                    w = int.from_bytes(payload[i + 7:i + 9], "big")
+                    if w > 0 and h > 0:
+                        return w, h
+                return None
+            i += 2 + seg_len
+        return None
+    return None
+
+
+def make_png(width: int, height: int, extra: bytes = b"") -> bytes:
+    """Build a header-valid PNG byte string — signature + IHDR (CRC left
+    zeroed: header parsers don't verify it) — with ``extra`` appended as
+    trailing payload.  33 header bytes.  Fixture/test utility so the
+    parse path can be exercised without an image library."""
+    import struct
+
+    ihdr = struct.pack(">II5B", width, height, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG + struct.pack(">I", 13) + b"IHDR" + ihdr
+        + b"\x00\x00\x00\x00" + extra
+    )
+
+
+def make_jpeg(width: int, height: int, extra: bytes = b"") -> bytes:
+    """Build a header-valid JPEG byte string — SOI + one SOF0 segment
+    (3 components, standard sampling) — with ``extra`` appended.
+    21 header bytes."""
+    import struct
+
+    sof0 = struct.pack(">BBHBHHB", 0xFF, 0xC0, 17, 8, height, width, 3)
+    return b"\xff\xd8" + sof0 + b"\x01\x11\x00\x02\x11\x01\x03\x11\x01" + extra
+
+
+def _decode_stub(payload: bytes, media_type: str) -> dict[str, Any]:
+    """Feature decoder: IMAGE dimensions come from the REAL header parse
+    (:func:`parse_image_dims` — corrupt/unparseable bytes report
+    ``decode_ok=false`` with null dims instead of erroring the scan);
+    audio/video features are a deterministic STUB derived from the
+    payload bytes (a real deployment swaps in ffmpeg/torchaudio — codec
+    libraries are not installed in this environment).
+
+    Raises ``NotImplementedError`` for media types with no registered
+    decoder, exactly as a real codec registry would.
     """
     if media_type not in ("image", "audio", "video"):
         raise NotImplementedError(f"no decoder registered for {media_type!r}")
     digest = hashlib.md5(payload).hexdigest()
+    if media_type == "image":
+        dims = parse_image_dims(payload)
+        return {
+            "n_bytes": len(payload),
+            "content_hash": digest,
+            "width": dims[0] if dims else None,
+            "height": dims[1] if dims else None,
+            "n_frames": 1 if dims else None,
+            "decode_ok": dims is not None,
+        }
     seed = int(digest[:8], 16)
     return {
         "n_bytes": len(payload),
         "content_hash": digest,
         "width": 64 + seed % 1024 if media_type != "audio" else None,
         "height": 64 + (seed >> 10) % 1024 if media_type != "audio" else None,
-        "n_frames": 1 if media_type == "image" else 1 + seed % 300,
+        "n_frames": 1 + seed % 300,
         "decode_ok": True,
     }
 

@@ -1323,21 +1323,22 @@ def q49_lang_quality_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            octet_length(encode(text))                               AS n_bytes,
            md5(text)                                                AS content_hash,
-           CAST(64 + (('0x' || substr(md5(text), 1, 8))::BIGINT % 1024) AS INT)
-                                                                    AS width,
-           CAST(64 + ((('0x' || substr(md5(text), 1, 8))::BIGINT >> 10) % 1024) AS INT)
-                                                                    AS height,
-           CAST(1 AS INT)                                           AS n_frames,
-           TRUE                                                     AS decode_ok
+           CAST(NULL AS INT)                                        AS width,
+           CAST(NULL AS INT)                                        AS height,
+           CAST(NULL AS INT)                                        AS n_frames,
+           FALSE                                                    AS decode_ok
     FROM documents
     """,
 )
 def q50_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing: documents' text bytes as an opaque binary
-    payload column → Arrow-batched mapInPandas feature extraction (decode
-    STUB — deterministic md5-derived fake features; the batching, schema,
-    and partition behavior are the real contract).  The stub's determinism
-    makes even the Python path oracle-checkable."""
+    """Multimodal plumbing + decode HONESTY: documents' text bytes as an
+    opaque binary payload column → Arrow-batched mapInPandas feature
+    extraction.  Image dimensions come from the REAL PNG/JPEG header
+    parser (round 8), and text bytes are NOT an image — so every row
+    must report decode_ok=false with null dims rather than erroring the
+    scan or inventing numbers; byte-level bookkeeping (n_bytes,
+    content_hash) still flows.  The decode SUCCESS path is gated by q222,
+    whose fixture files carry real PNG/JPEG headers."""
     from parquery_spark.operators.multimodal import (
         attach_binary_payload,
         extract_media_features,
@@ -11982,77 +11983,115 @@ def q221_kmeans_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q222_binary_file_ingest",
+    # Image rows carry REAL PNG/JPEG headers whose dimensions derive
+    # from doc_id, so the oracle recomputes width/height/n_bytes from
+    # the same recipe the fixture bytes encode — a parser endianness or
+    # offset bug breaks parity.  content_hash is NULL for image rows on
+    # BOTH sides: their payloads contain non-UTF8 header bytes and the
+    # oracle engine's md5 is VARCHAR-only (byte-hash parity is gated by
+    # q50, whose payloads are UTF-8-safe).  doc_id%15==0 image rows are
+    # written with a corrupted magic byte → decode_ok=false, null dims.
     """
     WITH sel AS (
         SELECT doc_id, text,
                md5(text) AS content_hash,
-               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               CAST(octet_length(encode(text)) AS BIGINT) AS text_bytes,
                CASE CAST(doc_id % 3 AS INTEGER)
                     WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
                     ELSE 'video' END AS media_type,
+               doc_id % 6 = 0 AS is_png,
+               doc_id % 15 = 0 AS corrupt,
                ('0x' || substr(md5(text), 1, 8))::BIGINT AS seed
         FROM documents WHERE doc_id < 60
     )
-    SELECT doc_id, media_type, n_bytes, content_hash,
-           CASE WHEN media_type = 'audio' THEN NULL
+    SELECT doc_id, media_type,
+           text_bytes + CASE WHEN media_type = 'image'
+                             THEN CASE WHEN is_png THEN 33 ELSE 21 END
+                             ELSE 0 END AS n_bytes,
+           CASE WHEN media_type = 'image' THEN NULL
+                ELSE content_hash END AS content_hash,
+           CASE WHEN media_type = 'image' THEN
+                    CASE WHEN corrupt THEN NULL
+                         ELSE CAST(1 + (doc_id * 37) % 4000 AS INTEGER) END
+                WHEN media_type = 'audio' THEN NULL
                 ELSE CAST(64 + seed % 1024 AS INTEGER) END AS width,
-           CASE WHEN media_type = 'audio' THEN NULL
+           CASE WHEN media_type = 'image' THEN
+                    CASE WHEN corrupt THEN NULL
+                         ELSE CAST(1 + (doc_id * 53) % 3000 AS INTEGER) END
+                WHEN media_type = 'audio' THEN NULL
                 ELSE CAST(64 + (seed // 1024) % 1024 AS INTEGER)
                 END AS height,
-           CASE WHEN media_type = 'image' THEN CAST(1 AS INTEGER)
+           CASE WHEN media_type = 'image' THEN
+                    CASE WHEN corrupt THEN NULL ELSE CAST(1 AS INTEGER) END
                 ELSE CAST(1 + seed % 300 AS INTEGER) END AS n_frames,
-           TRUE AS decode_ok
+           CASE WHEN media_type = 'image' THEN NOT corrupt
+                ELSE TRUE END AS decode_ok
     FROM sel
     """,
 )
 def q222_binary_file_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raw-file multimodal ingest end to end: a directory of real media
-    files (stat-keyed fixture — 60 files whose bytes derive from the
-    ``documents`` corpus, extensions cycling png/wav/mp4) is ingested
+    files (stat-keyed fixture, published atomically via
+    :func:`_materialize_once` — 60 files whose bytes derive from the
+    ``documents`` corpus, extensions cycling png/jpg/wav/mp4) is ingested
     with :func:`parquery_spark.sources.binary.read_binary_files`
     (distributed ``binaryFile`` listing+read, extension → media_type),
     then feature-extracted through the Arrow-batched ``mapInPandas``
-    decode plumbing (:func:`extract_media_features`, codec honestly
-    stubbed).  The oracle recomputes every feature from the SAME bytes
-    via the documents table — what's gated is that listing, reading,
-    typing, batching and decode bookkeeping lose nothing.
+    decode plumbing.  Image files carry REAL PNG/JPEG headers (doc_id-
+    derived dimensions, built by ``make_png``/``make_jpeg``), so the
+    header parser's output — including decode_ok=false for the rows
+    written with a corrupted magic byte — is value-gated against the
+    oracle's recomputation from the same recipe.
 
     Scale shape: the driver lists paths; tasks read bytes (no driver
     data path); ``pathGlobFilter``/``modifiedAfter`` prune at listing
     time; the payload column is dropped before any shuffle."""
-    import hashlib
-    import tempfile
-
-    from parquery_spark.operators.multimodal import extract_media_features
+    from parquery_spark.operators.multimodal import (
+        extract_media_features,
+        make_jpeg,
+        make_png,
+    )
     from parquery_spark.sources.binary import read_binary_files
 
     src = _path(sf_dir, "documents")
-    st = os.stat(src)
-    ident = f"{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}|media60v1"
-    tag = hashlib.md5(ident.encode()).hexdigest()[:10]
-    fdir = os.path.join(tempfile.gettempdir(), f"pqs_media_{tag}")
-    if not os.path.exists(os.path.join(fdir, "_DONE")):
+    fdir = _stat_dir(sf_dir, "documents", "media60-codec-v2", "pqs_media")
+
+    def _build(t):
         import pyarrow.parquet as papq
 
-        os.makedirs(fdir, exist_ok=True)
+        os.makedirs(t, exist_ok=True)
         # predicate pushed into the parquet read: only the 60 fixture
         # rows reach the driver, not the whole corpus's text
         tbl = papq.read_table(
             src, columns=["doc_id", "text"], filters=[("doc_id", "<", 60)]
         )
-        exts = {0: "png", 1: "wav", 2: "mp4"}
         for doc_id, text in zip(
             tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist()
         ):
-            p = os.path.join(fdir, f"doc_{doc_id:06d}.{exts[doc_id % 3]}")
-            with open(p + ".tmp", "wb") as fh:
-                fh.write(text.encode("utf-8"))
-            os.replace(p + ".tmp", p)
-        with open(os.path.join(fdir, "_DONE"), "w") as fh:
+            data = text.encode("utf-8")
+            if doc_id % 3 == 0:  # image rows: real headers
+                w = 1 + (doc_id * 37) % 4000
+                h = 1 + (doc_id * 53) % 3000
+                if doc_id % 6 == 0:
+                    payload, ext = make_png(w, h, data), "png"
+                else:
+                    payload, ext = make_jpeg(w, h, data), "jpg"
+                if doc_id % 15 == 0:  # corrupt the magic byte
+                    payload = b"\x00" + payload[1:]
+            elif doc_id % 3 == 1:
+                payload, ext = data, "wav"
+            else:
+                payload, ext = data, "mp4"
+            with open(os.path.join(t, f"doc_{doc_id:06d}.{ext}"), "wb") as fh:
+                fh.write(payload)
+        with open(os.path.join(t, "_DONE"), "w") as fh:
             fh.write("ok")
 
+    fdir = _materialize_once(fdir, _build, marker="_DONE")
+    # glob pinned to the 3-char media extensions: never matches the
+    # _DONE marker or any foreign staging file
     raw = read_binary_files(
-        spark, fdir, path_glob="doc_*", media_type="auto"
+        spark, fdir, path_glob="doc_*.???", media_type="auto"
     ).select("path", "payload", "media_type")
     feats = extract_media_features(raw)
     return feats.select(
@@ -12061,7 +12100,11 @@ def q222_binary_file_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("doc_id"),
         "media_type",
         "n_bytes",
-        "content_hash",
+        # image payloads contain non-UTF8 header bytes the oracle
+        # engine's VARCHAR-only md5 cannot hash — nulled on both sides;
+        # q50 gates byte-hash parity on UTF-8-safe payloads
+        F.when(F.col("media_type") != "image", F.col("content_hash"))
+        .alias("content_hash"),
         "width",
         "height",
         "n_frames",
@@ -12245,9 +12288,11 @@ DRIVER_PRIORITY: list[str] = [
     # their families keep q207 / q45+q83 as representatives)
     "q207_resample_ffill", "q208_embedding_quantization",
     "q215_loo_target_encoding", "q216_ranking_metrics",
-    # dedup family
-    "q40_dedup_exact", "q43_minhash_lsh", "q82_indexed_dedup_probe",
-    "q102_fuzzy_match",
+    # dedup family (q82/q102 rotated to gate-coverage in round 8 so the
+    # round-7 families get driver rows: q221 sampled k-means training,
+    # q223 exact-substring spans)
+    "q40_dedup_exact", "q43_minhash_lsh",
+    "q221_kmeans_sampled", "q223_substring_spans",
     # similarity / ANN
     "q45_embedding_topk", "q83_ivf_ann", "q167_semdedup",
     # text / multimodal / sketches / sampling

@@ -5,7 +5,7 @@ cartesian joins — then write PLAN_AUDIT.md.
 
 Usage::
 
-    python scripts/plan_audit.py [sf_dir] [query ...]
+    python scripts/plan_audit.py [--fresh-artifacts] [sf_dir] [query ...]
 
 Notes: building a plan requires calling the query function, so queries
 that train models / drain streams do that work here too (the audit then
@@ -13,6 +13,19 @@ sees the plan of the FINAL relation they return — for streaming drains
 that is the post-drain static sink read, which is the part a batch
 consumer scans).  Counts come from the executedPlan string; with AQE
 this is the initial plan, which is the upper bound AQE can only improve.
+
+BUILD-PHASE capture (round 8): everything a query function EXECUTES
+during construction — k-means/PQ/IVF training, index/artifact writes
+behind ``_materialize_once``, relation-cache fills — used to be
+invisible to the audit because it runs before the returned plan exists.
+Each query now also snapshots the session's SQLAppStatusStore execution
+list around the call and aggregates the same shape counters over every
+execution the call triggered (``b_execs``/``b_shuffles``/``b_py``/
+``b_cart`` columns).  Artifacts are built once per corpus version, so
+build columns show the cost at the FIRST query that touches an artifact;
+pass ``--fresh-artifacts`` to clear ``/tmp/pqs_*`` first and attribute
+every build to its owner (do not run concurrently with any other
+workload — one Spark workload at a time).
 """
 
 from __future__ import annotations
@@ -54,6 +67,51 @@ _PY = re.compile(
 )
 
 _PLAN_ID = re.compile(r"\[plan_id=(\d+)\]")
+
+#: Build-phase plans come from SQLAppStatusStore.physicalPlanDescription,
+#: which is the FORMATTED plan (numbered tree + a details section) — the
+#: marks differ from executedPlan toString.  A plain shuffle exchange
+#: prints as "Exchange (<n>)"; the negative lookbehind excludes
+#: BroadcastExchange/ReusedExchange, which print their own full names.
+_B_EXCHANGE = re.compile(r"(?<![A-Za-z])Exchange \(\d+\)")
+_B_PY = re.compile(
+    r"BatchEvalPython|ArrowEvalPython|FlatMapGroupsInPandas"
+    r"|MapInPandas|AggregateInPandas|PythonUDTF|MapGroupsInPandas"
+)
+
+
+def _truncate_formatted(desc: str) -> str:
+    """Keep only the final-plan tree of a formatted plan description:
+    drop the AQE '== Initial Plan ==' duplicate and the per-node details
+    section (each node reprints its name there, which would double every
+    count)."""
+    cuts = [i for i in (desc.find("== Initial Plan =="),
+                        desc.find("\n\n(")) if i != -1]
+    return desc[: min(cuts)] if cuts else desc
+
+
+def _max_execution_id(store) -> int:
+    lst = store.executionsList()
+    n = lst.size()
+    return lst.apply(n - 1).executionId() if n else -1
+
+
+def _build_phase_counts(store, after_id: int) -> dict:
+    """Aggregate shape counters over every SQL execution with id >
+    ``after_id`` — the jobs a query function ran while CONSTRUCTING its
+    returned plan (model training, artifact writes, cache fills)."""
+    out = {"b_execs": 0, "b_shuffles": 0, "b_py": 0, "b_cart": 0}
+    lst = store.executionsList()
+    for i in range(lst.size()):
+        ex = lst.apply(i)
+        if ex.executionId() <= after_id:
+            continue
+        desc = _truncate_formatted(ex.physicalPlanDescription())
+        out["b_execs"] += 1
+        out["b_shuffles"] += len(_B_EXCHANGE.findall(desc))
+        out["b_py"] += len(_B_PY.findall(desc))
+        out["b_cart"] += desc.count("CartesianProduct")
+    return out
 
 
 def _count_exchanges(plan: str, marks: tuple[str, ...] | str) -> int:
@@ -104,6 +162,25 @@ WHITELIST = {
         "q222_binary_file_ingest": "mapInPandas feature extraction over"
         " binaryFile payloads IS the operator (same codec surface as q50)",
     },
+    # BUILD-phase Python (b_py column): model-training kernels that run
+    # while the query constructs its artifact — the same Arrow-batched
+    # assignment kernel q221 exposes in its returned plan.
+    "build_python": {
+        "q141_kmeans": "kmeans Arrow assignment kernel runs at"
+        " artifact-build time (same kernel as q221)",
+        "q167_semdedup": "kmeans_assign Arrow kernel trains the"
+        " stat-keyed assignment artifact (same kernel as q221)",
+        "q211_pq_adc_ann": "per-subspace kmeans Arrow kernels train the"
+        " PQ codebook artifact (same kernel as q221)",
+        "q221_kmeans_sampled": "sampled-Lloyd training iterations before"
+        " the returned assignment plan",
+        "q83_ivf_ann": "IVF coarse quantizer trains via the same kmeans"
+        " Arrow kernel at index-build time",
+        "q50_multimodal_features": "mapInPandas decode IS the operator"
+        " (warm-up/fixture executions)",
+        "q222_binary_file_ingest": "mapInPandas decode IS the operator"
+        " (fixture build + listing executions)",
+    },
     "bnl_join": {},  # populated by broadcast-of-one-row aggregates; audited below
 }
 
@@ -114,17 +191,20 @@ def audit(sf_dir: str, names: list[str] | None = None) -> list[dict]:
     import __spark_entry__ as e
 
     spark = get_spark("plan_audit")
+    store = spark._jsparkSession.sharedState().statusStore()
     rows = []
     qs = e.queries()
     for name, fn in qs.items():
         if names and name not in names:
             continue
+        before_id = _max_execution_id(store)
         try:
             df = fn(spark, sf_dir)
             plan = df._jdf.queryExecution().executedPlan().toString()
         except Exception as exc:  # noqa: BLE001 — audit must finish
             rows.append({"name": name, "error": str(exc)[:120]})
             continue
+        build = _build_phase_counts(store, before_id)
         # With AQE, toString prints the current/final plan AND a full
         # "== Initial Plan ==" duplicate; count only the first tree or
         # every operator doubles.
@@ -142,6 +222,7 @@ def audit(sf_dir: str, names: list[str] | None = None) -> list[dict]:
                 row[key] = len(_PY.findall(plan))
             else:
                 row[key] = plan.count(mark)
+        row.update(build)
         rows.append(row)
     return rows
 
@@ -165,7 +246,13 @@ def render(rows: list[dict], sf_dir: str) -> str:
         "Python row-path operators (whitelisted UDF-surface demos only);",
         "`bnl` = BroadcastNestedLoopJoin (legitimate only against",
         "broadcast one-row aggregates); `cart` = CartesianProduct",
-        "(never).",
+        "(never).  `b_*` columns audit the BUILD phase: every SQL",
+        "execution the query function ran while constructing its plan",
+        "(model training, artifact writes, cache fills), captured from",
+        "the session's SQLAppStatusStore and counted on each execution's",
+        "final formatted plan — artifacts build once per corpus version,",
+        "so the cost lands on the first query that touches the artifact",
+        "(run with --fresh-artifacts for full attribution).",
         "",
     ]
     errors = [r for r in rows if "error" in r]
@@ -176,7 +263,13 @@ def render(rows: list[dict], sf_dir: str) -> str:
         r["name"] for r in ok
         if r["python_eval"] and r["name"] not in WHITELIST["python_eval"]
     ]
+    flagged_bpy = [
+        r["name"] for r in ok
+        if r.get("b_py") and r["name"] not in WHITELIST["build_python"]
+    ]
+    builders = [r["name"] for r in ok if r.get("b_execs")]
     carts = [r["name"] for r in ok if r["cartesian"]]
+    bcarts = [r["name"] for r in ok if r.get("b_cart")]
     bnls = [r["name"] for r in ok if r["bnl_join"]]
     out += [
         f"- queries audited: **{len(ok)}** (errors: {len(errors)})",
@@ -184,9 +277,16 @@ def render(rows: list[dict], sf_dir: str) -> str:
         f"all plans: **{total_sh}** (mean {total_sh / max(1, len(ok)):.1f}"
         f"/query); broadcast exchanges (dim/metadata, no shuffle): "
         f"{total_bx}",
-        f"- CartesianProduct anywhere: **{sum(r['cartesian'] for r in ok)}**",
+        f"- CartesianProduct anywhere: **{sum(r['cartesian'] for r in ok)}**"
+        f" (build-phase: **{sum(r.get('b_cart', 0) for r in ok)}**"
+        + (f" — {bcarts}" if bcarts else "") + ")",
         f"- Python row-path outside the whitelisted UDF-surface demos: "
         f"**{len(flagged_py)}**" + (f" — {flagged_py}" if flagged_py else ""),
+        f"- BUILD-phase executions (training/artifact/cache-fill jobs run "
+        f"during query construction): {sum(r.get('b_execs', 0) for r in ok)}"
+        f" across {len(builders)} queries; build-phase Python outside the "
+        f"build whitelist: **{len(flagged_bpy)}**"
+        + (f" — {flagged_bpy}" if flagged_bpy else ""),
         f"- BroadcastNestedLoopJoin present in: **{len(bnls)}** queries"
         + (f" — {bnls} (each verified a broadcast one-row/stat relation)"
            if bnls else ""),
@@ -201,25 +301,48 @@ def render(rows: list[dict], sf_dir: str) -> str:
     out.append(
         "| query | shuffles | single_part | bcast_ex | reused_ex |"
         " windows | wgl | py | bnl | cart | smj | bhj | generate |"
+        " b_execs | b_shuffles | b_py | b_cart |"
     )
-    out.append("|---|---|---|---|---|---|---|---|---|---|---|---|---|")
+    out.append(
+        "|---|---|---|---|---|---|---|---|---|---|---|---|---|"
+        "---|---|---|---|"
+    )
     for r in ok:
         out.append(
             "| {name} | {shuffles} | {single_partition} |"
             " {broadcast_exchanges} | {reused_exchanges} | {windows} |"
             " {window_group_limit} | {python_eval} | {bnl_join} |"
             " {cartesian} | {sort_merge_join} | {broadcast_join} |"
-            " {generate} |".format(**r)
+            " {generate} | {b_execs} | {b_shuffles} | {b_py} |"
+            " {b_cart} |".format(**{
+                "b_execs": r.get("b_execs", 0),
+                "b_shuffles": r.get("b_shuffles", 0),
+                "b_py": r.get("b_py", 0),
+                "b_cart": r.get("b_cart", 0),
+                **{k: v for k, v in r.items() if not k.startswith("b_")},
+            })
         )
     for r in errors:
-        out.append(f"| {r['name']} | ERROR: {r['error']} |||||||||| ")
+        out.append(f"| {r['name']} | ERROR: {r['error']} |||||||||||||| ")
     out.append("")
     return "\n".join(out)
 
 
 if __name__ == "__main__":
-    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    names = sys.argv[2:] or None
+    argv = list(sys.argv[1:])
+    if "--fresh-artifacts" in argv:
+        # attribute every artifact build to its owning query: clear the
+        # stat-keyed /tmp artifacts so each is rebuilt during THIS audit.
+        # Never run concurrently with another Spark workload (they would
+        # race the rebuilds — the one-workload-at-a-time rule).
+        import glob
+        import shutil
+
+        argv.remove("--fresh-artifacts")
+        for d in glob.glob("/tmp/pqs_*"):
+            shutil.rmtree(d, ignore_errors=True)
+    sf = argv[0] if argv else "/root/testdata/sf0.01"
+    names = argv[1:] or None
     rows = audit(sf, names)
     md = render(rows, sf)
     path = os.path.join(os.path.dirname(os.path.dirname(

@@ -34,8 +34,10 @@ class TestMultimodal:
         rows2 = {r["media_id"]: r.asDict() for r in out.collect()}
         assert rows1 == rows2  # deterministic stub
         r = rows1[1]
-        assert r["decode_ok"] and r["n_bytes"] == len(b"img-one")
-        assert isinstance(r["width"], int) and isinstance(r["height"], int)
+        # text bytes are NOT a PNG/JPEG: the real header parser reports
+        # an honest failure instead of inventing dimensions
+        assert r["decode_ok"] is False and r["n_bytes"] == len(b"img-one")
+        assert r["width"] is None and r["height"] is None
 
     def test_unknown_media_type_raises(self, spark, media_df):
         bad = media_df.withColumn("media_type", F.lit("hologram"))
@@ -547,7 +549,9 @@ class TestBinaryFileSource:
 
     @pytest.fixture()
     def media_dir(self, tmp_path):
-        (tmp_path / "a.png").write_bytes(b"png-bytes")
+        from parquery_spark.operators.multimodal import make_png
+
+        (tmp_path / "a.png").write_bytes(make_png(32, 16, b"png-bytes"))
         (tmp_path / "b.wav").write_bytes(b"wav-bytes")
         (tmp_path / "c.xyz").write_bytes(b"mystery")
         sub = tmp_path / "nested"
@@ -567,8 +571,10 @@ class TestBinaryFileSource:
         assert rows["b.wav"]["media_type"] == "audio"
         assert rows["d.mp4"]["media_type"] == "video"  # recursive lookup
         assert rows["c.xyz"]["media_type"] == "unknown"
-        assert bytes(rows["a.png"]["payload"]) == b"png-bytes"
-        assert rows["a.png"]["length"] == len(b"png-bytes")
+        from parquery_spark.operators.multimodal import make_png
+
+        assert bytes(rows["a.png"]["payload"]) == make_png(32, 16, b"png-bytes")
+        assert rows["a.png"]["length"] == len(make_png(32, 16, b"png-bytes"))
 
     def test_path_glob_prunes_at_listing(self, spark, media_dir):
         from parquery_spark.sources.binary import read_binary_files
@@ -592,13 +598,17 @@ class TestBinaryFileSource:
         from parquery_spark.operators.multimodal import extract_media_features
         from parquery_spark.sources.binary import read_binary_files
 
+        from parquery_spark.operators.multimodal import make_png
+
         raw = read_binary_files(spark, media_dir, path_glob="*.png").select(
             "path", "payload", "media_type"
         )
         feats = extract_media_features(raw).collect()
         assert len(feats) == 1
-        assert feats[0]["content_hash"] == hashlib.md5(b"png-bytes").hexdigest()
+        png = make_png(32, 16, b"png-bytes")
+        assert feats[0]["content_hash"] == hashlib.md5(png).hexdigest()
         assert feats[0]["decode_ok"] is True
+        assert (feats[0]["width"], feats[0]["height"]) == (32, 16)
         assert "payload" not in feats[0].asDict()
 
     def test_constant_media_type(self, spark, media_dir):
@@ -606,3 +616,62 @@ class TestBinaryFileSource:
 
         got = read_binary_files(spark, media_dir, media_type="image")
         assert {r["media_type"] for r in got.collect()} == {"image"}
+
+
+class TestImageHeaderParse:
+    """The PNG/JPEG header parser against HAND-WRITTEN byte literals —
+    independent of make_png/make_jpeg, so a matching encode/decode bug
+    pair cannot cancel out (the q222 fixture is built with the makers)."""
+
+    def test_png_literal(self):
+        from parquery_spark.operators.multimodal import parse_image_dims
+
+        # 8-byte signature, IHDR len 13, "IHDR", width=0x0102=258,
+        # height=0x00ff=255, bit depth 8, color 2, rest zero
+        png = bytes.fromhex(
+            "89504e470d0a1a0a0000000d49484452"
+            "00000102000000ff0802000000"
+            "00000000"
+        )
+        assert parse_image_dims(png) == (258, 255)
+
+    def test_jpeg_literal_with_app0(self):
+        from parquery_spark.operators.multimodal import parse_image_dims
+
+        # SOI, APP0 (len 16, JFIF), SOF0 (len 17): height=0x0010=16,
+        # width=0x0200=512, 3 components
+        jpg = bytes.fromhex(
+            "ffd8"
+            "ffe000104a46494600010100000100010000"
+            "ffc0001108001002000301110002110103110100"
+        )
+        assert parse_image_dims(jpg) == (512, 16)
+
+    def test_rejects_garbage_and_truncation(self):
+        from parquery_spark.operators.multimodal import (
+            make_jpeg,
+            make_png,
+            parse_image_dims,
+        )
+
+        assert parse_image_dims(b"") is None
+        assert parse_image_dims(b"notanimage") is None
+        assert parse_image_dims(make_png(5, 5)[:20]) is None
+        assert parse_image_dims(make_jpeg(5, 5)[:6]) is None
+        assert parse_image_dims(b"\x00" + make_png(7, 7)[1:]) is None
+        assert parse_image_dims(b"\x00" + make_jpeg(7, 7)[1:]) is None
+        assert parse_image_dims(make_png(0, 5)) is None  # zero dimension
+
+    def test_maker_roundtrip(self):
+        from parquery_spark.operators.multimodal import (
+            make_jpeg,
+            make_png,
+            parse_image_dims,
+        )
+
+        assert parse_image_dims(make_png(4000, 3000, b"tail")) == (4000, 3000)
+        assert parse_image_dims(make_jpeg(1, 4095, b"t")) == (1, 4095)
+        # header lengths are load-bearing constants (the q222 oracle
+        # recomputes n_bytes as text_bytes + 33 / + 21)
+        assert len(make_png(1, 1)) == 33
+        assert len(make_jpeg(1, 1)) == 21
