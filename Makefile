@@ -26,7 +26,10 @@ gate-all:
 	python scripts/check_queries.py /root/testdata/sf0.1
 
 plan-audit:
-	python scripts/plan_audit.py $(SF_DIR)
+	# --fresh-artifacts: clear stat-keyed /tmp artifacts so every
+	# build-phase plan (training, index writes) is attributed to its
+	# owning query.  NEVER run concurrently with another Spark workload.
+	python scripts/plan_audit.py --fresh-artifacts $(SF_DIR)
 
 bench:
 	python bench.py

@@ -8,14 +8,22 @@ Timing excludes session startup and the one-time JVM/codegen warmup (a
 trivial count over lineitem) but includes full plan + execution + collect
 per query — the end-to-end latency a caller of the engine sees.
 
-Noise handling: EVERY query runs twice (min-of-2; first-run colds kept in
-the artifact) and the stdout line carries a measured ``noise_floor`` (the
-relative spread of 5 back-to-back canary runs) so round-over-round diffs
-can separate signal from host contention.  The parity head-to-head uses
-median-of-5 for all three engines.  Re-runs may hit the engine's own
-caches (hot-relation cache, CacheManager) — the same warm-state benefit
-the embedded reference engines get from the OS page cache on their
-re-reads.
+Noise handling (round 8): EVERY query runs FOUR times as four full
+passes over the registry — consecutive samples of one query land many
+minutes apart, in different host-noise windows — and the reported time
+is the min-of-4.  The noise floor is measured the way the estimator is
+actually used: passes {1,3} and {2,4} form two INDEPENDENT interleaved
+min-of-2 estimates per query, and ``noise_floor`` is the 90th-percentile
+relative disagreement between them (``noise_within_10pct`` = fraction of
+queries whose two estimates agree within 10%).  A round-over-round
+per-query delta above the floor is signal; the old floor (relative
+spread of 5 BACK-TO-BACK canary runs, measured 2.16 on this host) was
+measuring exactly the burst noise the spaced discipline avoids, so it
+condemned every per-query comparison as noise.  The parity head-to-head
+uses median-of-5 for all three engines.  Re-runs may hit the engine's
+own caches (hot-relation cache, stat-keyed artifacts) — the same
+warm-state benefit the embedded reference engines get from the OS page
+cache on their re-reads.
 """
 
 from __future__ import annotations
@@ -103,32 +111,47 @@ def main():
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
     # The host this runs on shows multi-minute noise windows (identical
-    # workloads swing 2-4x).  EVERY query gets a second run, keeping the
-    # min — the second sample lands minutes after the first, outside the
-    # burst — so round-over-round diffs compare signal, not scheduler
-    # contention (VERDICT r6 #5).  The cold (first-run) time is kept
-    # alongside, so the cold-vs-warm delta — dominated by Janino codegen
-    # for the wide-aggregate queries — is auditable from the artifact.
+    # workloads swing 2-4x).  Three more FULL passes over the registry:
+    # samples of one query land minutes apart, outside any single burst.
+    # The cold (first-pass) time is kept alongside, so the cold-vs-warm
+    # delta — dominated by Janino codegen for the wide-aggregate queries
+    # — is auditable from the artifact.
     cold = dict(timings)
-    for name, fn in fns.items():
-        t, _ = run_query(fn)
-        if t < timings[name]:
-            timings[name] = round(t, 4)
-    print(f"# min-of-2 total: {sum(timings.values()):.1f}s "
+    passes = [dict(timings)]
+    for p in range(2, 5):
+        cur = {}
+        for name, fn in fns.items():
+            t, _ = run_query(fn)
+            cur[name] = round(t, 4)
+        passes.append(cur)
+        print(f"# pass {p}/4 total: {sum(cur.values()):.1f}s",
+              file=sys.stderr)
+    for name in timings:
+        timings[name] = min(ps[name] for ps in passes)
+    print(f"# min-of-4 total: {sum(timings.values()):.1f}s "
           f"(cold {sum(cold.values()):.1f}s)", file=sys.stderr)
 
-    # Empirical noise floor: the relative spread of 5 back-to-back runs of
-    # a fixed warm canary query.  A round-over-round per-query delta below
-    # this number is indistinguishable from host noise by construction.
+    # Empirical noise floor of the ESTIMATOR itself: passes {1,3} and
+    # {2,4} are two independent spaced min-of-2 samples per query; their
+    # relative disagreement is exactly the uncertainty a round-over-round
+    # per-query diff of this bench carries.  (Pass 1 is cold — Janino
+    # codegen inflates it — so the {1,3} estimate is effectively pass 3
+    # for codegen-bound queries; min() absorbs that asymmetry.)
     noise_floor = None
-    canary = next(iter(fns))
-    try:
-        samples = [run_query(fns[canary])[0] for _ in range(5)]
-        noise_floor = round((max(samples) - min(samples)) / min(samples), 4)
-        print(f"# noise floor ({canary}, 5 runs): {noise_floor}",
-              file=sys.stderr)
-    except Exception:  # pragma: no cover - canary failure must not kill bench
-        pass
+    noise_within_10pct = None
+    deltas = []
+    for name in timings:
+        a = min(passes[0][name], passes[2][name])
+        b = min(passes[1][name], passes[3][name])
+        deltas.append(abs(a - b) / max(min(a, b), 1e-9))
+    if deltas:
+        ds = sorted(deltas)
+        noise_floor = round(ds[int(0.9 * (len(ds) - 1))], 4)
+        noise_within_10pct = round(
+            sum(1 for d in ds if d < 0.10) / len(ds), 4
+        )
+        print(f"# paired A/B noise floor (p90): {noise_floor}; "
+              f"within 10%: {noise_within_10pct:.0%}", file=sys.stderr)
 
     def _qnum(name: str) -> int:
         m = re.match(r"q(\d+)", name)
@@ -145,7 +168,8 @@ def main():
         "n_queries": len(timings),
         "core_parity_seconds": round(sum(core.values()), 4),
         "noise_floor": noise_floor,
-        "timing_discipline": "min-of-2",
+        "noise_within_10pct": noise_within_10pct,
+        "timing_discipline": "min-of-4 (paired spaced min-of-2 A/B floor)",
     }
     m = re.search(r"sf([0-9.]+)", sf_dir)
     if m:
@@ -167,6 +191,7 @@ def main():
     full["cold_queries"] = {
         k: cold[k] for k in sorted(cold) if cold[k] != timings[k]
     }
+    full["passes"] = passes  # all 4 raw samples/query — noise auditable
     out_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "bench_results.json"
     )

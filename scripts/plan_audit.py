@@ -340,6 +340,8 @@ if __name__ == "__main__":
 
         argv.remove("--fresh-artifacts")
         for d in glob.glob("/tmp/pqs_*"):
+            if "smoke" in d:  # scale-smoke FIXTURES are not artifacts —
+                continue  # rebuilding those costs minutes of table writes
             shutil.rmtree(d, ignore_errors=True)
     sf = argv[0] if argv else "/root/testdata/sf0.01"
     names = argv[1:] or None

@@ -91,6 +91,84 @@ def build(factor: int, out_dir: str) -> str:
     return out_dir
 
 
+def build_substr(factor: int, out_dir: str) -> str:
+    """×factor documents corpus for the SUBSTRING family, duplication
+    RATE held scale-invariant: copy i rewrites every word with an
+    ``x{i}`` prefix, so each copy reproduces the base corpus's
+    duplicate-span structure EXACTLY (same positions, lengths and pair
+    counts) while sharing no gram with any other copy — gram occurrence
+    counts stay at their base values as the corpus grows.  The verbatim
+    fact-table scale-up is the wrong fixture here: it multiplies every
+    shared gram's occurrence by the factor, and the ``max_gram_occ``
+    stop-gram cap (correctly) zeroes the output, measuring the cap
+    instead of the operator."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    os.makedirs(out_dir, exist_ok=True)
+    dst = os.path.join(out_dir, "documents.parquet")
+    if os.path.exists(dst):
+        return out_dir
+    base = pq.read_table(
+        os.path.join(SRC, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    copies = []
+    for i in range(factor):
+        ids = pc.add(base.column("doc_id"),
+                     pa.scalar(i * 10_000_000, type=pa.int64()))
+        txt = base.column("text")
+        if i:
+            txt = pc.replace_substring(txt, pattern=" ",
+                                       replacement=f" x{i}")
+            txt = pc.binary_join_element_wise(pa.scalar(f"x{i}"), txt, "")
+        copies.append(pa.table({"doc_id": ids, "text": txt}))
+    pq.write_table(
+        pa.concat_tables(copies), dst, compression="zstd",
+        row_group_size=256 * 1024,
+    )
+    return out_dir
+
+
+def run_substr(spark, sf_dir: str) -> dict:
+    """Direct OPERATOR measurement for the substring family (the q223/
+    q224 wrappers read a stat-keyed span artifact, which would time the
+    artifact read, not the gram join) — raw vs hash gram keys give the
+    measured shuffle-byte reduction of the 16-byte key."""
+    from parquery_spark.operators.dedup import (
+        substring_dedup_stats,
+        substring_spans,
+    )
+
+    from parquery_spark.diagnostics import shuffle_delta, shuffle_written
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    ops = {
+        "substring_spans[raw]": lambda: substring_spans(
+            docs, min_tokens=8, max_gram_occ=64
+        ),
+        "substring_spans[hash]": lambda: substring_spans(
+            docs, min_tokens=8, max_gram_occ=64, gram_key="hash"
+        ),
+        "substring_dedup_stats": lambda: substring_dedup_stats(
+            docs, min_tokens=8, max_gram_occ=64
+        ),
+    }
+    out = {}
+    for name, mk in ops.items():
+        best, n, shuf = None, 0, None
+        for i in range(2):
+            s0 = shuffle_written(spark)
+            t0 = time.time()
+            n = len(mk().collect())
+            dt = time.time() - t0
+            if i == 1:
+                shuf = shuffle_delta(s0, shuffle_written(spark))
+            best = dt if best is None else min(best, dt)
+        out[name] = {"sec": round(best, 2), "rows": n, "shuffle_bytes": shuf}
+    return out
+
+
 def run(spark, sf_dir: str, names: list[str]) -> dict:
     import __spark_entry__ as e
 
@@ -143,11 +221,46 @@ if __name__ == "__main__":
     build(factor, out_dir)
     build_sec = round(time.time() - t0, 1)
 
+    substr_dir = f"/tmp/pqs_substr_smoke_x{factor}v1"
+    t0 = time.time()
+    build_substr(factor, substr_dir)
+    substr_build_sec = round(time.time() - t0, 1)
+
     base = run(spark, SRC, QUERIES)
     big = run(spark, out_dir, QUERIES)
+    sub_base = run_substr(spark, SRC)
+    sub_big = run_substr(spark, substr_dir)
     report = {
         "factor": factor,
         "build_sec": build_sec,
+        "substring": {
+            op: {
+                "sf0.1_sec": sub_base[op]["sec"],
+                f"x{factor}_sec": sub_big[op]["sec"],
+                "time_ratio": round(
+                    sub_big[op]["sec"] / max(sub_base[op]["sec"], 1e-9), 1
+                ),
+                "rows_ratio": round(
+                    sub_big[op]["rows"] / max(sub_base[op]["rows"], 1), 2
+                ),
+                "shuffle_ratio": (
+                    round(sub_big[op]["shuffle_bytes"]
+                          / max(sub_base[op]["shuffle_bytes"], 1), 1)
+                    if sub_big[op]["shuffle_bytes"] is not None
+                    and sub_base[op]["shuffle_bytes"] is not None else None
+                ),
+                "sf0.1_shuffle_mb": (
+                    round(sub_base[op]["shuffle_bytes"] / 1e6, 1)
+                    if sub_base[op]["shuffle_bytes"] is not None else None
+                ),
+                f"x{factor}_shuffle_mb": (
+                    round(sub_big[op]["shuffle_bytes"] / 1e6, 1)
+                    if sub_big[op]["shuffle_bytes"] is not None else None
+                ),
+            }
+            for op in sub_base
+        },
+        "substring_build_sec": substr_build_sec,
         "queries": {
             q: {
                 "sf0.1_sec": base[q]["sec"],
