@@ -613,13 +613,18 @@ def lsh_verified_pairs(
     1-(1-j^rows)^bands.
 
     Cache contract: NONE when ``sets`` is omitted — this operator
-    persists nothing.  The two verification sides share one ``gram_sets``
-    fan-out exchange (ReuseExchange — both sides hash-partition by the
-    id over the identical subtree), so the corpus is shingled once for
-    verification plus once for the signature pass: an extra narrow map
-    scan, no extra shuffle, no leaked session cache.  A caller chaining
-    MANY consumers over the same sets passes a caller-OWNED (persisted
-    or staged-to-storage) relation via ``sets`` and releases it.
+    persists nothing.  The two verification sides are ALIAS references
+    to the one sets plan, so their join exchanges (both keyed by the id
+    over the identical subtree — shuffle OR broadcast) unify via
+    ReuseExchange and the shingle pass below them runs once; the
+    signature path shingles once more.  Measured (plan skeleton, both
+    join regimes): exactly 2 shingle projections execute — the contract
+    "once for verification plus once for the signature pass".  A caller
+    chaining MANY consumers over the same sets passes a caller-OWNED
+    (persisted or staged-to-storage) relation via ``sets`` and releases
+    it — at corpus scale that is the production shape (the q42/q62
+    pipeline stages the VERIFIED PAIRS themselves to storage, so this
+    whole plan builds once per corpus version).
     """
     if sets is None:
         sets = gram_sets(
@@ -630,15 +635,14 @@ def lsh_verified_pairs(
         num_hashes=num_hashes, bands=bands, shingle_k=shingle_k,
         max_bucket_size=max_bucket_size, sets=sets,
     ).select("id_a", "id_b")
-    sa = sets.select(F.col(id_col).alias("id_a"), F.col("s").alias("s_a"),
-                     F.col("n").alias("n_a"))
-    sb = sets.select(F.col(id_col).alias("id_b"), F.col("s").alias("s_b"),
-                     F.col("n").alias("n_b"))
-    inter = F.size(F.array_intersect("s_a", "s_b"))
-    jac = inter / (F.col("n_a") + F.col("n_b") - inter)
+    va, vb = sets.alias("__va"), sets.alias("__vb")
+    inter = F.size(
+        F.array_intersect(F.col("__va.s"), F.col("__vb.s"))
+    )
+    jac = inter / (F.col("__va.n") + F.col("__vb.n") - inter)
     return (
-        cands.join(sa, "id_a")
-        .join(sb, "id_b")
+        cands.join(va, F.col("id_a") == F.col(f"__va.{id_col}"))
+        .join(vb, F.col("id_b") == F.col(f"__vb.{id_col}"))
         .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )

@@ -82,6 +82,13 @@ def parse_image_dims(payload: bytes) -> tuple[int, int] | None:
         while i + 4 <= n:
             if payload[i] != 0xFF:
                 return None
+            # the spec allows any number of 0xFF FILL bytes before a
+            # marker (real encoders emit them): collapse the run so the
+            # byte after the last 0xFF is read as the marker
+            while i + 4 <= n and payload[i + 1] == 0xFF:
+                i += 1
+            if i + 4 > n:
+                return None
             marker = payload[i + 1]
             if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
                 i += 2  # standalone markers carry no length

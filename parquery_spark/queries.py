@@ -1039,8 +1039,9 @@ def q42_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate recall (5 bands x 3 rows), then EXACT Jaccard verification of
     candidates only - the production shape for corpus-scale dedup (the
     all-pairs exact operator jaccard_pairs stays available for
-    within-block exact work).  The pair relation is a cached materialized
-    intermediate shared with q62's cluster resolution."""
+    within-block exact work).  The pair relation is a stat-keyed STORAGE
+    artifact shared with q62's cluster resolution — built once per
+    corpus version, zero session-cache entries (round 8)."""
     return _verified_pairs(spark, sf_dir)
 
 

@@ -70,6 +70,8 @@ def build(factor: int, out_dir: str) -> str:
         dst = os.path.join(out_dir, f"{t}.parquet")
         if not os.path.exists(dst):
             os.symlink(os.path.join(SRC, f"{t}.parquet"), dst)
+    import uuid
+
     for t, (keys, stride) in FACTS.items():
         dst = os.path.join(out_dir, f"{t}.parquet")
         if os.path.exists(dst):
@@ -84,10 +86,19 @@ def build(factor: int, out_dir: str) -> str:
                     i * stride, type=c.schema.field(k).type))
                 c = c.set_column(idx, c.schema.field(k), shifted)
             copies.append(c)
+        # write-to-tmp + rename (see build_substr): the exists-check
+        # must never trust a file a crashed writer left truncated
+        tmp = f"{dst}.build-{uuid.uuid4().hex[:12]}"
         pq.write_table(
-            pa.concat_tables(copies), dst, compression="zstd",
+            pa.concat_tables(copies), tmp, compression="zstd",
             row_group_size=256 * 1024,
         )
+        try:
+            os.rename(tmp, dst)
+        except OSError:
+            os.unlink(tmp)
+            if not os.path.exists(dst):
+                raise
     return out_dir
 
 
@@ -106,6 +117,8 @@ def build_substr(factor: int, out_dir: str) -> str:
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
+    import uuid
+
     os.makedirs(out_dir, exist_ok=True)
     dst = os.path.join(out_dir, "documents.parquet")
     if os.path.exists(dst):
@@ -123,10 +136,20 @@ def build_substr(factor: int, out_dir: str) -> str:
                                        replacement=f" x{i}")
             txt = pc.binary_join_element_wise(pa.scalar(f"x{i}"), txt, "")
         copies.append(pa.table({"doc_id": ids, "text": txt}))
+    # write-to-tmp + rename: a crash mid-write must not leave a
+    # truncated file the exists-check above would then trust forever
+    # (the same publish race _materialize_once closes for /tmp fixtures)
+    tmp = f"{dst}.build-{uuid.uuid4().hex[:12]}"
     pq.write_table(
-        pa.concat_tables(copies), dst, compression="zstd",
+        pa.concat_tables(copies), tmp, compression="zstd",
         row_group_size=256 * 1024,
     )
+    try:
+        os.rename(tmp, dst)
+    except OSError:
+        os.unlink(tmp)
+        if not os.path.exists(dst):
+            raise
     return out_dir
 
 

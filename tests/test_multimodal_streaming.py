@@ -647,6 +647,26 @@ class TestImageHeaderParse:
         )
         assert parse_image_dims(jpg) == (512, 16)
 
+    def test_jpeg_fill_bytes_before_markers(self):
+        """The spec allows any run of 0xFF fill bytes before a marker;
+        real encoders emit them — they must not read as corruption."""
+        from parquery_spark.operators.multimodal import (
+            make_jpeg,
+            parse_image_dims,
+        )
+
+        j = make_jpeg(100, 50)
+        assert parse_image_dims(j[:2] + b"\xff\xff\xff" + j[2:]) == (100, 50)
+        # fill before a skipped APP0 segment AND before the SOF
+        jfif = (
+            b"\xff\xd8" + b"\xff\xff"
+            + b"\xff\xe0\x00\x10" + b"JFIF\x00" + b"\x00" * 9
+            + b"\xff" + j[2:]
+        )
+        assert parse_image_dims(jfif) == (100, 50)
+        # an all-fill tail is truncation, not a frame
+        assert parse_image_dims(b"\xff\xd8" + b"\xff" * 10) is None
+
     def test_rejects_garbage_and_truncation(self):
         from parquery_spark.operators.multimodal import (
             make_jpeg,

@@ -852,10 +852,10 @@ class TestDedupCacheContract:
     """The dedup family's release contract (round-8): no operator leaks a
     persisted relation into the session.  Self-join intermediates are
     deduplicated by ReuseExchange over alias self-joins, not by persist();
-    the substring span table is a stat-keyed STORAGE artifact; the only
-    in-session caches are the documented session-keyed ones (relation
-    cache, q42/q62's shared pair relation), which fill once per corpus
-    and never grow per call."""
+    the span/banded-signature/simhash/verified-pair relations are
+    stat-keyed STORAGE artifacts built once per corpus version.  The only
+    in-session cache left is the hot-relation cache, which fills once
+    per table and never grows per call."""
 
     NAMES = [
         "q40_dedup_exact",

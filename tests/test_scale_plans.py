@@ -1026,6 +1026,7 @@ class TestSubstringSpanPlans:
         InMemoryTableScan — the expensive map subtree ran once."""
         from parquery_spark.operators.dedup import (
             lsh_candidate_pairs,
+            lsh_verified_pairs,
             simhash_candidates,
             substring_spans,
         )
@@ -1035,6 +1036,7 @@ class TestSubstringSpanPlans:
             substring_spans(docs, min_tokens=8, max_gram_occ=64),
             lsh_candidate_pairs(docs, "text", "doc_id"),
             simhash_candidates(docs, "text", "doc_id", bits=60, bands=5),
+            lsh_verified_pairs(docs, "text", "doc_id"),
         ):
             df.collect()  # AQE reuse is visible in the FINAL plan
             plan = plan_of(df)
@@ -1043,6 +1045,27 @@ class TestSubstringSpanPlans:
                 plan = plan[:cut]
             assert "ReusedExchange" in plan
             assert "InMemoryTableScan" not in plan
+
+    def test_verified_pairs_shingles_twice_not_four_times(
+            self, spark, sf_dir, tmp_path):
+        """lsh_verified_pairs' documented contract: the corpus is
+        shingled once for the signature pass and once (SHARED by both
+        alias verify sides via ReuseExchange) for verification — the
+        pre-renamed sides used to execute it four times per call."""
+        from parquery_spark.operators.dedup import lsh_verified_pairs
+
+        docs = self._uncached_docs(spark, sf_dir, tmp_path)
+        df = lsh_verified_pairs(docs, "text", "doc_id")
+        df.collect()
+        plan = plan_of(df)
+        cut = plan.find("== Initial Plan ==")
+        if cut != -1:
+            plan = plan[:cut]
+        shingle_sites = sum(
+            1 for line in plan.splitlines()
+            if "array_distinct" in line and "Project" in line
+        )
+        assert shingle_sites == 2, plan
 
     def test_hash_gram_key_shuffles_hashes_not_strings(self, spark,
                                                        sf_dir, tmp_path):
