@@ -7269,8 +7269,9 @@ def q158_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q159_fuzzy_dedup_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy dedup with edit-distance verification: MinHash-LSH proposes
-    candidate pairs (the q43 generator, shared signature relations), then
-    Levenshtein distance over a 120-char normalized prefix confirms.
+    candidate pairs (the q43 generator over the SAME stat-keyed banded
+    signature artifact), then Levenshtein distance over a 120-char
+    normalized prefix confirms.
     The O(len^2) DP runs ONLY on LSH candidates — bounded by band
     collisions, never all pairs — and the prefix cap bounds each DP at
     120x120 regardless of document length; both are what keep
@@ -7283,6 +7284,7 @@ def q159_fuzzy_dedup_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = lsh_candidate_pairs(
         docs, "text", "doc_id",
         num_hashes=16, bands=4, shingle_k=2, max_bucket_size=1000,
+        banded=_mh_banded(spark, sf_dir),
     ).select("id_a", "id_b", "est_jaccard")
     norm = docs.select(
         "doc_id",
@@ -8545,8 +8547,9 @@ def q178_cross_source_dup_matrix(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """Cross-source duplication matrix — which corpus sources copy from
-    which: MinHash-LSH candidate pairs (q43's generator, shared
-    persisted signatures) rolled up to unordered (source, source)
+    which: MinHash-LSH candidate pairs (q43's generator over the SAME
+    stat-keyed banded signature artifact) rolled up to unordered
+    (source, source)
     cells with a strong-pair count at estimated Jaccard >= 0.5.  The
     per-pair source lookup is two broadcastable dimension joins; cell
     count is bounded by |sources|^2, so the matrix is driver-readable
@@ -8558,6 +8561,7 @@ def q178_cross_source_dup_matrix(
     cand = lsh_candidate_pairs(
         docs, "text", "doc_id",
         num_hashes=16, bands=4, shingle_k=2, max_bucket_size=1000,
+        banded=_mh_banded(spark, sf_dir),
     )
     src = docs.select("doc_id", "source")
     sa = src.select(
