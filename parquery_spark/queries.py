@@ -12284,6 +12284,104 @@ def q225_substring_spans_hashkey(
     )
 
 
+_SUBSTRING_CUT_SQL = f"""{_SUBSTR_SPAN_CTES},
+    spans AS (
+        SELECT doc_a, doc_b, MIN(pos_b) AS b_start,
+               MAX(pos_a) - MIN(pos_a) + {_SUBSTR_L} AS span_tokens
+        FROM isl GROUP BY doc_a, doc_b, diag, island
+    ),
+    ivals AS (
+        SELECT doc_b AS doc_id, b_start AS s,
+               b_start + span_tokens - 1 AS e
+        FROM spans
+    ),
+    dtok AS (
+        SELECT d.doc_id, string_split(d.text, ' ') AS t
+        FROM documents d
+        WHERE d.doc_id IN (SELECT doc_id FROM ivals)
+    ),
+    tok AS (
+        SELECT doc_id, t[pos] AS tok, pos
+        FROM dtok, unnest(range(1, len(t) + 1)) AS u(pos)
+    ),
+    surv AS (
+        SELECT k.doc_id, k.tok, k.pos
+        FROM tok k
+        WHERE NOT EXISTS (
+            SELECT 1 FROM ivals v
+            WHERE v.doc_id = k.doc_id AND k.pos BETWEEN v.s AND v.e
+        )
+    ),
+    agg AS (
+        SELECT doc_id, COUNT(*) AS kept_tokens,
+               string_agg(tok, ' ' ORDER BY pos) AS kept_text
+        FROM surv GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(len(d.t) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(a.kept_tokens, 0) AS BIGINT) AS kept_tokens,
+           md5(COALESCE(a.kept_text, '')) AS kept_hash
+    FROM dtok d LEFT JOIN agg a USING (doc_id)
+    """
+
+
+@query("q226_substring_cut_apply", _SUBSTRING_CUT_SQL)
+def q226_substring_cut_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY the exact-substring cuts (the step q224 accounts for): cut
+    every q223 span from the later doc of its pair and rebuild the
+    cleaned text — the actual corpus output of an ExactSubstr pipeline
+    (Lee et al. 2022 cut the duplicated BYTES; flag-level dedup keeps or
+    drops whole docs).  Emits one row per affected doc with the cleaned
+    text's md5 and token count, so the whole span chain — gram join,
+    island merge, offsets, interval membership, reassembly order — is
+    VALUE-gated end to end (one token off by one position changes the
+    hash).  Spark shape: the span artifact rolls up to a per-doc
+    interval array (tiny), joins back to the doc row, and the cut is a
+    pure higher-order-function filter over the token array (zip with
+    position, drop members of any interval) — no token-level shuffle at
+    all; the oracle does the same relationally (unnest + NOT EXISTS +
+    ordered string_agg), so the two engines cross-check each other's
+    shapes."""
+    spans = _substr_spans(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents")
+    ivals = spans.groupBy(F.col("doc_b").alias("doc_id")).agg(
+        F.collect_list(
+            F.struct(
+                F.col("b_start").cast("long").alias("s"),
+                (F.col("b_start") + F.col("span_tokens") - 1)
+                .cast("long")
+                .alias("e"),
+            )
+        ).alias("ivals")
+    )
+    toks = docs.join(ivals, "doc_id").select(
+        "doc_id", F.split("text", " ").alias("t"), "ivals"
+    )
+    indexed = F.transform(
+        F.col("t"),
+        lambda x, i: F.struct(
+            x.alias("tok"), (i + F.lit(1)).cast("long").alias("pos")
+        ),
+    )
+    kept = F.filter(
+        indexed,
+        lambda st: ~F.exists(
+            F.col("ivals"),
+            lambda iv: (st["pos"] >= iv["s"]) & (st["pos"] <= iv["e"]),
+        ),
+    )
+    return toks.select(
+        "doc_id",
+        F.size("t").cast("long").alias("n_tokens"),
+        F.transform(kept, lambda s: s["tok"]).alias("__kt"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        F.size("__kt").cast("long").alias("kept_tokens"),
+        F.md5(F.concat_ws(" ", F.col("__kt"))).alias("kept_hash"),
+    )
+
+
 # ===========================================================================
 # Driver-snapshot ordering
 # ===========================================================================
