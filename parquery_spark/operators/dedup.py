@@ -29,6 +29,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from parquery_spark.operators.reuse import aliased_refs, self_join_reusing
+
 from parquery_spark.functions.text import fingerprint, normalized_text
 from parquery_spark.operators.util import fan_out
 
@@ -293,23 +295,20 @@ def lsh_candidate_pairs(
         F.count(F.lit(1)).over(Window.partitionBy("band", "band_key")),
     ).filter(F.col("bucket_n") <= max_bucket_size)
 
-    # Alias-based SELF-join over the one plan object: both sides are
-    # canonically identical, so Catalyst's ReuseExchange unifies their
-    # shuffle subtrees and the shingle → explode → 16-way min-agg →
-    # banding map work executes ONCE, the second side reading the same
-    # map output.  (The previous form pre-renamed each side with a
-    # select(); those differing projections were pushed below the
-    # exchanges, defeating the reuse, and the operator compensated with
-    # a MEMORY_AND_DISK persist it never released — one leaked
-    # corpus-sized cache per call.  The alias form needs no cache at
-    # all.)  Only the bucket-count window above the reused exchange runs
-    # per side — a sort+count over already-shuffled compact rows.
-    la, lb = sized.alias("__la"), sized.alias("__lb")
+    # Alias-based SELF-join over the one plan object (operators/reuse.py):
+    # ReuseExchange unifies the sides' shuffle subtrees and the shingle →
+    # explode → 16-way min-agg → banding map work executes ONCE, the
+    # second side reading the same map output — the zero-cache
+    # replacement for the MEMORY_AND_DISK persist this operator used to
+    # leak per call.  Only the bucket-count window above the reused
+    # exchange runs per side — a sort+count over already-shuffled
+    # compact rows.
     pairs = (
-        la.join(
-            lb,
+        self_join_reusing(
+            sized,
             (F.col("__la.band") == F.col("__lb.band"))
             & (F.col("__la.band_key") == F.col("__lb.band_key")),
+            a="__la", b="__lb",
         )
         .filter(F.col(f"__la.{id_col}") < F.col(f"__lb.{id_col}"))
         .select(
@@ -402,14 +401,14 @@ def jaccard_pairs(
         sizes = exploded.groupBy(id_col).agg(
             F.count(F.lit(1)).alias("n_grams")
         )
-    # alias self-join: both sides canonically identical → ReuseExchange
-    # builds the inverted index once (no persisted intermediate)
-    ja, jb = exploded.alias("__ja"), exploded.alias("__jb")
+    # alias self-join (operators/reuse.py): both sides canonically
+    # identical → ReuseExchange builds the inverted index once (no
+    # persisted intermediate)
     cond = F.col(f"__ja.{id_col}") < F.col(f"__jb.{id_col}")
     for kcol in [*blocks, "g"]:
         cond = (F.col(f"__ja.{kcol}") == F.col(f"__jb.{kcol}")) & cond
     co = (
-        ja.join(jb, cond)
+        self_join_reusing(exploded, cond, a="__ja", b="__jb")
         .select(
             F.col(f"__ja.{id_col}").alias("id_a"),
             F.col(f"__jb.{id_col}").alias("id_b"),
@@ -559,17 +558,17 @@ def simhash_candidates(
             ) for b in range(bands)
         ])).alias("bk"),
     ).select(id_col, "sh", "bk.band", "bk.chunk")
-    # alias self-join → ReuseExchange unifies the two sides' shuffle
-    # subtrees, so the tokenize + 60-vote aggregation executes once and
-    # the second side reads the same map output — the zero-cache
-    # replacement for the MEMORY_AND_DISK persist this operator used to
-    # leak per call (see lsh_candidate_pairs for the full rationale)
-    sa, sb = banded.alias("__ha"), banded.alias("__hb")
+    # alias self-join (operators/reuse.py) → ReuseExchange unifies the
+    # two sides' shuffle subtrees, so the tokenize + 60-vote aggregation
+    # executes once and the second side reads the same map output — the
+    # zero-cache replacement for the MEMORY_AND_DISK persist this
+    # operator used to leak per call (see lsh_candidate_pairs)
     pairs = (
-        sa.join(
-            sb,
+        self_join_reusing(
+            banded,
             (F.col("__ha.band") == F.col("__hb.band"))
             & (F.col("__ha.chunk") == F.col("__hb.chunk")),
+            a="__ha", b="__hb",
         )
         .filter(F.col(f"__ha.{id_col}") < F.col(f"__hb.{id_col}"))
         .select(
@@ -635,7 +634,7 @@ def lsh_verified_pairs(
         num_hashes=num_hashes, bands=bands, shingle_k=shingle_k,
         max_bucket_size=max_bucket_size, sets=sets,
     ).select("id_a", "id_b")
-    va, vb = sets.alias("__va"), sets.alias("__vb")
+    va, vb = aliased_refs(sets, "__va", "__vb")
     inter = F.size(
         F.array_intersect(F.col("__va.s"), F.col("__vb.s"))
     )
@@ -1090,11 +1089,10 @@ def substring_spans(
         .where((F.col("__n") >= 2) & (F.col("__n") <= max_gram_occ))
         .drop("__n")
     )
-    oa, ob = occ.alias("__ga"), occ.alias("__gb")
     cond = F.col("__ga.__id") < F.col("__gb.__id")
     for kcol in keys:
         cond = (F.col(f"__ga.{kcol}") == F.col(f"__gb.{kcol}")) & cond
-    hits = oa.join(ob, cond).select(
+    hits = self_join_reusing(occ, cond, a="__ga", b="__gb").select(
         F.col("__ga.__id").alias("doc_a"),
         F.col("__gb.__id").alias("doc_b"),
         F.col("__ga.pos").alias("pos_a"),

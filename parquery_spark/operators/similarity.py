@@ -287,11 +287,13 @@ def near_dup_pairs(
     planes = hyperplanes(dim, num_planes, seed)
 
     # bucket + ‖v‖² in ONE explode pass (codegen partial-aggs); the vector
-    # itself is joined back for the per-pair verification.  Persisted: the
-    # relation feeds both sides of the bucket self-join, and per-id norms
-    # computed here mean the per-pair expression is a single dot product.
-    from pyspark import StorageLevel
-
+    # itself is joined back for the per-pair verification.  The relation
+    # feeds both sides of the bucket self-join as ALIAS references
+    # (operators/reuse.py), so ReuseExchange computes the explode +
+    # norm aggregation once — no persisted intermediate (the old
+    # MEMORY_AND_DISK persist here leaked one session-lived cache per
+    # call); per-id norms computed here mean the per-pair expression is
+    # a single dot product.
     def term(plane):
         lit = _lit_array(plane)
         return lambda x, p: x * F.element_at(lit, p + 1)
@@ -306,25 +308,29 @@ def near_dup_pairs(
             F.sqrt("__nn").alias("nrm"),
         )
         .join(df.select(F.col(id_col), _as_double(vec_col).alias("v")), id_col)
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    a = bucketed.select(
-        "bucket", F.col(id_col).alias("id_a"),
-        F.col("v").alias("v_a"), F.col("nrm").alias("n_a"),
+    from parquery_spark.operators.reuse import self_join_reusing
+
+    pairs = self_join_reusing(
+        bucketed,
+        (F.col("__ca.bucket") == F.col("__cb.bucket"))
+        & (F.col(f"__ca.{id_col}") < F.col(f"__cb.{id_col}")),
+        a="__ca", b="__cb",
     )
-    b = bucketed.select(
-        "bucket", F.col(id_col).alias("id_b"),
-        F.col("v").alias("v_b"), F.col("nrm").alias("n_b"),
-    )
-    pairs = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
     # per-pair: each row carries two DIFFERENT vectors, so there is no
     # shared explode — the one HOF dot per candidate pair stays; candidate
     # volume (bucket-quadratic, threshold-pruned) bounds the cost
     sim = F.round(
-        dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b")), digits
+        dot(F.col("__ca.v"), F.col("__cb.v"))
+        / (F.col("__ca.nrm") * F.col("__cb.nrm")),
+        digits,
     )
     return (
-        pairs.select("id_a", "id_b", sim.alias("cosine_sim"))
+        pairs.select(
+            F.col(f"__ca.{id_col}").alias("id_a"),
+            F.col(f"__cb.{id_col}").alias("id_b"),
+            sim.alias("cosine_sim"),
+        )
         .filter(F.col("cosine_sim") >= threshold)
         .dropDuplicates(["id_a", "id_b"])
     )

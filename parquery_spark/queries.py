@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from parquery_spark import relations
+from parquery_spark.operators.reuse import self_join_reusing
 from parquery_spark.operators.util import fan_out
 from parquery_spark.plans.aggregation import build_aggregation_plan
 
@@ -4802,16 +4803,18 @@ def q119_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("__df") <= _Q119_MAX_DF)
         .drop("__df")
-        .persist()
     )
+    # all three consumers (sizes + both self-join sides) are alias/direct
+    # references to the ONE sh plan, so ReuseExchange shares its
+    # (source, gram) window exchange — no persisted intermediate
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a, b = sh.alias("a"), sh.alias("b")
     inter = (
-        a.join(
-            b,
+        self_join_reusing(
+            sh,
             (F.col("a.source") == F.col("b.source"))
             & (F.col("a.gram") == F.col("b.gram"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
+            a="a", b="b",
         )
         .groupBy(
             F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
@@ -5095,12 +5098,12 @@ def q125_centroid_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load(spark, sf_dir, "embeddings")
     cent = group_centroids(emb, "label").select("label", "pos", "c")
-    a, b = cent.alias("a"), cent.alias("b")
     dots = (
-        a.join(
-            b,
+        self_join_reusing(
+            cent,
             (F.col("a.pos") == F.col("b.pos"))
             & (F.col("a.label") < F.col("b.label")),
+            a="a", b="b",
         )
         .groupBy(
             F.col("a.label").alias("label_a"),
@@ -5333,12 +5336,12 @@ def q128_co_occurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     co-occurrence (PMI) and co-citation graphs; at 100 TB the join is
     key-co-located (both sides shuffle once on the basket key)."""
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
     return (
-        a.join(
-            b,
+        self_join_reusing(
+            li,
             (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
             & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+            a="a", b="b",
         )
         .groupBy(
             F.col("a.l_partkey").alias("part_a"),
@@ -5601,12 +5604,12 @@ def q132_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineage stays flat because each iteration builds from the persisted
     edge relation, not the previous plan."""
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
     pairs = (
-        a.join(
-            b,
+        self_join_reusing(
+            li,
             (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
             & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+            a="a", b="b",
         )
         .groupBy(
             F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")

@@ -819,6 +819,41 @@ class TestFoldKernelProperties:
             f"through the kernel): {offenders}"
         )
 
+    def test_no_raw_multi_alias_idiom_outside_reuse(self):
+        """Grep guard: multi-alias references to ONE relation (the
+        ReuseExchange sharing idiom) must route through
+        ``operators/reuse.py`` (``self_join_reusing`` / ``aliased_refs``).
+        A hand-rolled ``rel.alias(a).join(rel.alias(b))`` — or worse,
+        per-side pre-renamed ``select()`` copies — is exactly the shape
+        that silently regresses to recompute-per-side or to a leaked
+        persist when someone 'fixes' the recompute (the round-7/8 cache
+        leak class)."""
+        import pathlib
+        import re
+
+        pkg = pathlib.Path(__file__).resolve().parents[1] / "parquery_spark"
+        pats = [
+            # a, b = rel.alias(...), rel.alias(...)
+            re.compile(r"=\s*(?<![\w.])(\w+)\.alias\([^)]*\)\s*,\s*\1\.alias\("),
+            # rel.alias(...).join(rel.alias(...)
+            re.compile(
+                r"(?<![\w.])(\w+)\.alias\([^)]*\)\s*\.join\(\s*\1\.alias\("
+            ),
+        ]
+        offenders = []
+        for py in pkg.rglob("*.py"):
+            if py.name == "reuse.py":
+                continue
+            text = py.read_text()
+            for pat in pats:
+                for m in pat.finditer(text):
+                    line = text.count("\n", 0, m.start()) + 1
+                    offenders.append(f"{py.relative_to(pkg)}:{line}")
+        assert offenders == [], (
+            "raw multi-alias self-reference outside operators/reuse.py "
+            f"(route through self_join_reusing/aliased_refs): {offenders}"
+        )
+
 
 def _brute_spans(docs: dict[int, list[str]], L: int) -> set[tuple]:
     """Independent reference for substring_spans: for every doc pair,
