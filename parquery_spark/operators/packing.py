@@ -12,15 +12,23 @@ single-partition window (Spark executes an un-partitioned ``SUM OVER
 (ORDER BY)`` in ONE task — correct and fine in an oracle, fatal at corpus
 scale):
 
-1. range-partition by the order column (contiguous, sorted ranges);
-2. per-partition running sums via a window PARTITIONED by the physical
-   partition id — all partitions in parallel;
-3. the per-partition totals (one row per partition) come to the driver and
-   prefix-sum there — a few KB regardless of corpus size;
-4. each row's global prefix = local prefix + its partition's offset
-   (broadcast map-side join).
+1. derive range-bucket boundaries once (an ``approx_percentile`` pass for
+   numeric keys, a hash-uniform sample otherwise) and FREEZE them as plan
+   literals — every recompute re-derives identical buckets, which is why
+   this needs no persisted intermediate (the previous
+   ``spark_partition_id()`` form cached its bucketing because a recompute
+   could re-sample different ranges);
+2. one driver round-trip collects the per-bucket totals (one row per
+   bucket, a few KB regardless of corpus size) and prefix-sums them into
+   a literal offset array;
+3. the returned plan is then a SINGLE shuffle: a window partitioned by
+   the literal-derived bucket id, plus each row's bucket offset read out
+   of the literal array — no second exchange, no broadcast join, no
+   cache.
 
-The reference has no ordering/packing operators (SURVEY.md §2.4).
+Any boundary set is CORRECT (offsets come from the actual per-bucket
+totals); boundary quality only affects balance.  The reference has no
+ordering/packing operators (SURVEY.md §2.4).
 """
 
 from __future__ import annotations
@@ -43,43 +51,102 @@ def prefix_sum(
     NEVER Spark's single-task un-partitioned ``SUM OVER (ORDER BY)``.
 
     ``inclusive=False`` gives the exclusive prefix (sum of strictly
-    preceding rows) — what shard packing needs."""
+    preceding rows) — what shard packing needs.  ``order_col`` should be
+    a total order (unique keys): rows tied on the key get an arbitrary
+    relative order within their tie group."""
     sz = F.col(value_col) if isinstance(value_col, str) else value_col
     src = df.withColumn("__sz", sz.cast("long"))
-    if num_partitions:
-        src = src.repartitionByRange(num_partitions, F.col(order_col))
+    spark = df.sparkSession
+    nparts = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    bnds = _range_boundaries(src, order_col, nparts)
+    if bnds:
+        # bucket id = #boundaries strictly below the key; boundaries are
+        # frozen literals, so recomputes re-derive identical buckets
+        pid = F.coalesce(
+            F.size(F.filter(F.lit(bnds), lambda b: b < F.col(order_col))),
+            F.lit(0),  # NULL keys sort first → bucket 0
+        )
     else:
-        src = src.repartitionByRange(F.col(order_col))
-    src = src.withColumn("__pid", F.spark_partition_id())
+        pid = F.lit(0)
+    bucketed = src.withColumn("__pid", pid)
+
+    # one row per bucket — a scalar collect, not a data collect
+    totals = {
+        r["__pid"]: r["t"]
+        for r in bucketed.groupBy("__pid")
+        .agg(F.sum("__sz").alias("t"))
+        .collect()
+    }
+    offsets, acc = [], 0
+    for p in range(len(bnds) + 1):
+        offsets.append(acc)
+        acc += totals.get(p, 0)
 
     w = (
         Window.partitionBy("__pid")
         .orderBy(order_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    local = src.withColumn("__cum", F.sum("__sz").over(w)).persist()
-
-    # one row per partition — a scalar collect, not a data collect
-    totals = {
-        r["__pid"]: r["t"]
-        for r in local.groupBy("__pid").agg(F.max("__cum").alias("t")).collect()
-    }
-    offsets, acc = {}, 0
-    for pid in sorted(totals):
-        offsets[pid] = acc
-        acc += totals[pid]
-    spark = df.sparkSession
-    offset_df = spark.createDataFrame(
-        [(pid, off) for pid, off in offsets.items()], ["__pid", "__off"]
+    prefix = F.sum("__sz").over(w) + F.element_at(
+        F.lit(offsets), F.col("__pid") + 1
     )
-    prefix = F.col("__cum") + F.col("__off")
     if not inclusive:
         prefix = prefix - F.col("__sz")
-    return (
-        local.join(F.broadcast(offset_df), "__pid")
-        .withColumn(out_col, prefix)
-        .drop("__pid", "__sz", "__cum", "__off")
-    )
+    return bucketed.withColumn(out_col, prefix).drop("__pid", "__sz")
+
+
+_NUMERIC_DTYPES = {"tinyint", "smallint", "int", "bigint", "float", "double"}
+
+
+def _range_boundaries(src: DataFrame, order_col: str, nparts: int) -> list:
+    """Up to ``nparts - 1`` sorted split keys for ``order_col``.
+
+    Numeric keys: one ``approx_percentile`` aggregation — balanced and
+    column-pruned.  Other orderable types (strings): a hash-uniform
+    sample (selection is uniform over the VALUE space because the hash
+    ignores data order), evenly strided.  Either way the caller freezes
+    the result into literals, so determinism across recomputes is by
+    construction, and an unlucky sample costs balance, never
+    correctness."""
+    if nparts <= 1:
+        return []
+    dtype = dict(src.dtypes).get(order_col)
+    if dtype in _NUMERIC_DTYPES:
+        probs = [i / nparts for i in range(1, nparts)]
+        row = src.agg(
+            F.percentile_approx(
+                order_col, F.lit(probs), F.lit(10000)
+            ).alias("b")
+        ).first()
+        keys = row["b"] or []
+        return sorted({k for k in keys if k is not None})
+    cap = nparts * 128
+    keys = [
+        r[0]
+        for r in src.select(order_col)
+        .where(F.col(order_col).isNotNull())
+        .where(
+            F.pmod(F.xxhash64(F.col(order_col).cast("string")), F.lit(17))
+            == 0
+        )
+        .limit(cap)
+        .collect()
+    ]
+    if not keys:  # tiny input: every key hashed past the filter
+        keys = [
+            r[0]
+            for r in src.select(order_col)
+            .where(F.col(order_col).isNotNull())
+            .limit(cap)
+            .collect()
+        ]
+    keys = sorted(set(keys))
+    if len(keys) <= 1:
+        return []
+    step = len(keys) / nparts
+    return sorted({keys[int(i * step)] for i in range(1, nparts)})
 
 
 def pack_shards(
