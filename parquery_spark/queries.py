@@ -6085,8 +6085,10 @@ def q140_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
         )
         .distinct()
-        .persist()
     )
+    # days and the range join are both consumers of the ONE du plan;
+    # its (day, user) distinct-exchange is shared via ReuseExchange —
+    # no persisted intermediate
     days = du.select("day").distinct().withColumnRenamed("day", "d")
     joined = days.join(
         du,
@@ -7008,7 +7010,8 @@ def q154_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("l_suppkey").alias("supplier_no"))
         .agg(_e4_to_cents(F.sum(_rev_e4())).alias("total_revenue"))
     )
-    revenue = revenue.persist()
+    # the max branch and the join-back branch share revenue's
+    # supplier-grain exchange via ReuseExchange — no persist
     mx = revenue.agg(F.max("total_revenue").alias("__mx"))
     top = revenue.join(
         F.broadcast(mx), F.col("total_revenue") == F.col("__mx")
@@ -7342,8 +7345,12 @@ def q160_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     a 0.5-temperature exponent that up-weights small sources — the
     computation every multi-source pretraining run does before writing
     its sampling config.  One aggregate to source grain (token counting
-    fused into the scan pass), then a one-row broadcast normalizer —
-    no second pass over the data."""
+    fused into the scan pass); the normalizers are GLOBAL WINDOW sums
+    over the already-aggregated |sources|-row relation — one linear
+    pipeline, so the corpus is scanned once with nothing persisted (the
+    single-partition window funnel only ever sees source-grain rows)."""
+    from pyspark.sql import Window
+
     from parquery_spark.functions.text import token_count
 
     docs = load(spark, sf_dir, "documents")
@@ -7351,18 +7358,16 @@ def q160_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(token_count(F.col("text")).cast("long")).alias("total_tokens"),
     )
-    per_source = per_source.persist()
     tok_d = F.col("total_tokens").cast("double")
-    tot = per_source.agg(
-        F.sum(F.pow(tok_d, 0.5)).alias("z_sqrt"),
-        F.sum(tok_d).alias("z_prop"),
-    )
-    return per_source.crossJoin(F.broadcast(tot)).select(
+    w = Window.partitionBy()
+    z_sqrt = F.sum(F.pow(tok_d, 0.5)).over(w)
+    z_prop = F.sum(tok_d).over(w)
+    return per_source.select(
         "source",
         "n_docs",
         "total_tokens",
-        F.round(F.pow(tok_d, 0.5) / F.col("z_sqrt"), 6).alias("weight_t05"),
-        F.round(tok_d / F.col("z_prop"), 6).alias("weight_prop"),
+        F.round(F.pow(tok_d, 0.5) / z_sqrt, 6).alias("weight_t05"),
+        F.round(tok_d / z_prop, 6).alias("weight_prop"),
     )
 
 
@@ -7567,9 +7572,17 @@ def q164_rolling_sketch_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
         events.select(day.alias("day"), "user_id")
         .groupBy("day")
         .agg(F.hll_sketch_agg("user_id", F.lit(12)).alias("sk"))
-        .persist()
     )
-    days = sketches.select(F.col("day").alias("d"))
+    # days comes from the day-user relation, NOT the sketch relation:
+    # each relation then has consumers whose subplans are identical
+    # below their exchanges (du: days + exact; sketches: merged only),
+    # so ReuseExchange shares the work with nothing persisted — deriving
+    # days from sketches would let the days branch prune the sketch
+    # aggregate out of its exchange copy and recompute the HLL pass
+    du = (
+        events.select(day.alias("day"), "user_id").distinct()
+    )
+    days = du.select("day").distinct().withColumnRenamed("day", "d")
     merged = (
         days.join(
             sketches,
@@ -7580,9 +7593,6 @@ def q164_rolling_sketch_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
         )
-    )
-    du = (
-        events.select(day.alias("day"), "user_id").distinct()
     )
     exact = (
         days.join(
@@ -8161,7 +8171,7 @@ def q172_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     collision behavior auditable."""
     from parquery_spark.operators.dedup import hash64
 
-    docs = load(spark, sf_dir, "documents").persist()
+    docs = load(spark, sf_dir, "documents")
     n_docs = docs.count()
     anchors = docs.where(F.col("doc_id") % 10 == 0).select(
         F.col("doc_id").alias("anchor_id"),
@@ -8363,7 +8373,9 @@ def q175_partition_repair_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = events.groupBy(day.alias("day"), "event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(_cents()).alias("total_cents"),
-    ).persist()
+    )
+    # both checksum sides (source and patched) consume the ONE daily
+    # plan; its (day, event_type) exchange is shared via ReuseExchange
 
     def checksum(df):
         row_hash = hash64(
@@ -9179,7 +9191,10 @@ def q186_incremental_sessionize(
 
     head = events.where(F.col("ts") < cutoff)
     tail = events.where(F.col("ts") >= cutoff)
-    head_sessions = sessionize(head).persist()
+    # open_state and closed_head are two filters over the ONE
+    # head_sessions plan — its sessionize window/agg exchange is shared
+    # via ReuseExchange, nothing persisted
+    head_sessions = sessionize(head)
     # open = sessions still inside the idle window at the cutoff
     open_state = head_sessions.where(
         F.unix_micros(cutoff) - F.unix_micros(F.col("session_end"))
@@ -9343,7 +9358,7 @@ def q188_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         token_count(F.col("text")).cast("long").alias("n_tokens"),
         "n_chars",
-    ).persist()
+    )  # scan + cheap column exprs: recompute beats a session-lived cache
     n = docs.count()
     SHIFT = F.lit(4294967296)
 
@@ -9420,8 +9435,11 @@ def q189_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select(F.explode(tokens(F.col("text"))).alias("term"))
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("c"))
-        .persist()
     )
+    # every consumer (total + the prefix-sum passes) references term AND
+    # c, so the vocab exchange is shared via ReuseExchange where branches
+    # land in one plan, and the prefix-sum side passes recompute only the
+    # compact (term, c) aggregate — nothing persisted
     total = vocab.agg(F.sum("c").alias("total"))
     # rank key: descending count, ascending term — encode as a single
     # orderable string key so the range partitioner sorts once
@@ -9637,8 +9655,10 @@ def q192_tpch_q2_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
         .select("p_partkey", "p_brand", "s_suppkey", "s_name", "s_acctbal")
-        .persist()
     )
+    # the min-aggregate branch and the join-back branch share the
+    # supplies distinct-exchange and every dimension broadcast via
+    # ReuseExchange — no persist
     mins = candidates.groupBy(F.col("p_partkey").alias("mp")).agg(
         F.min("s_acctbal").alias("min_bal")
     )
@@ -9697,7 +9717,9 @@ def q193_tpch_q21_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     late = lo.where(
         F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")
-    ).select("l_orderkey", "l_suppkey", "o_orderdate").persist()
+    ).select("l_orderkey", "l_suppkey", "o_orderdate")
+    # late feeds its per-order aggregate AND the final join chain from
+    # the ONE plan object — exchanges shared via ReuseExchange
     # per-(order, supplier) flags of OTHER suppliers' presence/lateness:
     # distinct supplier sets per order, broadcast back as counts
     per_order = li.groupBy("l_orderkey").agg(
@@ -9909,9 +9931,15 @@ def q196_rolling_bitmap_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.expr("shiftleft(1L, CAST(user_id % 32 AS INT))")
             ).alias("bits")
         )
-        .persist()
     )
-    days = bm.select("day").distinct().withColumnRenamed("day", "d")
+    # days comes straight from the event scan (a map-side distinct over
+    # day values), NOT from bm: deriving it from bm would prune the
+    # bitmap aggregate out of that branch's exchange copy and recompute
+    # the whole bitmap pass — this way bm has ONE consumer and nothing
+    # needs persisting
+    days = (
+        events.select(day.alias("d")).distinct()
+    )
     merged = (
         days.join(
             bm,
@@ -11121,8 +11149,7 @@ def q211_pq_adc_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     short = adc_topk(
         codes, codebook, queries, topk=shortlist, m=8
-    ).select("q_id", "vec_id").persist()
-    short.count()
+    ).select("q_id", "vec_id")
 
     # exact-distance fold per query (left-to-right, the oracle's
     # list_sum order); over the full corpus for the hash-matched truth,
@@ -11782,8 +11809,10 @@ def q219_source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("source", "word")
         .agg(F.count(F.lit(1)).alias("c"))
-        .persist()
     )
+    # st/cw/ct and the final join are FOUR consumers of the one ws plan,
+    # all referencing (source, word, c) — ReuseExchange computes the
+    # (source, word) histogram once, nothing persisted
     st = ws.groupBy("source").agg(F.sum("c").alias("tot"))
     cw = ws.groupBy("word").agg(F.sum("c").alias("cc"))
     ct = ws.agg(F.sum("c").alias("ctot"))
