@@ -242,7 +242,7 @@ def triangle_stats(
             "n_wedges"
         )
     )
-    return (
+    summary = (
         tri.crossJoin(F.broadcast(n_edges))
         .crossJoin(F.broadcast(n_wedges))
         .select(
@@ -254,3 +254,13 @@ def triangle_stats(
             ).alias("clustering_coeff"),
         )
     )
+    # OWNER-RELEASE: the result is a one-row scalar summary, so compute
+    # it here while the iteration caches are live, release every persist,
+    # and hand back the materialized row — the CacheManager stays flat
+    # after return (the former shape returned a plan over the persisted
+    # relations, leaking three session-lived caches per call)
+    rows = summary.collect()
+    schema = summary.schema
+    for cached in (edges, deg, oriented):
+        cached.unpersist()
+    return edges.sparkSession.createDataFrame(rows, schema)

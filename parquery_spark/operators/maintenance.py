@@ -216,6 +216,7 @@ def write_dataset_card(
     df = df.persist()
     stats = df.agg(*aggs).collect()[0]
     df.write.mode(mode).option("compression", "zstd").parquet(out_dir)
+    df.unpersist()  # owner-release: both passes (stats + write) are done
     files = sorted(
         f for f in os.listdir(out_dir) if f.endswith(".parquet")
     )

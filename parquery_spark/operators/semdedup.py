@@ -197,6 +197,7 @@ def kmeans_assign(
     digits: int = 6,
     sample_rows: int | None = DEFAULT_SAMPLE_ROWS,
     _expl: DataFrame | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """Deterministic, oracle-exact Lloyd assignment: ``(id_col, cluster)``
     one row per vector.  This IS the trained model artifact — persist it
@@ -310,9 +311,14 @@ def kmeans_assign(
         # model, not per call.
         out, _final_bc = _assign_with(emb, id_col, vec_col, labels, C, clens)
         out = out.select(F.col("__id").alias(id_col), "cluster")
-        if _expl is None:
-            # materialize the model artifact so the training intermediates
-            # (sample explode, iteration broadcasts) can be released now
+        if _expl is None and materialize:
+            # materialize the model artifact so repeat consumers don't
+            # re-run the full-corpus assignment pass.  CALLER RELEASES
+            # (``unpersist()`` when done with the model) — or passes
+            # ``materialize=False`` for a single-consumer plan (the
+            # returned relation depends only on the source + the final
+            # centroid broadcast, so it recomputes in one kernel pass at
+            # action time, leaving the CacheManager flat).
             out = out.persist(StorageLevel.MEMORY_AND_DISK)
             out.count()
         return out

@@ -2256,20 +2256,26 @@ def q73_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from parquery_spark.operators.dedup import shingle_tokens
     from pyspark.sql import Window
 
-    from pyspark import StorageLevel
-
     docs = load(spark, sf_dir, "documents")
     n_docs = docs.count()
-    # the token relation feeds BOTH the tf and df aggregations — persist
-    # it or the corpus tokenizes twice (same sharing rule as the dedup
-    # signature relations)
     toks = fan_out(docs.select("doc_id", "lang", "text"), "doc_id").select(
         "doc_id", "lang", F.explode(shingle_tokens("text")).alias("t")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    tf = toks.groupBy("lang", "t").agg(F.count(F.lit(1)).alias("tf"))
+    )
+    # ONE aggregation pass collapses the token stream to the
+    # (doc, lang, term) count grain; tf and df are then both
+    # re-aggregations of that one plan object, and each references every
+    # column (df counts via "c") so Catalyst can't prune their exchange
+    # copies apart — ReuseExchange tokenizes the corpus once, with no
+    # persisted intermediate (the former persist leaked a corpus-sized
+    # cache per call)
+    per_doc = toks.groupBy("doc_id", "lang", "t").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    tf = per_doc.groupBy("lang", "t").agg(F.sum("c").alias("tf"))
     dfreq = (
-        toks.select("doc_id", "t").distinct()
-        .groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+        # per_doc is distinct per (doc, term) — lang is a per-doc
+        # attribute — so a row count IS the distinct-document frequency
+        per_doc.groupBy("t").agg(F.count("c").alias("df"))
     )
     scored = tf.join(dfreq, "t").withColumn(
         "tfidf", F.round(F.col("tf") * F.log(F.lit(n_docs) / F.col("df")), 6)
@@ -2313,19 +2319,26 @@ def q74_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     on any engine."""
     from parquery_spark.operators.dedup import shingle_tokens
 
-    from pyspark import StorageLevel
-
     docs = load(spark, sf_dir, "documents")
-    # token relation feeds the vocab build AND the scoring join — persist
     toks = fan_out(docs.select("doc_id", "text"), "doc_id").select(
         "doc_id", F.explode(shingle_tokens("text")).alias("t")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    vocab = toks.groupBy("t").agg(F.count(F.lit(1)).alias("tf"))
-    total = float(
-        vocab.agg(F.sum("tf").alias("s")).first()["s"]
     )
-    scored = toks.join(F.broadcast(vocab), "t").select(
-        "doc_id", F.log(F.col("tf") / F.lit(total)).alias("lp")
+    vocab = toks.groupBy("t").agg(F.count(F.lit(1)).alias("tf"))
+    # the normalizer is a one-row broadcast DERIVED from vocab inside the
+    # one returned plan (no driver collect, no persist): the total branch
+    # references tf, so its exchange copy matches vocab's and
+    # ReuseExchange tokenizes once for both; the scoring side streams the
+    # raw token relation through the broadcast joins — two token passes
+    # total, zero cached relations
+    total = vocab.agg(
+        F.sum("tf").cast("double").alias("__total")
+    )
+    scored = (
+        toks.join(F.broadcast(vocab), "t")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id", F.log(F.col("tf") / F.col("__total")).alias("lp")
+        )
     )
     return scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_tokens"),
@@ -4682,22 +4695,40 @@ def q118_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     inst = docs.select(
         F.explode(shingle_tokens("text")).alias("token")
     )
-    inst = inst.persist()
 
     def bucket(r):
         return (hash64(F.col("token"), seed=f"cms{r}") % _CMS_WIDTH).alias(
             "bucket"
         )
 
-    counter_parts = [
-        inst.select(F.lit(r).alias("r"), bucket(r))
-        for r in range(_CMS_DEPTH)
-    ]
-    counters = counter_parts[0]
-    for cp in counter_parts[1:]:
-        counters = counters.unionAll(cp)
-    counters = counters.groupBy("r", "bucket").agg(
-        F.count(F.lit(1)).alias("c")
+    # the depth dimension fans out of ONE token scan (explode of a
+    # 4-element literal — the q176 replicate pattern) instead of a
+    # 4-way union of per-row-hash branches over a persisted token
+    # relation: the hash row is (r, token) with the seed folded in as a
+    # column expression, so the corpus tokenizes once per pass and
+    # nothing is cached
+    row_hash = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("token"), F.lit("#cms"),
+                    F.col("r").cast("string"),
+                )
+            ),
+            1, 15,
+        ),
+        16, 10,
+    ).cast("long")
+    counters = (
+        inst.select(
+            "token",
+            F.explode(
+                F.array(*[F.lit(r) for r in range(_CMS_DEPTH)])
+            ).alias("r"),
+        )
+        .select("r", (row_hash % _CMS_WIDTH).alias("bucket"))
+        .groupBy("r", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
     )
 
     top = (
@@ -5598,30 +5629,42 @@ def q132_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     co-purchase graph — the iterative-algorithm pattern beside q62's
     connected components, and still EXACTLY oracled: the fixed iteration
     count unrolls into three SQL CTE stages, so even this "non-SQL" class
-    gets a value-matched gate.  Edges + degrees persist once; every
-    iteration is one join + one aggregate shuffled on the same key (the
-    co-partitioning a cluster deployment would pin with bucketing);
-    lineage stays flat because each iteration builds from the persisted
-    edge relation, not the previous plan."""
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    pairs = (
-        self_join_reusing(
-            li,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-            a="a", b="b",
+    gets a value-matched gate.  The edge relation is a stat-keyed
+    STORAGE artifact (pure function of lineitem — built once per corpus
+    version, restart-surviving, exactly how a cluster deployment would
+    stage a derived graph next to the data); every iteration is one join
+    + one aggregate shuffled on the same key (the co-partitioning a
+    deployment would pin with bucketing), and lineage stays flat because
+    each iteration re-reads the edge parquet, not the previous plan —
+    nothing persisted in-session."""
+    adir = _stat_dir(sf_dir, "lineitem", "pagerank-edges-v1", "pqs_pr")
+
+    def _build_edges(t):
+        li = load(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_partkey"
         )
-        .groupBy(
-            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        pairs = (
+            self_join_reusing(
+                li,
+                (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+                a="a", b="b",
+            )
+            .groupBy(
+                F.col("a.l_partkey").alias("pa"),
+                F.col("b.l_partkey").alias("pb"),
+            )
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .where(F.col("cnt") >= 2)
+            .select("pa", "pb")
         )
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .where(F.col("cnt") >= 2)
-        .select("pa", "pb")
-    )
-    edges = pairs.selectExpr("pa AS src", "pb AS dst").unionAll(
-        pairs.selectExpr("pb AS src", "pa AS dst")
-    ).persist()
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d")).persist()
+        pairs.selectExpr("pa AS src", "pb AS dst").unionAll(
+            pairs.selectExpr("pb AS src", "pa AS dst")
+        ).write.parquet(t)
+
+    adir = _materialize_once(adir, _build_edges)
+    edges = spark.read.parquet(adir)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
     nn = deg.count()  # scalar: node count (driver-side by design)
     r = deg.select(
         F.col("src").alias("v"), (F.lit(1.0) / F.lit(nn)).alias("r")
@@ -5923,9 +5966,12 @@ def q137_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     guarantee bounds recall (any shared 8-word run surfaces)."""
     from parquery_spark.operators.dedup import winnow_fingerprints
 
+    # rare, keyed and the b join side are all references to the ONE fp
+    # plan — its winnowing exchanges are shared via ReuseExchange, no
+    # persisted intermediate
     fp = winnow_fingerprints(
         load(spark, sf_dir, "documents"), "text", "doc_id", k=5, w=4
-    ).persist()
+    )
     rare = (
         fp.groupBy("fingerprint")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -6179,7 +6225,9 @@ def q141_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode(F.col("embedding").cast("array<double>")).alias(
             "pos", "x"
         ),
-    ).persist()
+    )  # scan + posexplode: recomputed per unrolled-iteration reference —
+    # cheap columnar rescans beat a session-lived exploded cache (q221 is
+    # the budget-bounded scale path; this query pins the EXACT recipe)
     cents = (
         expl.where(F.col("vec_id") < 4)
         .select(
@@ -7804,10 +7852,29 @@ def q167_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     adir = _materialize_once(adir, _build_assign)
     assign = spark.read.parquet(adir)
-    return semdedup(
-        emb, id_col="vec_id", vec_col="embedding", threshold=0.4,
-        assign=assign,
-    ).select("vec_id", "cluster", "max_sim_to_earlier")
+
+    # the prune set is ALSO corpus-pure (embeddings + pinned params), so
+    # it is staged the same way: semdedup materializes it in-session to
+    # release its heavyweight intermediates, we copy it to the stat-keyed
+    # artifact and RELEASE the in-session copy — repeat calls read
+    # parquet and the CacheManager stays flat (the former shape returned
+    # semdedup's persisted relation, leaking one cache per call)
+    pdir = _stat_dir(
+        sf_dir, "embeddings", "semdedup-prune-t04-tc64-v1", "pqs_sdprune"
+    )
+
+    def _build_prune(t):
+        pruned = semdedup(
+            emb, id_col="vec_id", vec_col="embedding", threshold=0.4,
+            assign=assign,
+        )
+        pruned.select(
+            "vec_id", "cluster", "max_sim_to_earlier"
+        ).write.parquet(t)
+        pruned.unpersist()
+
+    pdir = _materialize_once(pdir, _build_prune)
+    return spark.read.parquet(pdir)
 
 
 @query(
@@ -9047,15 +9114,24 @@ def q185_item_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("__basket_n") <= _Q185_MAX_BASKET)
         .drop("__basket_n")
-        .persist()
     )
+    # cnt and both self-join sides reference the ONE bi plan: the basket
+    # window's cust exchange is exactly the join's required distribution,
+    # so ReuseExchange shares it across all three consumers — no persist
+    # (the former pre-renamed a/b select() sides defeated the reuse and
+    # leaked a cache to compensate)
     cnt = bi.groupBy("item").agg(F.count(F.lit(1)).alias("c"))
-    a = bi.select("cust", F.col("item").alias("item_a"))
-    b = bi.select("cust", F.col("item").alias("item_b"))
     co = (
-        a.join(b, "cust")
-        .where(F.col("item_a") < F.col("item_b"))
-        .groupBy("item_a", "item_b")
+        self_join_reusing(
+            bi,
+            (F.col("__ia.cust") == F.col("__ib.cust"))
+            & (F.col("__ia.item") < F.col("__ib.item")),
+            a="__ia", b="__ib",
+        )
+        .groupBy(
+            F.col("__ia.item").alias("item_a"),
+            F.col("__ib.item").alias("item_b"),
+        )
         .agg(F.count(F.lit(1)).alias("cab"))
         .where(F.col("cab") >= 3)
     )
@@ -12002,20 +12078,22 @@ def q221_kmeans_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     from parquery_spark.operators.semdedup import kmeans_assign
 
     emb = load(spark, sf_dir, "embeddings")
+    # materialize=False: the assignment has exactly ONE consumer (the
+    # rollup below), so the returned plan re-runs the final kernel pass
+    # at action time instead of pinning a session-lived cache — training
+    # (the driver-side Lloyd loop on the hash-sample) already happened
+    # by the time kmeans_assign returns, backed by the final centroid
+    # broadcast
     assign = kmeans_assign(
         emb, id_col="vec_id", vec_col="embedding", k=4, iters=3,
-        sample_rows=128,
+        sample_rows=128, materialize=False,
     )
-    out = assign.groupBy("cluster").agg(
+    return assign.groupBy("cluster").agg(
         F.count(F.lit(1)).alias("n"),
         F.bit_xor(hash64(F.col("vec_id").cast("string"))).alias(
             "member_checksum"
         ),
     )
-    out = out.persist()
-    out.count()
-    assign.unpersist()
-    return out
 
 
 @query(
