@@ -12243,13 +12243,19 @@ def _substr_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sdir = _stat_dir(
         sf_dir, "documents",
-        f"substr-L{_SUBSTR_L}-c{_SUBSTR_CAP}-v1", "pqs_substr",
+        # v2: the artifact builds with gram_key="hash" — the petabyte
+        # shuffle form (two xxhash64 longs per row instead of the
+        # ~50-byte gram string; measured −29% shuffle bytes at ×100 in
+        # SCALING.md).  q225 gates its exact output equality against the
+        # raw-string oracle, so the cheap form is also the proven form.
+        f"substr-L{_SUBSTR_L}-c{_SUBSTR_CAP}-v2", "pqs_substr",
     )
 
     def _build(t):
         substring_spans(
             load(spark, sf_dir, "documents"), "text", "doc_id",
             min_tokens=_SUBSTR_L, max_gram_occ=_SUBSTR_CAP,
+            gram_key="hash",
         ).write.mode("overwrite").parquet(t)
 
     sdir = _materialize_once(sdir, _build)
@@ -12522,18 +12528,25 @@ DRIVER_PRIORITY: list[str] = [
     # their families keep q207 / q45+q83 as representatives)
     "q207_resample_ffill", "q208_embedding_quantization",
     "q215_loo_target_encoding", "q216_ranking_metrics",
-    # dedup family (q82/q102 rotated to gate-coverage in round 8 so the
-    # round-7 families get driver rows: q221 sampled k-means training,
-    # q223 exact-substring spans)
-    "q40_dedup_exact", "q43_minhash_lsh",
+    # dedup family (q82/q102 rotated to gate-coverage in round 8;
+    # round 9 rotates q40/q62 out — exact dedup and CC stay gate-covered,
+    # LSH/pagerank keep the family's driver rows — so the round-8
+    # families get rows: q226 value-gates the whole substring span+cut
+    # chain end-to-end, and q223 now reads the HASH-key-built span
+    # artifact against its raw-string oracle, keeping q225's equality in
+    # the driver gate by construction)
+    "q43_minhash_lsh",
     "q221_kmeans_sampled", "q223_substring_spans",
+    "q226_substring_cut_apply",
     # similarity / ANN
     "q45_embedding_topk", "q83_ivf_ann", "q167_semdedup",
-    # text / multimodal / sketches / sampling
-    "q48_text_profile", "q50_multimodal_features", "q54_hll_sketch_rollup",
+    # text / multimodal / sketches / sampling (q222: binaryFile ingest
+    # through the real PNG/JPEG header codec, driver-gated since round 9)
+    "q48_text_profile", "q50_multimodal_features",
+    "q222_binary_file_ingest", "q54_hll_sketch_rollup",
     "q58_stratified_sample",
     # graph
-    "q62_dedup_clusters", "q132_pagerank",
+    "q132_pagerank",
     # pii / packing / sources
     "q64_pii_audit", "q66_shard_packing", "q67_csv_source",
     # streaming (real Structured Streaming drains)

@@ -848,28 +848,17 @@ class TestSubstringDedupStats:
         assert out[2].removed_tokens == 8
 
 
-class TestDedupCacheContract:
-    """The dedup family's release contract (round-8): no operator leaks a
-    persisted relation into the session.  Self-join intermediates are
-    deduplicated by ReuseExchange over alias self-joins, not by persist();
-    the span/banded-signature/simhash/verified-pair relations are
-    stat-keyed STORAGE artifacts built once per corpus version.  The only
-    in-session cache left is the hot-relation cache, which fills once
-    per table and never grows per call."""
-
-    NAMES = [
-        "q40_dedup_exact",
-        "q41_fingerprint_dedup",
-        "q42_jaccard_pairs",
-        "q43_minhash_lsh",
-        "q44_simhash",
-        "q62_dedup_clusters",
-        "q75_incremental_dedup",
-        "q82_indexed_dedup_probe",
-        "q102_fuzzy_match",
-        "q223_substring_spans",
-        "q224_substring_dedup_stats",
-    ]
+class TestCacheContract:
+    """The release contract, REGISTRY-WIDE as of round 9: no query — and
+    no operator a query calls — leaks a persisted relation into the
+    session.  Shared intermediates are deduplicated by ReuseExchange over
+    alias references to one plan object (operators/reuse.py); corpus-pure
+    relations (banded signatures, simhash tables, substring spans,
+    verified pairs, co-purchase edges, semdedup prune sets, PQ
+    codes/codebooks) are stat-keyed STORAGE artifacts built once per
+    corpus version; iterative trainers persist per-round and OWNER-RELEASE
+    before returning.  The only in-session cache left is the hot-relation
+    cache, which fills once per table and never grows per call."""
 
     @staticmethod
     def _n_cached(spark) -> int:
@@ -884,17 +873,22 @@ class TestDedupCacheContract:
         )
 
     def test_repeat_runs_add_no_cached_relations(self, spark, sf_dir):
+        """EVERY registry query, run twice: the second pass must not grow
+        the CacheManager.  Catches the round-7/8 leak class (a persist
+        with no owner doubles as a hidden cross-call memo that distorts
+        warm bench numbers) for the whole surface, not just the dedup
+        family it was first fixed in."""
         import __spark_entry__ as e
 
         qs = e.queries()
         # first pass fills the bounded session-keyed caches (relation
         # cache, the shared verified-pair relation) and the disk
         # artifacts; per-CALL growth after that is a leak
-        for name in self.NAMES:
-            qs[name](spark, sf_dir).collect()
+        for name, fn in qs.items():
+            fn(spark, sf_dir).collect()
         before = self._n_cached(spark)
-        for name in self.NAMES:
-            qs[name](spark, sf_dir).collect()
+        for name, fn in qs.items():
+            fn(spark, sf_dir).collect()
             # <= not ==: the ContextCleaner may concurrently reap
             # unreferenced entries, which is shrinkage, not a leak
             assert self._n_cached(spark) <= before, (
