@@ -254,6 +254,43 @@ def minhash_signatures(
     )
 
 
+
+def _check_injected_banding(
+    rel: DataFrame, num_hashes: int, bands: int, what: str
+) -> None:
+    """Cheap structural guard for an INJECTED banded-signature relation
+    (a stat-keyed artifact or caller-persisted index): a relation built
+    with different ``num_hashes`` would silently yield wrong or NULL
+    ``est_jaccard`` (``element_at`` past the sig array end), and a
+    different ``bands`` recipe would silently produce empty joins (band
+    keys never match).  The probe reads ONE row (O(1) at any corpus
+    size) — artifacts are internally homogeneous (every row is built by
+    the same recipe), so a single row catches the stale/mismatched-
+    artifact class this guards against."""
+    need = {"band", "band_key", "sig"}
+    missing = need - set(rel.columns)
+    if missing:
+        raise ValueError(
+            f"{what}: injected banding lacks columns {sorted(missing)}"
+        )
+    probe = rel.select(
+        F.size("sig").alias("n"), F.col("band").alias("b")
+    ).first()
+    if probe is None:
+        return  # empty relation: nothing to validate
+    if probe["n"] != num_hashes:
+        raise ValueError(
+            f"{what}: injected banding carries {probe['n']}-hash "
+            f"signatures but the call expects num_hashes={num_hashes} — "
+            "stale or mismatched artifact (bump its logic tag)"
+        )
+    if probe["b"] >= bands or probe["b"] < 0:
+        raise ValueError(
+            f"{what}: injected banding has band id {probe['b']} outside "
+            f"the call's bands={bands}"
+        )
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     text_col: str,
@@ -288,6 +325,9 @@ def lsh_candidate_pairs(
         banded = band_keys(
             df, text_col, id_col, num_hashes, bands, shingle_k, sets=sets
         )
+    else:
+        _check_injected_banding(banded, num_hashes, bands,
+                                "lsh_candidate_pairs(banded=)")
 
     # drop degenerate buckets before the join
     sized = banded.withColumn(
@@ -685,6 +725,9 @@ def lsh_join(
         F.col("band"), F.col("band_key"),
         F.col(id_col).alias("new_id"), F.col("sig").alias("sig_a"),
     )
+    if corpus_banded is not None:
+        _check_injected_banding(corpus_banded, num_hashes, bands,
+                                "lsh_join(corpus_banded=)")
     right = (
         (banded(corpus_df) if corpus_banded is None else corpus_banded)
         .withColumn(

@@ -104,6 +104,7 @@ def _materialize_once(final_dir: str, build, marker: str = "_SUCCESS") -> str:
     import uuid
 
     if os.path.exists(os.path.join(final_dir, marker)):
+        _check_artifact_owner(final_dir)
         return final_dir
     # unique per ATTEMPT (not per process): two threads of one session
     # racing the same fixture must not share a build root
@@ -128,7 +129,23 @@ def _materialize_once(final_dir: str, build, marker: str = "_SUCCESS") -> str:
         shutil.rmtree(tmp, ignore_errors=True)
         if not os.path.exists(os.path.join(final_dir, marker)):
             raise
+        _check_artifact_owner(final_dir)  # the race winner must be us-ish
     return final_dir
+
+
+def _check_artifact_owner(final_dir: str) -> None:
+    """Stat-keyed artifacts live at predictable names under the shared
+    /tmp; on a multi-user host another local user could squat/poison the
+    path and queries would silently read foreign data.  Trust a
+    pre-existing artifact only if we own it."""
+    st = os.stat(final_dir)
+    if hasattr(os, "getuid") and st.st_uid != os.getuid():
+        raise PermissionError(
+            f"artifact directory {final_dir!r} is owned by uid "
+            f"{st.st_uid}, not this process (uid {os.getuid()}) — "
+            "refusing to read a foreign /tmp artifact; remove it or set "
+            "a private TMPDIR"
+        )
 
 
 def _stat_dir(sf_dir: str, table: str, logic_tag: str, prefix: str) -> str:

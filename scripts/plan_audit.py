@@ -191,6 +191,12 @@ def audit(sf_dir: str, names: list[str] | None = None) -> list[dict]:
     import __spark_entry__ as e
 
     spark = get_spark("plan_audit")
+    # the build-phase capture iterates SQLAppStatusStore.executionsList,
+    # which is capped by spark.sql.ui.retainedExecutions (default 1000);
+    # a full audit runs well past that and would silently undercount the
+    # b_* columns once early executions are evicted.  The audit owns its
+    # session, so raise the cap far above any audit's execution count.
+    spark.conf.set("spark.sql.ui.retainedExecutions", "100000")
     store = spark._jsparkSession.sharedState().statusStore()
     rows = []
     qs = e.queries()
@@ -335,13 +341,28 @@ if __name__ == "__main__":
         # stat-keyed /tmp artifacts so each is rebuilt during THIS audit.
         # Never run concurrently with another Spark workload (they would
         # race the rebuilds — the one-workload-at-a-time rule).
+        import fcntl
         import glob
         import shutil
 
         argv.remove("--fresh-artifacts")
+        # exclusive lockfile: a concurrent gate/bench/session mid-read or
+        # mid-publish of an artifact would otherwise see its directory
+        # vanish (the one-workload-at-a-time rule, now enforced instead
+        # of commented).  Fail fast rather than silently racing.
+        _lock = open("/tmp/pqs_audit.lock", "w")
+        try:
+            fcntl.flock(_lock, fcntl.LOCK_EX | fcntl.LOCK_NB)
+        except OSError:
+            sys.exit(
+                "another plan_audit --fresh-artifacts holds "
+                "/tmp/pqs_audit.lock; refusing to race artifact deletion"
+            )
         for d in glob.glob("/tmp/pqs_*"):
             if "smoke" in d:  # scale-smoke FIXTURES are not artifacts —
                 continue  # rebuilding those costs minutes of table writes
+            if d.endswith("pqs_audit.lock"):
+                continue
             shutil.rmtree(d, ignore_errors=True)
     sf = argv[0] if argv else "/root/testdata/sf0.01"
     names = argv[1:] or None

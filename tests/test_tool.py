@@ -196,6 +196,27 @@ class TestDriverPriorityRegistry:
         assert set(ordered) == set(QUERIES)
         assert len(ordered) == len(QUERIES)
 
+    def test_plan_audit_covers_live_registry(self):
+        """PLAN_AUDIT.md freshness is ENFORCED (round-8 verdict: q226
+        landed one commit after the audit was generated and nothing
+        failed): the audit's query set must equal the live registry.
+        Adding or removing a query without re-running ``make plan-audit``
+        turns this red — a stale audit vouches for plan shapes that no
+        longer exist."""
+        import pathlib
+        import re
+
+        from parquery_spark.queries import QUERIES
+
+        audit = pathlib.Path(__file__).resolve().parents[1] / "PLAN_AUDIT.md"
+        audited = set(re.findall(r"^\| (q\w+) \|", audit.read_text(), re.M))
+        live = set(QUERIES)
+        assert audited == live, (
+            f"PLAN_AUDIT.md is stale — run `make plan-audit`.  "
+            f"missing rows: {sorted(live - audited)}; "
+            f"rows for dead queries: {sorted(audited - live)}"
+        )
+
     def test_driver_priority_spans_families(self):
         """>=15 distinct operator families inside the snapshot window —
         the judge's done-criterion for the round-5 reordering."""
