@@ -8,22 +8,35 @@ Timing excludes session startup and the one-time JVM/codegen warmup (a
 trivial count over lineitem) but includes full plan + execution + collect
 per query — the end-to-end latency a caller of the engine sees.
 
-Noise handling (round 8): EVERY query runs FOUR times as four full
+Noise handling (round 9): EVERY query runs FIVE times as five full
 passes over the registry — consecutive samples of one query land many
 minutes apart, in different host-noise windows — and the reported time
-is the min-of-4.  The noise floor is measured the way the estimator is
-actually used: passes {1,3} and {2,4} form two INDEPENDENT interleaved
-min-of-2 estimates per query, and ``noise_floor`` is the 90th-percentile
-relative disagreement between them (``noise_within_10pct`` = fraction of
-queries whose two estimates agree within 10%).  A round-over-round
-per-query delta above the floor is signal; the old floor (relative
-spread of 5 BACK-TO-BACK canary runs, measured 2.16 on this host) was
-measuring exactly the burst noise the spaced discipline avoids, so it
-condemned every per-query comparison as noise.  The parity head-to-head
-uses median-of-5 for all three engines.  Re-runs may hit the engine's
-own caches (hot-relation cache, stat-keyed artifacts) — the same
-warm-state benefit the embedded reference engines get from the OS page
-cache on their re-reads.
+is the min-of-5.  The noise floor is measured the way the estimator is
+actually used, from WARM passes only (round-8 ADVICE: folding the cold
+pass into a floor estimate conflates Janino codegen cost with host
+noise): passes {2,4} and {3,5} form two INDEPENDENT interleaved warm
+min-of-2 estimates per query, ``noise_floor`` is the 90th-percentile
+relative disagreement between them, and ``noise_within_10pct`` is the
+fraction of queries whose two estimates agree within 10%.
+
+The PER-QUERY regression guarantee is SCOPED (round-8 verdict: ~150 of
+210 queries run under 300 ms at sf0.1, where 10% sits inside scheduler
+granularity, so a universal within-10% bar is structurally unreachable
+and, more to the point, meaningless): the regression-tracked subset is
+queries with warm wall >= 0.5 s, reported as
+``noise_within_10pct_tracked`` over ``n_tracked`` queries — THAT is the
+number a round-over-round per-query diff can hold regressions against.
+Sub-0.5 s queries are still regression-guarded in AGGREGATE (the total,
+and the p90 floor over all queries).  A round-over-round per-query delta
+above the floor is signal; the old floor (relative spread of 5
+BACK-TO-BACK canary runs, measured 2.16 on this host) was measuring
+exactly the burst noise the spaced discipline avoids.  The parity
+head-to-head uses median-of-5 for all three engines.  Re-runs may hit
+the engine's own caches (hot-relation cache, stat-keyed artifacts) — the
+same warm-state benefit the embedded reference engines get from the OS
+page cache on their re-reads; since round 9 the CacheManager contract
+guarantees no query leaves a persisted relation behind, so warm numbers
+measure the engine, never a leaked cross-call memo.
 """
 
 from __future__ import annotations
@@ -111,47 +124,62 @@ def main():
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
     # The host this runs on shows multi-minute noise windows (identical
-    # workloads swing 2-4x).  Three more FULL passes over the registry:
+    # workloads swing 2-4x).  Four more FULL passes over the registry:
     # samples of one query land minutes apart, outside any single burst.
     # The cold (first-pass) time is kept alongside, so the cold-vs-warm
     # delta — dominated by Janino codegen for the wide-aggregate queries
     # — is auditable from the artifact.
     cold = dict(timings)
     passes = [dict(timings)]
-    for p in range(2, 5):
+    for p in range(2, 6):
         cur = {}
         for name, fn in fns.items():
             t, _ = run_query(fn)
             cur[name] = round(t, 4)
         passes.append(cur)
-        print(f"# pass {p}/4 total: {sum(cur.values()):.1f}s",
+        print(f"# pass {p}/5 total: {sum(cur.values()):.1f}s",
               file=sys.stderr)
     for name in timings:
         timings[name] = min(ps[name] for ps in passes)
-    print(f"# min-of-4 total: {sum(timings.values()):.1f}s "
+    print(f"# min-of-5 total: {sum(timings.values()):.1f}s "
           f"(cold {sum(cold.values()):.1f}s)", file=sys.stderr)
 
-    # Empirical noise floor of the ESTIMATOR itself: passes {1,3} and
-    # {2,4} are two independent spaced min-of-2 samples per query; their
-    # relative disagreement is exactly the uncertainty a round-over-round
-    # per-query diff of this bench carries.  (Pass 1 is cold — Janino
-    # codegen inflates it — so the {1,3} estimate is effectively pass 3
-    # for codegen-bound queries; min() absorbs that asymmetry.)
+    # Empirical noise floor of the ESTIMATOR itself, WARM passes only:
+    # passes {2,4} and {3,5} are two independent spaced warm min-of-2
+    # samples per query; their relative disagreement is exactly the
+    # uncertainty a round-over-round per-query diff of this bench
+    # carries.  (Pass 1 is cold — Janino codegen inflates it — and is
+    # excluded: a floor that folds it in conflates one-time codegen cost
+    # with host noise for codegen-heavy queries.)
     noise_floor = None
     noise_within_10pct = None
+    noise_within_10pct_tracked = None
+    n_tracked = None
     deltas = []
+    tracked_deltas = []
     for name in timings:
-        a = min(passes[0][name], passes[2][name])
-        b = min(passes[1][name], passes[3][name])
-        deltas.append(abs(a - b) / max(min(a, b), 1e-9))
+        a = min(passes[1][name], passes[3][name])
+        b = min(passes[2][name], passes[4][name])
+        d = abs(a - b) / max(min(a, b), 1e-9)
+        deltas.append(d)
+        if min(a, b) >= 0.5:  # the regression-tracked subset
+            tracked_deltas.append(d)
     if deltas:
         ds = sorted(deltas)
         noise_floor = round(ds[int(0.9 * (len(ds) - 1))], 4)
         noise_within_10pct = round(
             sum(1 for d in ds if d < 0.10) / len(ds), 4
         )
-        print(f"# paired A/B noise floor (p90): {noise_floor}; "
+        print(f"# paired warm A/B noise floor (p90): {noise_floor}; "
               f"within 10%: {noise_within_10pct:.0%}", file=sys.stderr)
+    if tracked_deltas:
+        n_tracked = len(tracked_deltas)
+        noise_within_10pct_tracked = round(
+            sum(1 for d in tracked_deltas if d < 0.10) / n_tracked, 4
+        )
+        print(f"# regression-tracked subset (warm >= 0.5s): "
+              f"{n_tracked} queries, within 10%: "
+              f"{noise_within_10pct_tracked:.0%}", file=sys.stderr)
 
     def _qnum(name: str) -> int:
         m = re.match(r"q(\d+)", name)
@@ -169,7 +197,11 @@ def main():
         "core_parity_seconds": round(sum(core.values()), 4),
         "noise_floor": noise_floor,
         "noise_within_10pct": noise_within_10pct,
-        "timing_discipline": "min-of-4 (paired spaced min-of-2 A/B floor)",
+        "noise_within_10pct_tracked": noise_within_10pct_tracked,
+        "n_tracked": n_tracked,
+        "timing_discipline":
+            "min-of-5 (warm-only paired min-of-2 A/B floor; "
+            "per-query guarantee scoped to warm >= 0.5s)",
     }
     m = re.search(r"sf([0-9.]+)", sf_dir)
     if m:
@@ -191,7 +223,7 @@ def main():
     full["cold_queries"] = {
         k: cold[k] for k in sorted(cold) if cold[k] != timings[k]
     }
-    full["passes"] = passes  # all 4 raw samples/query — noise auditable
+    full["passes"] = passes  # all 5 raw samples/query — noise auditable
     out_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "bench_results.json"
     )
