@@ -192,6 +192,143 @@ def run_substr(spark, sf_dir: str) -> dict:
     return out
 
 
+
+STREAMING_QUERIES = [
+    "q84_streaming_window_counts",   # watermarked tumbling windows
+    "q97_streaming_sessionize",      # applyInPandasWithState sessions
+    "q157_stream_stream_join",       # watermarked stream-stream join
+]
+
+
+def run_streaming(spark, sf_dir: str) -> dict:
+    """Streaming family at scale (round-9: the only family with no xN
+    smoke row).  The scale risk class here is STATE-STORE GROWTH vs the
+    watermark — a healthy watermarked operator's peak state tracks the
+    windows/sessions IN FLIGHT (bounded by the watermark delay x event
+    rate), not the stream length.  A StreamingQueryListener taps every
+    micro-batch progress event and records peak state rows/bytes and the
+    final watermark; watermark LAG = max event time in the input minus
+    the final watermark (should stay ~= the declared watermark delay at
+    ANY scale — a growing lag means the drain can't keep up).
+
+    Stale drain checkpoints for THIS input are cleared first so every
+    scale runs a real drain (a resumed checkpoint processes zero batches
+    and would report empty state — the exactly-once no-op, not a
+    measurement)."""
+    import glob
+    import json as _json
+    import shutil
+
+    import __spark_entry__ as e
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming import StreamingQueryListener
+
+    class _Tap(StreamingQueryListener):
+        def __init__(self):
+            self.progress = []
+
+        def onQueryStarted(self, event):
+            pass
+
+        def onQueryProgress(self, event):
+            try:
+                self.progress.append(_json.loads(event.progress.json))
+            except Exception:
+                pass
+
+        def onQueryIdle(self, event):
+            pass
+
+        def onQueryTerminated(self, event):
+            pass
+
+    # force real drains: drop durable drain sinks/checkpoints for the
+    # streaming names measured here (they rebuild in this run; the smoke
+    # owns the machine per the one-workload-at-a-time rule)
+    for pat in ("/tmp/pqs_drain_q97_sink_*", "/tmp/pqs_drain_q157_sink_*"):
+        for d in glob.glob(pat):
+            shutil.rmtree(d, ignore_errors=True)
+
+    tap = _Tap()
+    spark.streams.addListener(tap)
+    qs = e.queries()
+    out = {}
+    try:
+        for name in STREAMING_QUERIES:
+            tap.progress.clear()
+            t0 = time.time()
+            n = len(qs[name](spark, sf_dir).collect())
+            dt = time.time() - t0
+            # the Python listener bus delivers progress events on its own
+            # thread — poll until the stream of events goes quiet (or 10s)
+            # before snapshotting, or a fast drain reports zero batches
+            seen = -1
+            waited = 0.0
+            while len(tap.progress) != seen and waited < 10.0:
+                seen = len(tap.progress)
+                time.sleep(0.5)
+                waited += 0.5
+            progs = list(tap.progress)
+            state_rows = max(
+                (so.get("numRowsTotal", 0) or 0
+                 for pr in progs for so in pr.get("stateOperators", [])),
+                default=None,
+            )
+            state_bytes = max(
+                (so.get("stateMemory", so.get("memoryUsedBytes", 0)) or 0
+                 for pr in progs for so in pr.get("stateOperators", [])),
+                default=None,
+            )
+            wms = [
+                pr.get("eventTime", {}).get("watermark")
+                for pr in progs
+                if pr.get("eventTime", {}).get("watermark")
+            ]
+            # lag vs the STREAM'S OWN max observed event time (progress
+            # eventTime.max) — not the raw events table: some sources
+            # append synthetic flush sentinels with later timestamps
+            maxes = [
+                pr.get("eventTime", {}).get("max")
+                for pr in progs
+                if pr.get("eventTime", {}).get("max")
+            ]
+            lag = None
+            final_wm = wms[-1] if wms else None
+            if final_wm and final_wm.startswith("1970"):
+                # single-batch availableNow drain: the watermark is only
+                # published AFTER a batch, so a one-batch query reports
+                # the epoch initial value — "not advanced", not a lag
+                final_wm = None
+            if final_wm and maxes:
+                from datetime import datetime, timezone
+
+                def _parse(t):
+                    return datetime.strptime(
+                        t, "%Y-%m-%dT%H:%M:%S.%fZ"
+                    ).replace(tzinfo=timezone.utc)
+
+                lag = round(
+                    (max(_parse(t) for t in maxes)
+                     - _parse(final_wm)).total_seconds(),
+                    1,
+                )
+            out[name] = {
+                "sec": round(dt, 2),
+                "rows": n,
+                "batches": len(progs),
+                "state_rows_peak": state_rows,
+                "state_mb_peak": (
+                    round(state_bytes / 1e6, 2)
+                    if state_bytes is not None else None
+                ),
+                "final_watermark": final_wm,
+                "watermark_lag_sec": lag,
+            }
+    finally:
+        spark.streams.removeListener(tap)
+    return out
+
+
 def run(spark, sf_dir: str, names: list[str]) -> dict:
     import __spark_entry__ as e
 
@@ -253,9 +390,29 @@ if __name__ == "__main__":
     big = run(spark, out_dir, QUERIES)
     sub_base = run_substr(spark, SRC)
     sub_big = run_substr(spark, substr_dir)
+    stream_base = run_streaming(spark, SRC)
+    stream_big = run_streaming(spark, out_dir)
     report = {
         "factor": factor,
         "build_sec": build_sec,
+        "streaming": {
+            q: {
+                "sf0.1": stream_base[q],
+                f"x{factor}": stream_big[q],
+                "time_ratio": round(
+                    stream_big[q]["sec"] / max(stream_base[q]["sec"], 1e-9),
+                    1,
+                ),
+                "state_rows_ratio": (
+                    round(stream_big[q]["state_rows_peak"]
+                          / max(stream_base[q]["state_rows_peak"], 1), 1)
+                    if stream_big[q]["state_rows_peak"] is not None
+                    and stream_base[q]["state_rows_peak"] is not None
+                    else None
+                ),
+            }
+            for q in stream_base
+        },
         "substring": {
             op: {
                 "sf0.1_sec": sub_base[op]["sec"],
