@@ -174,7 +174,9 @@ def dedup_clusters(
 
 
 def triangle_stats(
-    edges: DataFrame, broadcast_max_edges: int = 5_000_000
+    edges: DataFrame,
+    broadcast_max_edges: int = 5_000_000,
+    materialize: bool = True,
 ) -> DataFrame:
     """Triangle count + wedge count + global clustering coefficient for
     an undirected simple graph given as (u, v) edge rows with u < v
@@ -254,6 +256,11 @@ def triangle_stats(
             ).alias("clustering_coeff"),
         )
     )
+    if not materialize:
+        # lazy plan for inspection (plan-shape tests): the caller owns
+        # the release of the three persisted relations —
+        # ``spark.catalog.clearCache()`` or collect-then-unpersist
+        return summary
     # OWNER-RELEASE: the result is a one-row scalar summary, so compute
     # it here while the iteration caches are live, release every persist,
     # and hand back the materialized row — the CacheManager stays flat

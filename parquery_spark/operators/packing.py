@@ -46,8 +46,8 @@ def prefix_sum(
     inclusive: bool = True,
 ) -> DataFrame:
     """``df`` plus a global running sum of ``value_col`` in ``order_col``
-    order — the distributed prefix sum (range partition → parallel
-    per-partition windows → driver-side fold of one row per partition),
+    order — the distributed prefix sum (literal range buckets → parallel
+    per-bucket windows → per-bucket offsets from one scalar collect),
     NEVER Spark's single-task un-partitioned ``SUM OVER (ORDER BY)``.
 
     ``inclusive=False`` gives the exclusive prefix (sum of strictly
@@ -123,7 +123,7 @@ def _range_boundaries(src: DataFrame, order_col: str, nparts: int) -> list:
         keys = row["b"] or []
         return sorted({k for k in keys if k is not None})
     cap = nparts * 128
-    keys = [
+    keys = sorted({
         r[0]
         for r in src.select(order_col)
         .where(F.col(order_col).isNotNull())
@@ -133,18 +133,27 @@ def _range_boundaries(src: DataFrame, order_col: str, nparts: int) -> list:
         )
         .limit(cap)
         .collect()
-    ]
-    if not keys:  # tiny input: every key hashed past the filter
-        keys = [
+    })
+    if len(keys) <= 1:
+        # tiny or low-cardinality input: the value-hash filter kept < 2
+        # distinct keys — resample unfiltered (still capped) before
+        # giving up, or a ~30-distinct-key relation would degenerate to
+        # a single-partition window
+        keys = sorted({
             r[0]
             for r in src.select(order_col)
             .where(F.col(order_col).isNotNull())
             .limit(cap)
             .collect()
-        ]
-    keys = sorted(set(keys))
-    if len(keys) <= 1:
-        return []
+        })
+    if not keys:
+        return []  # empty/all-null input: single trivial bucket
+    if len(keys) == 1:
+        # one distinct key: emit it as the lone boundary anyway — every
+        # row lands in bucket 0, but the bucket expression stays a real
+        # column function (a constant-folded literal would erase the
+        # window's partition spec and plan a global window)
+        return keys
     step = len(keys) / nparts
     return sorted({keys[int(i * step)] for i in range(1, nparts)})
 

@@ -253,8 +253,12 @@ class TestRound3PlanShapes:
     them 100 TB-safe must be visible in the physical plan."""
 
     def test_pack_shards_window_is_partitioned(self, spark, sf_dir):
-        """The prefix sum must be a range-partitioned parallel window, not
-        Spark's single-task global ``SUM OVER (ORDER BY)``."""
+        """The prefix sum must be a bucket-partitioned parallel window,
+        not Spark's single-task global ``SUM OVER (ORDER BY)``.  Round 9:
+        ONE exchange (hash on the literal-derived bucket id) — the old
+        shape paid a range exchange AND a second __pid hash exchange and
+        pinned a correctness-critical cache; the bucket boundaries are
+        now plan literals, so there is nothing to cache."""
         from parquery_spark.functions.text import token_count
         from parquery_spark.operators.packing import pack_shards
 
@@ -262,11 +266,16 @@ class TestRound3PlanShapes:
         out = pack_shards(docs.select("doc_id", "text"),
                           token_count("text"), 4096, "doc_id")
         plan = out._jdf.queryExecution().executedPlan().toString()
-        assert "rangepartitioning" in plan.lower()
-        # every Window in the plan carries a partition spec (__pid)
-        for line in plan.splitlines():
-            if "Window" in line and "windowspecdefinition" in line.lower():
-                assert "__pid" in line
+        # every Window in the plan carries a partition spec (__pid) and
+        # its distribution is the single hash exchange on __pid
+        windows = [
+            l for l in plan.splitlines()
+            if "Window" in l and "windowspecdefinition" in l.lower()
+        ]
+        assert windows
+        assert all("__pid" in l for l in windows)
+        assert "hashpartitioning(__pid" in plan
+        assert "InMemoryTableScan" not in plan  # nothing persisted
 
     def test_similarity_bucket_table_stays_in_codegen(self, spark, sf_dir):
         """Plane signatures must be explode-shaped partial aggs — no
@@ -351,7 +360,7 @@ class TestRound3PlanShapes:
         windows = [l for l in p.splitlines() if "Window" in l
                    and "windowspecdefinition" in l.lower()]
         assert windows and all("__pid" in l for l in windows)
-        assert "rangepartitioning" in p.lower()
+        assert "hashpartitioning(__pid" in p
 
     def test_q101_bucketed_join_is_shuffle_free(self, spark, sf_dir):
         """q101's bucketed tables must join without a shuffle on either
@@ -624,7 +633,28 @@ class TestContinuation2PlanShapes:
         assert "BroadcastHashJoin" in p
         assert "windowspecdefinition" not in p.lower()
 
-        p = plan("q158_triangle_count")
+        # q158's query-level plan is now a materialized one-row summary
+        # (triangle_stats owner-releases its iteration caches before
+        # returning), so the join shape is asserted on the operator's
+        # lazy form; the three persists it registers are cleared after
+        from parquery_spark.operators.graph import triangle_stats
+        from parquery_spark.queries import load
+
+        li = load(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_partkey"
+        )
+        edges = (
+            li.select(F.col("l_orderkey").alias("k"),
+                      F.col("l_partkey").alias("u"))
+            .join(li.select(F.col("l_orderkey").alias("k"),
+                            F.col("l_partkey").alias("v")), "k")
+            .where(F.col("u") < F.col("v"))
+            .select("u", "v")
+            .distinct()
+        )
+        tri = triangle_stats(edges, materialize=False)
+        p = tri._jdf.queryExecution().executedPlan().toString()
+        spark.catalog.clearCache()  # release the inspection-only persists
         assert "BroadcastHashJoin" in p
 
         p = plan("q161_gram_matrix")

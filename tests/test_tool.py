@@ -209,7 +209,9 @@ class TestDriverPriorityRegistry:
         from parquery_spark.queries import QUERIES
 
         audit = pathlib.Path(__file__).resolve().parents[1] / "PLAN_AUDIT.md"
-        audited = set(re.findall(r"^\| (q\w+) \|", audit.read_text(), re.M))
+        audited = set(
+            re.findall(r"^\| (q\d+\w*) \|", audit.read_text(), re.M)
+        )
         live = set(QUERIES)
         assert audited == live, (
             f"PLAN_AUDIT.md is stale — run `make plan-audit`.  "
