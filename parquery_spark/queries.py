@@ -72,9 +72,24 @@ def _e4_to_cents(sum_col):
 
 
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
-    # hot-relation cache: small tables come back columnar-cached and
-    # re-sliced; large ones stream (size gate inside get_relation)
-    return relations.get_relation(spark, os.path.join(sf_dir, f"{table}.parquet"))
+    """Uncached, fully lazy scan — deliberately NOT the hot-relation
+    cache (round 9).  Two measured reasons:
+
+    * a cached base table plans as ``TableCacheQueryStage``, which
+      DEFEATS AQE exchange reuse for every multi-consumer relation above
+      it (Spark 4.1: identical exchanges over a table-cache stage are
+      not unified; over a real scan they are) — the registry leans on
+      ReuseExchange as its zero-cache sharing mechanism, and a 27-query
+      mini-bench ran 16% faster uncached;
+    * at 100 TB nobody columnar-caches base facts — real scans keep
+      PushedFilters/partition pruning visible and honest.
+
+    The hot cache (``relations.get_relation``) remains on the
+    reference-parity aggregate surface, where repeated small-table
+    aggregation is the workload it was built for."""
+    return relations.get_relation(
+        spark, os.path.join(sf_dir, f"{table}.parquet"), cache=False
+    )
 
 
 def _path(sf_dir: str, table: str) -> str:
@@ -2285,14 +2300,27 @@ def q73_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     # copies apart — ReuseExchange tokenizes the corpus once, with no
     # persisted intermediate (the former persist leaked a corpus-sized
     # cache per call)
-    per_doc = toks.groupBy("doc_id", "lang", "t").agg(
+    # the tf/df join on t infers isnotnull(t) asymmetrically into the
+    # branches (InferFiltersFromConstraints), which would defeat the
+    # exchange reuse — pre-filter the shared relation so both branches
+    # carry the identical (vacuously true) predicate
+    per_doc = toks.where(F.col("t").isNotNull()).groupBy(
+        "doc_id", "lang", "t"
+    ).agg(
         F.count(F.lit(1)).alias("c")
     )
     tf = per_doc.groupBy("lang", "t").agg(F.sum("c").alias("tf"))
     dfreq = (
         # per_doc is distinct per (doc, term) — lang is a per-doc
-        # attribute — so a row count IS the distinct-document frequency
-        per_doc.groupBy("t").agg(F.count("c").alias("df"))
+        # attribute — so a row count IS the distinct-document frequency.
+        # The count deliberately CONSUMES c's value (c >= 1 always, so
+        # the predicate is vacuous): a plain count(1)/count(c) lets
+        # Catalyst prune the count expression out of this branch's copy
+        # of the per_doc aggregate, which would desync the two exchange
+        # children and defeat ReuseExchange
+        per_doc.groupBy("t").agg(
+            F.count(F.when(F.col("c") >= 1, 1)).alias("df")
+        )
     )
     scored = tf.join(dfreq, "t").withColumn(
         "tfidf", F.round(F.col("tf") * F.log(F.lit(n_docs) / F.col("df")), 6)
@@ -6147,11 +6175,15 @@ def q140_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("day"),
             "user_id",
         )
+        .where(F.col("day").isNotNull())
         .distinct()
     )
-    # days and the range join are both consumers of the ONE du plan;
-    # its (day, user) distinct-exchange is shared via ReuseExchange —
-    # no persisted intermediate
+    # days is NOT exchange-shared with the join branch — and that is the
+    # optimizer being right, not a missed reuse: Catalyst collapses
+    # distinct(project(distinct)) so the day spine plans as a
+    # single-column ts scan + |days|-row aggregate, cheaper than reading
+    # the (day, user) exchange it would have shared.  No persist either
+    # way; the second scan is column-pruned to one column.
     days = du.select("day").distinct().withColumnRenamed("day", "d")
     joined = days.join(
         du,
@@ -7068,9 +7100,13 @@ def q154_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     supp = load(spark, sf_dir, "supplier")
     revenue = (
+        # isnotnull(l_suppkey) is what the supplier join would infer into
+        # ONLY the join-back branch (defeating the max-branch exchange
+        # reuse) — assert it on the shared relation instead
         li.where(
             (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
             & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+            & F.col("l_suppkey").isNotNull()
         )
         .groupBy(F.col("l_suppkey").alias("supplier_no"))
         .agg(_e4_to_cents(F.sum(_rev_e4())).alias("total_revenue"))

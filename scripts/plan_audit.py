@@ -190,13 +190,16 @@ def audit(sf_dir: str, names: list[str] | None = None) -> list[dict]:
 
     import __spark_entry__ as e
 
-    spark = get_spark("plan_audit")
     # the build-phase capture iterates SQLAppStatusStore.executionsList,
     # which is capped by spark.sql.ui.retainedExecutions (default 1000);
     # a full audit runs well past that and would silently undercount the
-    # b_* columns once early executions are evicted.  The audit owns its
-    # session, so raise the cap far above any audit's execution count.
-    spark.conf.set("spark.sql.ui.retainedExecutions", "100000")
+    # b_* columns once early executions are evicted.  It is a STATIC
+    # conf, so it must land before the session builds (env-driven conf,
+    # the bench.py mechanism) — the audit owns its session.
+    os.environ.setdefault(
+        "PARQUERY_SPARK_CONF_spark__sql__ui__retainedExecutions", "100000"
+    )
+    spark = get_spark("plan_audit")
     store = spark._jsparkSession.sharedState().statusStore()
     rows = []
     qs = e.queries()
