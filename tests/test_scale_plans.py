@@ -1076,6 +1076,31 @@ class TestSubstringSpanPlans:
             assert "ReusedExchange" in plan
             assert "InMemoryTableScan" not in plan
 
+    def test_two_consumer_queries_reuse_exchange_at_runtime(
+            self, spark, sf_dir):
+        """Round-9 contract: the former persist sites now share their
+        multi-consumer relations through ReuseExchange at RUNTIME (the
+        lazy plan can't show it under AQE) — and through a real scan,
+        not a table cache (a TableCacheQueryStage source defeats AQE
+        exchange reuse entirely on Spark 4.1; that is why load() is
+        uncached)."""
+        from parquery_spark.operators.reuse import final_plan
+        from parquery_spark.queries import QUERIES
+
+        for name in (
+            "q73_tfidf_top_terms",      # tf/df over one counted grain
+            "q74_unigram_logprob",      # vocab + derived normalizer
+            "q154_tpch_q15",            # max branch + join-back
+            "q175_partition_repair_diff",  # two checksum sides
+            "q185_item_similarity",     # alias self-join + popularity
+            "q219_source_kl_divergence",   # four histogram consumers
+        ):
+            df = QUERIES[name][0](spark, sf_dir)
+            df.collect()
+            plan = final_plan(df)
+            assert "ReusedExchange" in plan, name
+            assert "InMemoryTableScan" not in plan, name
+
     def test_verified_pairs_shingles_twice_not_four_times(
             self, spark, sf_dir, tmp_path):
         """lsh_verified_pairs' documented contract: the corpus is
