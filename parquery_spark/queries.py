@@ -4298,6 +4298,28 @@ def q110_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _winnow_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stat-keyed winnowing-fingerprint INDEX (k=5, w=4) shared by q111
+    (per-doc rollup) and q137 (overlap pairs) — the operator docstring
+    already calls the (doc_id, fingerprint) relation "the reusable
+    overlap-detection index", and this is it being reused: built once
+    per corpus version, read as parquet by every consumer (round-8's
+    banded-signature sharing, applied to winnowing).  Round-9 honesty
+    note: q111 used to ride q137's leaked persist as an accidental
+    cross-call memo; this is the explicit, restart-surviving form."""
+    from parquery_spark.operators.dedup import winnow_fingerprints
+
+    wdir = _stat_dir(sf_dir, "documents", "winnow-k5w4-v1", "pqs_winnow")
+
+    def _build(t):
+        winnow_fingerprints(
+            load(spark, sf_dir, "documents"), "text", "doc_id", k=5, w=4
+        ).write.parquet(t)
+
+    wdir = _materialize_once(wdir, _build)
+    return spark.read.parquet(wdir)
+
+
 # ===========================================================================
 # Round 4, batch C — winnowing, leakage-safe split, outliers, BM25
 # ===========================================================================
@@ -4330,11 +4352,7 @@ def q111_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     count + order-independent XOR of the selected fingerprint set.  The
     full (doc_id, fingerprint) relation is the reusable overlap-detection
     index; the rollup keeps the oracle row count at |docs|."""
-    from parquery_spark.operators.dedup import winnow_fingerprints
-
-    fp = winnow_fingerprints(
-        load(spark, sf_dir, "documents"), "text", "doc_id", k=5, w=4
-    )
+    fp = _winnow_fp(spark, sf_dir)
     return fp.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_fp"),
         F.bit_xor("fingerprint").alias("fp_xor"),
@@ -4864,25 +4882,39 @@ def q119_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _Q119_MAX_DF = 50  # matches q137's winnowing stop-fingerprint cap
 
-    docs = load(spark, sf_dir, "documents")
-    sh = (
-        docs.select(
-            "doc_id",
-            "source",
-            F.explode(
-                F.array_distinct(word_shingles("text", 3))
-            ).alias("gram"),
-        )
-        .withColumn(
-            "__df",
-            F.count(F.lit(1)).over(Window.partitionBy("source", "gram")),
-        )
-        .filter(F.col("__df") <= _Q119_MAX_DF)
-        .drop("__df")
+    # the capped (doc, source, gram) relation IS the containment
+    # inverted index — a pure function of the corpus version, so it is
+    # staged once as a stat-keyed storage artifact (the q43-banding /
+    # q223-span pattern): the explode + df-cap window run once per
+    # corpus, and all three consumers here (sizes + both self-join
+    # sides) read parquet
+    gdir = _stat_dir(
+        sf_dir, "documents", f"grams3-df{_Q119_MAX_DF}-v1", "pqs_gramidx"
     )
-    # all three consumers (sizes + both self-join sides) are alias/direct
-    # references to the ONE sh plan, so ReuseExchange shares its
-    # (source, gram) window exchange — no persisted intermediate
+
+    def _build_grams(t):
+        docs = load(spark, sf_dir, "documents")
+        (
+            docs.select(
+                "doc_id",
+                "source",
+                F.explode(
+                    F.array_distinct(word_shingles("text", 3))
+                ).alias("gram"),
+            )
+            .withColumn(
+                "__df",
+                F.count(F.lit(1)).over(
+                    Window.partitionBy("source", "gram")
+                ),
+            )
+            .filter(F.col("__df") <= _Q119_MAX_DF)
+            .drop("__df")
+            .write.parquet(t)
+        )
+
+    gdir = _materialize_once(gdir, _build_grams)
+    sh = spark.read.parquet(gdir)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     inter = (
         self_join_reusing(
@@ -6009,14 +6041,10 @@ def q137_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs: boilerplate) dropped before pairing, the same max_df discipline
     as the inverted-index Jaccard path.  Never corpus²; the winnowing
     guarantee bounds recall (any shared 8-word run surfaces)."""
-    from parquery_spark.operators.dedup import winnow_fingerprints
-
-    # rare, keyed and the b join side are all references to the ONE fp
-    # plan — its winnowing exchanges are shared via ReuseExchange, no
-    # persisted intermediate
-    fp = winnow_fingerprints(
-        load(spark, sf_dir, "documents"), "text", "doc_id", k=5, w=4
-    )
+    # rare, keyed and the b join side all read the stat-keyed
+    # fingerprint index artifact (shared with q111) — winnowing runs
+    # once per corpus version, nothing persisted in-session
+    fp = _winnow_fp(spark, sf_dir)
     rare = (
         fp.groupBy("fingerprint")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -7340,22 +7368,34 @@ def q158_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     close via one more hash join on the (s, t) pair.  Global clustering
     coefficient = 3*triangles / wedges comes from the same degree
     relation — everything integer-exact except the final rounded ratio."""
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a = li.select(
-        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("u")
-    )
-    b = li.select(
-        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("v")
-    )
-    edges = (
-        a.join(b, "k")
-        .where(F.col("u") < F.col("v"))
-        .select("u", "v")
-        .distinct()
-    )
+    # the co-purchase edge set is a corpus-pure derived graph — staged
+    # once as a stat-keyed storage artifact (the q132 pagerank-edges
+    # pattern; round-9 honesty note: the former warm numbers here were
+    # reading triangle_stats' leaked internal persists across calls)
+    edir = _stat_dir(sf_dir, "lineitem", "tri-edges-v1", "pqs_triedges")
+
+    def _build_edges(t):
+        li = load(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_partkey"
+        )
+        a = li.select(
+            F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("u")
+        )
+        b = li.select(
+            F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("v")
+        )
+        (
+            a.join(b, "k")
+            .where(F.col("u") < F.col("v"))
+            .select("u", "v")
+            .distinct()
+            .write.parquet(t)
+        )
+
+    edir = _materialize_once(edir, _build_edges)
     from parquery_spark.operators.graph import triangle_stats
 
-    return triangle_stats(edges)
+    return triangle_stats(spark.read.parquet(edir))
 
 
 @query(
@@ -9167,12 +9207,16 @@ def q185_item_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("__basket_n") <= _Q185_MAX_BASKET)
         .drop("__basket_n")
+        # explicit exchange ABOVE the window/filter: ReuseExchange on the
+        # window's own cust exchange would re-run the basket sort+count
+        # per consumer (three times); re-shuffling the already-compact
+        # capped rows once lets all three consumers read this exchange
+        # with the window executed ONCE — and cust is exactly the
+        # self-join's required distribution, so the join adds no further
+        # exchange.  No persist (the former pre-renamed a/b select()
+        # sides defeated reuse entirely and leaked a cache to compensate)
+        .repartition("cust")
     )
-    # cnt and both self-join sides reference the ONE bi plan: the basket
-    # window's cust exchange is exactly the join's required distribution,
-    # so ReuseExchange shares it across all three consumers — no persist
-    # (the former pre-renamed a/b select() sides defeated the reuse and
-    # leaked a cache to compensate)
     cnt = bi.groupBy("item").agg(F.count(F.lit(1)).alias("c"))
     co = (
         self_join_reusing(
@@ -9482,12 +9526,23 @@ def q188_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     from parquery_spark.functions.text import token_count
     from parquery_spark.operators.packing import prefix_sum
 
-    docs = load(spark, sf_dir, "documents").select(
-        "doc_id",
-        "source",
-        token_count(F.col("text")).cast("long").alias("n_tokens"),
-        "n_chars",
-    )  # scan + cheap column exprs: recompute beats a session-lived cache
+    # the doc-grain feature table (id, source, token/char counts) is
+    # corpus-pure — staged once as a stat-keyed storage artifact so the
+    # prefix-sum passes' driver round-trips (boundaries + per-bucket
+    # totals, twice) re-read a 4-column parquet instead of re-running
+    # token_count over the text column each time
+    sdir = _stat_dir(sf_dir, "documents", "docstats-v1", "pqs_docstats")
+
+    def _build_stats(t):
+        load(spark, sf_dir, "documents").select(
+            "doc_id",
+            "source",
+            token_count(F.col("text")).cast("long").alias("n_tokens"),
+            "n_chars",
+        ).write.parquet(t)
+
+    sdir = _materialize_once(sdir, _build_stats)
+    docs = spark.read.parquet(sdir)
     n = docs.count()
     SHIFT = F.lit(4294967296)
 
@@ -9559,16 +9614,23 @@ def q189_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     from parquery_spark.functions.text import tokens
     from parquery_spark.operators.packing import prefix_sum
 
-    docs = load(spark, sf_dir, "documents")
-    vocab = (
-        docs.select(F.explode(tokens(F.col("text"))).alias("term"))
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    # every consumer (total + the prefix-sum passes) references term AND
-    # c, so the vocab exchange is shared via ReuseExchange where branches
-    # land in one plan, and the prefix-sum side passes recompute only the
-    # compact (term, c) aggregate — nothing persisted
+    # the (term, count) vocabulary IS the tokenizer-design artifact this
+    # query exists to analyze — corpus-pure, staged once stat-keyed; the
+    # prefix-sum passes and the normalizer then read a two-column
+    # parquet instead of re-tokenizing the corpus per driver round-trip
+    vdir = _stat_dir(sf_dir, "documents", "vocab-v1", "pqs_vocab")
+
+    def _build_vocab(t):
+        (
+            load(spark, sf_dir, "documents")
+            .select(F.explode(tokens(F.col("text"))).alias("term"))
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .write.parquet(t)
+        )
+
+    vdir = _materialize_once(vdir, _build_vocab)
+    vocab = spark.read.parquet(vdir)
     total = vocab.agg(F.sum("c").alias("total"))
     # rank key: descending count, ascending term — encode as a single
     # orderable string key so the range partitioner sorts once
