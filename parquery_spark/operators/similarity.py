@@ -257,25 +257,21 @@ def cosine_topk_lsh(
     return cosine_topk(candidates, query, k, vec_col, id_col, digits)
 
 
-def near_dup_pairs(
+def near_dup_bucket_table(
     df: DataFrame,
-    threshold: float = 0.95,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     num_planes: int = 8,
     seed: int = 7,
-    digits: int = 6,
     dim: int | None = None,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs via LSH bucketing: vectors in
-    the same sign-bit bucket are verified with exact cosine.  High
-    thresholds ⇒ near-identical vectors ⇒ same bucket with high
-    probability; join is quadratic only within buckets.
-
-    Pass ``dim`` (the embedding width) explicitly when known: it is needed
-    driver-side to generate the hyperplanes, and without it an extra
-    Spark job (``first()``) probes the data — which also fails on an
-    empty corpus."""
+    """The ANN near-dup INDEX relation: ``(id, bucket, nrm, v)`` — sign
+    bucket, vector norm, and the vector itself, one explode pass.  A pure
+    function of (corpus, planes), so production stages it once per corpus
+    version (stat-keyed parquet) and feeds it back to
+    :func:`near_dup_pairs` via ``bucketed=`` — the hive-partitioned
+    :func:`write_ann_index` is the partition-pruned variant of the same
+    idea."""
     if dim is None:
         first = df.select(vec_col).first()
         if first is None:
@@ -286,6 +282,45 @@ def near_dup_pairs(
         dim = len(first[0])
     planes = hyperplanes(dim, num_planes, seed)
 
+    def term(plane):
+        lit = _lit_array(plane)
+        return lambda x, p: x * F.element_at(lit, p + 1)
+
+    terms = {f"__d{j}": term(plane) for j, plane in enumerate(planes)}
+    terms["__nn"] = lambda x, p: x * x
+    sums = _explode_sums(df, vec_col, id_col, terms)
+    return sums.select(
+        F.col(id_col),
+        _bucket_from_sums(num_planes).alias("bucket"),
+        F.sqrt("__nn").alias("nrm"),
+    ).join(df.select(F.col(id_col), _as_double(vec_col).alias("v")), id_col)
+
+
+def near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    num_planes: int = 8,
+    seed: int = 7,
+    digits: int = 6,
+    dim: int | None = None,
+    bucketed: DataFrame | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via LSH bucketing: vectors in
+    the same sign-bit bucket are verified with exact cosine.  High
+    thresholds ⇒ near-identical vectors ⇒ same bucket with high
+    probability; join is quadratic only within buckets.
+
+    Pass ``dim`` (the embedding width) explicitly when known: it is needed
+    driver-side to generate the hyperplanes, and without it an extra
+    Spark job (``first()``) probes the data — which also fails on an
+    empty corpus.
+
+    ``bucketed`` injects a precomputed :func:`near_dup_bucket_table`
+    relation (typically a stat-keyed storage artifact) — it MUST have
+    been built with the same (num_planes, seed, dim) or buckets/norms
+    silently disagree; the artifact's logic tag carries those params."""
     # bucket + ‖v‖² in ONE explode pass (codegen partial-aggs); the vector
     # itself is joined back for the per-pair verification.  The relation
     # feeds both sides of the bucket self-join as ALIAS references
@@ -294,21 +329,10 @@ def near_dup_pairs(
     # MEMORY_AND_DISK persist here leaked one session-lived cache per
     # call); per-id norms computed here mean the per-pair expression is
     # a single dot product.
-    def term(plane):
-        lit = _lit_array(plane)
-        return lambda x, p: x * F.element_at(lit, p + 1)
-
-    terms = {f"__d{j}": term(plane) for j, plane in enumerate(planes)}
-    terms["__nn"] = lambda x, p: x * x
-    sums = _explode_sums(df, vec_col, id_col, terms)
-    bucketed = (
-        sums.select(
-            F.col(id_col),
-            _bucket_from_sums(num_planes).alias("bucket"),
-            F.sqrt("__nn").alias("nrm"),
+    if bucketed is None:
+        bucketed = near_dup_bucket_table(
+            df, vec_col, id_col, num_planes, seed, dim
         )
-        .join(df.select(F.col(id_col), _as_double(vec_col).alias("v")), id_col)
-    )
     from parquery_spark.operators.reuse import self_join_reusing
 
     pairs = self_join_reusing(

@@ -1243,11 +1243,30 @@ def _sql_near_dup(num_planes: int, threshold: float, seed: int) -> str:
 def q47_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: LSH bucket join (quadratic
     only within buckets), exact cosine verification ≥ 0.3."""
-    from parquery_spark.operators.similarity import near_dup_pairs
+    from parquery_spark.operators.similarity import (
+        near_dup_bucket_table,
+        near_dup_pairs,
+    )
 
+    # the (id, bucket, nrm, v) relation is the ANN near-dup INDEX — a
+    # pure function of (corpus, planes), staged once stat-keyed; the
+    # verify join then reads parquet on both alias sides (params are in
+    # the logic tag, matching the injected-relation contract)
+    bdir = _stat_dir(
+        sf_dir, "embeddings", "nd-bucket-p4-s7-d64-v1", "pqs_ndidx"
+    )
+
+    def _build_bucket(t):
+        near_dup_bucket_table(
+            load(spark, sf_dir, "embeddings"),
+            num_planes=4, seed=7, dim=64,
+        ).write.parquet(t)
+
+    bdir = _materialize_once(bdir, _build_bucket)
     return near_dup_pairs(
         load(spark, sf_dir, "embeddings"),
         threshold=0.3, num_planes=4, seed=7, dim=64,
+        bucketed=spark.read.parquet(bdir),
     )
 
 
@@ -4754,22 +4773,36 @@ def q118_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     guarantee is emitted as a gated boolean per heavy hitter."""
     from parquery_spark.operators.dedup import hash64, shingle_tokens
 
-    docs = load(spark, sf_dir, "documents")
-    inst = docs.select(
-        F.explode(shingle_tokens("text")).alias("token")
+    # both the sketch counters and the true heavy hitters derive from
+    # the (token, count) HISTOGRAM — corpus-pure, staged once stat-keyed
+    # (the vocabulary-artifact pattern): counters are count-weighted
+    # bucket sums over the histogram (identical to counting raw token
+    # instances, without re-tokenizing the corpus per consumer), top-20
+    # is a TakeOrderedAndProject over the same relation
+    hdir = _stat_dir(
+        sf_dir, "documents", "shingle-hist-v1", "pqs_shhist"
     )
+
+    def _build_hist(t):
+        (
+            load(spark, sf_dir, "documents")
+            .select(F.explode(shingle_tokens("text")).alias("token"))
+            .groupBy("token")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .write.parquet(t)
+        )
+
+    hdir = _materialize_once(hdir, _build_hist)
+    hist = spark.read.parquet(hdir)
 
     def bucket(r):
         return (hash64(F.col("token"), seed=f"cms{r}") % _CMS_WIDTH).alias(
             "bucket"
         )
 
-    # the depth dimension fans out of ONE token scan (explode of a
-    # 4-element literal — the q176 replicate pattern) instead of a
-    # 4-way union of per-row-hash branches over a persisted token
-    # relation: the hash row is (r, token) with the seed folded in as a
-    # column expression, so the corpus tokenizes once per pass and
-    # nothing is cached
+    # the depth dimension fans out of ONE histogram scan (explode of a
+    # 4-element literal — the q176 replicate pattern): the hash row is
+    # (r, token) with the seed folded in as a column expression
     row_hash = F.conv(
         F.substring(
             F.md5(
@@ -4783,20 +4816,20 @@ def q118_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         16, 10,
     ).cast("long")
     counters = (
-        inst.select(
+        hist.select(
             "token",
+            "n",
             F.explode(
                 F.array(*[F.lit(r) for r in range(_CMS_DEPTH)])
             ).alias("r"),
         )
-        .select("r", (row_hash % _CMS_WIDTH).alias("bucket"))
+        .select("r", (row_hash % _CMS_WIDTH).alias("bucket"), "n")
         .groupBy("r", "bucket")
-        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum("n").alias("c"))
     )
 
     top = (
-        inst.groupBy("token")
-        .agg(F.count(F.lit(1)).alias("true_n"))
+        hist.select("token", F.col("n").alias("true_n"))
         .orderBy(F.col("true_n").desc(), F.col("token"))
         .limit(20)
     )
@@ -9207,6 +9240,10 @@ def q185_item_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("__basket_n") <= _Q185_MAX_BASKET)
         .drop("__basket_n")
+        # the self-join would infer isnotnull(cust)/isnotnull(item) into
+        # only ITS branches and desync the shared exchange — assert the
+        # vacuous predicates here so all three consumers stay identical
+        .where(F.col("cust").isNotNull() & F.col("item").isNotNull())
         # explicit exchange ABOVE the window/filter: ReuseExchange on the
         # window's own cust exchange would re-run the basket sort+count
         # per consumer (three times); re-shuffling the already-compact
