@@ -214,9 +214,14 @@ def write_dataset_card(
             )
         )
     df = df.persist()
-    stats = df.agg(*aggs).collect()[0]
-    df.write.mode(mode).option("compression", "zstd").parquet(out_dir)
-    df.unpersist()  # owner-release: both passes (stats + write) are done
+    try:
+        stats = df.agg(*aggs).collect()[0]
+        df.write.mode(mode).option("compression", "zstd").parquet(out_dir)
+    finally:
+        # owner-release even when the stats collect or the write raises —
+        # a leak here would outlive the call (the exact class the
+        # registry-wide cache contract eliminates)
+        df.unpersist()
     files = sorted(
         f for f in os.listdir(out_dir) if f.endswith(".parquet")
     )

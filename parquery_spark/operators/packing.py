@@ -53,7 +53,16 @@ def prefix_sum(
     ``inclusive=False`` gives the exclusive prefix (sum of strictly
     preceding rows) — what shard packing needs.  ``order_col`` should be
     a total order (unique keys): rows tied on the key get an arbitrary
-    relative order within their tie group."""
+    relative order within their tie group.
+
+    ``df`` must be DETERMINISTIC across recomputes: the per-bucket
+    offsets are collected from one execution while the returned plan
+    recomputes ``df`` at action time, so a nondeterministic upstream
+    (``sample``/``limit`` without a sort, a mutating source) silently
+    desyncs offsets from the recomputed rows.  The frozen boundaries
+    only make the BUCKETING deterministic, not the data — stage
+    volatile inputs as a parquet artifact first (the registry's
+    stat-keyed artifacts exist precisely for this)."""
     sz = F.col(value_col) if isinstance(value_col, str) else value_col
     src = df.withColumn("__sz", sz.cast("long"))
     spark = df.sparkSession
@@ -82,7 +91,9 @@ def prefix_sum(
     offsets, acc = [], 0
     for p in range(len(bnds) + 1):
         offsets.append(acc)
-        acc += totals.get(p, 0)
+        # `or 0` also covers a present-but-NULL total (sum over an
+        # all-NULL value_col bucket returns None, not a missing key)
+        acc += totals.get(p) or 0
 
     w = (
         Window.partitionBy("__pid")

@@ -296,6 +296,37 @@ def near_dup_bucket_table(
     ).join(df.select(F.col(id_col), _as_double(vec_col).alias("v")), id_col)
 
 
+def _check_injected_bucket_table(
+    rel: DataFrame, id_col: str, num_planes: int
+) -> None:
+    """Cheap structural guard for an INJECTED :func:`near_dup_bucket_table`
+    relation (mirrors ``_check_injected_banding`` in operators/dedup.py):
+    a table built with a different ``num_planes`` carries bucket ids the
+    call's bucket space can't contain, and a missing column means the
+    artifact is not a bucket table at all — both would otherwise yield
+    wrong or empty pairs with only the artifact's logic tag as defense.
+    One-row probe: the relation is internally homogeneous (every row
+    built by the same recipe), so O(1) at any corpus size.  A ``seed``
+    mismatch at the SAME width is not detectable structurally — that
+    remains the tag's job."""
+    need = {id_col, "bucket", "nrm", "v"}
+    missing = need - set(rel.columns)
+    if missing:
+        raise ValueError(
+            f"near_dup_pairs: injected bucket table lacks columns "
+            f"{sorted(missing)}"
+        )
+    probe = rel.select(F.col("bucket").alias("b")).first()
+    if probe is None:
+        return  # empty relation: nothing to validate
+    if not (0 <= probe["b"] < 2 ** num_planes):
+        raise ValueError(
+            f"near_dup_pairs: injected bucket table has bucket id "
+            f"{probe['b']} outside [0, 2**{num_planes}) — built with a "
+            "different num_planes (stale artifact: bump its logic tag)"
+        )
+
+
 def near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.95,
@@ -333,6 +364,8 @@ def near_dup_pairs(
         bucketed = near_dup_bucket_table(
             df, vec_col, id_col, num_planes, seed, dim
         )
+    else:
+        _check_injected_bucket_table(bucketed, id_col, num_planes)
     from parquery_spark.operators.reuse import self_join_reusing
 
     pairs = self_join_reusing(

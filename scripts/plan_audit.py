@@ -353,19 +353,29 @@ if __name__ == "__main__":
         # mid-publish of an artifact would otherwise see its directory
         # vanish (the one-workload-at-a-time rule, now enforced instead
         # of commented).  Fail fast rather than silently racing.
-        _lock = open("/tmp/pqs_audit.lock", "w")
+        # per-uid lock path + O_NOFOLLOW|verify-owner: a world-shared
+        # fixed /tmp name is a squatting/symlink surface (another local
+        # user pre-creates it and either owns the lock or redirects the
+        # open) — same hardening class as _check_artifact_owner
+        _lock_path = f"/tmp/pqs_audit.{os.getuid()}.lock"
+        _fd = os.open(
+            _lock_path, os.O_CREAT | os.O_WRONLY | os.O_NOFOLLOW, 0o600
+        )
+        if os.fstat(_fd).st_uid != os.getuid():
+            sys.exit(f"{_lock_path} is owned by another uid; refusing")
+        _lock = os.fdopen(_fd, "w")
         try:
             fcntl.flock(_lock, fcntl.LOCK_EX | fcntl.LOCK_NB)
         except OSError:
             sys.exit(
                 "another plan_audit --fresh-artifacts holds "
-                "/tmp/pqs_audit.lock; refusing to race artifact deletion"
+                f"{_lock_path}; refusing to race artifact deletion"
             )
         for d in glob.glob("/tmp/pqs_*"):
             if "smoke" in d:  # scale-smoke FIXTURES are not artifacts —
                 continue  # rebuilding those costs minutes of table writes
-            if d.endswith("pqs_audit.lock"):
-                continue
+            if os.path.basename(d).startswith("pqs_audit."):
+                continue  # the lockfile(s) themselves
             shutil.rmtree(d, ignore_errors=True)
     sf = argv[0] if argv else "/root/testdata/sf0.01"
     names = argv[1:] or None

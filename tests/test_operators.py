@@ -220,6 +220,34 @@ class TestSimilarity:
         assert (0, 1) in pairset
         assert (0, 3) not in pairset
 
+    def test_near_dup_pairs_injected_guard(self, vectors):
+        # an injected bucket table built with MORE planes carries bucket
+        # ids outside the call's bucket space — the structural probe must
+        # reject it rather than silently producing empty/wrong pairs
+        wide = similarity.near_dup_bucket_table(vectors, num_planes=8)
+        import pyspark.sql.functions as F
+        wide = wide.withColumn("bucket", F.lit(200))  # > 2**2
+        with pytest.raises(ValueError, match="outside"):
+            similarity.near_dup_pairs(
+                vectors, threshold=0.9, num_planes=2, bucketed=wide
+            )
+        with pytest.raises(ValueError, match="lacks columns"):
+            similarity.near_dup_pairs(
+                vectors, threshold=0.9, num_planes=2,
+                bucketed=wide.drop("nrm"),
+            )
+        # a structurally consistent injection matches the uninjected path
+        ok = similarity.near_dup_bucket_table(vectors, num_planes=2)
+        pairs2 = similarity.near_dup_pairs(
+            vectors, threshold=0.9, num_planes=2, bucketed=ok
+        ).collect()
+        base = similarity.near_dup_pairs(
+            vectors, threshold=0.9, num_planes=2
+        ).collect()
+        assert {(r["id_a"], r["id_b"]) for r in pairs2} == {
+            (r["id_a"], r["id_b"]) for r in base
+        }
+
 
 class TestSkew:
     @pytest.fixture(scope="class")

@@ -170,6 +170,20 @@ class TestPackShards:
             loads[s] = loads.get(s, 0) + 4
         assert all(load <= 10 + 4 for load in loads.values())
 
+    def test_prefix_sum_all_null_bucket(self, spark):
+        # a bucket whose every value is NULL yields sum()=None for that
+        # bucket — the offset fold must treat it as 0, not TypeError
+        from parquery_spark.operators.packing import prefix_sum
+
+        rows = [(i, None if i < 5 else 2) for i in range(10)]
+        df = spark.createDataFrame(rows, "k int, n int")
+        out = {
+            r["k"]: r["prefix_sum"]
+            for r in prefix_sum(df, "n", "k", num_partitions=4).collect()
+        }
+        # NULLs contribute nothing; running sum over k>=5 is 2,4,6,8,10
+        assert out[9] == 10 and out[5] == 2
+
     def test_column_expression_size(self, spark):
         from parquery_spark.functions.text import token_count
         from parquery_spark.operators.packing import pack_shards
