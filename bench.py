@@ -50,7 +50,62 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def _regression_check(
+    new: dict[str, float], old: dict[str, float]
+) -> list[str]:
+    """The SCALING.md signal rule as an executable gate: a per-query
+    regression is a BREACH when the warm min-of-5 delta exceeds 0.5 s
+    ABSOLUTE, or exceeds 25% on a query whose baseline is >= 1 s (the
+    two regimes where the measured scheduler-granularity floor — median
+    33 ms / p90 ~103 ms — cannot explain the move).  Returns one
+    human-readable line per breach; empty = pass.  Queries present on
+    only one side are skipped (registry rotation is not a regression)."""
+    breaches = []
+    for name in sorted(set(new) & set(old)):
+        delta = new[name] - old[name]
+        if delta > 0.5:
+            breaches.append(
+                f"{name}: {old[name]:.3f}s -> {new[name]:.3f}s "
+                f"(+{delta:.3f}s absolute > 0.5s)"
+            )
+        elif old[name] >= 1.0 and delta / old[name] > 0.25:
+            breaches.append(
+                f"{name}: {old[name]:.3f}s -> {new[name]:.3f}s "
+                f"(+{delta / old[name]:.0%} > 25% on a >=1s query)"
+            )
+    return breaches
+
+
+def _load_baseline(path: str) -> dict[str, float]:
+    """Per-query baseline timings from either a full
+    ``bench_results.json`` (complete "queries" dict) or a driver
+    ``BENCH_r{N}.json`` wrapper (stdout line inside "tail" — core
+    queries only)."""
+    with open(path) as fh:
+        doc = json.load(fh)
+    if "tail" in doc and "queries" not in doc:
+        for line in reversed(doc["tail"].splitlines()):
+            if line.startswith("{"):
+                doc = json.loads(line)
+                break
+    return doc.get("queries", {})
+
+
 def main():
+    against = None
+    baseline = None
+    if "--against" in sys.argv:
+        i = sys.argv.index("--against")
+        against = sys.argv[i + 1]
+        del sys.argv[i:i + 2]
+        # load NOW: fail fast before a 20-minute run, and the baseline
+        # may BE bench_results.json, which this run overwrites at the end
+        try:
+            baseline = _load_baseline(against)
+        except (OSError, json.JSONDecodeError, KeyError) as exc:
+            print(f"# --against {against}: unreadable ({exc})",
+                  file=sys.stderr)
+            sys.exit(2)
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
     os.environ["PARQUERY_SPARK_MASTER"] = f"local[{cpus}]"
@@ -155,13 +210,17 @@ def main():
     noise_within_10pct = None
     noise_within_10pct_tracked = None
     n_tracked = None
+    noise_abs_ms_median = None
+    noise_abs_ms_p90 = None
     deltas = []
+    abs_deltas = []
     tracked_deltas = []
     for name in timings:
         a = min(passes[1][name], passes[3][name])
         b = min(passes[2][name], passes[4][name])
         d = abs(a - b) / max(min(a, b), 1e-9)
         deltas.append(d)
+        abs_deltas.append(abs(a - b))
         if min(a, b) >= 0.5:  # the regression-tracked subset
             tracked_deltas.append(d)
     if deltas:
@@ -172,6 +231,18 @@ def main():
         )
         print(f"# paired warm A/B noise floor (p90): {noise_floor}; "
               f"within 10%: {noise_within_10pct:.0%}", file=sys.stderr)
+    if abs_deltas:
+        # the GUARANTEE is absolute-delta (round-10): the within-10%
+        # ratio bar is structurally unreachable for sub-100ms queries on
+        # a local-mode scheduler with ~50-120ms task granularity, while
+        # the absolute disagreement is tightly bounded — these two
+        # numbers ARE the floor a round-over-round diff carries
+        ads = sorted(abs_deltas)
+        noise_abs_ms_median = round(1000 * ads[len(ads) // 2], 1)
+        noise_abs_ms_p90 = round(1000 * ads[int(0.9 * (len(ads) - 1))], 1)
+        print(f"# paired warm A/B absolute delta: median "
+              f"{noise_abs_ms_median}ms, p90 {noise_abs_ms_p90}ms",
+              file=sys.stderr)
     if tracked_deltas:
         n_tracked = len(tracked_deltas)
         noise_within_10pct_tracked = round(
@@ -199,6 +270,8 @@ def main():
         "noise_within_10pct": noise_within_10pct,
         "noise_within_10pct_tracked": noise_within_10pct_tracked,
         "n_tracked": n_tracked,
+        "noise_abs_ms_median": noise_abs_ms_median,
+        "noise_abs_ms_p90": noise_abs_ms_p90,
         "timing_discipline":
             "min-of-5 (warm-only paired min-of-2 A/B floor; "
             "per-query guarantee scoped to warm >= 0.5s)",
@@ -264,6 +337,22 @@ def main():
         }
         line = json.dumps(result)
     print(line)
+
+    # executable regression gate (--against <baseline.json>): breaches
+    # of the signal rule exit nonzero AFTER the result line is printed,
+    # so the driver still records the run while `make bench` fails loud
+    if against:
+        breaches = _regression_check(timings, baseline)
+        if breaches:
+            print(f"# REGRESSION vs {against}: {len(breaches)} "
+                  "breach(es) of the signal rule "
+                  "(>0.5s absolute, or >25% on >=1s)", file=sys.stderr)
+            for b in breaches:
+                print(f"#   {b}", file=sys.stderr)
+            sys.exit(1)
+        print(f"# regression gate vs {against}: clean "
+              f"({len(set(timings) & set(baseline))} queries compared)",
+              file=sys.stderr)
 
 
 #: (name, table, groupby, measures, filter) — expressible by BOTH engines.

@@ -145,7 +145,49 @@ def _materialize_once(final_dir: str, build, marker: str = "_SUCCESS") -> str:
         if not os.path.exists(os.path.join(final_dir, marker)):
             raise
         _check_artifact_owner(final_dir)  # the race winner must be us-ish
+    # GC runs only on the build path (a fresh corpus version just
+    # published), never on the stat-only hot path
+    _sweep_stale_versions(final_dir)
     return final_dir
+
+
+def _sweep_stale_versions(final_dir: str, max_versions: int = 8) -> None:
+    """Reap STALE corpus versions of the artifact prefix just published:
+    keep the ``max_versions`` most-recently-built sibling directories
+    (``{prefix}_{10-hex-stat-tag}``), delete the rest.  Without this the
+    stat-keyed scheme accumulates one directory per (corpus version ×
+    logic tag) forever.
+
+    Safety: (a) runs only when a NEW version was just built — a steady
+    workload never deletes anything; (b) never deletes across uids (the
+    ``_check_artifact_owner`` rule applied to deletion); (c) the default
+    keeps 8 versions because up to ~5 tags per prefix are legitimately
+    live at once (three test SFs + the ×10/×100 scale-smoke corpora),
+    and the one-workload-at-a-time rule (NOTES.md) means nothing is
+    mid-read while a build publishes."""
+    import glob as _glob
+    import re as _re
+    import shutil as _shutil
+
+    m = _re.fullmatch(r"(.*)_[0-9a-f]{10}", final_dir)
+    if not m:
+        return
+    prefix = m.group(1)
+    sibs = []
+    for d in _glob.glob(prefix + "_" + "[0-9a-f]" * 10):
+        if d == final_dir or not os.path.isdir(d):
+            continue
+        try:
+            st = os.stat(d)
+        except OSError:
+            continue
+        if hasattr(os, "getuid") and st.st_uid != os.getuid():
+            continue  # never cross-uid delete
+        sibs.append((st.st_mtime, d))
+    sibs.sort(reverse=True)
+    # the just-published artifact counts toward the budget
+    for _, d in sibs[max_versions - 1:]:
+        _shutil.rmtree(d, ignore_errors=True)
 
 
 def _check_artifact_owner(final_dir: str) -> None:
@@ -7293,57 +7335,58 @@ def q156_tpch_q4_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q157_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stream-STREAM inner join through the real streaming engine — the
-    last major Structured Streaming surface (q84 windowed agg, q85/q97
-    stateful dedup/sessions, q99 stream-static, q126 foreachBatch): click
-    and purchase events from the same watermarked file stream joined on
-    user with an event-time range (purchase within 1h of the click).  The
-    range condition + both-side watermarks bound the join state the
-    engine must retain — exactly the mechanism that keeps this runnable
-    on an unbounded feed; state is keyed by user_id so it scales out by
-    key hash.  The joined pairs are drained append-mode and the tiny
-    attribution rollup runs batch-side; the oracle is the batch self-join
-    twin, so stream/batch consistency is a hash-matched contract.  Delays
-    are exact integer-microsecond differences, so the average is
-    engine-exact before rounding."""
+    """Stream-STREAM inner interval join through the real streaming
+    engine — in the PRE-AGGREGATED shape (``interval_join_preagg``):
+    click and purchase events from the same watermarked file stream,
+    each side first aggregated to (user, sliding 2h window) grain with
+    packed timestamp arrays, the two aggregated streams joined on
+    (window, user) equality, and the exact pairs (purchase within 1h of
+    the click) enumerated from the arrays with higher-order functions.
+
+    This shape exists because the RAW watermarked interval join (q170
+    keeps it as the documented worst case) buffers every in-watermark
+    event as its own state row — state measured exactly linear in event
+    rate (8.7 MB → 822 MB at ×100, SCALING.md round 9).  Here state
+    rows are bounded by distinct (user, window) — invariant to rate —
+    which is what makes the operator survive an unbounded high-rate
+    feed.  Results are identical: delays are still exact
+    integer-microsecond differences of the original timestamps, gated
+    against the same batch self-join oracle.
+
+    Aggregated rows only EMIT once the watermark passes their window,
+    so the source carries the ``_sentinel_stream_dir`` closing batches
+    (one sentinel per filtered type — q170's mechanism); the sentinel
+    user is filtered batch-side."""
     from parquery_spark.streaming.events import (
         events_stream,
+        interval_join_preagg,
         run_available_now,
     )
 
-    src = _events_stream_dir(sf_dir)
+    src = _sentinel_stream_dir(spark, sf_dir, types=("click", "purchase"))
+    opts = {"maxFilesPerTrigger": "1"}
     clicks = (
-        events_stream(spark, src, watermark="2 hours")
+        events_stream(spark, src, watermark="2 hours", options=opts)
         .where(F.col("event_type") == "click")
-        .select(
-            F.col("user_id").alias("c_user"),
-            F.col("ts").alias("c_ts"),
-        )
+        .select("user_id", F.col("ts").alias("c_ts"))
     )
     purchases = (
-        events_stream(spark, src, watermark="2 hours")
+        events_stream(spark, src, watermark="2 hours", options=opts)
         .where(F.col("event_type") == "purchase")
-        .select(
-            F.col("user_id").alias("p_user"),
-            F.col("ts").alias("p_ts"),
-        )
+        .select("user_id", F.col("ts").alias("p_ts"))
     )
-    joined = clicks.join(
-        purchases,
-        (F.col("c_user") == F.col("p_user"))
-        & (F.col("p_ts") >= F.col("c_ts"))
-        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
-        "inner",
+    joined = interval_join_preagg(
+        clicks, purchases, "user_id", "c_ts", "p_ts", interval_sec=3600
     ).select(
-        F.col("c_user").alias("user_id"),
+        "user_id",
         (
             (F.unix_micros("p_ts") - F.unix_micros("c_ts")) / 1000000.0
         ).alias("delay_sec"),
     )
     pairs = run_available_now(
         joined, "q157_sink", output_mode="append",
-        persist_tag=os.path.basename(src),
-    )
+        persist_tag=os.path.basename(src), version="v2",
+    ).where(F.col("user_id") >= 0)
     return pairs.agg(
         F.count(F.lit(1)).alias("n_pairs"),
         F.countDistinct("user_id").alias("n_users"),

@@ -219,6 +219,91 @@ def events_stream(
     return stream.withWatermark("ts", watermark)
 
 
+def interval_join_preagg(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    interval_sec: int = 3600,
+) -> DataFrame:
+    """Stream-stream interval join with PRE-AGGREGATED state: exact
+    (left, right) pairs with ``right_ts`` in ``[left_ts, left_ts +
+    interval_sec]`` per ``key`` — same semantics as the raw watermarked
+    interval join (q170 keeps that shape as the documented worst case),
+    but the state the engine buffers is one row per ``(key, window)``
+    instead of one row per EVENT.
+
+    The raw join's state grows exactly linearly with event rate
+    (measured in SCALING.md round 9: 8.7 MB → 822 MB at ×100) because
+    both sides buffer every in-watermark event individually.  Here each
+    side is first aggregated to ``(key, sliding window)`` grain —
+    duration ``2*interval`` sliding by ``interval``, timestamps packed
+    into an array — and the two AGGREGATED streams are stream-stream
+    joined on ``(window, key)`` equality (the chained-stateful-operator
+    pattern Spark supports since 3.5).  State rows are then bounded by
+    ``distinct(key, window)`` on either side — invariant to event RATE —
+    and the per-event cost inside a row is one packed 8-byte timestamp
+    instead of a full state-store row.
+
+    Exactness: pairs are enumerated from the packed timestamps with
+    higher-order functions, and every pair is counted exactly ONCE via
+    first-half ownership — a left event ``c`` belongs to two sliding
+    windows, but only the window whose start is ``interval``-aligned at
+    ``floor(c)`` has ``c`` in its first half, and that window provably
+    contains every right partner in ``[c, c + interval]`` (``c < start +
+    interval`` ⇒ ``c + interval < start + 2*interval`` = window end).
+    No approximation anywhere — the delays downstream are exact
+    timestamp differences.
+
+    Append-mode note: aggregated rows (hence joined pairs) only EMIT
+    once the watermark passes the window end — finite drains need the
+    ``_sentinel_stream_dir`` closing batches, one sentinel type per
+    filtered branch (the q97/q170 mechanism)."""
+    dur = f"{2 * interval_sec} seconds"
+    slide = f"{interval_sec} seconds"
+
+    def agg_side(df: DataFrame, ts: str) -> DataFrame:
+        return df.groupBy(
+            F.window(ts, dur, slide).alias("win"),
+            F.col(key).alias("__k"),
+        ).agg(F.collect_list(ts).alias(f"__{ts}_arr"))
+
+    joined = agg_side(left, left_ts).join(
+        agg_side(right, right_ts), ["win", "__k"], "inner"
+    )
+    half = F.col("win.start") + F.expr(f"INTERVAL {interval_sec} SECONDS")
+    pairs = joined.select(
+        F.col("__k").alias(key),
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.filter(f"__{left_ts}_arr", lambda c: c < half),
+                    lambda c: F.transform(
+                        F.filter(
+                            f"__{right_ts}_arr",
+                            lambda p: (p >= c)
+                            & (
+                                p
+                                <= c
+                                + F.expr(
+                                    f"INTERVAL {interval_sec} SECONDS"
+                                )
+                            ),
+                        ),
+                        lambda p: F.struct(
+                            c.alias(left_ts), p.alias(right_ts)
+                        ),
+                    ),
+                )
+            )
+        ).alias("__pair"),
+    )
+    return pairs.select(
+        key, f"__pair.{left_ts}", f"__pair.{right_ts}"
+    )
+
+
 def run_available_now(
     stream_df: DataFrame,
     name: str,

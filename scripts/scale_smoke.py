@@ -200,7 +200,13 @@ STREAMING_QUERIES = [
 ]
 
 
-def run_streaming(spark, sf_dir: str) -> dict:
+_ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state."
+    "RocksDBStateStoreProvider"
+)
+
+
+def run_streaming(spark, sf_dir: str, provider: str | None = None) -> dict:
     """Streaming family at scale (round-9: the only family with no xN
     smoke row).  The scale risk class here is STATE-STORE GROWTH vs the
     watermark — a healthy watermarked operator's peak state tracks the
@@ -253,6 +259,14 @@ def run_streaming(spark, sf_dir: str) -> dict:
     spark.streams.addListener(tap)
     qs = e.queries()
     out = {}
+    # state-store provider is a per-query conf read at stream start —
+    # settable on the session, restored after (the RocksDB provider is
+    # bundled with Spark; "rocksdb" measures it vs the default
+    # HDFS-backed in-memory map)
+    _prov_key = "spark.sql.streaming.stateStore.providerClass"
+    _prev_prov = spark.conf.get(_prov_key, None)
+    if provider == "rocksdb":
+        spark.conf.set(_prov_key, _ROCKSDB_PROVIDER)
     try:
         for name in STREAMING_QUERIES:
             tap.progress.clear()
@@ -269,16 +283,24 @@ def run_streaming(spark, sf_dir: str) -> dict:
                 time.sleep(0.5)
                 waited += 0.5
             progs = list(tap.progress)
-            state_rows = max(
-                (so.get("numRowsTotal", 0) or 0
-                 for pr in progs for so in pr.get("stateOperators", [])),
-                default=None,
-            )
-            state_bytes = max(
-                (so.get("stateMemory", so.get("memoryUsedBytes", 0)) or 0
-                 for pr in progs for so in pr.get("stateOperators", [])),
-                default=None,
-            )
+            # SUM across stateOperators within a batch, MAX across
+            # batches: q157's pre-aggregated shape chains 3 stateful
+            # operators (two window aggs + the window join), and a
+            # per-operator max would understate total engine state.
+            # Identical to the old per-op max for single-operator
+            # queries, so round-9 numbers stay comparable.
+            row_sums = [
+                sum(so.get("numRowsTotal", 0) or 0
+                    for so in pr.get("stateOperators", []))
+                for pr in progs if pr.get("stateOperators")
+            ]
+            byte_sums = [
+                sum(so.get("stateMemory", so.get("memoryUsedBytes", 0))
+                    or 0 for so in pr.get("stateOperators", []))
+                for pr in progs if pr.get("stateOperators")
+            ]
+            state_rows = max(row_sums, default=None)
+            state_bytes = max(byte_sums, default=None)
             wms = [
                 pr.get("eventTime", {}).get("watermark")
                 for pr in progs
@@ -326,6 +348,11 @@ def run_streaming(spark, sf_dir: str) -> dict:
             }
     finally:
         spark.streams.removeListener(tap)
+        if provider == "rocksdb":
+            if _prev_prov is None:
+                spark.conf.unset(_prov_key)
+            else:
+                spark.conf.set(_prov_key, _prev_prov)
     return out
 
 
@@ -359,7 +386,39 @@ def run(spark, sf_dir: str, names: list[str]) -> dict:
     return out
 
 
+def main_streaming_only(factor: int, out_dir: str) -> None:
+    """Streaming-family-only smoke: base vs ×factor, default (HDFS-map)
+    vs RocksDB state store — the focused runner behind SCALING.md's
+    streaming table (the full main rebuilds and re-times every family;
+    this one touches only the streaming drains)."""
+    from parquery_spark.session import get_spark
+
+    spark = get_spark("scale_smoke_streaming")
+    build(factor, out_dir)
+    report = {"factor": factor, "streaming": {}}
+    grid = [
+        ("sf0.1", SRC, None),
+        (f"x{factor}", out_dir, None),
+        ("sf0.1_rocksdb", SRC, "rocksdb"),
+        (f"x{factor}_rocksdb", out_dir, "rocksdb"),
+    ]
+    for label, d, prov in grid:
+        res = run_streaming(spark, d, provider=prov)
+        for q, row in res.items():
+            report["streaming"].setdefault(q, {})[label] = row
+    print(json.dumps(report, indent=1))
+
+
 if __name__ == "__main__":
+    if "--streaming" in sys.argv:
+        sys.argv.remove("--streaming")
+        factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+        out_dir = (
+            sys.argv[2] if len(sys.argv) > 2
+            else f"/tmp/pqs_scale_smoke_x{factor}v2"
+        )
+        main_streaming_only(factor, out_dir)
+        sys.exit(0)
     factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     # factor-keyed default dir: reusing one dir across factors would
     # silently serve stale tables built at the other factor

@@ -1,0 +1,63 @@
+"""The bench regression rule as an EXECUTABLE gate (VERDICT r9 #3):
+`bench.py --against <baseline>` must exit nonzero on any query breaching
+the written signal rule — >0.5 s absolute, or >25% on a >=1 s baseline.
+The rule function is pure, so the planted-regression proof runs here
+without a 20-minute bench."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+import bench
+
+
+class TestRegressionRule:
+    def test_clean_when_within_rule(self):
+        old = {"q1": 0.1, "q2": 2.0, "q3": 5.0}
+        new = {"q1": 0.55, "q2": 2.4, "q3": 5.4}  # +0.45s / +20% / +8%
+        assert bench._regression_check(new, old) == []
+
+    def test_absolute_breach(self):
+        out = bench._regression_check({"q1": 0.9}, {"q1": 0.2})
+        assert len(out) == 1 and "absolute" in out[0]
+
+    def test_relative_breach_only_on_1s_plus(self):
+        # +30% on a 1.2s query breaches; +30% on a 0.6s query does not
+        # (0.18s absolute, inside scheduler noise)
+        assert bench._regression_check({"q1": 1.56}, {"q1": 1.2})
+        assert bench._regression_check({"q1": 0.78}, {"q1": 0.6}) == []
+
+    def test_rotation_is_not_a_regression(self):
+        assert bench._regression_check({"new_q": 9.9}, {"old_q": 0.1}) == []
+
+    def test_load_baseline_full_and_driver_shapes(self, tmp_path):
+        full = tmp_path / "full.json"
+        full.write_text(json.dumps({"queries": {"q1": 1.0}}))
+        assert bench._load_baseline(str(full)) == {"q1": 1.0}
+        stdout_line = json.dumps({"metric": "m", "queries": {"q2": 2.0}})
+        driver = tmp_path / "BENCH_rX.json"
+        driver.write_text(json.dumps(
+            {"tail": f"# noise\n{stdout_line}\n", "rc": 0}
+        ))
+        assert bench._load_baseline(str(driver)) == {"q2": 2.0}
+
+    def test_planted_regression_fails_make_bench_shape(self, tmp_path):
+        """End-to-end exit-code proof with a stub bench run: a planted
+        +1s regression against the baseline file exits 1 via the same
+        code path `make bench` uses."""
+        baseline = tmp_path / "base.json"
+        baseline.write_text(json.dumps({"queries": {"q1": 0.2}}))
+        prog = (
+            "import sys, bench\n"
+            "b = bench._load_baseline(sys.argv[1])\n"
+            "br = bench._regression_check({'q1': 1.2}, b)\n"
+            "sys.exit(1 if br else 0)\n"
+        )
+        r = subprocess.run(
+            [sys.executable, "-c", prog, str(baseline)],
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        )
+        assert r.returncode == 1

@@ -163,3 +163,83 @@ class TestUnknownSchemeFailsLoud:
             )
         # must NOT be the tolerant-missing-file skip
         assert not isinstance(exc_info.value, MissingInputError)
+
+
+class TestArtifactGC:
+    """_sweep_stale_versions: stale corpus versions of a stat-keyed
+    artifact prefix are reaped on publish of a new version — bounded
+    accumulation, never cross-uid deletion (VERDICT r9 #4)."""
+
+    @staticmethod
+    def _mk(base, tag, mtime):
+        d = os.path.join(str(base), f"pqs_gcdemo_{tag}")
+        os.makedirs(d)
+        os.utime(d, (mtime, mtime))
+        return d
+
+    def test_sweep_keeps_newest_reaps_rest(self, tmp_path):
+        from parquery_spark.queries import _sweep_stale_versions
+
+        old = [self._mk(tmp_path, f"{i:010x}", 1000.0 + i) for i in range(4)]
+        cur = self._mk(tmp_path, "f" * 10, 2000.0)
+        _sweep_stale_versions(cur, max_versions=2)
+        # budget 2 = current + newest sibling; the 3 older reaped
+        assert os.path.isdir(cur)
+        assert os.path.isdir(old[3])
+        assert not any(os.path.exists(d) for d in old[:3])
+
+    def test_sweep_ignores_non_artifact_names(self, tmp_path):
+        from parquery_spark.queries import _sweep_stale_versions
+
+        cur = self._mk(tmp_path, "f" * 10, 2000.0)
+        bystander = os.path.join(str(tmp_path), "pqs_gcdemo_notahexx")
+        os.makedirs(bystander)
+        _sweep_stale_versions(cur, max_versions=1)
+        assert os.path.isdir(bystander)  # name doesn't match the scheme
+        # a final_dir that isn't stat-tag-shaped is a no-op entirely
+        _sweep_stale_versions(bystander, max_versions=1)
+        assert os.path.isdir(cur)
+
+    def test_sweep_never_deletes_foreign_uid(self, tmp_path, monkeypatch):
+        import types
+
+        from parquery_spark import queries as q
+
+        foreign = self._mk(tmp_path, "0" * 10, 1000.0)
+        cur = self._mk(tmp_path, "f" * 10, 2000.0)
+        real_stat = os.stat
+
+        def fake_stat(path, *a, **k):
+            st = real_stat(path, *a, **k)
+            if str(path) == foreign:
+                return types.SimpleNamespace(
+                    st_uid=st.st_uid + 1, st_mtime=st.st_mtime,
+                    st_mode=st.st_mode,
+                )
+            return st
+
+        monkeypatch.setattr(os, "stat", fake_stat)
+        q._sweep_stale_versions(cur, max_versions=1)
+        assert os.path.isdir(foreign)  # skipped, not reaped
+
+    def test_materialize_once_gc_end_to_end(self, tmp_path):
+        """Stage 8 stale corpus versions, publish a 9th via
+        _materialize_once — the oldest stale version is reaped under the
+        default budget, the publish itself still succeeds."""
+        from parquery_spark.queries import _materialize_once
+
+        stale = [
+            self._mk(tmp_path, f"{i:010x}", 1000.0 + i) for i in range(8)
+        ]
+        for d in stale:  # marker so they look like real artifacts
+            open(os.path.join(d, "_SUCCESS"), "w").close()
+        final = os.path.join(str(tmp_path), "pqs_gcdemo_" + "f" * 10)
+
+        def build(tmp_dir):
+            os.makedirs(tmp_dir)
+            open(os.path.join(tmp_dir, "_SUCCESS"), "w").close()
+
+        got = _materialize_once(final, build)
+        assert got == final and os.path.isdir(final)
+        assert not os.path.exists(stale[0])  # oldest reaped (budget 8)
+        assert all(os.path.isdir(d) for d in stale[1:])  # 7 newest kept
