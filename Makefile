@@ -32,7 +32,11 @@ plan-audit:
 	python scripts/plan_audit.py --fresh-artifacts $(SF_DIR)
 
 bench:
-	python bench.py
+	# --against: the SCALING.md signal rule as an exit-code gate — fails
+	# on any query regressing >0.5s absolute (or >25% on a >=1s warm
+	# baseline) vs the previous round's committed per-query results.
+	# bench.py loads the baseline BEFORE overwriting bench_results.json.
+	python bench.py --against bench_results.json
 
 scale-smoke:
 	python scripts/scale_smoke.py 10

@@ -9914,9 +9914,10 @@ def q192_tpch_q2_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     real structure: a correlated MIN subquery over the SAME filtered
     candidate relation it selects from, decorrelated into one per-part
     aggregate joined back (with ties kept, as in the original).  The
-    candidate relation builds once and persists for both roles; every
-    dimension broadcasts; the supplies derivation is the only
-    fact-sized shuffle."""
+    candidate relation feeds both roles through ReuseExchange in the
+    final adaptive plan — NO persist, per the registry-wide cache
+    contract; every dimension broadcasts; the supplies derivation is
+    the only fact-sized shuffle."""
     li = load(spark, sf_dir, "lineitem")
     part = load(spark, sf_dir, "part").where(
         (F.col("p_size") == 15) & (F.col("p_type") == "ECONOMY")
