@@ -12721,25 +12721,28 @@ DRIVER_PRIORITY: list[str] = [
     "q04_filter_range_and", "q05_filter_neq_notin", "q06_count_family",
     "q07_one_min_max_stddev", "q08_passthrough",
     "q09_missing_column_splice", "q10_groupby_only_distinct",
-    # joins (semi/anti stays gate-covered via q22; asof/range represent)
-    "q20_join_broadcast", "q31_asof_join", "q32_range_join",
-    # window / top-k / set ops / grouping / scalar / time / order stats
+    # joins (broadcast/semi/anti stay gate-covered via q20/q22;
+    # asof/range represent the family in the snapshot)
+    "q31_asof_join", "q32_range_join",
+    # window / top-k / set ops / scalar / order stats (grouping sets
+    # q92 rotated to gate-coverage in round 10)
     "q23_window_topn", "q26_set_ops",
-    "q92_grouping_sets", "q29_scalar_functions",
+    "q29_scalar_functions",
     "q209_exact_quantiles",
-    # round-5 families: time-series densify, embedding compression,
-    # feature encoding, retrieval metrics (q30/q69 stay gate-covered;
-    # their families keep q207 / q45+q83 as representatives)
-    "q207_resample_ffill", "q208_embedding_quantization",
-    "q215_loo_target_encoding", "q216_ranking_metrics",
-    # dedup family (q82/q102 rotated to gate-coverage in round 8;
-    # round 9 rotates q40/q62 out — exact dedup and CC stay gate-covered,
-    # LSH/pagerank keep the family's driver rows — so the round-8
-    # families get rows: q226 value-gates the whole substring span+cut
-    # chain end-to-end, and q223 now reads the HASH-key-built span
-    # artifact against its raw-string oracle, keeping q225's equality in
-    # the driver gate by construction)
-    "q43_minhash_lsh",
+    # round-5 families: time-series densify + feature encoding keep
+    # driver rows (q30/q69/q208/q216 stay gate-covered)
+    "q207_resample_ffill",
+    "q215_loo_target_encoding",
+    # dedup family — round-10 rotation brings the round-9 ARTIFACT
+    # MACHINERY itself under the driver's gate (VERDICT r9 #5): q111/
+    # q137 read the shared stat-keyed winnow fingerprint artifact, q119
+    # the gram inverted index, q82 the persistent partition-pruned
+    # MinHash index probe, q75 the incremental-batch dedup path.
+    # (q20/q40/q58/q62/q92/q102/q208/q216 stay gate-covered; q226
+    # value-gates the substring span+cut chain end-to-end, q223 reads
+    # the HASH-key-built span artifact against its raw-string oracle.)
+    "q43_minhash_lsh", "q75_incremental_dedup", "q82_indexed_dedup_probe",
+    "q111_winnowing", "q119_containment_pairs", "q137_winnow_overlap",
     "q221_kmeans_sampled", "q223_substring_spans",
     "q226_substring_cut_apply",
     # similarity / ANN
@@ -12748,7 +12751,6 @@ DRIVER_PRIORITY: list[str] = [
     # through the real PNG/JPEG header codec, driver-gated since round 9)
     "q48_text_profile", "q50_multimodal_features",
     "q222_binary_file_ingest", "q54_hll_sketch_rollup",
-    "q58_stratified_sample",
     # graph
     "q132_pagerank",
     # pii / packing / sources
