@@ -695,3 +695,59 @@ class TestImageHeaderParse:
         # recomputes n_bytes as text_bytes + 33 / + 21)
         assert len(make_png(1, 1)) == 33
         assert len(make_jpeg(1, 1)) == 21
+
+
+class TestIntervalJoinPreagg:
+    """interval_join_preagg pair-EXACTNESS, tested in batch mode (the
+    window-agg + window-join composition is mode-agnostic; q157's
+    streaming drain is gated by the oracle).  The property: output pairs
+    == the naive interval join's, each exactly once — including the
+    boundary cases the first-half-ownership rule exists for (pairs that
+    straddle a window edge, delay exactly == interval)."""
+
+    def test_matches_naive_interval_join(self, spark):
+        import datetime as dt
+
+        from pyspark.sql import functions as F
+
+        from parquery_spark.streaming.events import interval_join_preagg
+
+        base = dt.datetime(2024, 1, 1)
+        # adversarial layout: clicks at :59:xx pairing with purchases in
+        # the NEXT hour bucket; delay exactly 3600s (inclusive edge);
+        # same-timestamp pair (delay 0); multiple pairs per user; a
+        # purchase pairing with TWO clicks; out-of-range partners
+        def t(sec):
+            return base + dt.timedelta(seconds=sec)
+
+        clicks = spark.createDataFrame(
+            [(1, t(0)), (1, t(3540)), (1, t(3599)), (2, t(100)),
+             (2, t(7300)), (3, t(50))],
+            "user_id long, c_ts timestamp",
+        )
+        purchases = spark.createDataFrame(
+            [(1, t(0)), (1, t(3600)), (1, t(7199)), (2, t(3700)),
+             (2, t(7350)), (3, t(3651)), (9, t(10))],
+            "user_id long, p_ts timestamp",
+        )
+        got = sorted(
+            (r["user_id"], r["c_ts"], r["p_ts"])
+            for r in interval_join_preagg(
+                clicks, purchases, "user_id", "c_ts", "p_ts",
+                interval_sec=3600,
+            ).collect()
+        )
+        want = sorted(
+            (r["user_id"], r["c_ts"], r["p_ts"])
+            for r in clicks.join(
+                purchases,
+                (clicks["user_id"] == purchases["user_id"])
+                & (F.col("p_ts") >= F.col("c_ts"))
+                & (F.col("p_ts")
+                   <= F.col("c_ts") + F.expr("INTERVAL 3600 SECONDS")),
+            ).select(clicks["user_id"], "c_ts", "p_ts").collect()
+        )
+        assert got == want
+        # sanity: the inclusive edge and the straddling pair are present
+        assert (1, t(0), t(3600)) in got
+        assert (1, t(3599), t(7199)) in got
