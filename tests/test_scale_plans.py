@@ -1093,13 +1093,21 @@ class TestSubstringSpanPlans:
             "q154_tpch_q15",            # max branch + join-back
             "q175_partition_repair_diff",  # two checksum sides
             "q185_item_similarity",     # alias self-join + popularity
-            "q219_source_kl_divergence",   # four histogram consumers
         ):
             df = QUERIES[name][0](spark, sf_dir)
             df.collect()
             plan = final_plan(df)
             assert "ReusedExchange" in plan, name
             assert "InMemoryTableScan" not in plan, name
+        # q219 left this list in round 10: its four histogram consumers
+        # now share the _word_hist stat-keyed ARTIFACT (the explicit,
+        # labeled form of sharing) — assert the plan scans the artifact
+        # parquet and still holds the no-table-cache contract
+        df = QUERIES["q219_source_kl_divergence"][0](spark, sf_dir)
+        df.collect()
+        plan = final_plan(df)
+        assert "pqs_wordhist" in plan
+        assert "InMemoryTableScan" not in plan
 
     def test_verified_pairs_shingles_twice_not_four_times(
             self, spark, sf_dir, tmp_path):
