@@ -751,3 +751,51 @@ class TestIntervalJoinPreagg:
         # sanity: the inclusive edge and the straddling pair are present
         assert (1, t(0), t(3600)) in got
         assert (1, t(3599), t(7199)) in got
+
+
+class TestRocksDBStateStore:
+    """The RocksDB state-store provider is MEASURED in SCALING.md round
+    10 (scale_smoke --streaming); this pins that the bundled provider
+    actually loads and produces results identical to the default
+    HDFS-map provider in this Spark build — so the SCALING numbers can't
+    silently rot if a Spark upgrade drops/renames the class."""
+
+    def test_windowed_agg_identical_under_rocksdb(
+        self, spark, event_dir
+    ):
+        key = "spark.sql.streaming.stateStore.providerClass"
+        prev = spark.conf.get(key, None)
+
+        def drain(name):
+            q = (
+                windowed_event_counts(
+                    spark, event_dir, EVENT_SCHEMA,
+                    window="1 hour", watermark="2 hours",
+                )
+                .writeStream.format("memory").queryName(name)
+                .outputMode("complete").trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+            if q.exception() is not None:
+                raise q.exception()
+            return {
+                (r["window_start"], r["event_type"]):
+                    (r["n"], r["total_value"])
+                for r in spark.sql(f"SELECT * FROM {name}").collect()
+            }
+
+        base = drain("rocks_base")
+        spark.conf.set(
+            key,
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        try:
+            rocks = drain("rocks_rocks")
+        finally:
+            if prev is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, prev)
+        assert rocks == base and len(base) > 0
