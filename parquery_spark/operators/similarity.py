@@ -611,3 +611,144 @@ def group_centroids(
         F.round(F.col("__s").cast("double") / F.col("n"), digits).alias("c"),
         F.col("n"),
     )
+
+
+def _mmr_kernel(k: int, lam: float, mu: float, digits: int, id_col: str):
+    """``applyInPandas`` factory: one bounded rerank window (≤ ``pool``
+    rows: (query_id, id, vector, rel)) → the MMR-selected top-``k`` with
+    scores.
+
+    Float discipline: every dot product is a strict left-to-right DOUBLE
+    fold — the Python twin of :func:`fold_sum`'s pinned semantics (and of
+    the oracle's ``list_dot_product``) — and every similarity/score is
+    rounded to ``digits`` BEFORE any comparison, so selection order is a
+    function of decimal-quantized values both engines agree on.  The
+    max-similarity term is the TRUE max over the chosen set (it can be
+    negative — clamping at 0 is a classic MMR implementation bug that
+    under-penalizes anti-correlated picks).
+
+    The SCORE is rounded at ``digits + 1``, not ``digits``: with rel/sim
+    quantized at 1e-6, ``0.7·rel − 0.3·maxsim`` is an EXACT decimal
+    multiple of 1e-7, so rounding it at 6 digits lands on the decimal
+    half-way point with probability ~1/10 per row — exactly where
+    Python/Spark/DuckDB tie rules differ (measured: 1 flipped last digit
+    in 40 rows at sf0.001).  At 7 digits the value sits ON a grid point
+    (binary error ~1e-16 vs 5e-8 to the nearest boundary), so every
+    engine rounds identically with no tie exposure."""
+    import math
+
+    def dot_lr(a: list[float], b: list[float]) -> float:
+        s = 0.0
+        for x, y in zip(a, b):
+            s += x * y
+        return s
+
+    def fn(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        ids = [int(i) for i in pdf[id_col]]
+        vecs = [[float(x) for x in v] for v in pdf["__v"]]
+        rels = [float(r) for r in pdf["__rel"]]
+        qid = int(pdf["query_id"].iloc[0])
+        norms = [math.sqrt(dot_lr(v, v)) for v in vecs]
+        n = len(ids)
+        maxsim: list[float | None] = [None] * n
+        remaining = list(range(n))  # vec-id ascending (pre-sorted)
+        out_rank: list[int] = []
+        out_id: list[int] = []
+        out_score: list[float] = []
+        for rank in range(1, min(k, n) + 1):
+            best, best_score = None, None
+            for i in remaining:
+                base = lam * rels[i]
+                score = round(
+                    base if maxsim[i] is None else base - mu * maxsim[i],
+                    digits + 1,
+                )
+                if best is None or score > best_score:
+                    best, best_score = i, score
+            out_rank.append(rank)
+            out_id.append(ids[best])
+            out_score.append(best_score)
+            remaining.remove(best)
+            for i in remaining:
+                sim = round(
+                    dot_lr(vecs[i], vecs[best]) / (norms[i] * norms[best]),
+                    digits,
+                )
+                if maxsim[i] is None or sim > maxsim[i]:
+                    maxsim[i] = sim
+        return pd.DataFrame(
+            {
+                "query_id": [qid] * len(out_rank),
+                "rank": out_rank,
+                id_col: out_id,
+                "mmr_score": out_score,
+            }
+        )
+
+    return fn
+
+
+def mmr_rerank(
+    df: DataFrame,
+    queries: list[tuple[int, list[float]]],
+    k: int = 10,
+    pool: int = 25,
+    lam: float = 0.7,
+    mu: float = 0.3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    digits: int = 6,
+) -> DataFrame:
+    """Maximal-marginal-relevance diversity selection over bounded rerank
+    windows — the standard de-redundancy step between retrieval and
+    consumption (Carbonell & Goldstein 1998), here shaped for a training-
+    data pipeline: pick ``k`` of the ``pool`` most query-relevant items
+    per query so the selected set trades relevance against redundancy
+    (``score = lam·rel − mu·max_{s∈S} sim(c, s)``).
+
+    Scale shape: ``queries`` is a bounded probe batch (the same driver-
+    side scalar class as :func:`cosine_topk`'s literal query — at corpus
+    scale the query side would be a keyed relation feeding an ANN probe,
+    q83/q69's path).  Candidate relevance is computed JVM-side per pair
+    against the broadcast literal query relation; the per-query pool cut
+    is a window top-``pool``; only then does each ≤``pool``-row window
+    enter the Arrow-batched Python kernel — the iterative argmax is
+    inherently sequential PER WINDOW, but windows parallelize freely
+    across queries, so the Python path is bounded at ``pool × k`` dots
+    per query regardless of corpus size."""
+    spark = df.sparkSession
+    qdf = spark.createDataFrame(
+        [(int(q), [float(x) for x in v]) for q, v in queries],
+        "query_id long, qv array<double>",
+    )
+    cand = (
+        fan_out(df, id_col)
+        .crossJoin(F.broadcast(qdf))
+        .where(F.col(id_col) != F.col("query_id"))
+    )
+    rel = F.round(cosine(_as_double(vec_col), F.col("qv")), digits)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__rel").desc(), F.col(id_col)
+    )
+    pool_df = (
+        cand.select(
+            "query_id",
+            F.col(id_col),
+            _as_double(vec_col).alias("__v"),
+            rel.alias("__rel"),
+        )
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= pool)
+        .drop("__rn")
+    )
+    out_schema = (
+        f"query_id long, rank int, {id_col} long, mmr_score double"
+    )
+    return pool_df.groupBy("query_id").applyInPandas(
+        _mmr_kernel(k, lam, mu, digits, id_col), out_schema
+    )

@@ -12725,6 +12725,184 @@ def q226_substring_cut_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _docs_stream_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the documents table as a 3-file, doc_id-ordered parquet feed
+    directory (stat-keyed artifact): file i holds the i-th id tertile and
+    carries a pinned ascending mtime, so a ``maxFilesPerTrigger=1``
+    availableNow drain replays the corpus as THREE real micro-batches in
+    id order — the arrival order that makes streaming first-wins dedup
+    verdicts equal the batch bucket-min oracle (streaming/docs.py)."""
+    d = _stat_dir(sf_dir, "documents", "docstream-3b-v1", "pqs_docstream")
+
+    def _build(t):
+        import glob as _glob
+
+        from pyspark.sql import Window
+
+        docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+        w = Window.orderBy("doc_id")
+        tiled = docs.withColumn("__tile", F.ntile(3).over(w))
+        for i in (1, 2, 3):
+            tiled.where(F.col("__tile") == i).drop("__tile").coalesce(
+                1
+            ).write.mode("overwrite").parquet(os.path.join(t, f"t{i}"))
+        flat = os.path.join(t, "feed")
+        os.makedirs(flat, exist_ok=True)
+        for i in (1, 2, 3):
+            part = _glob.glob(os.path.join(t, f"t{i}", "*.parquet"))[0]
+            dst = os.path.join(flat, f"batch{i}.parquet")
+            os.link(part, dst)
+            # FileStreamSource batches in mtime order: pin it
+            os.utime(dst, (1_000_000 + i, 1_000_000 + i))
+
+    d = _materialize_once(d, _build, marker="t3/_SUCCESS")
+    return os.path.join(d, "feed")
+
+
+def _sql_streaming_minhash_dedup(
+    num_hashes: int, bands: int, shingle_k: int
+) -> str:
+    """Batch twin of the streaming first-wins near-dup verdict: a doc is
+    a dup iff some MinHash band bucket holds a smaller doc_id — the
+    bucket-min join below.  Signature/band SQL is the shared q43
+    machinery, so the streaming kernel, the batch band_keys relation and
+    this oracle all pin each other."""
+    rows = num_hashes // bands
+    sig_exprs = _sql_minhash_sig_exprs(num_hashes)
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, md5("
+        + " || ',' || ".join(f"h{b * rows + r}::VARCHAR" for r in range(rows))
+        + ") AS band_key FROM sig"
+        for b in range(bands)
+    )
+    return f"""
+    WITH sh AS ({_sql_shingles(shingle_k)}),
+    hashed AS (SELECT doc_id, {_SQL_BASE_HASH} AS hs FROM sh),
+    sig AS (SELECT doc_id, {sig_exprs} FROM hashed),
+    banded AS (
+        SELECT * FROM ({band_selects}) WHERE band_key IS NOT NULL
+    ),
+    mins AS (
+        SELECT band, band_key, MIN(doc_id) AS min_id
+        FROM banded GROUP BY band, band_key
+    )
+    SELECT b.doc_id,
+           MAX(CASE WHEN m.min_id < b.doc_id THEN 1 ELSE 0 END)::INT AS is_dup
+    FROM banded b JOIN mins m
+      ON b.band = m.band AND b.band_key = m.band_key
+    GROUP BY b.doc_id
+    """
+
+
+@query("q227_streaming_minhash_dedup", _sql_streaming_minhash_dedup(16, 4, 2))
+def q227_streaming_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming FUZZY dedup — the online MinHash-LSH near-dup verdict
+    (streaming/docs.py): documents replayed as three id-ordered
+    micro-batches; an Arrow-batched kernel emits (doc, band, band_key)
+    rows; ``applyInPandasWithState`` keyed by bucket keeps ONE running
+    min-id per distinct bucket (the dedup-index lower bound — state
+    tracks distinct corpus signatures, not event rate) and votes dup for
+    any doc arriving after a smaller id; the per-doc any-band reduction
+    runs batch-side on the drained sink.  Exactness contract: id-ordered
+    arrival makes the streaming first-wins verdict equal the batch
+    bucket-min rule, so the whole pipeline — kernel hashes, banding,
+    state machine, multi-batch replay — is value-gated against the q43
+    oracle machinery.  (Reference has no streaming surface; its batch
+    dedup twin is q43.)"""
+    from parquery_spark.streaming.docs import minhash_dedup_stream
+    from parquery_spark.streaming.events import run_available_now
+
+    feed = _docs_stream_dir(spark, sf_dir)
+    stream = minhash_dedup_stream(
+        spark, feed, num_hashes=16, bands=4, shingle_k=2,
+        options={"maxFilesPerTrigger": "1"},
+    )
+    votes = run_available_now(
+        stream, "q227_sink", output_mode="append",
+        persist_tag=os.path.basename(os.path.dirname(feed)), version="v1",
+    )
+    return votes.groupBy("doc_id").agg(F.max("dup_vote").alias("is_dup"))
+
+
+def _sql_mmr_rerank(nq: int, pool: int, k: int) -> str:
+    """Recursive-CTE twin of the MMR selection loop: base = per-query
+    argmax relevance; each recursive step scores the unchosen pool
+    (0.7·rel − 0.3·max-sim-to-chosen, every term ROUND(…,6)-quantized so
+    both engines compare identical decimals) and picks the row_number-1
+    row.  The working table holds exactly one row per query per rank, so
+    recursion depth = k."""
+    cos = (
+        "ROUND(list_dot_product({a}, {b}) / "
+        "(sqrt(list_dot_product({a}, {a})) * "
+        "sqrt(list_dot_product({b}, {b}))), 6)"
+    )
+    return f"""
+    WITH RECURSIVE
+    q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+          FROM embeddings WHERE vec_id < {nq}),
+    rels AS (
+      SELECT q.qid, e.vec_id, e.embedding::DOUBLE[] AS v,
+             {cos.format(a="e.embedding::DOUBLE[]", b="q.qv")} AS rel
+      FROM embeddings e, q WHERE e.vec_id <> q.qid
+    ),
+    cand AS (
+      SELECT qid, vec_id, v, rel FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY qid ORDER BY rel DESC, vec_id) AS rn
+        FROM rels) WHERE rn <= {pool}
+    ),
+    sel(qid, rnk, vec_id, score, chosen) AS (
+      SELECT qid, 1, vec_id, ROUND(0.7 * rel, 7), [vec_id]
+      FROM (SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY qid ORDER BY rel DESC, vec_id) AS r FROM cand)
+      WHERE r = 1
+      UNION ALL
+      SELECT qid, rnk + 1, vec_id, score, list_append(chosen, vec_id) FROM (
+        SELECT scored.*, ROW_NUMBER() OVER (
+            PARTITION BY qid ORDER BY score DESC, vec_id) AS r
+        FROM (
+          SELECT s.qid AS qid, s.rnk AS rnk, c.vec_id AS vec_id,
+                 s.chosen AS chosen,
+                 ROUND(0.7 * ANY_VALUE(c.rel) - 0.3 * MAX(
+                     {cos.format(a="c.v", b="p.v")}), 7) AS score
+          FROM sel s
+          JOIN cand c ON c.qid = s.qid
+                     AND NOT list_contains(s.chosen, c.vec_id)
+          JOIN cand p ON p.qid = s.qid
+                     AND list_contains(s.chosen, p.vec_id)
+          GROUP BY s.qid, s.rnk, c.vec_id, s.chosen
+        ) scored
+      ) WHERE r = 1 AND rnk < {k}
+    )
+    SELECT qid AS query_id, rnk AS rank, vec_id, score AS mmr_score
+    FROM sel
+    """
+
+
+@query("q228_mmr_diversity_rerank", _sql_mmr_rerank(4, 25, 10))
+def q228_mmr_diversity_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance diversity selection
+    (similarity.mmr_rerank): per query, pick 10 of the 25 most relevant
+    embeddings trading relevance against redundancy — the de-redundancy
+    step between retrieval and consumption (and between ANN candidate
+    generation and training-set inclusion in a data pipeline).  JVM-side
+    pool cut (broadcast literal queries + window top-25), Arrow-batched
+    sequential argmax per bounded window; every score decimal-quantized
+    so the iterative selection is engine-portable — gated against a
+    recursive-CTE oracle running the identical loop relationally.
+    (Reference has no similarity surface, SURVEY.md §2.4.)"""
+    from parquery_spark.operators.similarity import mmr_rerank
+
+    emb = load(spark, sf_dir, "embeddings")
+    probes = sorted(
+        (int(r[0]), [float(x) for x in r[1]])
+        for r in emb.filter(F.col("vec_id") < 4)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    return mmr_rerank(emb, probes, k=10, pool=25, lam=0.7, mu=0.3)
+
+
 # ===========================================================================
 # Driver-snapshot ordering
 # ===========================================================================

@@ -1,0 +1,182 @@
+"""Streaming near-duplicate detection over a document feed — the online
+half of the MinHash-LSH dedup surface (the batch half is
+``operators/dedup.py``; the exact streaming dedup is
+``streaming/events.py::dedup_stream``).
+
+Semantics (order-of-arrival first-wins, made oracle-exact by feeding
+doc_id-ordered micro-batches): a document is flagged a near-duplicate iff
+ANY of its MinHash band buckets already contains a document with a
+smaller ``doc_id`` — i.e. ``is_dup(d) = ∃ bucket b ∋ d : min_id(b) <
+d.id``, which a batch SQL twin expresses as a bucket-min join (the q227
+oracle).  When micro-batches arrive in id order, the per-bucket running
+minimum kept in the state store equals the global bucket minimum at each
+document's arrival, so the streaming verdict is exactly the batch
+verdict.
+
+Design for an unbounded 100 TB-rate feed:
+
+* **Signature computation is an Arrow-batched Python kernel**
+  (``mapInPandas``), NOT the column-expression MinHash: higher-order
+  lambdas are interpreted with no subexpression hoisting, so an
+  expression-form signature feeding 4 band keys re-tokenizes each
+  document ~16× per band reference (measured 30× slowdown class,
+  ``operators/dedup.py::minhash_signature``), while the explode-shaped
+  JVM path (``minhash_signatures``) needs a groupBy — an aggregation
+  Spark cannot chain upstream of ``applyInPandasWithState``.  The kernel
+  replicates the JVM/oracle hash bit-for-bit (md5-prefix base hash,
+  affine family mod ``MINHASH_P``) and is pinned against the batch
+  ``band_keys`` relation by ``tests/test_streaming_dedup.py``.
+* **State is one 8-byte min-id per distinct (band, band_key) bucket** —
+  the dedup-index lower bound.  Re-arrivals of duplicate content never
+  grow state (the min is already held); state growth tracks DISTINCT
+  corpus signatures, not event rate — the same rate-invariance contract
+  q84/q97 are measured against in SCALING.md.
+* Emission is eager per micro-batch (no watermark, no upstream
+  aggregation → the chained-stateful sentinel hazard from NOTES.md round
+  10 does not apply).
+
+The reference has no streaming surface (SURVEY.md §2.4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+#: schema of a parquet document feed directory (matches the
+#: ``documents`` test table's (doc_id, text) projection).
+DOC_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ]
+)
+
+_BAND_SCHEMA = "doc_id long, band int, band_key string"
+_VOTE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("dup_vote", T.IntegerType()),
+    ]
+)
+_MIN_STATE_SCHEMA = T.StructType([T.StructField("min_id", T.LongType())])
+
+
+def band_rows_kernel(num_hashes: int, bands: int, shingle_k: int):
+    """``mapInPandas`` factory: (doc_id, text) batches → (doc_id, band,
+    band_key) rows, one per (document, band); documents with fewer than
+    ``shingle_k`` words emit nothing (undefined signature — the same
+    omission as the explode-shaped batch path and NULL-key SQL oracle).
+
+    Hash discipline (must stay bit-identical to
+    ``operators/dedup.hash32`` / ``_sql_minhash_lsh``): base hash =
+    ``int(md5(shingle)[:8 hex], 16) % MINHASH_P``; signature position i =
+    ``min((a_i * h + b_i) % MINHASH_P)``; band key = md5 of the
+    comma-joined decimal signature slice."""
+    import hashlib
+
+    from parquery_spark.operators.dedup import (
+        MINHASH_P,
+        minhash_coefficients,
+    )
+
+    coeffs = minhash_coefficients(num_hashes)
+    rows_per_band = num_hashes // bands
+
+    def fn(batches):
+        import re
+
+        import pandas as pd
+
+        tok = re.compile(r"[^a-z0-9']+")
+        for pdf in batches:
+            out_id: list[int] = []
+            out_band: list[int] = []
+            out_key: list[str] = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                words = [w for w in tok.split((text or "").lower()) if w]
+                if len(words) < shingle_k:
+                    continue
+                if shingle_k == 1:
+                    shingles = set(words)
+                else:
+                    shingles = {
+                        " ".join(words[i : i + shingle_k])
+                        for i in range(len(words) - shingle_k + 1)
+                    }
+                hs = {
+                    int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+                    % MINHASH_P
+                    for s in shingles
+                }
+                sig = [min((a * h + b) % MINHASH_P for h in hs) for a, b in coeffs]
+                for b in range(bands):
+                    key = hashlib.md5(
+                        ",".join(
+                            str(sig[b * rows_per_band + r])
+                            for r in range(rows_per_band)
+                        ).encode()
+                    ).hexdigest()
+                    out_id.append(int(doc_id))
+                    out_band.append(b)
+                    out_key.append(key)
+            yield pd.DataFrame(
+                {"doc_id": out_id, "band": out_band, "band_key": out_key}
+            )
+
+    return fn
+
+
+def _bucket_min_fn(key, pdfs, state: GroupState):
+    """Per-(band, band_key) stateful verdict: emit ``dup_vote=1`` for every
+    document whose bucket already holds a smaller id (from a previous
+    micro-batch via state, or earlier in this batch), else 0; state keeps
+    only the running minimum id."""
+    import pandas as pd
+
+    if state.hasTimedOut:  # NoTimeout — never fires; defensive only
+        state.remove()
+        return
+    ids: list[int] = []
+    for pdf in pdfs:
+        ids.extend(int(x) for x in pdf["doc_id"])
+    if not ids:
+        return
+    ids.sort()
+    m = state.get[0] if state.exists else None
+    votes: list[int] = []
+    for d in ids:
+        votes.append(1 if (m is not None and m < d) else 0)
+        if m is None or d < m:
+            m = d
+    state.update((m,))
+    yield pd.DataFrame({"doc_id": ids, "dup_vote": votes})
+
+
+def minhash_dedup_stream(
+    spark: SparkSession,
+    source_dir: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 2,
+    options: dict | None = None,
+) -> DataFrame:
+    """Streaming MinHash-LSH near-dup votes: one ``(doc_id, dup_vote)``
+    row per (document, band); reduce with ``MAX(dup_vote)`` per doc for
+    the any-band verdict (done batch-side on the drained sink — votes are
+    independent facts, the reduction needs no streaming state)."""
+    reader = spark.readStream.schema(DOC_STREAM_SCHEMA)
+    if options:
+        reader = reader.options(**options)
+    stream = reader.parquet(source_dir)
+    banded = stream.mapInPandas(
+        band_rows_kernel(num_hashes, bands, shingle_k), _BAND_SCHEMA
+    )
+    return banded.groupBy("band", "band_key").applyInPandasWithState(
+        _bucket_min_fn,
+        outputStructType=_VOTE_SCHEMA,
+        stateStructType=_MIN_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -168,6 +168,10 @@ WHITELIST = {
         " vectorized replacement for the SQL distance fan-out",
         "q222_binary_file_ingest": "mapInPandas feature extraction over"
         " binaryFile payloads IS the operator (same codec surface as q50)",
+        "q228_mmr_diversity_rerank": "Arrow-batched MMR selection kernel"
+        " over bounded (≤pool-row) rerank windows IS the operator — the"
+        " iterative argmax is sequential per window by definition; the"
+        " pool cut stays JVM-side",
     },
     # BUILD-phase Python (b_py column): model-training kernels that run
     # while the query constructs its artifact — the same Arrow-batched

@@ -1,0 +1,181 @@
+"""Streaming MinHash-LSH near-dup detection (streaming/docs.py) and the
+MMR diversity rerank kernel (similarity.mmr_rerank).
+
+Strategy per SURVEY.md §5: the q227/q228 oracle rows gate end-to-end
+values at all three SFs; these tests pin the pieces the gate can't see —
+the Python signature kernel's bit-equality with the JVM banding path,
+cross-micro-batch state behavior, and the MMR kernel's un-clamped
+max-similarity semantics."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+
+class TestBandKernel:
+    def test_kernel_matches_jvm_band_keys(self, spark, sf_dir):
+        """The Arrow-batched signature kernel must be bit-identical to
+        the explode-shaped JVM banding (operators/dedup.band_keys) —
+        same md5-prefix base hash, affine family, band-key md5 — or the
+        streaming verdicts silently diverge from every batch dedup
+        operator and the q43-family oracles."""
+        from parquery_spark.operators.dedup import band_keys
+        from parquery_spark.streaming.docs import band_rows_kernel
+
+        docs = (
+            spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+            .select("doc_id", "text")
+        )
+        jvm = {
+            (r["doc_id"], r["band"], r["band_key"])
+            for r in band_keys(
+                docs, "text", "doc_id", num_hashes=16, bands=4, shingle_k=2
+            ).select("doc_id", "band", "band_key").collect()
+        }
+        # mapInPandas runs the same kernel the stream uses, batch-side
+        py = {
+            (r["doc_id"], r["band"], r["band_key"])
+            for r in docs.mapInPandas(
+                band_rows_kernel(16, 4, 2),
+                "doc_id long, band int, band_key string",
+            ).collect()
+        }
+        assert py == jvm
+        assert len(py) > 0
+
+    def test_short_docs_emit_nothing(self, spark):
+        from parquery_spark.streaming.docs import band_rows_kernel
+
+        df = spark.createDataFrame(
+            [(1, "one"), (2, ""), (3, None), (4, "two words here")],
+            "doc_id long, text string",
+        )
+        rows = df.mapInPandas(
+            band_rows_kernel(16, 4, 2),
+            "doc_id long, band int, band_key string",
+        ).collect()
+        assert {r["doc_id"] for r in rows} == {4}
+        assert len(rows) == 4  # one per band
+
+
+class TestStreamingMinhashDedup:
+    def test_dup_detected_across_micro_batches(self, spark, tmp_path):
+        """State must carry the bucket minimum ACROSS micro-batches: the
+        duplicate pair is split so file 1 (batch 1) holds the original
+        and file 2 (batch 2) the near-copy — a per-batch (stateless)
+        implementation would vote 0 for both."""
+        from parquery_spark.streaming.docs import minhash_dedup_stream
+        from parquery_spark.streaming.events import run_available_now
+
+        text_a = "the quick brown fox jumps over the lazy dog tonight"
+        feed = tmp_path / "feed"
+        feed.mkdir()
+        b1 = spark.createDataFrame(
+            [(1, text_a), (2, "completely different words in this one")],
+            "doc_id long, text string",
+        )
+        b2 = spark.createDataFrame([(3, text_a)], "doc_id long, text string")
+        for i, df in ((1, b1), (2, b2)):
+            d = tmp_path / f"t{i}"
+            df.coalesce(1).write.mode("overwrite").parquet(str(d))
+            part = next(p for p in os.listdir(d) if p.endswith(".parquet"))
+            dst = feed / f"batch{i}.parquet"
+            os.link(d / part, dst)
+            os.utime(dst, (1_000_000 + i, 1_000_000 + i))
+
+        stream = minhash_dedup_stream(
+            spark, str(feed), options={"maxFilesPerTrigger": "1"}
+        )
+        votes = run_available_now(
+            stream, "t_sdedup_sink", output_mode="append"
+        )
+        verdict = {
+            r["doc_id"]: r["is_dup"]
+            for r in votes.groupBy("doc_id")
+            .agg(F.max("dup_vote").alias("is_dup"))
+            .collect()
+        }
+        assert verdict == {1: 0, 2: 0, 3: 1}
+
+    def test_state_rows_bounded_by_distinct_buckets(self, spark, tmp_path):
+        """Re-arrivals of duplicate content must not grow emitted bucket
+        cardinality: votes rows = bands × docs, state keys = distinct
+        (band, band_key) — the rate-invariance contract."""
+        from parquery_spark.streaming.docs import minhash_dedup_stream
+        from parquery_spark.streaming.events import run_available_now
+
+        text = "alpha beta gamma delta epsilon zeta eta theta"
+        df = spark.createDataFrame(
+            [(i, text) for i in range(1, 6)], "doc_id long, text string"
+        )
+        src = tmp_path / "src"
+        df.coalesce(1).write.parquet(str(src))
+        stream = minhash_dedup_stream(spark, str(src))
+        votes = run_available_now(
+            stream, "t_sdedup_sink2", output_mode="append"
+        )
+        rows = votes.collect()
+        assert len(rows) == 5 * 4  # one vote per (doc, band)
+        # identical docs share every bucket -> 4 distinct state keys,
+        # and everyone but the minimum id is a dup in every band
+        dups = {r["doc_id"] for r in rows if r["dup_vote"] == 1}
+        assert dups == {2, 3, 4, 5}
+
+
+class TestMMRRerank:
+    def test_negative_maxsim_not_clamped(self, spark):
+        """MMR's redundancy term is the TRUE max similarity — negative
+        for anti-correlated picks, which RAISES the score.  A 0-clamped
+        implementation picks `c` here (rel 0.8 beats 0.6); correct MMR
+        picks `b` because it is perfectly anti-correlated with the
+        first selection while `c` is highly correlated with it."""
+        from parquery_spark.operators.similarity import mmr_rerank
+
+        # q = x-axis.  id 1 wins rank 1 (rel ~0.700).  For rank 2:
+        # id 2 (rel ~0.600) has sim(2,1) ~ -0.15 -> unclamped score
+        # 0.7*0.600 + 0.3*0.15 ~ 0.465; id 3 (rel 0.630) is ~orthogonal
+        # to 1 -> score ~0.441.  Unclamped MMR picks 2; a 0-clamped
+        # implementation scores 2 at 0.420 and wrongly picks 3.
+        rows = [
+            (1, [0.7, 0.714, 0.0]),
+            (2, [0.6, -0.798, 0.052]),
+            (3, [0.63, -0.617, 0.4716]),
+        ]
+        emb = spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in rows],
+            "vec_id long, embedding array<float>",
+        )
+        q = [1.0, 0.0, 0.0]
+        out = mmr_rerank(
+            emb, [(0, q)], k=2, pool=3, lam=0.7, mu=0.3
+        ).collect()
+        picked = [r["vec_id"] for r in sorted(out, key=lambda r: r["rank"])]
+        assert picked == [1, 2]
+
+    def test_output_bounded_and_scores_monotone_grid(self, spark, sf_dir):
+        from parquery_spark.operators.similarity import mmr_rerank
+
+        emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        probes = sorted(
+            (int(r[0]), [float(x) for x in r[1]])
+            for r in emb.filter(F.col("vec_id") < 2)
+            .select("vec_id", "embedding")
+            .collect()
+        )
+        out = mmr_rerank(emb, probes, k=10, pool=25).collect()
+        by_q = {}
+        for r in out:
+            by_q.setdefault(r["query_id"], []).append(r)
+        assert set(by_q) == {0, 1}
+        for qid, rows_q in by_q.items():
+            rows_q.sort(key=lambda r: r["rank"])
+            assert [r["rank"] for r in rows_q] == list(range(1, 11))
+            ids = [r["vec_id"] for r in rows_q]
+            assert len(set(ids)) == 10 and qid not in ids
+            for r in rows_q:
+                # scores sit on the exact 1e-7 decimal grid (the
+                # cross-engine tie-free contract)
+                assert abs(r["mmr_score"] * 1e7 - round(r["mmr_score"] * 1e7)) < 1e-4
