@@ -12815,11 +12815,14 @@ def q227_streaming_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     feed = _docs_stream_dir(spark, sf_dir)
     stream = minhash_dedup_stream(
         spark, feed, num_hashes=16, bands=4, shingle_k=2,
-        options={"maxFilesPerTrigger": "1"},
+        options={"maxFilesPerTrigger": "1"}, parallelism=16,
     )
+    # version v2: the v1 plan ran the kernel on the raw single-file
+    # batch (serial); v2 fans each batch out 16-way first — a LOGIC
+    # version bump per run_available_now's checkpoint contract
     votes = run_available_now(
         stream, "q227_sink", output_mode="append",
-        persist_tag=os.path.basename(os.path.dirname(feed)), version="v1",
+        persist_tag=os.path.basename(os.path.dirname(feed)), version="v2",
     )
     return votes.groupBy("doc_id").agg(F.max("dup_vote").alias("is_dup"))
 
@@ -12903,6 +12906,111 @@ def q228_mmr_diversity_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mmr_rerank(emb, probes, k=10, pool=25, lam=0.7, mu=0.3)
 
 
+_SQL_ORDERS_ROLLUP = """
+    SELECT o_orderstatus,
+           COUNT(*) AS n,
+           FLOOR(SUM(FLOOR(o_totalprice * 100 + 0.5)::BIGINT)) / 100.0
+               AS total_price,
+           SUM(o_orderkey)::BIGINT AS sum_key,
+           epoch_us(MIN(o_orderdate)) AS first_date_us,
+           epoch_us(MAX(o_orderdate)) AS last_date_us,
+           MIN(o_orderpriority) AS min_priority
+    FROM orders GROUP BY o_orderstatus
+    """
+
+
+def _orders_rollup(df: DataFrame) -> DataFrame:
+    """Shared per-status rollup exercising every column TYPE an interchange
+    format must preserve (int64, 2-dec double via the integer-cents
+    discipline, timestamp→epoch µs, strings)."""
+    return df.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        (
+            F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+                  .cast("long")) / 100.0
+        ).alias("total_price"),
+        F.sum("o_orderkey").alias("sum_key"),
+        # parquet/ORC surface the column as TIMESTAMP_NTZ; the session tz
+        # is UTC, so the LTZ cast is an identity re-tag for unix_micros
+        F.unix_micros(
+            F.min(F.col("o_orderdate").cast("timestamp_ltz"))
+        ).alias("first_date_us"),
+        F.unix_micros(
+            F.max(F.col("o_orderdate").cast("timestamp_ltz"))
+        ).alias("last_date_us"),
+        F.min("o_orderpriority").alias("min_priority"),
+    )
+
+
+@query("q229_orc_roundtrip", _SQL_ORDERS_ROLLUP)
+def q229_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source/sink fidelity: orders staged once as an ORC dataset
+    (stat-keyed artifact, Spark's built-in vectorized ORC writer), read
+    back through the vectorized ORC reader, rolled up per status.  The
+    oracle reads the PARQUET twin, so what is gated is the ORC round
+    trip itself — int64 / double / timestamp(µs) / string all
+    value-exact through the other columnar interchange format.  (ORC
+    timestamps carry local-time semantics; write and read share the
+    session's UTC tz, and the gate would catch any drift as a shifted
+    epoch.)  Reference is parquet-only (SURVEY §2.1); format breadth is
+    an extension."""
+    d = _stat_dir(sf_dir, "orders", "orc-v1", "pqs_orders_orc")
+
+    def _build(t):
+        load(spark, sf_dir, "orders").write.mode("overwrite").orc(t)
+
+    d = _materialize_once(d, _build)
+    return _orders_rollup(spark.read.orc(d))
+
+
+@query(
+    "q230_jsonl_roundtrip",
+    """
+    SELECT o_orderpriority,
+           COUNT(*) AS n,
+           FLOOR(SUM(FLOOR(o_totalprice * 100 + 0.5)::BIGINT)) / 100.0
+               AS total_price,
+           MIN(o_orderkey) AS min_key,
+           MAX(o_orderkey) AS max_key,
+           COUNT(DISTINCT o_custkey) AS n_cust,
+           epoch_us(MAX(o_orderdate)) AS last_date_us
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q230_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines source/sink fidelity: orders staged once as
+    newline-delimited JSON (Spark's writer emits shortest-roundtrip
+    doubles and ISO-8601 timestamps), read back with the EXPLICIT
+    schema (inference would widen/guess; a production feed pins its
+    contract), rolled up per priority.  Oracle reads the parquet twin —
+    the text round trip (double formatting, timestamp parsing, quoting)
+    is what's gated.  JSON is the lingua franca of event feeds; parquet
+    -only reference, extension per SURVEY §2.4."""
+    d = _stat_dir(sf_dir, "orders", "jsonl-v1", "pqs_orders_jsonl")
+
+    def _build(t):
+        load(spark, sf_dir, "orders").write.mode("overwrite").json(t)
+
+    d = _materialize_once(d, _build)
+    schema = (
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp,"
+        " o_orderpriority string"
+    )
+    src = spark.read.schema(schema).json(d)
+    return src.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        (
+            F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+                  .cast("long")) / 100.0
+        ).alias("total_price"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+        F.countDistinct("o_custkey").alias("n_cust"),
+        F.unix_micros(F.max("o_orderdate")).alias("last_date_us"),
+    )
+
+
 # ===========================================================================
 # Driver-snapshot ordering
 # ===========================================================================
@@ -12946,8 +13054,9 @@ DRIVER_PRIORITY: list[str] = [
     "q111_winnowing", "q119_containment_pairs", "q137_winnow_overlap",
     "q221_kmeans_sampled", "q223_substring_spans",
     "q226_substring_cut_apply",
-    # similarity / ANN
-    "q45_embedding_topk", "q83_ivf_ann", "q167_semdedup",
+    # similarity / ANN (round-10 rotation: q228's MMR rerank kernel
+    # joins the snapshot; q45 brute-force top-k stays gate-covered)
+    "q228_mmr_diversity_rerank", "q83_ivf_ann", "q167_semdedup",
     # text / multimodal / sketches / sampling (q222: binaryFile ingest
     # through the real PNG/JPEG header codec, driver-gated since round 9)
     "q48_text_profile", "q50_multimodal_features",
@@ -12956,9 +13065,11 @@ DRIVER_PRIORITY: list[str] = [
     "q132_pagerank",
     # pii / packing / sources
     "q64_pii_audit", "q66_shard_packing", "q67_csv_source",
-    # streaming (real Structured Streaming drains)
+    # streaming (real Structured Streaming drains; round-10 rotation:
+    # q227's stateful fuzzy dedup replaces q170's raw outer join, which
+    # stays gate-covered as the documented worst-case shape)
     "q84_streaming_window_counts", "q97_streaming_sessionize",
-    "q157_stream_stream_join", "q170_stream_outer_join_funnel",
+    "q157_stream_stream_join", "q227_streaming_minhash_dedup",
     # TPC-H shape / UDF surface
     "q94_tpch_q3", "q131_pandas_udf_scoring", "q149_grouped_agg_udaf",
     # maintenance & quality / sessionization / skew / pipeline

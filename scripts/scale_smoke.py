@@ -197,6 +197,11 @@ STREAMING_QUERIES = [
     "q84_streaming_window_counts",   # watermarked tumbling windows
     "q97_streaming_sessionize",      # applyInPandasWithState sessions
     "q157_stream_stream_join",       # watermarked stream-stream join
+    # round-10: streaming fuzzy dedup — xN here replicates documents
+    # with SHIFTED ids but IDENTICAL text, i.e. pure duplicate
+    # re-arrival: state keys (distinct band buckets) must stay FLAT
+    # while processed rows scale xN (the dedup-index contract)
+    "q227_streaming_minhash_dedup",
 ]
 
 
@@ -251,7 +256,8 @@ def run_streaming(spark, sf_dir: str, provider: str | None = None) -> dict:
     # force real drains: drop durable drain sinks/checkpoints for the
     # streaming names measured here (they rebuild in this run; the smoke
     # owns the machine per the one-workload-at-a-time rule)
-    for pat in ("/tmp/pqs_drain_q97_sink_*", "/tmp/pqs_drain_q157_sink_*"):
+    for pat in ("/tmp/pqs_drain_q97_sink_*", "/tmp/pqs_drain_q157_sink_*",
+                "/tmp/pqs_drain_q227_sink_*"):
         for d in glob.glob(pat):
             shutil.rmtree(d, ignore_errors=True)
 
