@@ -13011,6 +13011,148 @@ def q230_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q231_streaming_drift_monitor",
+    """
+    WITH binned AS (
+        SELECT CAST(FLOOR(epoch_us(ts) / 86400000000) AS BIGINT)
+                   * 86400000000 AS window_start_us,
+               event_type,
+               LEAST(GREATEST(CAST(FLOOR(value / 25) AS BIGINT), 0), 19)
+                   AS bin
+        FROM events
+    ),
+    wcounts AS (
+        SELECT window_start_us, event_type, bin, COUNT(*) AS n
+        FROM binned GROUP BY window_start_us, event_type, bin
+    ),
+    wtot AS (
+        SELECT window_start_us, event_type, SUM(n) AS tw
+        FROM wcounts GROUP BY window_start_us, event_type
+    ),
+    gcounts AS (
+        SELECT event_type, bin, COUNT(*) AS g
+        FROM binned GROUP BY event_type, bin
+    ),
+    gtot AS (SELECT event_type, SUM(g) AS tg FROM gcounts GROUP BY event_type),
+    spine AS (
+        SELECT wt.window_start_us, gc.event_type, gc.bin, gc.g
+        FROM (SELECT DISTINCT window_start_us, event_type FROM binned) wt
+        JOIN gcounts gc ON gc.event_type = wt.event_type
+    ),
+    joined AS (
+        SELECT s.window_start_us, s.event_type, s.bin, s.g,
+               COALESCE(w.n, 0) AS n
+        FROM spine s LEFT JOIN wcounts w
+          ON w.window_start_us = s.window_start_us
+         AND w.event_type = s.event_type AND w.bin = s.bin
+    )
+    SELECT j.window_start_us, j.event_type,
+           ROUND(SUM(
+               (CAST(n + 1 AS DOUBLE) / (tw + 20)
+                - CAST(g + 1 AS DOUBLE) / (tg + 20))
+               * ln((CAST(n + 1 AS DOUBLE) / (tw + 20))
+                    / (CAST(g + 1 AS DOUBLE) / (tg + 20)))
+           ), 6) AS psi
+    FROM joined j
+    JOIN wtot ON wtot.window_start_us = j.window_start_us
+             AND wtot.event_type = j.event_type
+    JOIN gtot ON gtot.event_type = j.event_type
+    GROUP BY j.window_start_us, j.event_type
+    """,
+)
+def q231_streaming_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming DATA-DRIFT monitor — the observability gate a training
+    pipeline runs before admitting a day's ingest: the live stream is
+    reduced to per-(day window, event_type) value HISTOGRAMS (q129's
+    fixed-width 20-bin layout — quantile-free, so edges are identical on
+    every engine) by a real windowed streaming aggregation; the drained
+    histograms are then PSI-scored against the corpus-wide reference
+    distribution (Laplace-smoothed over the reference's observed-bin
+    spine, q129's exact discipline).  Scale shape: streaming state =
+    windows-in-flight × types × ≤20 bins (rate-invariant, the q84
+    contract); the drift math runs over the tiny drained histogram
+    relation.  Composition is the point — windowed agg (streaming) →
+    broadcast-joined reference scoring (batch) with zero raw-event
+    re-reads on the scoring side."""
+    from parquery_spark.streaming.events import (
+        events_stream,
+        run_available_now,
+    )
+
+    bin_of = lambda c: F.least(  # noqa: E731 — q129's exact binning
+        F.greatest(F.floor(c / 25).cast("long"), F.lit(0)), F.lit(19)
+    )
+    stream = events_stream(spark, _events_stream_dir(sf_dir))
+    wcounts = run_available_now(
+        stream.groupBy(
+            F.window("ts", "1 day").alias("win"),
+            "event_type",
+            bin_of(F.col("value")).alias("bin"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.unix_micros(F.col("win.start")).alias("window_start_us"),
+            "event_type", "bin", "n",
+        ),
+        "q231_sink", output_mode="complete",
+    )
+    events = load_events(spark, sf_dir)
+    gcounts = (
+        events.groupBy("event_type", bin_of(F.col("value")).alias("bin"))
+        .agg(F.count(F.lit(1)).alias("g"))
+    )
+    # the scoring SQL references wcounts THREE times (spine, left join,
+    # window totals), and a memory-sink plan exposes FIXED attribute ids
+    # (MemoryPlan is not a MultiInstanceRelation), so any self-join over
+    # the drained view hits conflicting-reference resolution.  Land the
+    # drained histogram as a LOCAL relation first: it is bounded by
+    # windows-in-flight x event_types x 20 bins — a pure function of the
+    # corpus's TIME SPAN, never of event rate — i.e. the same bounded
+    # driver-side class as probe vectors and 1-row summaries.
+    wcounts = spark.createDataFrame(
+        wcounts.toPandas(),
+        "window_start_us long, event_type string, bin long, n long",
+    )
+    wcounts.createOrReplaceTempView("q231_wcounts")
+    gcounts.createOrReplaceTempView("q231_gcounts")
+    return spark.sql("""
+        WITH wtot AS (
+            SELECT window_start_us, event_type, SUM(n) AS tw
+            FROM q231_wcounts GROUP BY window_start_us, event_type
+        ),
+        gtot AS (
+            SELECT event_type, SUM(g) AS tg
+            FROM q231_gcounts GROUP BY event_type
+        ),
+        spine AS (
+            SELECT wt.window_start_us, gc.event_type, gc.bin, gc.g
+            FROM (SELECT DISTINCT window_start_us, event_type
+                  FROM q231_wcounts) wt
+            JOIN q231_gcounts gc ON gc.event_type = wt.event_type
+        ),
+        joined AS (
+            SELECT s.window_start_us, s.event_type, s.bin, s.g,
+                   COALESCE(w.n, 0) AS n
+            FROM spine s LEFT JOIN q231_wcounts w
+              ON w.window_start_us = s.window_start_us
+             AND w.event_type = s.event_type AND w.bin = s.bin
+        )
+        SELECT j.window_start_us, j.event_type,
+               ROUND(SUM(
+                   (CAST(n + 1 AS DOUBLE) / (tw + 20)
+                    - CAST(g + 1 AS DOUBLE) / (tg + 20))
+                   * ln((CAST(n + 1 AS DOUBLE) / (tw + 20))
+                        / (CAST(g + 1 AS DOUBLE) / (tg + 20)))
+               ), 6) AS psi
+        FROM joined j
+        JOIN wtot ON wtot.window_start_us = j.window_start_us
+                 AND wtot.event_type = j.event_type
+        JOIN gtot ON gtot.event_type = j.event_type
+        GROUP BY j.window_start_us, j.event_type
+    """)
+
+
 # ===========================================================================
 # Driver-snapshot ordering
 # ===========================================================================

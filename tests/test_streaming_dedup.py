@@ -179,3 +179,71 @@ class TestMMRRerank:
                 # scores sit on the exact 1e-7 decimal grid (the
                 # cross-engine tie-free contract)
                 assert abs(r["mmr_score"] * 1e7 - round(r["mmr_score"] * 1e7)) < 1e-4
+
+
+class TestFuzzyDedupRecovery:
+    def test_bucket_state_survives_checkpoint_restart(
+        self, spark, tmp_path
+    ):
+        """Exactly-once restart for the STATEFUL fuzzy dedup: run 1
+        drains two micro-batches into a durable sink + checkpoint and
+        stops; a third file then lands and run 2 restarts from the SAME
+        checkpoint.  Doc 4 duplicates doc 2 — seen only before the
+        restart — so a correct run 2 must vote dup=1 out of RESTORED
+        per-bucket min-id state (a state-loss bug votes 0), must not
+        re-emit run 1's votes, and the union of the two runs' sink
+        contents must equal a single full drain."""
+        import os as _os
+
+        from parquery_spark.streaming.docs import minhash_dedup_stream
+
+        text_a = "alpha beta gamma delta epsilon zeta eta theta iota"
+        text_b = "one small step for spark one giant leap for pipelines"
+        feed = tmp_path / "feed"
+        feed.mkdir()
+        sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+
+        def stage(i, rows):
+            d = tmp_path / f"t{i}"
+            spark.createDataFrame(
+                rows, "doc_id long, text string"
+            ).coalesce(1).write.mode("overwrite").parquet(str(d))
+            part = next(
+                p for p in _os.listdir(d) if p.endswith(".parquet")
+            )
+            dst = feed / f"batch{i}.parquet"
+            _os.link(d / part, dst)
+            _os.utime(dst, (1_000_000 + i, 1_000_000 + i))
+
+        def drain():
+            stream = minhash_dedup_stream(
+                spark, str(feed), options={"maxFilesPerTrigger": "1"}
+            )
+            q = (
+                stream.writeStream.format("parquet")
+                .option("path", sink)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            assert q.awaitTermination(120)
+            assert q.exception() is None
+
+        stage(1, [(1, text_a), (2, text_b)])
+        stage(2, [(3, text_a)])
+        drain()  # run 1: batches 1-2 committed, state holds both buckets
+        run1 = spark.read.parquet(sink).collect()
+
+        stage(3, [(4, text_b), (5, "totally fresh unseen content here")])
+        drain()  # run 2: resumes the checkpoint, processes ONLY batch 3
+
+        votes = spark.read.parquet(sink).collect()
+        # no re-emission: run 2 added exactly the batch-3 rows
+        assert len(votes) - len(run1) == 2 * 4
+        verdict = {}
+        for r in votes:
+            verdict[r["doc_id"]] = max(
+                verdict.get(r["doc_id"], 0), r["dup_vote"]
+            )
+        assert verdict == {1: 0, 2: 0, 3: 1, 4: 1, 5: 0}
