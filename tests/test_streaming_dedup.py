@@ -247,3 +247,93 @@ class TestFuzzyDedupRecovery:
                 verdict.get(r["doc_id"], 0), r["dup_vote"]
             )
         assert verdict == {1: 0, 2: 0, 3: 1, 4: 1, 5: 0}
+
+
+def _mmr_brute(vecs: dict, qid: int, qv: list, k: int, pool: int,
+               lam: float, mu: float):
+    """Independent MMR reference: plain-python argmax loop straight from
+    the definition — shares no code with similarity._mmr_kernel."""
+    import math
+
+    def dot(a, b):
+        s = 0.0
+        for x, y in zip(a, b):
+            s += x * y
+        return s
+
+    nrm = {i: math.sqrt(dot(v, v)) for i, v in vecs.items()}
+    nq = math.sqrt(dot(qv, qv))
+    rels = sorted(
+        ((round(dot(v, qv) / (nrm[i] * nq), 6), i)
+         for i, v in vecs.items() if i != qid),
+        key=lambda t: (-t[0], t[1]),
+    )[:pool]
+    rel = {i: r for r, i in rels}
+    cand = sorted(rel)
+    maxsim = {i: None for i in cand}
+    out = []
+    for rank in range(1, min(k, len(cand)) + 1):
+        best, bs = None, None
+        for i in cand:
+            base = lam * rel[i]
+            sc = round(
+                base if maxsim[i] is None else base - mu * maxsim[i], 7
+            )
+            if bs is None or sc > bs:
+                best, bs = i, sc
+        out.append((qid, rank, best, bs))
+        cand.remove(best)
+        for i in cand:
+            sim = round(
+                dot(vecs[i], vecs[best]) / (nrm[i] * nrm[best]), 6
+            )
+            if maxsim[i] is None or sim > maxsim[i]:
+                maxsim[i] = sim
+    return out
+
+
+class TestMMRDifferential:
+    def test_kernel_matches_independent_brute_force(self, spark):
+        """Seeded random corpora, including degenerate shapes (k > pool,
+        pool > n, duplicate vectors that tie on every rounded score):
+        the distributed operator must equal the definitional loop row
+        for row — selection order, tie-breaks and scores."""
+        import random
+
+        from parquery_spark.operators.similarity import mmr_rerank
+
+        for seed, n, dim, k, pool in (
+            (1, 12, 4, 5, 8),
+            (2, 6, 3, 10, 25),    # k and pool both exceed n-1
+            (3, 20, 5, 6, 10),
+        ):
+            rng = random.Random(seed)
+            vecs = {
+                i: [round(rng.uniform(-1, 1), 3) for _ in range(dim)]
+                for i in range(n)
+            }
+            vecs[n] = list(vecs[0])  # exact duplicate -> rounded ties
+            emb = spark.createDataFrame(
+                [(i, [float(x) for x in v]) for i, v in vecs.items()],
+                "vec_id long, embedding array<float>",
+            )
+            qid, qv = 0, vecs[0]
+            got = sorted(
+                (
+                    (r["query_id"], r["rank"], r["vec_id"], r["mmr_score"])
+                    for r in mmr_rerank(
+                        emb, [(qid, qv)], k=k, pool=pool
+                    ).collect()
+                ),
+                key=lambda t: t[1],
+            )
+            # float32 storage: brute force must see the same widened
+            # values the kernel reads back from the embedding column
+            import numpy as np
+
+            stored = {
+                i: [float(np.float32(x)) for x in v]
+                for i, v in vecs.items()
+            }
+            want = _mmr_brute(stored, qid, stored[qid], k, pool, 0.7, 0.3)
+            assert got == want, f"seed {seed}"
