@@ -297,6 +297,14 @@ def main():
         k: cold[k] for k in sorted(cold) if cold[k] != timings[k]
     }
     full["passes"] = passes  # all 5 raw samples/query — noise auditable
+    # gate verdict computed BEFORE any output so the breach list survives
+    # in BOTH recorded artifacts (the stderr lines vanish under the
+    # common `2>/dev/null` invocation — learned closing round 10)
+    gate_breaches = None
+    if against:
+        gate_breaches = _regression_check(timings, baseline)
+        full["regression_gate"] = "fired" if gate_breaches else "clean"
+        full["regression_breaches"] = gate_breaches
     out_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "bench_results.json"
     )
@@ -311,6 +319,10 @@ def main():
     # timings inline; the full 183-query dict lives in bench_results.json.
     result["queries"] = core
     result["queries_full"] = os.path.basename(out_path)
+    if against:
+        result["regression_gate"] = "fired" if gate_breaches else "clean"
+        if gate_breaches:
+            result["regression_breaches"] = gate_breaches[:6]
     if parity is not None:
         result["parity_workload"] = {
             k: v
@@ -321,7 +333,7 @@ def main():
     # the line must ALWAYS fit — drop optional payloads largest-first until
     # it does, then hard-assert.  bench_results.json keeps everything.
     line = json.dumps(result)
-    for victim in ("queries", "parity_workload"):
+    for victim in ("regression_breaches", "queries", "parity_workload"):
         if len(line) < 1800:
             break
         result.pop(victim, None)
@@ -342,7 +354,7 @@ def main():
     # of the signal rule exit nonzero AFTER the result line is printed,
     # so the driver still records the run while `make bench` fails loud
     if against:
-        breaches = _regression_check(timings, baseline)
+        breaches = gate_breaches
         if breaches:
             print(f"# REGRESSION vs {against}: {len(breaches)} "
                   "breach(es) of the signal rule "
