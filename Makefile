@@ -32,11 +32,13 @@ plan-audit:
 	python scripts/plan_audit.py --fresh-artifacts $(SF_DIR)
 
 bench:
-	# --against: the SCALING.md signal rule as an exit-code gate — fails
-	# on any query regressing >0.5s absolute (or >25% on a >=1s warm
-	# baseline) vs the previous round's committed per-query results.
-	# bench.py loads the baseline BEFORE overwriting bench_results.json.
-	python bench.py --against bench_results.json
+	# --against HEAD: the SCALING.md signal rule as an exit-code gate —
+	# fails on any query regressing >0.5s absolute (or >25% on a >=1s
+	# warm baseline) vs the COMMITTED bench_results.json (git show), so a
+	# first run on a clean checkout gates against the real baseline, not
+	# the working copy this run is about to overwrite.  A bare
+	# `python bench.py` auto-resolves the same baseline report-only.
+	python bench.py --against HEAD
 
 scale-smoke:
 	python scripts/scale_smoke.py 10

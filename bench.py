@@ -80,15 +80,63 @@ def _load_baseline(path: str) -> dict[str, float]:
     """Per-query baseline timings from either a full
     ``bench_results.json`` (complete "queries" dict) or a driver
     ``BENCH_r{N}.json`` wrapper (stdout line inside "tail" — core
-    queries only)."""
-    with open(path) as fh:
-        doc = json.load(fh)
+    queries only).  The special path ``HEAD`` reads the COMMITTED
+    ``bench_results.json`` via git — the stable baseline a gate should
+    hold against (the working copy is overwritten by every run, so
+    gating on it compares a run against itself)."""
+    if path == "HEAD":
+        import subprocess
+
+        here = os.path.dirname(os.path.abspath(__file__))
+        doc = json.loads(
+            subprocess.run(
+                ["git", "-C", here, "show", "HEAD:bench_results.json"],
+                capture_output=True, text=True, check=True,
+            ).stdout
+        )
+    else:
+        with open(path) as fh:
+            doc = json.load(fh)
     if "tail" in doc and "queries" not in doc:
         for line in reversed(doc["tail"].splitlines()):
             if line.startswith("{"):
                 doc = json.loads(line)
                 break
     return doc.get("queries", {})
+
+
+def _resolve_baseline() -> tuple[str, dict[str, float]] | None:
+    """Default-on gate baseline (VERDICT r10 #4): with no ``--against``,
+    every bench run — including the driver's bare ``python bench.py`` —
+    still records a ``regression_gate`` verdict.  Resolution order:
+
+    1. the COMMITTED ``bench_results.json`` (``git show HEAD:...``) —
+       full per-query dict, immune to the working-copy overwrite;
+    2. the highest-round driver artifact ``BENCH_r{N}.json`` (its
+       stdout tail carries the core-parity queries only);
+    3. none → the artifact records ``regression_gate: "no-baseline"``.
+
+    Auto-resolved gates REPORT ONLY (exit 0): the driver's bare run must
+    record host-noise breaches, not fail on them.  Explicit ``--against``
+    (the ``make bench`` ritual) keeps the exit-1 contract."""
+    try:
+        return "HEAD:bench_results.json", _load_baseline("HEAD")
+    except Exception:
+        pass
+    here = os.path.dirname(os.path.abspath(__file__))
+    rounds = []
+    for f in os.listdir(here):
+        m = re.fullmatch(r"BENCH_r(\d+)\.json", f)
+        if m:
+            rounds.append((int(m.group(1)), f))
+    for _, f in sorted(rounds, reverse=True):
+        try:
+            qs = _load_baseline(os.path.join(here, f))
+        except Exception:
+            continue
+        if qs:
+            return f, qs
+    return None
 
 
 def main():
@@ -102,10 +150,18 @@ def main():
         # may BE bench_results.json, which this run overwrites at the end
         try:
             baseline = _load_baseline(against)
-        except (OSError, json.JSONDecodeError, KeyError) as exc:
+        except (OSError, json.JSONDecodeError, KeyError,
+                __import__("subprocess").CalledProcessError) as exc:
             print(f"# --against {against}: unreadable ({exc})",
                   file=sys.stderr)
             sys.exit(2)
+    baseline_label = against
+    if against is None:
+        resolved = _resolve_baseline()
+        if resolved is not None:
+            baseline_label, baseline = resolved
+            print(f"# regression baseline auto-resolved: {baseline_label} "
+                  f"({len(baseline)} queries; report-only)", file=sys.stderr)
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
     os.environ["PARQUERY_SPARK_MASTER"] = f"local[{cpus}]"
@@ -301,10 +357,13 @@ def main():
     # in BOTH recorded artifacts (the stderr lines vanish under the
     # common `2>/dev/null` invocation — learned closing round 10)
     gate_breaches = None
-    if against:
+    if baseline is not None:
         gate_breaches = _regression_check(timings, baseline)
         full["regression_gate"] = "fired" if gate_breaches else "clean"
         full["regression_breaches"] = gate_breaches
+        full["regression_baseline"] = baseline_label
+    else:
+        full["regression_gate"] = "no-baseline"
     out_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "bench_results.json"
     )
@@ -319,10 +378,13 @@ def main():
     # timings inline; the full 183-query dict lives in bench_results.json.
     result["queries"] = core
     result["queries_full"] = os.path.basename(out_path)
-    if against:
+    if baseline is not None:
         result["regression_gate"] = "fired" if gate_breaches else "clean"
+        result["regression_baseline"] = baseline_label
         if gate_breaches:
             result["regression_breaches"] = gate_breaches[:6]
+    else:
+        result["regression_gate"] = "no-baseline"
     if parity is not None:
         result["parity_workload"] = {
             k: v
@@ -350,21 +412,25 @@ def main():
         line = json.dumps(result)
     print(line)
 
-    # executable regression gate (--against <baseline.json>): breaches
-    # of the signal rule exit nonzero AFTER the result line is printed,
-    # so the driver still records the run while `make bench` fails loud
-    if against:
+    # executable regression gate: breaches of the signal rule are printed
+    # AFTER the result line, so the driver still records the run.  Only an
+    # EXPLICIT --against exits nonzero (`make bench` fails loud); the
+    # auto-resolved default gate is report-only — the driver's bare run
+    # must record host-noise breaches in the artifact, not fail on them.
+    if baseline is not None:
         breaches = gate_breaches
         if breaches:
-            print(f"# REGRESSION vs {against}: {len(breaches)} "
+            print(f"# REGRESSION vs {baseline_label}: {len(breaches)} "
                   "breach(es) of the signal rule "
                   "(>0.5s absolute, or >25% on >=1s)", file=sys.stderr)
             for b in breaches:
                 print(f"#   {b}", file=sys.stderr)
-            sys.exit(1)
-        print(f"# regression gate vs {against}: clean "
-              f"({len(set(timings) & set(baseline))} queries compared)",
-              file=sys.stderr)
+            if against:
+                sys.exit(1)
+        else:
+            print(f"# regression gate vs {baseline_label}: clean "
+                  f"({len(set(timings) & set(baseline))} queries compared)",
+                  file=sys.stderr)
 
 
 #: (name, table, groupby, measures, filter) — expressible by BOTH engines.

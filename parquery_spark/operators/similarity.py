@@ -660,14 +660,25 @@ def _mmr_kernel(k: int, lam: float, mu: float, digits: int, id_col: str):
         out_score: list[float] = []
         for rank in range(1, min(k, n) + 1):
             best, best_score = None, None
-            for i in remaining:
-                base = lam * rels[i]
-                score = round(
-                    base if maxsim[i] is None else base - mu * maxsim[i],
-                    digits + 1,
-                )
-                if best is None or score > best_score:
-                    best, best_score = i, score
+            if rank == 1:
+                # base case: nothing is selected yet, so the MMR score is
+                # a monotone function of rel alone — pick by RAW rel
+                # (ids ascending, strict >, so ties go to the smallest
+                # id), matching the oracle CTE's base-case ORDER BY rel.
+                # Scaling/rounding lam*rel BEFORE the argmax would let
+                # distinct rels collapse onto one digits+1 grid point for
+                # small lam (≲0.05 at digits=6) and flip the pick.
+                for i in remaining:
+                    if best is None or rels[i] > rels[best]:
+                        best = i
+                best_score = round(lam * rels[best], digits + 1)
+            else:
+                for i in remaining:
+                    score = round(
+                        lam * rels[i] - mu * maxsim[i], digits + 1
+                    )
+                    if best is None or score > best_score:
+                        best, best_score = i, score
             out_rank.append(rank)
             out_id.append(ids[best])
             out_score.append(best_score)
@@ -718,7 +729,14 @@ def mmr_rerank(
     enter the Arrow-batched Python kernel — the iterative argmax is
     inherently sequential PER WINDOW, but windows parallelize freely
     across queries, so the Python path is bounded at ``pool × k`` dots
-    per query regardless of corpus size."""
+    per query regardless of corpus size.
+
+    Degenerate inputs: zero-norm candidates are excluded from the pool
+    (no defined direction — the module-wide convention, see
+    :func:`_explode_sums`); rank 1 is selected by RAW relevance (ids
+    ascending on ties), matching the oracle CTE's base case for every
+    ``lam`` — including tiny values where ``round(lam·rel, digits+1)``
+    would collapse distinct rels onto one grid point."""
     spark = df.sparkSession
     qdf = spark.createDataFrame(
         [(int(q), [float(x) for x in v]) for q, v in queries],
@@ -742,6 +760,11 @@ def mmr_rerank(
             _as_double(vec_col).alias("__v"),
             rel.alias("__rel"),
         )
+        # a zero-norm candidate has no defined direction (the module-wide
+        # convention, see _explode_sums): its rel is NULL/NaN on the JVM
+        # path and would raise ZeroDivisionError inside the Python kernel
+        # when it meets norms[i]*norms[best] — drop it before the pool cut
+        .where(fold_sum(F.col("__v"), lambda v: v * v) > 0.0)
         .withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") <= pool)
         .drop("__rn")

@@ -148,6 +148,7 @@ def _materialize_once(final_dir: str, build, marker: str = "_SUCCESS") -> str:
     # GC runs only on the build path (a fresh corpus version just
     # published), never on the stat-only hot path
     _sweep_stale_versions(final_dir)
+    _sweep_global_budget(final_dir)
     return final_dir
 
 
@@ -188,6 +189,67 @@ def _sweep_stale_versions(final_dir: str, max_versions: int = 8) -> None:
     # the just-published artifact counts toward the budget
     for _, d in sibs[max_versions - 1:]:
         _shutil.rmtree(d, ignore_errors=True)
+
+
+def _sweep_global_budget(
+    final_dir: str, budget_bytes: int | None = None
+) -> None:
+    """Per-uid TOTAL-bytes budget across ALL stat-keyed artifact prefixes
+    (VERDICT r10 #7): the per-prefix keep-8 sweep bounds versions per
+    prefix, but the number of prefixes grows with the query surface, so
+    the combined /tmp footprint was unbounded globally.  On publish, if
+    this uid's artifact directories under the same temp root together
+    exceed the budget (``PARQUERY_SPARK_ARTIFACT_BUDGET_BYTES``, default
+    4 GiB), reap OLDEST-FIRST by mtime until back under it.
+
+    Same guards as the per-prefix sweep: runs only on the build path;
+    only directories matching the ``pqs_{...}_{10-hex}`` naming scheme;
+    never across uids; never the just-published artifact (every other
+    artifact is rebuildable from its stat key, so reclamation costs a
+    rebuild, never correctness)."""
+    import glob as _glob
+    import re as _re
+    import shutil as _shutil
+
+    if budget_bytes is None:
+        budget_bytes = int(
+            os.environ.get(
+                "PARQUERY_SPARK_ARTIFACT_BUDGET_BYTES", str(4 << 30)
+            )
+        )
+    root = os.path.dirname(final_dir)
+    name_pat = _re.compile(r"pqs_.+_[0-9a-f]{10}")
+    entries = []
+    for d in _glob.glob(os.path.join(root, "pqs_*")):
+        if not os.path.isdir(d) or not name_pat.fullmatch(
+            os.path.basename(d)
+        ):
+            continue
+        try:
+            st = os.stat(d)
+        except OSError:
+            continue
+        if hasattr(os, "getuid") and st.st_uid != os.getuid():
+            continue  # never cross-uid delete
+        size = 0
+        for dirpath, _dirs, files in os.walk(d, onerror=lambda e: None):
+            for f in files:
+                try:
+                    size += os.lstat(os.path.join(dirpath, f)).st_size
+                except OSError:
+                    pass
+        entries.append((st.st_mtime, size, d))
+    total = sum(s for _, s, _ in entries)
+    if total <= budget_bytes:
+        return
+    entries.sort()  # oldest first
+    for _, size, d in entries:
+        if d == final_dir:
+            continue
+        _shutil.rmtree(d, ignore_errors=True)
+        total -= size
+        if total <= budget_bytes:
+            break
 
 
 def _check_artifact_owner(final_dir: str) -> None:
@@ -1414,37 +1476,119 @@ def q49_lang_quality_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q50_multimodal_features",
+    # The oracle RECONSTRUCTS every pixel analytically from the fixture
+    # recipe (unnest(range(w)) x unnest(range(h)) grid, same modular
+    # channel formulas) and aggregates — so a single wrong byte anywhere
+    # in the zlib-inflate/unfilter pipeline (any of the five PNG filter
+    # types) shifts a channel mean or the min/max extent and breaks
+    # parity.  doc_id%10==7 files are truncated mid-IDAT: the header
+    # still parses (decode_ok=true) but pixel decode must FAIL CLEANLY
+    # (px_ok=false, null stats), never invent numbers.
     """
+    WITH sel AS (
+        SELECT doc_id,
+               4 + doc_id % 13  AS w,
+               3 + doc_id % 11  AS h,
+               doc_id % 251     AS s,
+               doc_id % 10 = 7  AS truncated
+        FROM documents WHERE doc_id < 40
+    ),
+    gx AS (SELECT doc_id, w, h, s, truncated, unnest(range(w)) AS x
+           FROM sel),
+    px AS (SELECT doc_id, w, h, s, truncated, x, unnest(range(h)) AS y
+           FROM gx),
+    stats AS (
+        SELECT doc_id, w, h, truncated,
+               ROUND(AVG((x*7  + y*11 + s)   % 256), 6) AS mr,
+               ROUND(AVG((x*13 + y*5  + 2*s) % 256), 6) AS mg,
+               ROUND(AVG((x*3  + y*17 + 3*s) % 256), 6) AS mb,
+               LEAST(MIN((x*7  + y*11 + s)   % 256),
+                     MIN((x*13 + y*5  + 2*s) % 256),
+                     MIN((x*3  + y*17 + 3*s) % 256)) AS pmin,
+               GREATEST(MAX((x*7  + y*11 + s)   % 256),
+                        MAX((x*13 + y*5  + 2*s) % 256),
+                        MAX((x*3  + y*17 + 3*s) % 256)) AS pmax
+        FROM px GROUP BY doc_id, w, h, truncated
+    )
     SELECT doc_id,
-           octet_length(encode(text))                               AS n_bytes,
-           md5(text)                                                AS content_hash,
-           CAST(NULL AS INT)                                        AS width,
-           CAST(NULL AS INT)                                        AS height,
-           CAST(NULL AS INT)                                        AS n_frames,
-           FALSE                                                    AS decode_ok
-    FROM documents
+           CAST(w AS INTEGER)                              AS width,
+           CAST(h AS INTEGER)                              AS height,
+           TRUE                                            AS decode_ok,
+           NOT truncated                                   AS px_ok,
+           CASE WHEN truncated THEN NULL ELSE mr END       AS px_mean_r,
+           CASE WHEN truncated THEN NULL ELSE mg END       AS px_mean_g,
+           CASE WHEN truncated THEN NULL ELSE mb END       AS px_mean_b,
+           CAST(CASE WHEN truncated THEN NULL ELSE pmin END
+                AS INTEGER)                                AS px_min,
+           CAST(CASE WHEN truncated THEN NULL ELSE pmax END
+                AS INTEGER)                                AS px_max
+    FROM stats
     """,
 )
 def q50_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing + decode HONESTY: documents' text bytes as an
-    opaque binary payload column → Arrow-batched mapInPandas feature
-    extraction.  Image dimensions come from the REAL PNG/JPEG header
-    parser (round 8), and text bytes are NOT an image — so every row
-    must report decode_ok=false with null dims rather than erroring the
-    scan or inventing numbers; byte-level bookkeeping (n_bytes,
-    content_hash) still flows.  The decode SUCCESS path is gated by q222,
-    whose fixture files carry real PNG/JPEG headers."""
-    from parquery_spark.operators.multimodal import (
-        attach_binary_payload,
-        extract_media_features,
-    )
+    """REAL image decode end to end (VERDICT r10 #5): a stat-keyed
+    fixture of 40 spec-valid PNGs — doc_id-derived dimensions, pixels
+    from deterministic per-channel modular formulas, scanline filters
+    cycling all five PNG types (``make_png_rgb``) — is ingested with the
+    distributed ``binaryFile`` source and pixel-decoded inside the
+    Arrow-batched ``mapInPandas`` kernel via the pure-stdlib zlib+
+    unfilter path (``decode_png_pixels``).  Per-channel means and the
+    global min/max extent are value-gated against the oracle's
+    analytic reconstruction of the same pixels.  Truncated-mid-IDAT
+    rows gate the FAILURE path: header dims still parse, pixel stats
+    must be null.
 
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    media = attach_binary_payload(docs, "text", "image")
-    feats = extract_media_features(media.drop("text"))
+    Scale shape: the fixture build is a bounded 40-file driver loop
+    (build-once, stat-keyed); the decode itself is task-parallel over
+    the binaryFile listing with payload bytes dropped before any
+    shuffle — the same plan a million-object corpus would run.  Decode
+    honesty for non-image bytes (text payload → decode_ok=false) is
+    pinned by pytest (test_multimodal_streaming)."""
+    import numpy as np
+
+    from parquery_spark.operators.multimodal import (
+        extract_media_features,
+        make_png_rgb,
+    )
+    from parquery_spark.sources.binary import read_binary_files
+
+    fdir = _stat_dir(sf_dir, "documents", "png-pixels-v1", "pqs_pximg")
+
+    def _build(t):
+        os.makedirs(t, exist_ok=True)
+        for doc_id in range(40):
+            w = 4 + doc_id % 13
+            h = 3 + doc_id % 11
+            s = doc_id % 251
+            x = np.arange(w)[None, :]
+            y = np.arange(h)[:, None]
+            px = np.stack(
+                np.broadcast_arrays(
+                    (x * 7 + y * 11 + s) % 256,
+                    (x * 13 + y * 5 + 2 * s) % 256,
+                    (x * 3 + y * 17 + 3 * s) % 256,
+                ),
+                axis=2,
+            ).astype(np.uint8)
+            payload = make_png_rgb(px)
+            if doc_id % 10 == 7:  # header survives, IDAT does not
+                payload = payload[:45]
+            with open(os.path.join(t, f"img_{doc_id:06d}.png"), "wb") as fh:
+                fh.write(payload)
+        with open(os.path.join(t, "_DONE"), "w") as fh:
+            fh.write("ok")
+
+    fdir = _materialize_once(fdir, _build, marker="_DONE")
+    raw = read_binary_files(
+        spark, fdir, path_glob="img_*.png", media_type="image"
+    ).select("path", "payload", "media_type")
+    feats = extract_media_features(raw)
     return feats.select(
-        "doc_id", "n_bytes", "content_hash", "width", "height",
-        "n_frames", "decode_ok",
+        F.regexp_extract(F.col("path"), r"img_(\d+)\.", 1)
+        .cast("long")
+        .alias("doc_id"),
+        "width", "height", "decode_ok", "px_ok",
+        "px_mean_r", "px_mean_g", "px_mean_b", "px_min", "px_max",
     )
 
 
@@ -13192,10 +13336,12 @@ DRIVER_PRIORITY: list[str] = [
     # (q20/q40/q58/q62/q92/q102/q208/q216 stay gate-covered; q226
     # value-gates the substring span+cut chain end-to-end, q223 reads
     # the HASH-key-built span artifact against its raw-string oracle.)
+    # (round-11 rotation: q119/q137/q226 — all driver-verified green in
+    # r10 — hand their slots to the three r10 queries the driver had not
+    # yet gated; winnowing stays represented by q111, substring spans by
+    # q223, containment by the full oracle gate)
     "q43_minhash_lsh", "q75_incremental_dedup", "q82_indexed_dedup_probe",
-    "q111_winnowing", "q119_containment_pairs", "q137_winnow_overlap",
-    "q221_kmeans_sampled", "q223_substring_spans",
-    "q226_substring_cut_apply",
+    "q111_winnowing", "q221_kmeans_sampled", "q223_substring_spans",
     # similarity / ANN (round-10 rotation: q228's MMR rerank kernel
     # joins the snapshot; q45 brute-force top-k stays gate-covered)
     "q228_mmr_diversity_rerank", "q83_ivf_ann", "q167_semdedup",
@@ -13205,13 +13351,17 @@ DRIVER_PRIORITY: list[str] = [
     "q222_binary_file_ingest", "q54_hll_sketch_rollup",
     # graph
     "q132_pagerank",
-    # pii / packing / sources
+    # pii / packing / sources (round-11: ORC + JSON-lines roundtrips join
+    # the CSV representative — all three non-parquet sources driver-gated)
     "q64_pii_audit", "q66_shard_packing", "q67_csv_source",
+    "q229_orc_roundtrip", "q230_jsonl_roundtrip",
     # streaming (real Structured Streaming drains; round-10 rotation:
     # q227's stateful fuzzy dedup replaces q170's raw outer join, which
-    # stays gate-covered as the documented worst-case shape)
+    # stays gate-covered as the documented worst-case shape; round-11
+    # adds the windowed drift monitor)
     "q84_streaming_window_counts", "q97_streaming_sessionize",
     "q157_stream_stream_join", "q227_streaming_minhash_dedup",
+    "q231_streaming_drift_monitor",
     # TPC-H shape / UDF surface
     "q94_tpch_q3", "q131_pandas_udf_scoring", "q149_grouped_agg_udaf",
     # maintenance & quality / sessionization / skew / pipeline

@@ -256,9 +256,16 @@ def run_streaming(spark, sf_dir: str, provider: str | None = None) -> dict:
     # force real drains: drop durable drain sinks/checkpoints for the
     # streaming names measured here (they rebuild in this run; the smoke
     # owns the machine per the one-workload-at-a-time rule)
-    for pat in ("/tmp/pqs_drain_q97_sink_*", "/tmp/pqs_drain_q157_sink_*",
-                "/tmp/pqs_drain_q227_sink_*"):
-        for d in glob.glob(pat):
+    # glob roots MUST match where run_available_now builds its drain dirs
+    # (tempfile.gettempdir(), not a hard-coded /tmp) — with TMPDIR set
+    # elsewhere a /tmp glob silently no-ops and the "forced real drain"
+    # resumes a warm checkpoint, measuring a cached result
+    import tempfile as _tempfile
+
+    _tmp = _tempfile.gettempdir()
+    for stem in ("pqs_drain_q97_sink_*", "pqs_drain_q157_sink_*",
+                 "pqs_drain_q227_sink_*"):
+        for d in glob.glob(os.path.join(_tmp, stem)):
             shutil.rmtree(d, ignore_errors=True)
 
     tap = _Tap()

@@ -44,6 +44,95 @@ class TestRegressionRule:
         ))
         assert bench._load_baseline(str(driver)) == {"q2": 2.0}
 
+    def test_load_baseline_head_reads_committed_copy(self, tmp_path):
+        """`--against HEAD` must read the COMMITTED bench_results.json,
+        not the working copy a run is about to overwrite."""
+        import subprocess
+
+        repo = tmp_path / "r"
+        repo.mkdir()
+        subprocess.run(["git", "init", "-q"], cwd=repo, check=True)
+        (repo / "bench_results.json").write_text(
+            json.dumps({"queries": {"q1": 1.0}})
+        )
+        env = dict(
+            os.environ,
+            GIT_AUTHOR_NAME="t", GIT_AUTHOR_EMAIL="t@t",
+            GIT_COMMITTER_NAME="t", GIT_COMMITTER_EMAIL="t@t",
+        )
+        subprocess.run(["git", "add", "."], cwd=repo, check=True, env=env)
+        subprocess.run(["git", "commit", "-qm", "x"], cwd=repo,
+                       check=True, env=env)
+        # diverge the working copy — HEAD must still win
+        (repo / "bench_results.json").write_text(
+            json.dumps({"queries": {"q1": 99.0}})
+        )
+        prog = (
+            "import json, subprocess, sys\n"
+            "doc = json.loads(subprocess.run(\n"
+            "  ['git', '-C', sys.argv[1], 'show',"
+            " 'HEAD:bench_results.json'],\n"
+            "  capture_output=True, text=True, check=True).stdout)\n"
+            "assert doc['queries'] == {'q1': 1.0}, doc\n"
+        )
+        r = subprocess.run([sys.executable, "-c", prog, str(repo)])
+        assert r.returncode == 0
+
+    def test_auto_resolution_prefers_head_then_driver_artifact(self):
+        """Bare runs auto-resolve a baseline (VERDICT r10 #4): in this
+        repo the committed bench_results.json resolves with a full
+        per-query dict, so every driver BENCH_r{N}.json records a gate
+        verdict."""
+        resolved = bench._resolve_baseline()
+        assert resolved is not None
+        label, qs = resolved
+        assert label == "HEAD:bench_results.json"
+        assert len(qs) > 100  # full per-query dict, not the core subset
+
+    def test_auto_resolution_falls_back_to_driver_rounds(
+        self, tmp_path, monkeypatch
+    ):
+        """Outside a git checkout the highest-round BENCH_r{N}.json
+        wins; with nothing available the result is None (gate records
+        'no-baseline')."""
+        import subprocess as _sp
+
+        fake = tmp_path / "nb"
+        fake.mkdir()
+        real_abspath = os.path.abspath
+        monkeypatch.setattr(
+            bench.os.path, "abspath",
+            lambda p: str(fake / "bench.py") if p.endswith("bench.py")
+            else real_abspath(p),
+        )
+        # no git repo, no artifacts -> None
+        monkeypatch.setattr(
+            bench.os.path, "dirname",
+            lambda p: str(fake) if "bench.py" in p
+            else os.path.split(p)[0],
+        )
+        real_run = _sp.run
+        monkeypatch.setattr(
+            "subprocess.run",
+            lambda *a, **k: (_ for _ in ()).throw(
+                _sp.CalledProcessError(1, "git")
+            ) if a and a[0] and a[0][0] == "git" else real_run(*a, **k),
+        )
+        assert bench._resolve_baseline() is None
+        line = json.dumps(
+            {"metric": "m", "queries": {"q9": 3.0}}
+        )
+        (fake / "BENCH_r3.json").write_text(
+            json.dumps({"tail": f"# x\n{line}\n"})
+        )
+        (fake / "BENCH_r12.json").write_text(
+            json.dumps({"tail": json.dumps(
+                {"metric": "m", "queries": {"q9": 7.0}}
+            ) + "\n"})
+        )
+        label, qs = bench._resolve_baseline()
+        assert label == "BENCH_r12.json" and qs == {"q9": 7.0}
+
     def test_planted_regression_fails_make_bench_shape(self, tmp_path):
         """End-to-end exit-code proof with a stub bench run: a planted
         +1s regression against the baseline file exits 1 via the same

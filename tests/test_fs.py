@@ -222,6 +222,77 @@ class TestArtifactGC:
         q._sweep_stale_versions(cur, max_versions=1)
         assert os.path.isdir(foreign)  # skipped, not reaped
 
+    def test_global_budget_reaps_oldest_across_prefixes(self, tmp_path):
+        """Per-uid TOTAL-bytes budget across prefixes (VERDICT r10 #7):
+        three prefixes staged over budget — reclamation is oldest-first
+        regardless of prefix, stops once under budget, never touches the
+        just-published artifact."""
+        from parquery_spark.queries import _sweep_global_budget
+
+        def mk(prefix, tag, mtime, nbytes):
+            d = os.path.join(str(tmp_path), f"pqs_{prefix}_{tag}")
+            os.makedirs(d)
+            with open(os.path.join(d, "part-0"), "wb") as fh:
+                fh.write(b"\0" * nbytes)
+            os.utime(d, (mtime, mtime))
+            return d
+
+        a = mk("alpha", "a" * 10, 1000.0, 300)   # oldest
+        b = mk("beta", "b" * 10, 2000.0, 300)
+        c = mk("gamma", "c" * 10, 3000.0, 300)
+        cur = mk("gamma", "f" * 10, 4000.0, 300)
+        # 1200 bytes staged, budget 700: reap a (oldest), then b -> 600
+        _sweep_global_budget(cur, budget_bytes=700)
+        assert not os.path.exists(a) and not os.path.exists(b)
+        assert os.path.isdir(c) and os.path.isdir(cur)
+
+    def test_global_budget_skips_foreign_uid_and_current(
+        self, tmp_path, monkeypatch
+    ):
+        import types
+
+        from parquery_spark import queries as q
+
+        def mk(prefix, tag, mtime, nbytes):
+            d = os.path.join(str(tmp_path), f"pqs_{prefix}_{tag}")
+            os.makedirs(d)
+            with open(os.path.join(d, "part-0"), "wb") as fh:
+                fh.write(b"\0" * nbytes)
+            os.utime(d, (mtime, mtime))
+            return d
+
+        foreign = mk("alpha", "0" * 10, 500.0, 500)  # oldest, foreign
+        mine = mk("beta", "1" * 10, 1000.0, 500)
+        cur = mk("gamma", "f" * 10, 2000.0, 500)
+        real_stat = os.stat
+
+        def fake_stat(path, *args, **kw):
+            st = real_stat(path, *args, **kw)
+            if str(path) == foreign:
+                return types.SimpleNamespace(
+                    st_uid=st.st_uid + 1, st_mtime=st.st_mtime,
+                    st_mode=st.st_mode,
+                )
+            return st
+
+        monkeypatch.setattr(os, "stat", fake_stat)
+        # budget forces reclamation of everything reapable: the foreign
+        # dir is invisible to the sweep, the current artifact protected
+        q._sweep_global_budget(cur, budget_bytes=100)
+        assert os.path.isdir(foreign)
+        assert not os.path.exists(mine)
+        assert os.path.isdir(cur)
+
+    def test_global_budget_noop_under_budget(self, tmp_path):
+        from parquery_spark.queries import _sweep_global_budget
+
+        d = os.path.join(str(tmp_path), "pqs_alpha_" + "a" * 10)
+        os.makedirs(d)
+        cur = os.path.join(str(tmp_path), "pqs_beta_" + "f" * 10)
+        os.makedirs(cur)
+        _sweep_global_budget(cur, budget_bytes=10**9)
+        assert os.path.isdir(d) and os.path.isdir(cur)
+
     def test_materialize_once_gc_end_to_end(self, tmp_path):
         """Stage 8 stale corpus versions, publish a 9th via
         _materialize_once — the oldest stale version is reaped under the

@@ -274,13 +274,18 @@ def _mmr_brute(vecs: dict, qid: int, qv: list, k: int, pool: int,
     out = []
     for rank in range(1, min(k, len(cand)) + 1):
         best, bs = None, None
-        for i in cand:
-            base = lam * rel[i]
-            sc = round(
-                base if maxsim[i] is None else base - mu * maxsim[i], 7
-            )
-            if bs is None or sc > bs:
-                best, bs = i, sc
+        if rank == 1:
+            # base case by RAW rel (smallest id on ties) — the oracle
+            # CTE's base-case ORDER BY, independent of lam/rounding
+            for i in cand:
+                if best is None or rel[i] > rel[best]:
+                    best = i
+            bs = round(lam * rel[best], 7)
+        else:
+            for i in cand:
+                sc = round(lam * rel[i] - mu * maxsim[i], 7)
+                if bs is None or sc > bs:
+                    best, bs = i, sc
         out.append((qid, rank, best, bs))
         cand.remove(best)
         for i in cand:
@@ -302,10 +307,13 @@ class TestMMRDifferential:
 
         from parquery_spark.operators.similarity import mmr_rerank
 
-        for seed, n, dim, k, pool in (
-            (1, 12, 4, 5, 8),
-            (2, 6, 3, 10, 25),    # k and pool both exceed n-1
-            (3, 20, 5, 6, 10),
+        for seed, n, dim, k, pool, lam in (
+            (1, 12, 4, 5, 8, 0.7),
+            (2, 6, 3, 10, 25, 0.7),   # k and pool both exceed n-1
+            (3, 20, 5, 6, 10, 0.7),
+            # tiny lam: distinct 6-digit rels collapse onto one 7-digit
+            # lam*rel grid point — rank 1 must still follow raw rel
+            (4, 15, 4, 5, 10, 0.01),
         ):
             rng = random.Random(seed)
             vecs = {
@@ -322,7 +330,7 @@ class TestMMRDifferential:
                 (
                     (r["query_id"], r["rank"], r["vec_id"], r["mmr_score"])
                     for r in mmr_rerank(
-                        emb, [(qid, qv)], k=k, pool=pool
+                        emb, [(qid, qv)], k=k, pool=pool, lam=lam, mu=0.3
                     ).collect()
                 ),
                 key=lambda t: t[1],
@@ -335,5 +343,27 @@ class TestMMRDifferential:
                 i: [float(np.float32(x)) for x in v]
                 for i, v in vecs.items()
             }
-            want = _mmr_brute(stored, qid, stored[qid], k, pool, 0.7, 0.3)
+            want = _mmr_brute(stored, qid, stored[qid], k, pool, lam, 0.3)
             assert got == want, f"seed {seed}"
+
+    def test_zero_norm_candidate_excluded_not_fatal(self, spark):
+        """A zero-norm embedding has no defined direction (module
+        convention): it must be dropped from the rerank pool, not crash
+        the kernel with ZeroDivisionError when it meets
+        norms[i]*norms[best]."""
+        from parquery_spark.operators.similarity import mmr_rerank
+
+        rows = [
+            (1, [1.0, 0.0]),
+            (2, [0.0, 0.0]),   # zero norm — must be excluded
+            (3, [0.8, 0.6]),
+            (4, [0.0, 1.0]),
+        ]
+        emb = spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in rows],
+            "vec_id long, embedding array<float>",
+        )
+        out = mmr_rerank(emb, [(0, [1.0, 0.0])], k=4, pool=4).collect()
+        picked = {r["vec_id"] for r in out}
+        assert 2 not in picked
+        assert picked == {1, 3, 4}
