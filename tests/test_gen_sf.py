@@ -1,0 +1,104 @@
+"""Scale-fixture generator invariants (VERDICT r10 #1): tiling must
+preserve referential integrity, keep tile 0 byte-identical (fixed-id
+probe lists in the registry must keep resolving), scale key
+cardinality linearly, and break CROSS-tile near-duplicate structure
+(without the text salt every doc gains K-1 exact clones and MinHash
+pair volume grows K^2 — a data artifact that would read as a
+super-linear engine defect at sf1)."""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+import pyarrow.parquet as pq
+import pytest
+
+SRC = "/root/testdata/sf0.01"  # small source: the k=2 run stays fast
+
+
+@pytest.fixture(scope="module")
+def tiled(tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("sf_tiled"))
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    subprocess.run(
+        [sys.executable, os.path.join(repo, "scripts", "gen_sf.py"),
+         "2", SRC, out],
+        check=True, capture_output=True,
+    )
+    return out
+
+
+def _col(path, table, col):
+    return pq.read_table(
+        os.path.join(path, f"{table}.parquet"), columns=[col]
+    ).column(col).to_pylist()
+
+
+class TestGenSf:
+    def test_row_counts_scale_except_fixed_dims(self, tiled):
+        for t in ("customer", "orders", "lineitem", "events",
+                  "documents", "embeddings", "part", "supplier"):
+            n_src = pq.read_metadata(
+                os.path.join(SRC, f"{t}.parquet")).num_rows
+            n_out = pq.read_metadata(
+                os.path.join(tiled, f"{t}.parquet")).num_rows
+            assert n_out == 2 * n_src, t
+        for t in ("region", "nation"):  # TPC-H fixed dimensions
+            assert (
+                pq.read_metadata(
+                    os.path.join(tiled, f"{t}.parquet")).num_rows
+                == pq.read_metadata(
+                    os.path.join(SRC, f"{t}.parquet")).num_rows
+            )
+
+    def test_keys_dense_and_referentially_intact(self, tiled):
+        import duckdb
+
+        con = duckdb.connect()
+        custs = _col(tiled, "customer", "c_custkey")
+        assert sorted(custs) == list(range(len(custs)))  # dense, unique
+        orphans = con.execute(
+            f"SELECT count(*) FROM "
+            f"read_parquet('{tiled}/lineitem.parquet') l "
+            f"LEFT JOIN read_parquet('{tiled}/orders.parquet') o "
+            f"ON l.l_orderkey = o.o_orderkey WHERE o.o_orderkey IS NULL"
+        ).fetchone()[0]
+        assert orphans == 0
+
+    def test_tile0_identical_and_schema_preserved(self, tiled):
+        src = pq.read_table(os.path.join(SRC, "documents.parquet"))
+        out = pq.read_table(os.path.join(tiled, "documents.parquet"))
+        n = src.num_rows
+        assert out.slice(0, n).select(["doc_id", "text"]).to_pylist() \
+            == src.select(["doc_id", "text"]).to_pylist()
+        for t in ("lineitem", "events", "embeddings"):
+            s = pq.read_schema(os.path.join(SRC, f"{t}.parquet"))
+            o = pq.read_schema(os.path.join(tiled, f"{t}.parquet"))
+            assert o.types == s.types and o.names == s.names, t
+
+    def test_cross_tile_near_dup_structure_broken(self, tiled):
+        texts = _col(tiled, "documents", "text")
+        n = len(texts) // 2
+
+        def shingles(t, w=5):
+            ws = t.split()
+            return {tuple(ws[i:i + w]) for i in range(len(ws) - w + 1)}
+
+        # a doc and its tile-1 twin must NOT be near-duplicates
+        for i in (0, 1, 7):
+            a, b = shingles(texts[i]), shingles(texts[n + i])
+            j = len(a & b) / max(len(a | b), 1)
+            assert j < 0.2, f"doc {i}: cross-tile jaccard {j}"
+        # n_chars stays consistent with the salted text
+        chars = _col(tiled, "documents", "n_chars")
+        assert all(c == len(t) for c, t in zip(chars, texts))
+
+    def test_embeddings_jittered_not_cloned(self, tiled):
+        embs = _col(tiled, "embeddings", "embedding")
+        n = len(embs) // 2
+        assert embs[0] != embs[n]  # not exact clones
+        # but still close (sigma 0.02 jitter), so cluster structure holds
+        d = sum((x - y) ** 2 for x, y in zip(embs[0], embs[n])) ** 0.5
+        assert 0.0 < d < 1.0

@@ -697,6 +697,119 @@ class TestImageHeaderParse:
         assert len(make_jpeg(1, 1)) == 21
 
 
+class TestPngPixelCodec:
+    """Real PNG pixel path (VERDICT r10 #5): make_png_rgb writes
+    spec-valid PNGs whose scanline filters cycle all five types;
+    decode_png_pixels must invert every one exactly."""
+
+    def test_roundtrip_all_shapes_and_color_types(self):
+        import numpy as np
+
+        from parquery_spark.operators.multimodal import (
+            decode_png_pixels,
+            make_png_rgb,
+            parse_image_dims,
+        )
+
+        rng = np.random.default_rng(11)
+        # >=5 rows so every filter type (y % 5) appears at least once
+        for shape in [(7, 9, 3), (5, 1, 3), (6, 4, 1), (8, 3, 4),
+                      (13, 16, 3), (1, 1, 3)]:
+            px = rng.integers(0, 256, shape, dtype=np.uint8)
+            payload = make_png_rgb(px, extra=b"tail-bytes")
+            got = decode_png_pixels(payload)
+            assert got is not None and got.shape == shape
+            assert (got == px).all(), shape
+            assert parse_image_dims(payload) == (shape[1], shape[0])
+
+    def test_hypothesis_roundtrip(self):
+        import numpy as np
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from parquery_spark.operators.multimodal import (
+            decode_png_pixels,
+            make_png_rgb,
+        )
+
+        @settings(max_examples=25, deadline=None)
+        @given(
+            st.integers(1, 12), st.integers(1, 12),
+            st.sampled_from([1, 3, 4]), st.integers(0, 2**31 - 1),
+        )
+        def prop(h, w, ch, seed):
+            px = np.random.default_rng(seed).integers(
+                0, 256, (h, w, ch), dtype=np.uint8
+            )
+            got = decode_png_pixels(make_png_rgb(px))
+            assert got is not None and (got == px).all()
+
+        prop()
+
+    def test_truncated_idat_fails_cleanly(self):
+        import numpy as np
+
+        from parquery_spark.operators.multimodal import (
+            _decode_stub,
+            decode_png_pixels,
+            make_png_rgb,
+            parse_image_dims,
+        )
+
+        px = np.random.default_rng(3).integers(
+            0, 256, (10, 10, 3), dtype=np.uint8
+        )
+        payload = make_png_rgb(px)
+        trunc = payload[:45]  # sig(8) + IHDR chunk(25) survive
+        assert parse_image_dims(trunc) == (10, 10)
+        assert decode_png_pixels(trunc) is None
+        rec = _decode_stub(trunc, "image")
+        assert rec["decode_ok"] is True and rec["px_ok"] is False
+        assert rec["px_mean_r"] is None and rec["px_min"] is None
+
+    def test_unsupported_shapes_return_none(self):
+        from parquery_spark.operators.multimodal import (
+            decode_png_pixels,
+            make_png,
+        )
+
+        # header-only PNG (q222's fixtures): no IDAT -> no pixels
+        assert decode_png_pixels(make_png(5, 5)) is None
+        assert decode_png_pixels(b"not a png at all") is None
+        # corrupted zlib stream
+        import numpy as np
+
+        from parquery_spark.operators.multimodal import make_png_rgb
+
+        px = np.zeros((4, 4, 3), dtype=np.uint8)
+        payload = bytearray(make_png_rgb(px))
+        payload[40] ^= 0xFF  # flip a byte inside the IDAT body
+        assert decode_png_pixels(bytes(payload)) is None
+
+    def test_pixel_stats_match_numpy(self):
+        import numpy as np
+
+        from parquery_spark.operators.multimodal import (
+            _decode_stub,
+            make_png_rgb,
+        )
+
+        px = np.random.default_rng(5).integers(
+            0, 256, (9, 7, 3), dtype=np.uint8
+        )
+        rec = _decode_stub(make_png_rgb(px), "image")
+        assert rec["px_ok"] is True
+        assert rec["px_mean_r"] == round(float(px[:, :, 0].mean()), 6)
+        assert rec["px_mean_g"] == round(float(px[:, :, 1].mean()), 6)
+        assert rec["px_mean_b"] == round(float(px[:, :, 2].mean()), 6)
+        assert rec["px_min"] == int(px.min())
+        assert rec["px_max"] == int(px.max())
+        # alpha excluded from stats by contract
+        rgba = np.dstack([px, np.full((9, 7), 255, dtype=np.uint8)])
+        rec4 = _decode_stub(make_png_rgb(rgba), "image")
+        assert rec4["px_max"] == int(px.max())  # not alpha's 255
+
+
 class TestIntervalJoinPreagg:
     """interval_join_preagg pair-EXACTNESS, tested in batch mode (the
     window-agg + window-join composition is mode-agnostic; q157's
