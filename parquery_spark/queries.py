@@ -12871,12 +12871,14 @@ def q226_substring_cut_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _docs_stream_dir(spark: SparkSession, sf_dir: str) -> str:
     """Stage the documents table as a 3-file, doc_id-ordered parquet feed
-    directory (stat-keyed artifact): file i holds the i-th id tertile and
-    carries a pinned ascending mtime, so a ``maxFilesPerTrigger=1``
+    (stat-keyed artifact root): ``feed/`` holds all three id-tertile
+    files with pinned ascending mtimes, so a ``maxFilesPerTrigger=1``
     availableNow drain replays the corpus as THREE real micro-batches in
     id order — the arrival order that makes streaming first-wins dedup
-    verdicts equal the batch bucket-min oracle (streaming/docs.py)."""
-    d = _stat_dir(sf_dir, "documents", "docstream-3b-v1", "pqs_docstream")
+    verdicts equal the batch bucket-min oracle (streaming/docs.py).
+    ``feed_p1``/``feed_p2`` split the same files at the tertile-2/3
+    boundary for the 2-phase drain→compact→drain lifecycle (v2)."""
+    d = _stat_dir(sf_dir, "documents", "docstream-3b-v2", "pqs_docstream")
 
     def _build(t):
         import glob as _glob
@@ -12890,17 +12892,20 @@ def _docs_stream_dir(spark: SparkSession, sf_dir: str) -> str:
             tiled.where(F.col("__tile") == i).drop("__tile").coalesce(
                 1
             ).write.mode("overwrite").parquet(os.path.join(t, f"t{i}"))
-        flat = os.path.join(t, "feed")
-        os.makedirs(flat, exist_ok=True)
+        phase = {1: ("feed", "feed_p1"), 2: ("feed", "feed_p1"),
+                 3: ("feed", "feed_p2")}
+        for sub in ("feed", "feed_p1", "feed_p2"):
+            os.makedirs(os.path.join(t, sub), exist_ok=True)
         for i in (1, 2, 3):
             part = _glob.glob(os.path.join(t, f"t{i}", "*.parquet"))[0]
-            dst = os.path.join(flat, f"batch{i}.parquet")
-            os.link(part, dst)
-            # FileStreamSource batches in mtime order: pin it
-            os.utime(dst, (1_000_000 + i, 1_000_000 + i))
+            for sub in phase[i]:
+                dst = os.path.join(t, sub, f"batch{i}.parquet")
+                os.link(part, dst)
+                # FileStreamSource batches in mtime order: pin it
+                os.utime(dst, (1_000_000 + i, 1_000_000 + i))
 
     d = _materialize_once(d, _build, marker="t3/_SUCCESS")
-    return os.path.join(d, "feed")
+    return d
 
 
 def _sql_streaming_minhash_dedup(
@@ -12952,23 +12957,71 @@ def q227_streaming_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket-min rule, so the whole pipeline — kernel hashes, banding,
     state machine, multi-batch replay — is value-gated against the q43
     oracle machinery.  (Reference has no streaming surface; its batch
-    dedup twin is q43.)"""
-    from parquery_spark.streaming.docs import minhash_dedup_stream
+    dedup twin is q43.)
+
+    Round 11 (VERDICT r10 #2) runs the FULL state lifecycle: phase 1
+    drains tertiles 1-2 with an empty index; the drained increment's
+    bucket minima are then COMPACTED into the persistent on-disk index
+    (``compact_minhash_index`` — build-once, stat-keyed) and the state
+    store is EVICTED (phase 2 runs under a fresh checkpoint); phase 2
+    drains tertile 3 consulting the index via a stream-static join.
+    The union of both phases' votes must still equal the single-state
+    batch oracle — in-memory state stays bounded by the compaction
+    interval while the index carries the corpus (SCALING.md has the
+    measured state-row counts)."""
+    from parquery_spark.streaming.docs import (
+        compact_minhash_index,
+        minhash_dedup_stream,
+    )
     from parquery_spark.streaming.events import run_available_now
 
-    feed = _docs_stream_dir(spark, sf_dir)
-    stream = minhash_dedup_stream(
-        spark, feed, num_hashes=16, bands=4, shingle_k=2,
-        options={"maxFilesPerTrigger": "1"}, parallelism=16,
+    root = _docs_stream_dir(spark, sf_dir)
+    tag = os.path.basename(root)
+    # phase 1: tertiles 1-2, no index, fresh state — v3: the v2 plan
+    # drained all three tertiles under one ever-growing state (LOGIC
+    # version bump per run_available_now's checkpoint contract)
+    stream1 = minhash_dedup_stream(
+        spark, os.path.join(root, "feed_p1"), num_hashes=16, bands=4,
+        shingle_k=2, options={"maxFilesPerTrigger": "1"}, parallelism=16,
     )
-    # version v2: the v1 plan ran the kernel on the raw single-file
-    # batch (serial); v2 fans each batch out 16-way first — a LOGIC
-    # version bump per run_available_now's checkpoint contract
-    votes = run_available_now(
-        stream, "q227_sink", output_mode="append",
-        persist_tag=os.path.basename(os.path.dirname(feed)), version="v2",
+    votes1 = run_available_now(
+        stream1, "q227_sink_p1", output_mode="append",
+        persist_tag=tag, version="v3",
     )
-    return votes.groupBy("doc_id").agg(F.max("dup_vote").alias("is_dup"))
+    # compaction: fold the drained increment's bucket minima into the
+    # persistent index (stat-keyed: built once per corpus version)
+    idx_root = _stat_dir(sf_dir, "documents", "mhidx227-v1", "pqs_mhidx227")
+
+    def _build_idx(t):
+        os.makedirs(t, exist_ok=True)
+        docs_p1 = spark.read.schema(
+            "doc_id long, text string"
+        ).parquet(os.path.join(root, "feed_p1"))
+        compact_minhash_index(
+            spark, docs_p1, os.path.join(t, "index"),
+            num_hashes=16, bands=4, shingle_k=2,
+        )
+
+    idx_root = _materialize_once(
+        idx_root, _build_idx, marker=os.path.join("index", "_SUCCESS")
+    )
+    index_df = spark.read.parquet(os.path.join(idx_root, "index"))
+    # phase 2: tertile 3 under a FRESH checkpoint (state evicted) —
+    # prior-corpus minima come only from the compacted index
+    stream2 = minhash_dedup_stream(
+        spark, os.path.join(root, "feed_p2"), num_hashes=16, bands=4,
+        shingle_k=2, options={"maxFilesPerTrigger": "1"}, parallelism=16,
+        index_df=index_df,
+    )
+    votes2 = run_available_now(
+        stream2, "q227_sink_p2", output_mode="append",
+        persist_tag=tag, version="v3",
+    )
+    return (
+        votes1.unionByName(votes2)
+        .groupBy("doc_id")
+        .agg(F.max("dup_vote").alias("is_dup"))
+    )
 
 
 def _sql_mmr_rerank(nq: int, pool: int, k: int) -> str:

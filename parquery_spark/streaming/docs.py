@@ -40,7 +40,10 @@ The reference has no streaming surface (SURVEY.md §2.4).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -131,20 +134,35 @@ def band_rows_kernel(num_hashes: int, bands: int, shingle_k: int):
 def _bucket_min_fn(key, pdfs, state: GroupState):
     """Per-(band, band_key) stateful verdict: emit ``dup_vote=1`` for every
     document whose bucket already holds a smaller id (from a previous
-    micro-batch via state, or earlier in this batch), else 0; state keeps
-    only the running minimum id."""
+    micro-batch via state, from the COMPACTED persistent index via the
+    stream-static ``idx_min`` column, or earlier in this batch), else 0;
+    state keeps only the running minimum id.
+
+    ``idx_min`` is the bucket's minimum over everything already merged
+    into the on-disk index (:func:`compact_minhash_index`) — constant
+    per bucket, attached row-wise by the stream-static left join, null
+    for buckets the index has never seen.  Seeding the running min with
+    it makes a fresh (post-compaction) state store give exactly the
+    verdicts the uncompacted state would have."""
     import pandas as pd
 
     if state.hasTimedOut:  # NoTimeout — never fires; defensive only
         state.remove()
         return
     ids: list[int] = []
+    idx_min: int | None = None
     for pdf in pdfs:
         ids.extend(int(x) for x in pdf["doc_id"])
+        if idx_min is None and "idx_min" in pdf.columns:
+            nn = pdf["idx_min"].dropna()
+            if len(nn):
+                idx_min = int(nn.iloc[0])
     if not ids:
         return
     ids.sort()
     m = state.get[0] if state.exists else None
+    if idx_min is not None:
+        m = idx_min if m is None else min(m, idx_min)
     votes: list[int] = []
     for d in ids:
         votes.append(1 if (m is not None and m < d) else 0)
@@ -162,6 +180,7 @@ def minhash_dedup_stream(
     shingle_k: int = 2,
     options: dict | None = None,
     parallelism: int | None = None,
+    index_df: DataFrame | None = None,
 ) -> DataFrame:
     """Streaming MinHash-LSH near-dup votes: one ``(doc_id, dup_vote)``
     row per (document, band); reduce with ``MAX(dup_vote)`` per doc for
@@ -177,7 +196,17 @@ def minhash_dedup_stream(
     compute-starved feed; a production source with many files per
     trigger already arrives split and can leave this unset.  Verdicts
     are partition-order independent (per-bucket state keys see the same
-    rows), so the repartition never changes results."""
+    rows), so the repartition never changes results.
+
+    ``index_df`` is the persistent bucket-min index a prior
+    :func:`compact_minhash_index` published: when given, banded rows are
+    stream-static LEFT-joined to it (stateless, allowed upstream of the
+    stateful op) so each bucket carries its already-compacted minimum —
+    the state store then only accumulates buckets for documents arriving
+    SINCE the last compaction, while the on-disk index carries the
+    corpus.  That is the state-lifecycle contract (VERDICT r10 #2):
+    in-memory state is bounded by the compaction interval, not corpus
+    age."""
     reader = spark.readStream.schema(DOC_STREAM_SCHEMA)
     if options:
         reader = reader.options(**options)
@@ -187,6 +216,14 @@ def minhash_dedup_stream(
     banded = stream.mapInPandas(
         band_rows_kernel(num_hashes, bands, shingle_k), _BAND_SCHEMA
     )
+    if index_df is not None:
+        banded = banded.join(
+            index_df.select(
+                "band", "band_key", F.col("min_id").alias("idx_min")
+            ),
+            ["band", "band_key"],
+            "left",
+        )
     return banded.groupBy("band", "band_key").applyInPandasWithState(
         _bucket_min_fn,
         outputStructType=_VOTE_SCHEMA,
@@ -194,3 +231,67 @@ def minhash_dedup_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def compact_minhash_index(
+    spark: SparkSession,
+    docs_df: DataFrame,
+    index_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 2,
+) -> str:
+    """State→index compaction for the streaming fuzzy dedup (VERDICT r10
+    #2): fold the per-bucket min-ids of an already-drained document
+    increment into the persistent on-disk bucket-min index, so the
+    stream can be restarted with a FRESH (evicted) state store that
+    consults the index via ``index_df`` and still produces exactly the
+    verdicts an ever-growing state would have.
+
+    The increment is re-banded BATCH-side with the shared
+    ``operators.dedup.band_keys`` machinery (bit-pinned to the streaming
+    kernel by ``tests/test_streaming_dedup.py``), reduced to one
+    ``(band, band_key, min_id)`` row per bucket, merged with the
+    existing index by bucket-min, and published with a staging-dir
+    atomic swap (never read-and-overwrite in one lazy plan — the
+    overwrite would delete its own input files before computing).
+
+    Lifecycle at scale: state rows between compactions ∝ distinct
+    signatures in the interval; the index grows with the corpus but
+    lives in storage, not executor memory, and its size is the bucket
+    count, not the document count.  A crash between the two renames
+    loses only the index — rebuildable from the corpus, never a
+    correctness loss (verdicts before the rebuild are conservative:
+    missing index rows can only under-vote buckets the state re-learns).
+
+    Returns ``index_path``."""
+    import shutil
+    import uuid
+
+    from parquery_spark.operators.dedup import band_keys
+
+    bk = band_keys(docs_df, text_col, id_col, num_hashes, bands, shingle_k)
+    mins = bk.groupBy("band", "band_key").agg(
+        F.min(id_col).alias("min_id")
+    )
+    have_prev = os.path.exists(os.path.join(index_path, "_SUCCESS"))
+    if have_prev:
+        prev = spark.read.parquet(index_path)
+        mins = (
+            prev.unionByName(mins)
+            .groupBy("band", "band_key")
+            .agg(F.min("min_id").alias("min_id"))
+        )
+    nonce = uuid.uuid4().hex[:12]
+    staging = f"{index_path}.staging-{nonce}"
+    # band-partitioned write: the stream-static join and any probe read
+    # both key on band first
+    mins.repartition("band").write.mode("overwrite").parquet(staging)
+    old = f"{index_path}.old-{nonce}"
+    if os.path.exists(index_path):
+        os.rename(index_path, old)
+    os.rename(staging, index_path)
+    shutil.rmtree(old, ignore_errors=True)
+    return index_path
