@@ -4047,40 +4047,84 @@ def q101_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q102_fuzzy_match",
-    # the oracle is the NAIVE all-pairs join (length-prefiltered): the
-    # blocked symmetric-delete join must return exactly what brute force
-    # finds — recall is the contract being gated
-    """
-    WITH dirty AS (
-        SELECT c_custkey AS dirty_id,
-               CASE
-                 WHEN c_custkey % 3 = 0 THEN
-                   substr(c_name, 1, (c_custkey % 10) + 4) || 'X' ||
-                   substr(c_name, (c_custkey % 10) + 6)
-                 WHEN c_custkey % 7 = 0 THEN
-                   substr(c_name, 1, (c_custkey % 10) + 4) ||
-                   substr(c_name, (c_custkey % 10) + 6)
-                 ELSE c_name
-               END AS dirty_name
-        FROM customer
-    )
+#: q102's NAIVE all-pairs oracle — O(n^2) levenshtein calls, by design.
+#: Runs as the oracle's RECALL PROOF in pytest at sf0.01 (differential
+#: vs the delete-variant form below, `tests/test_operators.py`); at sf1
+#: it would be ~22.5e9 pairs (~7.5 h measured rate), so the GATE oracle
+#: uses the provably-equivalent scalable form.
+_Q102_DIRTY_SQL = """
+    SELECT c_custkey AS dirty_id,
+           CASE
+             WHEN c_custkey % 3 = 0 THEN
+               substr(c_name, 1, (c_custkey % 10) + 4) || 'X' ||
+               substr(c_name, (c_custkey % 10) + 6)
+             WHEN c_custkey % 7 = 0 THEN
+               substr(c_name, 1, (c_custkey % 10) + 4) ||
+               substr(c_name, (c_custkey % 10) + 6)
+             ELSE c_name
+           END AS dirty_name
+    FROM customer
+"""
+
+_Q102_NAIVE_SQL = f"""
+    WITH dirty AS ({_Q102_DIRTY_SQL})
     SELECT d.dirty_id, c.c_custkey AS canon_id,
            CAST(levenshtein(d.dirty_name, c.c_name) AS BIGINT) AS distance
     FROM dirty d
     JOIN customer c
       ON abs(length(d.dirty_name) - length(c.c_name)) <= 1
      AND levenshtein(d.dirty_name, c.c_name) <= 1
-    """,
-)
+"""
+
+#: Delete-variant candidate generation (the SymSpell THEOREM, not the
+#: engine's code): for max distance 1, lev(a,b) <= 1 implies a and b
+#: share a member of {s} ∪ {s minus one char} — substitution meets at
+#: the same-position deletes, insert/delete at the shorter string itself
+#: — so the variant equi-join's candidate set provably contains every
+#: true pair; candidates are then VERIFIED with levenshtein.  Same
+#: result set as the naive join at every SF (pinned by the sf0.01
+#: differential test), but linear in corpus size.
+_Q102_ORACLE_SQL = f"""
+    WITH dirty AS ({_Q102_DIRTY_SQL}),
+    dvd AS (
+        SELECT dirty_id, unnest(list_append(
+            [substr(dirty_name, 1, i) ||
+             substr(dirty_name, i + 2, length(dirty_name))
+             FOR i IN range(0, length(dirty_name))],
+            dirty_name)) AS variant
+        FROM dirty
+    ),
+    dvc AS (
+        SELECT c_custkey, unnest(list_append(
+            [substr(c_name, 1, i) || substr(c_name, i + 2, length(c_name))
+             FOR i IN range(0, length(c_name))],
+            c_name)) AS variant
+        FROM customer
+    ),
+    cand AS (
+        SELECT DISTINCT d.dirty_id, c.c_custkey
+        FROM dvd d JOIN dvc c ON d.variant = c.variant
+    )
+    SELECT d.dirty_id, cand.c_custkey AS canon_id,
+           CAST(levenshtein(d.dirty_name, c.c_name) AS BIGINT) AS distance
+    FROM cand JOIN dirty d USING (dirty_id)
+    JOIN customer c ON cand.c_custkey = c.c_custkey
+    WHERE levenshtein(d.dirty_name, c.c_name) <= 1
+"""
+
+
+@query("q102_fuzzy_match", _Q102_ORACLE_SQL)
 def q102_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Typo-tolerant entity resolution: customer names deterministically
     corrupted (every 3rd key one substitution, every 7th one deletion)
     and matched back to the canonical table by symmetric-delete blocked
-    edit-distance join.  The oracle runs the NAIVE all-pairs comparison —
-    the blocking must lose nothing (perfect recall is the SymSpell
-    guarantee, here made a hash-matched contract)."""
+    edit-distance join.  Recall is the contract being gated: the oracle
+    is the delete-variant equi-join, equal to the naive all-pairs
+    comparison by the SymSpell theorem (see ``_Q102_ORACLE_SQL``) — the
+    naive form itself is kept as ``_Q102_NAIVE_SQL`` and differentially
+    pinned against the gate oracle at sf0.01 in pytest, where its O(n^2)
+    cost is affordable (at sf1 it measures ~7.5 h; the theorem form
+    gates the same result set in under a minute)."""
     from parquery_spark.operators.dedup import fuzzy_join
 
     cust = load(spark, sf_dir, "customer").select("c_custkey", "c_name")

@@ -364,6 +364,27 @@ class TestFuzzyJoin:
         # distance-2 pairs (e.g. "spork"->"sprak") never surface
         assert (11, 2) not in got
 
+    def test_q102_oracle_equals_naive_all_pairs(self):
+        """RECALL PROOF for the q102 gate oracle (round 11): the
+        delete-variant equi-join oracle must return EXACTLY the naive
+        all-pairs levenshtein join's rows at sf0.01 — the SymSpell
+        theorem, executed.  The naive form is O(n^2) (measured ~7.5 h at
+        sf1), so the theorem form gates the big SFs while this
+        differential pins the equivalence where brute force is
+        affordable."""
+        import duckdb
+
+        from parquery_spark.queries import _Q102_NAIVE_SQL, _Q102_ORACLE_SQL
+
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW customer AS SELECT * FROM "
+            "read_parquet('/root/testdata/sf0.01/customer.parquet')"
+        )
+        naive = sorted(con.execute(_Q102_NAIVE_SQL).fetchall())
+        fast = sorted(con.execute(_Q102_ORACLE_SQL).fetchall())
+        assert naive == fast and len(naive) > 0
+
 
 class TestLinalg:
     def test_gram_matches_numpy_and_pca_recovers_direction(self, spark):
