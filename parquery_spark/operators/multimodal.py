@@ -4,9 +4,11 @@
 partitioning) is real; IMAGE header decoding (PNG/JPEG dimensions,
 corruption detection) is real pure-byte parsing; PNG PIXEL decode is a
 real pure-stdlib implementation (zlib IDAT inflate + per-scanline
-unfiltering, :func:`decode_png_pixels`); JPEG pixel decode and
-audio/video features remain stubbed because codec libraries are not
-available in this environment.
+unfiltering, :func:`decode_png_pixels`); RIFF/WAVE AUDIO decode is a
+real pure-stdlib implementation (chunk walk + PCM16 sample stats,
+:func:`decode_wav_pcm`); JPEG pixel decode, compressed-audio and video
+features remain stubbed because codec libraries are not available in
+this environment.
 
 Design for 100 TB:
 
@@ -23,9 +25,11 @@ Image HEADERS (PNG signature+IHDR, JPEG SOF marker walk) are parsed for
 real by :func:`parse_image_dims`; PNG pixels are decoded for real by
 :func:`decode_png_pixels` (round-trip-tested against
 :func:`make_png_rgb`, whose scanlines cycle all five PNG filter types);
-swap :func:`_decode_stub`'s JPEG-pixel/audio/video branches for a real
-codec (libjpeg/ffmpeg/torchaudio) in production — the signature and
-batch shape are the contract.
+WAV PCM is decoded for real by :func:`decode_wav_pcm` (round-trip-
+tested against :func:`make_wav`, with torn-data and compressed-codec
+rejection paths); swap :func:`_decode_stub`'s JPEG-pixel/compressed-
+audio/video branches for a real codec (libjpeg/ffmpeg) in production —
+the signature and batch shape are the contract.
 """
 
 from __future__ import annotations
@@ -60,6 +64,15 @@ MEDIA_FEATURES_SCHEMA = T.StructType(
         T.StructField("px_mean_b", T.DoubleType()),
         T.StructField("px_min", T.IntegerType()),
         T.StructField("px_max", T.IntegerType()),
+        # Audio fields (real RIFF/WAVE PCM16 path, :func:`decode_wav_pcm`):
+        # ``au_ok`` = PCM sample decode success; non-RIFF audio payloads
+        # keep the labeled stub and report all-null audio stats.
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("au_ok", T.BooleanType()),
+        T.StructField("au_mean", T.DoubleType()),
+        T.StructField("au_rms", T.DoubleType()),
+        T.StructField("au_peak", T.IntegerType()),
+        T.StructField("duration_ms", T.DoubleType()),
     ]
 )
 
@@ -309,9 +322,114 @@ def decode_png_pixels(payload: bytes):
     return np.frombuffer(bytes(out), dtype=np.uint8).reshape(h, w, ch)
 
 
+_RIFF_SIG = b"RIFF"
+_WAVE_TAG = b"WAVE"
+_WAV_FMT_PCM = 1
+
+
+def make_wav(
+    samples, sample_rate: int, audio_format: int = _WAV_FMT_PCM
+) -> bytes:
+    """Build a canonical RIFF/WAVE container around 16-bit PCM samples
+    (mono ``(n,)`` or interleaved ``(n, ch)`` int16 array) — the fixture
+    writer :func:`decode_wav_pcm` round-trips against.  ``audio_format``
+    other than 1 writes the tag verbatim (used by tests/fixtures to
+    exercise the compressed-codec rejection path: header parses, PCM
+    decode refuses)."""
+    import struct
+
+    import numpy as np
+
+    arr = np.asarray(samples, dtype="<i2")
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    n_channels = arr.shape[1]
+    data = arr.tobytes()  # interleaved little-endian PCM16
+    block_align = n_channels * 2
+    fmt = struct.pack(
+        "<HHIIHH",
+        audio_format,
+        n_channels,
+        sample_rate,
+        sample_rate * block_align,
+        block_align,
+        16,
+    )
+    body = (
+        _WAVE_TAG
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return _RIFF_SIG + struct.pack("<I", len(body)) + body
+
+
+def parse_wav_header(payload: bytes):
+    """REAL RIFF/WAVE header parse: chunk walk to ``fmt `` + ``data``.
+    Returns ``(audio_format, n_channels, sample_rate, bits, n_frames,
+    data_offset, data_declared)`` or ``None`` for non-WAV bytes.
+    ``n_frames`` comes from the DECLARED data-chunk size (header
+    metadata — still reported when the payload is truncated mid-data,
+    mirroring the PNG path where IHDR dims survive a torn IDAT)."""
+    import struct
+
+    if len(payload) < 12 or payload[:4] != _RIFF_SIG \
+            or payload[8:12] != _WAVE_TAG:
+        return None
+    i, n = 12, len(payload)
+    fmt = None
+    while i + 8 <= n:
+        cid = payload[i:i + 4]
+        (ln,) = struct.unpack("<I", payload[i + 4:i + 8])
+        if cid == b"fmt " and i + 8 + 16 <= n and ln >= 16:
+            fmt = struct.unpack("<HHIIHH", payload[i + 8:i + 24])
+        elif cid == b"data":
+            if fmt is None:
+                return None
+            audio_format, n_channels, sample_rate, _, block_align, bits = fmt
+            if block_align == 0 or n_channels == 0 or sample_rate == 0:
+                return None
+            return (
+                audio_format, n_channels, sample_rate, bits,
+                ln // block_align, i + 8, ln,
+            )
+        # chunks are word-aligned; declared length may overrun a torn
+        # payload, in which case there is no data chunk left to find
+        i += 8 + ln + (ln & 1)
+    return None
+
+
+def decode_wav_pcm(payload: bytes):
+    """REAL PCM16 WAV sample decode: header walk via
+    :func:`parse_wav_header`, then a zero-copy little-endian int16 view
+    of the data chunk reshaped ``(n_frames, n_channels)``.  Returns
+    ``None`` when the container is not WAV, the codec is not
+    uncompressed PCM16 (e.g. an MP3-in-RIFF tag — a real deployment
+    hands those to ffmpeg), or the data chunk is TRUNCATED relative to
+    its declared size (torn object-store read: fail cleanly, never
+    decode a prefix as if it were the whole signal)."""
+    import numpy as np
+
+    hdr = parse_wav_header(payload)
+    if hdr is None:
+        return None
+    audio_format, n_channels, _, bits, n_frames, off, declared = hdr
+    if audio_format != _WAV_FMT_PCM or bits != 16:
+        return None
+    if off + declared > len(payload):
+        return None
+    arr = np.frombuffer(payload, dtype="<i2", count=n_frames * n_channels,
+                        offset=off)
+    return arr.reshape(n_frames, n_channels)
+
+
 _NULL_PX = {
     "px_ok": False, "px_mean_r": None, "px_mean_g": None,
     "px_mean_b": None, "px_min": None, "px_max": None,
+}
+
+_NULL_AU = {
+    "sample_rate": None, "au_ok": False, "au_mean": None,
+    "au_rms": None, "au_peak": None, "duration_ms": None,
 }
 
 
@@ -319,11 +437,15 @@ def _decode_stub(payload: bytes, media_type: str) -> dict[str, Any]:
     """Feature decoder: IMAGE dimensions come from the REAL header parse
     (:func:`parse_image_dims` — corrupt/unparseable bytes report
     ``decode_ok=false`` with null dims instead of erroring the scan),
-    and PNG PIXELS come from the REAL stdlib decode
+    PNG PIXELS come from the REAL stdlib decode
     (:func:`decode_png_pixels` — per-channel mean + global min/max
-    extent when ``px_ok``); JPEG pixel decode and audio/video features
-    remain deterministic STUBS derived from the payload bytes (a real
-    deployment swaps in libjpeg/ffmpeg/torchaudio — codec libraries are
+    extent when ``px_ok``), and RIFF/WAVE AUDIO comes from the REAL
+    PCM16 decode (:func:`decode_wav_pcm` — sample-rate/frames from the
+    header walk, mean/RMS/peak amplitude + duration when ``au_ok``;
+    compressed-codec tags and torn data chunks report ``au_ok=false``
+    with null stats).  JPEG pixel decode, non-WAV audio and video
+    features remain deterministic STUBS derived from the payload bytes
+    (a real deployment swaps in libjpeg/ffmpeg — codec libraries are
     not installed in this environment).
 
     Raises ``NotImplementedError`` for media types with no registered
@@ -332,6 +454,39 @@ def _decode_stub(payload: bytes, media_type: str) -> dict[str, Any]:
     if media_type not in ("image", "audio", "video"):
         raise NotImplementedError(f"no decoder registered for {media_type!r}")
     digest = hashlib.md5(payload).hexdigest()
+    if media_type == "audio" and payload[:4] == _RIFF_SIG:
+        import numpy as np
+
+        hdr = parse_wav_header(payload)
+        rec = {
+            "n_bytes": len(payload),
+            "content_hash": digest,
+            "width": None,
+            "height": None,
+            "n_frames": None,
+            "decode_ok": hdr is not None,
+            **_NULL_PX,
+            **_NULL_AU,
+        }
+        if hdr is None:  # RIFF bytes torn before the data chunk
+            return rec
+        audio_format, _, sample_rate, bits, n_frames, _, _ = hdr
+        rec["sample_rate"] = int(sample_rate)
+        if audio_format == _WAV_FMT_PCM and bits == 16:
+            # header metadata survives a torn data chunk (PNG parity:
+            # IHDR dims outlive a truncated IDAT)
+            rec["n_frames"] = int(n_frames)
+        pcm = decode_wav_pcm(payload)
+        if pcm is not None and pcm.size:
+            wide = pcm.astype(np.int64)
+            rec.update(
+                au_ok=True,
+                au_mean=round(float(wide.mean()), 6),
+                au_rms=round(float(np.sqrt((wide ** 2).mean())), 6),
+                au_peak=int(np.abs(wide).max()),
+                duration_ms=round(pcm.shape[0] * 1000.0 / sample_rate, 6),
+            )
+        return rec
     if media_type == "image":
         dims = parse_image_dims(payload)
         rec = {
@@ -342,6 +497,7 @@ def _decode_stub(payload: bytes, media_type: str) -> dict[str, Any]:
             "n_frames": 1 if dims else None,
             "decode_ok": dims is not None,
             **_NULL_PX,
+            **_NULL_AU,
         }
         px = decode_png_pixels(payload) if dims else None
         if px is not None:
@@ -369,6 +525,7 @@ def _decode_stub(payload: bytes, media_type: str) -> dict[str, Any]:
         "n_frames": 1 + seed % 300,
         "decode_ok": True,
         **_NULL_PX,
+        **_NULL_AU,
     }
 
 

@@ -62,6 +62,87 @@ class TestMultimodal:
         assert out.count() == 3
 
 
+class TestWavPcmDecode:
+    """Real RIFF/WAVE PCM16 decode (round-11 closure of the audio stub):
+    byte-level roundtrip + the torn-data / compressed-codec / non-RIFF
+    rejection paths q232's oracle gate relies on."""
+
+    def _samples(self, n=500, k=11, b=13):
+        import numpy as np
+
+        return (((np.arange(n) * k + b) % 4001) - 2000).astype(np.int16)
+
+    def test_roundtrip_mono_and_stereo(self):
+        import numpy as np
+
+        s = self._samples()
+        pcm = multimodal.decode_wav_pcm(multimodal.make_wav(s, 16000))
+        assert pcm.shape == (500, 1) and (pcm[:, 0] == s).all()
+        st = np.stack([s, -s], axis=1).astype(np.int16)
+        pcm2 = multimodal.decode_wav_pcm(multimodal.make_wav(st, 44100))
+        assert pcm2.shape == (500, 2) and (pcm2 == st).all()
+
+    def test_stats_match_numpy(self):
+        import numpy as np
+
+        s = self._samples().astype(np.int64)
+        rec = multimodal._decode_stub(
+            multimodal.make_wav(s.astype(np.int16), 8000), "audio"
+        )
+        assert rec["decode_ok"] and rec["au_ok"]
+        assert rec["sample_rate"] == 8000 and rec["n_frames"] == 500
+        assert rec["au_mean"] == round(float(s.mean()), 6)
+        assert rec["au_rms"] == round(float(np.sqrt((s * s).mean())), 6)
+        assert rec["au_peak"] == int(np.abs(s).max())
+        assert rec["duration_ms"] == round(500 * 1000.0 / 8000, 6)
+
+    def test_int16_min_peak_does_not_overflow(self):
+        import numpy as np
+
+        s = np.array([-32768, 0, 7], dtype=np.int16)
+        rec = multimodal._decode_stub(multimodal.make_wav(s, 8000), "audio")
+        assert rec["au_peak"] == 32768  # |int16 min| needs a wider dtype
+
+    def test_torn_data_chunk_fails_cleanly(self):
+        payload = multimodal.make_wav(self._samples(), 22050)[:60]
+        rec = multimodal._decode_stub(payload, "audio")
+        # header metadata survives (PNG parity: IHDR outlives torn IDAT)
+        assert rec["decode_ok"] is True and rec["sample_rate"] == 22050
+        assert rec["n_frames"] == 500
+        # ...but sample stats must be null, never a prefix decode
+        assert rec["au_ok"] is False and rec["au_mean"] is None
+        assert rec["duration_ms"] is None
+
+    def test_torn_header_reports_decode_failure(self):
+        payload = multimodal.make_wav(self._samples(), 22050)[:20]
+        rec = multimodal._decode_stub(payload, "audio")
+        assert rec["decode_ok"] is False and rec["sample_rate"] is None
+
+    def test_compressed_codec_tag_refused(self):
+        payload = multimodal.make_wav(self._samples(), 8000, audio_format=85)
+        rec = multimodal._decode_stub(payload, "audio")
+        assert rec["decode_ok"] is True and rec["sample_rate"] == 8000
+        assert rec["au_ok"] is False and rec["n_frames"] is None
+        assert multimodal.decode_wav_pcm(payload) is None
+
+    def test_non_riff_audio_keeps_legacy_stub(self):
+        import hashlib
+
+        rec = multimodal._decode_stub(b"not a wav at all", "audio")
+        seed = int(hashlib.md5(b"not a wav at all").hexdigest()[:8], 16)
+        assert rec["decode_ok"] is True and rec["width"] is None
+        assert rec["n_frames"] == 1 + seed % 300  # stub contract unchanged
+        assert rec["au_ok"] is False and rec["sample_rate"] is None
+
+    def test_empty_data_chunk(self):
+        import numpy as np
+
+        payload = multimodal.make_wav(np.empty(0, dtype=np.int16), 8000)
+        rec = multimodal._decode_stub(payload, "audio")
+        assert rec["decode_ok"] is True and rec["n_frames"] == 0
+        assert rec["au_ok"] is False  # no samples to report stats over
+
+
 EVENT_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
