@@ -76,11 +76,11 @@ def _regression_check(
     return breaches
 
 
-def _load_baseline(path: str) -> dict[str, float]:
-    """Per-query baseline timings from either a full
-    ``bench_results.json`` (complete "queries" dict) or a driver
-    ``BENCH_r{N}.json`` wrapper (stdout line inside "tail" — core
-    queries only).  The special path ``HEAD`` reads the COMMITTED
+def _load_baseline(path: str) -> tuple[dict[str, float], float | None]:
+    """Per-query baseline timings (plus the baseline's recorded ``sf``)
+    from either a full ``bench_results.json`` (complete "queries" dict)
+    or a driver ``BENCH_r{N}.json`` wrapper (stdout line inside "tail" —
+    core queries only).  The special path ``HEAD`` reads the COMMITTED
     ``bench_results.json`` via git — the stable baseline a gate should
     hold against (the working copy is overwritten by every run, so
     gating on it compares a run against itself)."""
@@ -102,10 +102,10 @@ def _load_baseline(path: str) -> dict[str, float]:
             if line.startswith("{"):
                 doc = json.loads(line)
                 break
-    return doc.get("queries", {})
+    return doc.get("queries", {}), doc.get("sf")
 
 
-def _resolve_baseline() -> tuple[str, dict[str, float]] | None:
+def _resolve_baseline() -> tuple[str, dict[str, float], float | None] | None:
     """Default-on gate baseline (VERDICT r10 #4): with no ``--against``,
     every bench run — including the driver's bare ``python bench.py`` —
     still records a ``regression_gate`` verdict.  Resolution order:
@@ -120,7 +120,8 @@ def _resolve_baseline() -> tuple[str, dict[str, float]] | None:
     record host-noise breaches, not fail on them.  Explicit ``--against``
     (the ``make bench`` ritual) keeps the exit-1 contract."""
     try:
-        return "HEAD:bench_results.json", _load_baseline("HEAD")
+        qs, bsf = _load_baseline("HEAD")
+        return "HEAD:bench_results.json", qs, bsf
     except Exception:
         pass
     here = os.path.dirname(os.path.abspath(__file__))
@@ -131,12 +132,40 @@ def _resolve_baseline() -> tuple[str, dict[str, float]] | None:
             rounds.append((int(m.group(1)), f))
     for _, f in sorted(rounds, reverse=True):
         try:
-            qs = _load_baseline(os.path.join(here, f))
+            qs, bsf = _load_baseline(os.path.join(here, f))
         except Exception:
             continue
         if qs:
-            return f, qs
+            return f, qs, bsf
     return None
+
+
+def _gate_scope(
+    baseline: dict[str, float] | None,
+    baseline_sf: float | None,
+    baseline_label: str | None,
+    sf_dir: str,
+) -> tuple[dict[str, float] | None, str]:
+    """A baseline recorded at a DIFFERENT scale factor cannot gate a
+    run — an sf1 run vs an sf0.1 baseline would record every query as a
+    "breach" of nothing but the data size.  Drop the baseline and record
+    the mismatch explicitly instead of a bogus verdict (applies to
+    ``--against`` too: cross-sf comparison is a scaling ANALYSIS, not a
+    regression gate).  Baselines without a recorded ``sf`` gate as
+    before — every real artifact since round 8 carries one."""
+    if baseline is None:
+        return None, "no-baseline"
+    run_m = re.search(r"sf([0-9.]+)", sf_dir)
+    run_sf = float(run_m.group(1)) if run_m else None
+    if baseline_sf is not None and run_sf is not None \
+            and baseline_sf != run_sf:
+        reason = (
+            f"sf-mismatch (baseline {baseline_label} sf={baseline_sf}, "
+            f"run sf={run_sf})"
+        )
+        print(f"# regression gate skipped: {reason}", file=sys.stderr)
+        return None, reason
+    return baseline, "no-baseline"
 
 
 def _clear_artifacts() -> None:
@@ -177,6 +206,7 @@ def _clear_artifacts() -> None:
 def main():
     against = None
     baseline = None
+    baseline_sf = None
     fresh = "--fresh-artifacts" in sys.argv
     if fresh:
         sys.argv.remove("--fresh-artifacts")
@@ -188,7 +218,7 @@ def main():
         # load NOW: fail fast before a 20-minute run, and the baseline
         # may BE bench_results.json, which this run overwrites at the end
         try:
-            baseline = _load_baseline(against)
+            baseline, baseline_sf = _load_baseline(against)
         except (OSError, json.JSONDecodeError, KeyError,
                 __import__("subprocess").CalledProcessError) as exc:
             print(f"# --against {against}: unreadable ({exc})",
@@ -198,10 +228,13 @@ def main():
     if against is None:
         resolved = _resolve_baseline()
         if resolved is not None:
-            baseline_label, baseline = resolved
+            baseline_label, baseline, baseline_sf = resolved
             print(f"# regression baseline auto-resolved: {baseline_label} "
                   f"({len(baseline)} queries; report-only)", file=sys.stderr)
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    baseline, no_gate_reason = _gate_scope(
+        baseline, baseline_sf, baseline_label, sf_dir
+    )
     cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
     os.environ["PARQUERY_SPARK_MASTER"] = f"local[{cpus}]"
     os.environ.setdefault("PARQUERY_SPARK_SHUFFLE_PARTITIONS", cpus)
@@ -406,7 +439,7 @@ def main():
         full["regression_breaches"] = gate_breaches
         full["regression_baseline"] = baseline_label
     else:
-        full["regression_gate"] = "no-baseline"
+        full["regression_gate"] = no_gate_reason
     out_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "bench_results.json"
     )
@@ -427,7 +460,7 @@ def main():
         if gate_breaches:
             result["regression_breaches"] = gate_breaches[:6]
     else:
-        result["regression_gate"] = "no-baseline"
+        result["regression_gate"] = no_gate_reason
     if parity is not None:
         result["parity_workload"] = {
             k: v

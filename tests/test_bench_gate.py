@@ -36,13 +36,13 @@ class TestRegressionRule:
     def test_load_baseline_full_and_driver_shapes(self, tmp_path):
         full = tmp_path / "full.json"
         full.write_text(json.dumps({"queries": {"q1": 1.0}}))
-        assert bench._load_baseline(str(full)) == {"q1": 1.0}
+        assert bench._load_baseline(str(full)) == ({"q1": 1.0}, None)
         stdout_line = json.dumps({"metric": "m", "queries": {"q2": 2.0}})
         driver = tmp_path / "BENCH_rX.json"
         driver.write_text(json.dumps(
             {"tail": f"# noise\n{stdout_line}\n", "rc": 0}
         ))
-        assert bench._load_baseline(str(driver)) == {"q2": 2.0}
+        assert bench._load_baseline(str(driver)) == ({"q2": 2.0}, None)
 
     def test_load_baseline_head_reads_committed_copy(self, tmp_path):
         """`--against HEAD` must read the COMMITTED bench_results.json,
@@ -85,7 +85,7 @@ class TestRegressionRule:
         verdict."""
         resolved = bench._resolve_baseline()
         assert resolved is not None
-        label, qs = resolved
+        label, qs, _bsf = resolved
         assert label == "HEAD:bench_results.json"
         assert len(qs) > 100  # full per-query dict, not the core subset
 
@@ -130,8 +130,26 @@ class TestRegressionRule:
                 {"metric": "m", "queries": {"q9": 7.0}}
             ) + "\n"})
         )
-        label, qs = bench._resolve_baseline()
+        label, qs, _bsf = bench._resolve_baseline()
         assert label == "BENCH_r12.json" and qs == {"q9": 7.0}
+
+    def test_gate_scope_drops_cross_sf_baseline(self, capsys):
+        """An sf0.1 baseline must not gate an sf1 run — the gate records
+        an explicit sf-mismatch instead of breaching on data size."""
+        base = {"q1": 1.0}
+        kept, reason = bench._gate_scope(base, 0.1, "HEAD", "/x/sf0.1")
+        assert kept is base and reason == "no-baseline"
+        dropped, reason = bench._gate_scope(
+            base, 0.1, "HEAD", "/root/repo/.localdata/sf1"
+        )
+        assert dropped is None and "sf-mismatch" in reason
+        assert "sf=0.1" in reason and "sf=1.0" in reason
+        # unstamped baselines (pre-round-8 shapes) keep gating
+        kept, _ = bench._gate_scope(base, None, "HEAD", "/x/sf1")
+        assert kept is base
+        # un-inferable run dir: gate rather than guess
+        kept, _ = bench._gate_scope(base, 0.1, "HEAD", "/data/custom")
+        assert kept is base
 
     def test_planted_regression_fails_make_bench_shape(self, tmp_path):
         """End-to-end exit-code proof with a stub bench run: a planted
@@ -141,7 +159,7 @@ class TestRegressionRule:
         baseline.write_text(json.dumps({"queries": {"q1": 0.2}}))
         prog = (
             "import sys, bench\n"
-            "b = bench._load_baseline(sys.argv[1])\n"
+            "b, _sf = bench._load_baseline(sys.argv[1])\n"
             "br = bench._regression_check({'q1': 1.2}, b)\n"
             "sys.exit(1 if br else 0)\n"
         )
