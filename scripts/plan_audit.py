@@ -399,6 +399,12 @@ if __name__ == "__main__":
                 continue  # the lockfile(s) themselves
             shutil.rmtree(d, ignore_errors=True)
     sf = argv[0] if argv else "/root/testdata/sf0.01"
+    # an unrecognized flag (e.g. --help) or missing dir must NOT run the
+    # audit and overwrite PLAN_AUDIT.md with 200 error rows (happened
+    # round 11: a `--help` probe was committed as a destroyed audit)
+    if not os.path.isdir(sf):
+        sys.exit(f"usage: plan_audit.py [--fresh-artifacts] [SF_DIR] "
+                 f"[query ...]\nnot a directory: {sf!r}")
     names = argv[1:] or None
     rows = audit(sf, names)
     md = render(rows, sf)
