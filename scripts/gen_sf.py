@@ -23,12 +23,14 @@ so every fixed-id probe list in the registry keeps resolving):
 * events — event_id/user_id offset; ``ts`` untouched, so the 30-day
   window densifies 10x (streaming state per window grows with rate,
   which is the scale axis the streaming queries must survive).
-* documents — doc_id offset; tile>0 text gets a tile-salt token woven
-  in every SALT_EVERY words, which breaks CROSS-tile near-duplicate
-  pairs (shingle overlap collapses) while preserving the WITHIN-tile
-  dup structure — without this, every doc gains K-1 exact clones and
-  MinHash pair volume grows K^2, a data artifact that would masquerade
-  as a super-linear engine defect.  n_chars is recomputed.
+* documents — doc_id offset; tile>0 text gets a content-keyed word
+  rewrite (see :func:`_rewrite_text`), which breaks CROSS-tile
+  near-duplicate pairs under EVERY detector axis this engine ships
+  (unigram SimHash votes, w-shingle MinHash/winnowing, 8-gram
+  substring runs) while preserving the WITHIN-tile dup structure —
+  without this, every doc gains K-1 near clones and pair volume grows
+  K^2, a data artifact that would masquerade as a super-linear engine
+  defect.  n_chars is recomputed.
 * embeddings — vec_id offset; tile>0 vectors get a deterministic
   seeded float32 jitter (sigma 0.02) so ANN/SemDeDup neighborhoods
   densify instead of collapsing onto K-fold exact copies.
@@ -51,8 +53,6 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 ROW_GROUP_ROWS = 262_144
-SALT_EVERY = 4  # one salt token woven in every 4 words (w-shingles die)
-
 # (table, {column: parent_base_table}) — which base cardinality offsets
 # each key column.  Parent 'self' means the table's own row count.
 KEYED = {
@@ -84,22 +84,45 @@ def _cardinalities(src: str) -> dict[str, int]:
     return card
 
 
-def _salt_text(texts, tile: int):
-    """Weave a tile-unique token into every text every SALT_EVERY words.
-    The SAME transform for every doc in the tile preserves within-tile
-    Jaccard structure; cross-tile shingle overlap collapses because
-    every w-shingle window within SALT_EVERY words of a salt differs."""
-    token = f"tile{tile}salt"
-    out = []
-    for s in texts:
-        words = s.split(" ")
-        woven = []
-        for j, w in enumerate(words):
-            woven.append(w)
-            if (j + 1) % SALT_EVERY == 0:
-                woven.append(token)
-        out.append(" ".join(woven))
-    return out
+def _rewrite_text(texts, tile: int):
+    """Tile-unique CONTENT-KEYED word rewrite: word ``w`` gains a
+    ``q{tile}`` suffix when ``crc32(f"{tile}:{w}")`` selects it — about
+    half the vocabulary, a DIFFERENT half per tile.
+
+    Why content-keyed replacement and not a woven salt token (the v1
+    design, fixed in round 11): a constant token repeated every 4 words
+    becomes ~20% of every doc's token stream, and any UNIGRAM-weighted
+    feature extractor (SimHash's per-token majority vote) gets swamped —
+    every tile>0 doc's signature collapsed toward the salt hash,
+    manufacturing ~1.1M bogus within-tile near-dup pairs per tile at
+    sf1 (measured: 1,493 pairs at sf0.1 -> 9.96M at sf1, 99.98% of
+    them intra-tile).  The rewrite instead:
+
+    * is a pure function of (word, tile), so any two docs transform
+      identically WITHIN a tile — exact-dup, shingle-overlap and
+      fingerprint structure is isomorphic to the base corpus (token-
+      level overlap ratios are preserved exactly);
+    * rewrites 2/3 of the vocabulary per tile, so cross-tile UNIGRAM
+      overlap is ~1/3 vs tile 0 and ~1/9 between two rewritten tiles —
+      SimHash cosine ≤ 0.33, expected Hamming ≈ 23 of 60 bits, far
+      above any near-dup threshold;
+    * kills cross-tile w-shingle overlap (a 3-gram survives with
+      p ≈ (1/3)^3) and 8-gram substring runs ((1/3)^8) — the MinHash/
+      winnowing/ExactSubstr axes the v1 salt was built for."""
+    import zlib
+
+    keep: dict[str, str] = {}
+
+    def xf(w: str) -> str:
+        r = keep.get(w)
+        if r is None:
+            r = w + f"q{tile}" if (
+                zlib.crc32(f"{tile}:{w}".encode()) % 3
+            ) else w
+            keep[w] = r
+        return r
+
+    return [" ".join(xf(w) for w in s.split(" ")) for s in texts]
 
 
 def _tile_table(src_tbl: pa.Table, name: str, tile: int,
@@ -120,7 +143,7 @@ def _tile_table(src_tbl: pa.Table, name: str, tile: int,
         cols[ncol] = pa.array([fmt.format(int(k)) for k in keys],
                               type=pa.string())
     if name == "documents":
-        texts = _salt_text(src_tbl.column("text").to_pylist(), tile)
+        texts = _rewrite_text(src_tbl.column("text").to_pylist(), tile)
         cols["text"] = pa.array(texts, type=pa.string())
         cols["n_chars"] = pa.array([len(t) for t in texts], type=pa.int64())
     if name == "embeddings":

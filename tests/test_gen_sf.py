@@ -2,9 +2,9 @@
 preserve referential integrity, keep tile 0 byte-identical (fixed-id
 probe lists in the registry must keep resolving), scale key
 cardinality linearly, and break CROSS-tile near-duplicate structure
-(without the text salt every doc gains K-1 exact clones and MinHash
-pair volume grows K^2 — a data artifact that would read as a
-super-linear engine defect at sf1)."""
+(without the text rewrite every doc gains K-1 near clones and pair
+volume grows K^2 — a data artifact that would read as a super-linear
+engine defect at sf1)."""
 
 from __future__ import annotations
 
@@ -91,9 +91,38 @@ class TestGenSf:
             a, b = shingles(texts[i]), shingles(texts[n + i])
             j = len(a & b) / max(len(a | b), 1)
             assert j < 0.2, f"doc {i}: cross-tile jaccard {j}"
-        # n_chars stays consistent with the salted text
+        # n_chars stays consistent with the rewritten text
         chars = _col(tiled, "documents", "n_chars")
         assert all(c == len(t) for c, t in zip(chars, texts))
+
+    def test_cross_tile_unigram_overlap_bounded(self, tiled):
+        """The round-11 fix for the UNIGRAM axis: the v1 constant salt
+        token (~20% of every tile>0 token stream) swamped SimHash's
+        per-token vote and collapsed whole tiles into one signature
+        neighborhood (1,493 pairs at sf0.1 -> 9.96M at sf1).  The
+        content-keyed rewrite must keep a doc's cross-tile twin BELOW
+        near-dup territory on token MULTISET overlap (~25% expected),
+        while within-tile token streams stay a pure function of the
+        base text (dup structure isomorphic to the source corpus)."""
+        from collections import Counter
+
+        texts = _col(tiled, "documents", "text")
+        n = len(texts) // 2
+        for i in (0, 1, 7):
+            a, b = Counter(texts[i].split()), Counter(texts[n + i].split())
+            inter = sum((a & b).values())
+            union = sum((a | b).values())
+            assert inter / union < 0.45, (
+                f"doc {i}: cross-tile unigram overlap {inter / union:.2f}"
+            )
+        # no constant token may dominate the rewritten TILE's token
+        # stream (the v1 salt was ~20% of every tile>0 stream; natural
+        # words in a synthetic-vocab corpus sit well under 10%)
+        c = Counter()
+        for t in texts[n:]:
+            c.update(t.split())
+        top_frac = c.most_common(1)[0][1] / sum(c.values())
+        assert top_frac < 0.10, f"dominant token fraction {top_frac:.2f}"
 
     def test_embeddings_jittered_not_cloned(self, tiled):
         embs = _col(tiled, "embeddings", "embedding")
