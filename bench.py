@@ -314,17 +314,24 @@ def main():
     # — is auditable from the artifact.
     cold = dict(timings)
     passes = [dict(timings)]
-    for p in range(2, 6):
+    # SPARK_GRAFT_BENCH_PASSES (default 5): cross-SF scaling runs use 3
+    # (cold + warm min-of-2) — the committed sf0.1 baseline and any
+    # regression-gated run keep the full 5-pass discipline, which is
+    # also the only shape the paired A/B noise floor is defined for.
+    # Fewer passes bias the min-estimate SLOW, so scaling ratios read
+    # conservatively (never flattering).
+    n_passes = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "5")))
+    for p in range(2, n_passes + 1):
         cur = {}
         for name, fn in fns.items():
             t, _ = run_query(fn)
             cur[name] = round(t, 4)
         passes.append(cur)
-        print(f"# pass {p}/5 total: {sum(cur.values()):.1f}s",
+        print(f"# pass {p}/{n_passes} total: {sum(cur.values()):.1f}s",
               file=sys.stderr)
     for name in timings:
         timings[name] = min(ps[name] for ps in passes)
-    print(f"# min-of-5 total: {sum(timings.values()):.1f}s "
+    print(f"# min-of-{n_passes} total: {sum(timings.values()):.1f}s "
           f"(cold {sum(cold.values()):.1f}s)", file=sys.stderr)
 
     # Empirical noise floor of the ESTIMATOR itself, WARM passes only:
@@ -343,7 +350,7 @@ def main():
     deltas = []
     abs_deltas = []
     tracked_deltas = []
-    for name in timings:
+    for name in (timings if n_passes >= 5 else ()):
         a = min(passes[1][name], passes[3][name])
         b = min(passes[2][name], passes[4][name])
         d = abs(a - b) / max(min(a, b), 1e-9)
@@ -400,9 +407,13 @@ def main():
         "n_tracked": n_tracked,
         "noise_abs_ms_median": noise_abs_ms_median,
         "noise_abs_ms_p90": noise_abs_ms_p90,
-        "timing_discipline":
+        "timing_discipline": (
             "min-of-5 (warm-only paired min-of-2 A/B floor; "
-            "per-query guarantee scoped to warm >= 0.5s)",
+            "per-query guarantee scoped to warm >= 0.5s)"
+            if n_passes >= 5 else
+            f"min-of-{n_passes} (reduced-pass scaling run; no noise "
+            "floor — min estimate biased slow vs the 5-pass baseline)"
+        ),
     }
     m = re.search(r"sf([0-9.]+)", sf_dir)
     if m:
