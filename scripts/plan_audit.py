@@ -168,6 +168,8 @@ WHITELIST = {
         " vectorized replacement for the SQL distance fan-out",
         "q222_binary_file_ingest": "mapInPandas feature extraction over"
         " binaryFile payloads IS the operator (same codec surface as q50)",
+        "q232_audio_pcm_features": "mapInPandas WAV PCM decode IS the"
+        " operator (same codec surface as q50; round-11 real audio path)",
         "q228_mmr_diversity_rerank": "Arrow-batched MMR selection kernel"
         " over bounded (≤pool-row) rerank windows IS the operator — the"
         " iterative argmax is sequential per window by definition; the"
