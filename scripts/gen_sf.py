@@ -87,7 +87,8 @@ def _cardinalities(src: str) -> dict[str, int]:
 def _rewrite_text(texts, tile: int):
     """Tile-unique CONTENT-KEYED word rewrite: word ``w`` gains a
     ``q{tile}`` suffix when ``crc32(f"{tile}:{w}")`` selects it — about
-    half the vocabulary, a DIFFERENT half per tile.
+    two-thirds of the vocabulary (crc32 % 3 != 0), a DIFFERENT
+    two-thirds per tile.
 
     Why content-keyed replacement and not a woven salt token (the v1
     design, fixed in round 11): a constant token repeated every 4 words

@@ -3,12 +3,19 @@
 tiled 100× corpus (`scripts/gen_sf.py 100 ... .localdata/sf10`).
 
 This is SCALING evidence, not a bench: wall is a single sample (no
-min-of-5) and the result is drained with ``count()`` rather than a
+min-of-5) and the result is drained cluster-side rather than with a
 driver ``collect()`` — at 100× some candidate-pair outputs are
 themselves 100M+ rows (a data property of the tiled fixture, see
 SCALING.md) and materializing them on the driver would measure Arrow
-transfer, not the engine.  Row counts are still recorded so output
-volume growth is visible next to wall growth.
+transfer, not the engine.  The drain is ``xxhash64`` over every output
+column folded into one aggregate — NOT a bare ``count()``, which lets
+Catalyst prune unreferenced projection columns and under-measure
+queries whose cost lives in per-row projected expressions (round-11
+ADVICE).  Queries whose output schema ``xxhash64`` cannot hash (map
+columns) fall back to ``count()`` and are marked ``"drain":
+"count(pruned)"`` in the output so the caveat travels with the number.
+Row counts are still recorded so output volume growth is visible next
+to wall growth.
 
 Usage: python scripts/sf10_spot.py [SF_DIR] [query ...]
 Defaults: .localdata/sf10 and a representative heavy set.
@@ -54,20 +61,39 @@ def main() -> None:
     qs = entrymod.queries()
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
 
+    from pyspark.sql import functions as F
+
+    def drain(df):
+        """Cluster-side drain that REFERENCES every output column, so
+        per-row projection cost is measured, not pruned (round-11
+        ADVICE: a bare count() lets Catalyst drop unreferenced
+        expressions).  Returns (row_count, drain_mode)."""
+        try:
+            row = df.select(
+                F.xxhash64(*[F.col(c) for c in df.columns]).alias("__h")
+            ).agg(
+                F.count("__h").alias("n"), F.sum("__h").alias("s")
+            ).collect()[0]
+            return row["n"], "xxhash64"
+        except Exception:  # unhashable schema (map cols) — prunes!
+            return df.count(), "count(pruned)"
+
     out = {}
     for name in names:
         if name not in qs:
             sys.exit(f"unknown query: {name}")
         t0 = time.time()
         try:
-            n = qs[name](spark, sf_dir).count()
+            n, mode = drain(qs[name](spark, sf_dir))
         except Exception as exc:  # record, keep measuring the rest
             out[name] = {"error": f"{type(exc).__name__}: {exc}"[:160]}
             print(f"# {name}: ERROR {exc}", file=sys.stderr)
             continue
         wall = round(time.time() - t0, 3)
         out[name] = {"sec": wall, "rows": n}
-        print(f"# {name}: {wall}s ({n} rows)", file=sys.stderr)
+        if mode != "xxhash64":
+            out[name]["drain"] = mode
+        print(f"# {name}: {wall}s ({n} rows, drain={mode})", file=sys.stderr)
     print(json.dumps({"sf_dir": sf_dir, "spot": out}, sort_keys=True))
 
 
