@@ -6,9 +6,13 @@ corruption detection) is real pure-byte parsing; PNG PIXEL decode is a
 real pure-stdlib implementation (zlib IDAT inflate + per-scanline
 unfiltering, :func:`decode_png_pixels`); RIFF/WAVE AUDIO decode is a
 real pure-stdlib implementation (chunk walk + PCM16 sample stats,
-:func:`decode_wav_pcm`); JPEG pixel decode, compressed-audio and video
-features remain stubbed because codec libraries are not available in
-this environment.
+:func:`decode_wav_pcm`); RIFF/AVI VIDEO decode is a real pure-stdlib
+implementation (hdrl/movi chunk walk + bottom-up BGR DIB raster
+transform, :func:`decode_avi_frames` / :func:`sample_frames`).  JPEG
+pixel decode and compressed-codec audio/video (MP3, H.264, MJPG)
+remain stubbed because codec libraries are not available in this
+environment — their headers parse, their payload decode refuses
+cleanly.
 
 Design for 100 TB:
 
@@ -27,9 +31,11 @@ real by :func:`parse_image_dims`; PNG pixels are decoded for real by
 :func:`make_png_rgb`, whose scanlines cycle all five PNG filter types);
 WAV PCM is decoded for real by :func:`decode_wav_pcm` (round-trip-
 tested against :func:`make_wav`, with torn-data and compressed-codec
-rejection paths); swap :func:`_decode_stub`'s JPEG-pixel/compressed-
-audio/video branches for a real codec (libjpeg/ffmpeg) in production —
-the signature and batch shape are the contract.
+rejection paths); AVI raw-RGB frames are decoded for real by
+:func:`decode_avi_frames` (round-trip-tested against :func:`make_avi`,
+same torn/compressed failure contract); swap :func:`_decode_stub`'s
+JPEG-pixel/compressed-codec branches for a real codec (libjpeg/ffmpeg)
+in production — the signature and batch shape are the contract.
 """
 
 from __future__ import annotations
@@ -56,7 +62,12 @@ MEDIA_FEATURES_SCHEMA = T.StructType(
         T.StructField("content_hash", T.StringType()),
         T.StructField("width", T.IntegerType()),
         T.StructField("height", T.IntegerType()),
-        T.StructField("n_frames", T.IntegerType()),
+        # LongType: n_frames is DECLARED header metadata (WAV data-chunk
+        # size // block_align, AVI dwTotalFrames) and a hostile-but-
+        # parsing header can declare counts past int32 — a narrower
+        # field would overflow during Arrow conversion INSIDE the kernel
+        # and error the whole scan (round-11 ADVICE).
+        T.StructField("n_frames", T.LongType()),
         T.StructField("decode_ok", T.BooleanType()),
         T.StructField("px_ok", T.BooleanType()),
         T.StructField("px_mean_r", T.DoubleType()),
@@ -102,7 +113,11 @@ def parse_image_dims(payload: bytes) -> tuple[int, int] | None:
         if len(payload) >= 24 and payload[12:16] == b"IHDR":
             w = int.from_bytes(payload[16:20], "big")
             h = int.from_bytes(payload[20:24], "big")
-            if w > 0 and h > 0:
+            # the PNG spec itself caps dimensions at 2^31-1; a u32 above
+            # that is a hostile header, and passing it through would
+            # overflow the IntegerType width/height fields during Arrow
+            # conversion inside the kernel (scan-erroring class)
+            if 0 < w <= 0x7FFFFFFF and 0 < h <= 0x7FFFFFFF:
                 return w, h
         return None
     if payload[:2] == b"\xff\xd8":
@@ -388,6 +403,16 @@ def parse_wav_header(payload: bytes):
             audio_format, n_channels, sample_rate, _, block_align, bits = fmt
             if block_align == 0 or n_channels == 0 or sample_rate == 0:
                 return None
+            # PCM frames are n_channels * bits/8 bytes BY DEFINITION; a
+            # parsing header whose block_align disagrees is corrupt, and
+            # framing the data chunk by the bogus block_align would
+            # either request more bytes than the payload holds (kernel
+            # ValueError — scan-erroring) or silently mis-frame samples
+            # (round-11 ADVICE, reproduced).  Compressed codecs may use
+            # block_align freely — only PCM is held to the identity.
+            if (audio_format == _WAV_FMT_PCM
+                    and block_align != n_channels * (bits // 8)):
+                return None
             return (
                 audio_format, n_channels, sample_rate, bits,
                 ln // block_align, i + 8, ln,
@@ -417,9 +442,181 @@ def decode_wav_pcm(payload: bytes):
         return None
     if off + declared > len(payload):
         return None
+    # belt-and-braces with the parse-side block_align identity: never
+    # ask frombuffer for more bytes than the payload actually holds
+    if off + n_frames * n_channels * 2 > len(payload):
+        return None
     arr = np.frombuffer(payload, dtype="<i2", count=n_frames * n_channels,
                         offset=off)
     return arr.reshape(n_frames, n_channels)
+
+
+_AVI_TAG = b"AVI "
+_BI_RGB = 0  # BITMAPINFOHEADER biCompression for raw DIB frames
+
+
+def make_avi(
+    frames, fps: int, compression: bytes = b"\x00\x00\x00\x00"
+) -> bytes:
+    """Build a spec-valid RIFF/AVI container around raw uncompressed
+    RGB24 frames (``(n, h, w, 3)`` uint8 array): ``LIST hdrl`` (avih
+    main header + one ``vids`` stream with a BI_RGB BITMAPINFOHEADER)
+    followed by ``LIST movi`` with one ``00db`` DIB chunk per frame.
+    DIB frame layout is the real one — bottom-up rows, BGR byte order,
+    row stride padded to 4 bytes — so :func:`decode_avi_frames` must
+    implement the actual raster transform to round-trip, not a memcpy.
+
+    ``compression`` other than four zero bytes (BI_RGB) writes the
+    fourcc verbatim into strh/strf (fixtures use ``b"MJPG"`` to exercise
+    the compressed-codec rejection path: header parses, frame decode
+    refuses — the WAV ``audio_format=0x55`` twin)."""
+    import struct
+
+    import numpy as np
+
+    px = np.ascontiguousarray(np.asarray(frames, dtype=np.uint8))
+    if px.ndim != 4 or px.shape[3] != 3:
+        raise ValueError("frames must be (n, h, w, 3) uint8")
+    n, h, w, _ = px.shape
+    stride = (w * 3 + 3) & ~3
+    frame_bytes = stride * h
+    usec = 1_000_000 // fps
+    comp_u32 = struct.unpack("<I", compression)[0]
+    handler = compression if comp_u32 != _BI_RGB else b"DIB "
+
+    def chunk(cid: bytes, data: bytes) -> bytes:
+        pad = b"\x00" if len(data) & 1 else b""
+        return cid + struct.pack("<I", len(data)) + data + pad
+
+    def lst(tag: bytes, data: bytes) -> bytes:
+        return chunk(b"LIST", tag + data)
+
+    avih = struct.pack(
+        "<14I",
+        usec, frame_bytes * fps, 0, 0x10,  # AVIF_HASINDEX convention bit
+        n, 0, 1, frame_bytes, w, h, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + handler
+        + struct.pack("<IHHIIIIIII", 0, 0, 0, 0, 1, fps, 0, n,
+                      frame_bytes, 0)
+        + struct.pack("<I4H", 0, 0, 0, w, h)  # dwSampleSize + rcFrame
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, comp_u32, frame_bytes, 0, 0, 0, 0
+    )
+    body = bytearray()
+    pad_cols = stride - w * 3
+    for f in range(n):
+        dib = px[f, ::-1, :, ::-1].reshape(h, w * 3)  # bottom-up, BGR
+        if pad_cols:
+            dib = np.hstack(
+                [dib, np.zeros((h, pad_cols), dtype=np.uint8)]
+            )
+        body += chunk(b"00db", dib.tobytes())
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih)
+        + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi = lst(b"movi", bytes(body))
+    riff_body = _AVI_TAG + hdrl + movi
+    return _RIFF_SIG + struct.pack("<I", len(riff_body)) + riff_body
+
+
+def parse_avi_header(payload: bytes):
+    """REAL RIFF/AVI header parse: top-level chunk walk descending into
+    ``LIST hdrl``/``LIST strl`` for the ``avih`` main header and the
+    first ``vids`` stream's BITMAPINFOHEADER, stopping at ``LIST movi``.
+    Returns ``(width, height, n_frames, usec_per_frame, compression,
+    bit_count, movi_off, movi_size)`` or ``None`` for non-AVI bytes or a
+    payload torn before the movi list — mirroring the WAV contract:
+    header metadata (declared dwTotalFrames) survives a torn FRAME
+    region, but a container without a reachable movi header is not a
+    parseable AVI.  Dimensions are validated into int32 range (hostile
+    u32 dims would otherwise overflow Arrow conversion in the kernel)."""
+    import struct
+
+    if len(payload) < 12 or payload[:4] != _RIFF_SIG \
+            or payload[8:12] != _AVI_TAG:
+        return None
+    i, n = 12, len(payload)
+    avih = None
+    strf = None
+    cur_stream = b""
+    movi = None
+    while i + 8 <= n:
+        cid = payload[i:i + 4]
+        (ln,) = struct.unpack("<I", payload[i + 4:i + 8])
+        if cid == b"LIST" and i + 12 <= n:
+            ltype = payload[i + 8:i + 12]
+            if ltype == b"movi":
+                movi = (i + 12, ln - 4 if ln >= 4 else 0)
+                break
+            if ltype in (b"hdrl", b"strl"):
+                i += 12  # descend: walk the list's children in place
+                continue
+        elif cid == b"avih" and ln >= 40 and i + 48 <= n:
+            avih = struct.unpack("<10I", payload[i + 8:i + 48])
+        elif cid == b"strh" and i + 12 <= n:
+            cur_stream = payload[i + 8:i + 12]
+        elif (cid == b"strf" and strf is None and cur_stream == b"vids"
+                and ln >= 40 and i + 32 <= n):
+            strf = struct.unpack("<IiiHHII", payload[i + 8:i + 32])
+        i += 8 + ln + (ln & 1)
+    if avih is None or strf is None or movi is None:
+        return None
+    usec, _, _, _, n_frames, _, _, _, w, h = avih
+    if not (0 < w <= 0x7FFFFFFF and 0 < h <= 0x7FFFFFFF and usec > 0):
+        return None
+    _, _, _, _, bit_count, compression, _ = strf
+    return (w, h, n_frames, usec, compression, bit_count) + movi
+
+
+def decode_avi_frames(payload: bytes):
+    """REAL raw-video frame decode: header walk via
+    :func:`parse_avi_header`, then the movi chunk walk — every ``00db``
+    / ``00dc`` DIB frame is unpadded, flipped bottom-up→top-down and
+    reordered BGR→RGB into one ``(n_frames, h, w, 3)`` uint8 array.
+
+    Returns ``None`` when the container is not AVI, the stream is not
+    uncompressed 24-bit BI_RGB (e.g. an MJPG fourcc — a real deployment
+    hands those to ffmpeg), any frame chunk is mis-sized for the
+    declared dimensions, or the movi region is TRUNCATED relative to the
+    declared frame count (torn object-store read: fail cleanly, never
+    return a frame prefix as if it were the whole clip)."""
+    import struct
+
+    import numpy as np
+
+    hdr = parse_avi_header(payload)
+    if hdr is None:
+        return None
+    w, h, n_frames, _, compression, bit_count, off, _ = hdr
+    if compression != _BI_RGB or bit_count != 24:
+        return None
+    stride = (w * 3 + 3) & ~3
+    need = stride * h
+    frames = []
+    i, n = off, len(payload)
+    while i + 8 <= n and len(frames) < n_frames:
+        cid = payload[i:i + 4]
+        (ln,) = struct.unpack("<I", payload[i + 4:i + 8])
+        if cid == b"LIST":  # 'rec ' grouping list — descend
+            i += 12
+            continue
+        if cid[2:4] in (b"db", b"dc"):
+            if ln != need or i + 8 + ln > n:
+                return None  # mis-sized or torn frame
+            buf = np.frombuffer(payload, np.uint8, count=ln, offset=i + 8)
+            fr = buf.reshape(h, stride)[:, :w * 3].reshape(h, w, 3)
+            frames.append(fr[::-1, :, ::-1])  # bottom-up BGR → RGB
+        i += 8 + ln + (ln & 1)
+    if len(frames) != n_frames:
+        return None  # fewer frames present than declared: torn movi
+    if not frames:
+        return np.empty((0, h, w, 3), dtype=np.uint8)
+    return np.stack(frames)
 
 
 _NULL_PX = {
@@ -516,6 +713,45 @@ def _decode_stub(payload: bytes, media_type: str) -> dict[str, Any]:
                 px_max=int(rgb.max()),
             )
         return rec
+    if media_type == "video" and payload[:4] == _RIFF_SIG \
+            and payload[8:12] == _AVI_TAG:
+        import numpy as np
+
+        hdr = parse_avi_header(payload)
+        rec = {
+            "n_bytes": len(payload),
+            "content_hash": digest,
+            "width": None,
+            "height": None,
+            "n_frames": None,
+            "decode_ok": hdr is not None,
+            **_NULL_PX,
+            **_NULL_AU,
+        }
+        if hdr is None:  # RIFF/AVI bytes torn before the movi list
+            return rec
+        w, h, n_frames, usec, _, _, _, _ = hdr
+        # header metadata survives torn frames / compressed codecs
+        # (WAV parity: declared n_frames outlives a truncated chunk)
+        rec.update(
+            width=int(w),
+            height=int(h),
+            n_frames=int(n_frames),
+            duration_ms=round(n_frames * usec / 1000.0, 6),
+        )
+        frames = decode_avi_frames(payload)
+        if frames is not None and frames.size:
+            sums = frames.reshape(-1, 3).astype(np.int64).sum(axis=0)
+            cnt = frames.shape[0] * frames.shape[1] * frames.shape[2]
+            rec.update(
+                px_ok=True,
+                px_mean_r=round(float(sums[0] / cnt), 6),
+                px_mean_g=round(float(sums[1] / cnt), 6),
+                px_mean_b=round(float(sums[2] / cnt), 6),
+                px_min=int(frames.min()),
+                px_max=int(frames.max()),
+            )
+        return rec
     seed = int(digest[:8], 16)
     return {
         "n_bytes": len(payload),
@@ -586,13 +822,68 @@ def resize_stub(
     return df.mapInPandas(run, schema=out_schema)
 
 
+def sample_frames(
+    df: DataFrame,
+    payload_col: str = "payload",
+    every_n: int = 10,
+) -> DataFrame:
+    """REAL video frame sampling over RIFF/AVI raw-RGB payloads: decode
+    via :func:`decode_avi_frames`, keep every ``every_n``-th frame, emit
+    one row per sampled frame with its index, per-channel means and a
+    content hash of the raw RGB bytes (explode-shaped ``mapInPandas`` —
+    1→N batch fan-out).  Non-AVI / compressed / torn payloads emit ZERO
+    rows (``decode_avi_frames`` returns None) instead of erroring the
+    scan — the corrupt-bytes contract every codec in this module keeps.
+
+    Scale shape: payload bytes never leave the task that read them; the
+    output is small typed rows, so downstream shuffles move frame STATS,
+    not video bytes."""
+    out_schema = T.StructType(
+        [f for f in df.schema if f.name != payload_col]
+        + [T.StructField("frame_idx", T.IntegerType()),
+           T.StructField("fr_mean_r", T.DoubleType()),
+           T.StructField("fr_mean_g", T.DoubleType()),
+           T.StructField("fr_mean_b", T.DoubleType()),
+           T.StructField("frame_hash", T.StringType())]
+    )
+    passthrough = [c for c in df.columns if c != payload_col]
+    stat_cols = ["frame_idx", "fr_mean_r", "fr_mean_g", "fr_mean_b",
+                 "frame_hash"]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                frames = decode_avi_frames(row[payload_col])
+                if frames is None:
+                    continue
+                for idx in range(0, frames.shape[0], every_n):
+                    fr = frames[idx]
+                    means = fr.reshape(-1, 3).mean(axis=0)
+                    rec = {c: row[c] for c in passthrough}
+                    rec.update(
+                        frame_idx=idx,
+                        fr_mean_r=round(float(means[0]), 6),
+                        fr_mean_g=round(float(means[1]), 6),
+                        fr_mean_b=round(float(means[2]), 6),
+                        frame_hash=hashlib.md5(fr.tobytes()).hexdigest(),
+                    )
+                    rows.append(rec)
+            yield pd.DataFrame(rows, columns=passthrough + stat_cols)
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
 def frame_sample_stub(
     df: DataFrame,
     payload_col: str = "payload",
     every_n: int = 10,
 ) -> DataFrame:
-    """STUB video frame sampling: one output row per sampled frame
-    (explode-shaped mapInPandas — demonstrates 1→N batch fan-out)."""
+    """STUB video frame sampling for payloads with no parseable
+    container (synthetic md5-derived frame fan-out) — the real RIFF/AVI
+    path is :func:`sample_frames` / :func:`decode_avi_frames`; this
+    remains only as the documented shape for codecs that need an
+    external library (MP4/H.264 → ffmpeg)."""
     out_schema = T.StructType(
         [f for f in df.schema if f.name != payload_col]
         + [T.StructField("frame_idx", T.IntegerType()),

@@ -170,6 +170,9 @@ WHITELIST = {
         " binaryFile payloads IS the operator (same codec surface as q50)",
         "q232_audio_pcm_features": "mapInPandas WAV PCM decode IS the"
         " operator (same codec surface as q50; round-11 real audio path)",
+        "q233_video_frame_stats": "mapInPandas AVI raw-RGB frame decode"
+        " IS the operator (same codec surface as q50; round-12 real"
+        " video path)",
         "q228_mmr_diversity_rerank": "Arrow-batched MMR selection kernel"
         " over bounded (≤pool-row) rerank windows IS the operator — the"
         " iterative argmax is sequential per window by definition; the"

@@ -142,6 +142,199 @@ class TestWavPcmDecode:
         assert rec["decode_ok"] is True and rec["n_frames"] == 0
         assert rec["au_ok"] is False  # no samples to report stats over
 
+    def test_corrupt_block_align_rejected(self):
+        """Round-11 ADVICE (reproduced): a parsing PCM header whose
+        block_align disagrees with n_channels * bits/8 would make
+        frombuffer request more bytes than the payload holds (kernel
+        ValueError → scan error) or silently mis-frame samples.  Such a
+        header is corrupt: reject at parse time, decode refuses, the
+        kernel reports decode_ok=false instead of erroring the scan."""
+        import struct
+
+        import numpy as np
+
+        st = np.stack([self._samples(), self._samples()], axis=1).astype(
+            np.int16
+        )
+        for bogus in (1, 2, 3, 8):  # stereo 16-bit needs block_align=4
+            wav = bytearray(multimodal.make_wav(st, 16000))
+            struct.pack_into("<H", wav, 32, bogus)  # fmt block_align field
+            assert multimodal.parse_wav_header(bytes(wav)) is None
+            assert multimodal.decode_wav_pcm(bytes(wav)) is None
+            rec = multimodal._decode_stub(bytes(wav), "audio")
+            assert rec["decode_ok"] is False and rec["au_ok"] is False
+
+    def test_huge_declared_data_chunk_reported_torn(self):
+        """A torn WAV whose header declares a near-u32-max data chunk
+        must report the declared frame count (mono PCM16 tops out at
+        exactly int32 max thanks to the block_align identity) with
+        au_ok=false — never a prefix decode, never a kernel error."""
+        import struct
+
+        wav = bytearray(multimodal.make_wav(self._samples(16), 8000))
+        data_len_off = len(wav) - 16 * 2 - 4
+        struct.pack_into("<I", wav, data_len_off, 0xFFFFFFF0)
+        hdr = multimodal.parse_wav_header(bytes(wav))
+        assert hdr is not None and hdr[4] == 0xFFFFFFF0 // 2
+        rec = multimodal._decode_stub(bytes(wav), "audio")
+        assert rec["decode_ok"] is True
+        assert rec["n_frames"] == 0xFFFFFFF0 // 2  # declared metadata
+        assert rec["au_ok"] is False  # torn: never a prefix decode
+
+    def test_hostile_png_dims_rejected(self):
+        """PNG caps dimensions at 2^31-1 by spec; a u32 above that is a
+        hostile header and would overflow the IntegerType width field in
+        the kernel — the parser must reject it, not pass it through."""
+        assert multimodal.parse_image_dims(
+            multimodal.make_png(2**31 + 5, 10)
+        ) is None
+        assert multimodal.parse_image_dims(
+            multimodal.make_png(10, 2**31 + 5)
+        ) is None
+        assert multimodal.parse_image_dims(
+            multimodal.make_png(2**31 - 1, 10)
+        ) == (2**31 - 1, 10)
+
+
+class TestAviVideoCodec:
+    """Real RIFF/AVI raw-RGB frame decode (round-12 closure of the last
+    labeled compute stub): byte-level roundtrip through the actual DIB
+    raster layout (bottom-up rows, BGR order, 4-byte stride padding) +
+    the torn-movi / compressed-fourcc / non-AVI rejection paths q233's
+    oracle gate relies on."""
+
+    def _frames(self, n=5, h=11, w=13, key=17):
+        import numpy as np
+
+        f = np.arange(n)[:, None, None, None]
+        y = np.arange(h)[None, :, None, None]
+        x = np.arange(w)[None, None, :, None]
+        c = np.arange(3)[None, None, None, :]
+        return ((x * 3 + y * 7 + f * 11 + c * 13 + key) % 256).astype(
+            np.uint8
+        )
+
+    def test_roundtrip_exact(self):
+        # w=13 → 39-byte rows padded to 40: the unpad path is exercised
+        px = self._frames()
+        out = multimodal.decode_avi_frames(multimodal.make_avi(px, 12))
+        assert out.shape == px.shape and (out == px).all()
+
+    def test_roundtrip_no_padding(self):
+        px = self._frames(h=4, w=8)  # 24-byte rows: stride needs no pad
+        out = multimodal.decode_avi_frames(multimodal.make_avi(px, 25))
+        assert (out == px).all()
+
+    def test_header_metadata(self):
+        px = self._frames()
+        hdr = multimodal.parse_avi_header(multimodal.make_avi(px, 10))
+        w, h, nf, usec, comp, bits, _, _ = hdr
+        assert (w, h, nf) == (13, 11, 5)
+        assert usec == 100_000 and comp == 0 and bits == 24
+
+    def test_compressed_fourcc_refused(self):
+        payload = multimodal.make_avi(self._frames(), 12,
+                                      compression=b"MJPG")
+        hdr = multimodal.parse_avi_header(payload)
+        assert hdr is not None and hdr[4] != 0  # header still parses
+        assert multimodal.decode_avi_frames(payload) is None
+        rec = multimodal._decode_stub(payload, "video")
+        assert rec["decode_ok"] is True and rec["n_frames"] == 5
+        assert rec["px_ok"] is False and rec["px_mean_r"] is None
+
+    def test_torn_movi_fails_cleanly(self):
+        payload = multimodal.make_avi(self._frames(), 12)
+        movi_off = multimodal.parse_avi_header(payload)[6]
+        # torn anywhere inside the frame region: header survives,
+        # decode must never return a frame prefix as the whole clip
+        for cut in (movi_off + 10, movi_off + 600, len(payload) - 3):
+            torn = payload[:cut]
+            hdr = multimodal.parse_avi_header(torn)
+            assert hdr is not None and hdr[2] == 5  # declared frames
+            assert multimodal.decode_avi_frames(torn) is None
+            rec = multimodal._decode_stub(torn, "video")
+            assert rec["decode_ok"] is True and rec["px_ok"] is False
+
+    def test_torn_before_movi_is_not_parseable(self):
+        payload = multimodal.make_avi(self._frames(), 12)
+        assert multimodal.parse_avi_header(payload[:40]) is None
+        rec = multimodal._decode_stub(payload[:40], "video")
+        assert rec["decode_ok"] is False and rec["n_frames"] is None
+
+    def test_stats_match_numpy(self):
+        import numpy as np
+
+        px = self._frames()
+        rec = multimodal._decode_stub(multimodal.make_avi(px, 12), "video")
+        sums = px.reshape(-1, 3).astype(np.int64).sum(axis=0)
+        cnt = px.shape[0] * px.shape[1] * px.shape[2]
+        assert rec["px_ok"] is True
+        assert rec["px_mean_r"] == round(float(sums[0] / cnt), 6)
+        assert rec["px_mean_g"] == round(float(sums[1] / cnt), 6)
+        assert rec["px_mean_b"] == round(float(sums[2] / cnt), 6)
+        assert rec["px_min"] == int(px.min())
+        assert rec["px_max"] == int(px.max())
+        assert rec["duration_ms"] == round(5 * (1_000_000 // 12) / 1000.0, 6)
+
+    def test_zero_frames(self):
+        import numpy as np
+
+        px = np.empty((0, 4, 4, 3), dtype=np.uint8)
+        payload = multimodal.make_avi(px, 10)
+        out = multimodal.decode_avi_frames(payload)
+        assert out is not None and out.shape == (0, 4, 4, 3)
+        rec = multimodal._decode_stub(payload, "video")
+        assert rec["decode_ok"] is True and rec["n_frames"] == 0
+        assert rec["px_ok"] is False  # no pixels to report stats over
+
+    def test_huge_declared_frame_count_is_long_not_overflow(self):
+        """AVI's dwTotalFrames is a u32: a torn-but-parsing header can
+        declare ~4.3e9 frames, past int32 — the n_frames field must be
+        a LONG or Arrow conversion inside the kernel errors the whole
+        scan (round-11 ADVICE class, video edition)."""
+        import struct
+
+        payload = bytearray(multimodal.make_avi(self._frames(), 12))
+        # avih data starts at 12 (RIFF hdr) + 12 (LIST+size+hdrl)
+        # + 8 ('avih'+len) = 32; dwTotalFrames is its 5th u32
+        struct.pack_into("<I", payload, 32 + 16, 4_000_000_000)
+        hdr = multimodal.parse_avi_header(bytes(payload))
+        assert hdr is not None and hdr[2] == 4_000_000_000 > 2**31 - 1
+        rec = multimodal._decode_stub(bytes(payload), "video")
+        assert rec["decode_ok"] is True
+        assert rec["n_frames"] == 4_000_000_000  # declared, as long
+        assert rec["px_ok"] is False  # 5 real frames ≠ declared: torn
+        fields = {f.name: f.dataType for f in multimodal.MEDIA_FEATURES_SCHEMA}
+        assert isinstance(fields["n_frames"], T.LongType)
+
+    def test_non_avi_video_keeps_legacy_stub(self):
+        import hashlib
+
+        rec = multimodal._decode_stub(b"not an avi", "video")
+        seed = int(hashlib.md5(b"not an avi").hexdigest()[:8], 16)
+        assert rec["decode_ok"] is True  # documented stub contract
+        assert rec["n_frames"] == 1 + seed % 300
+
+    def test_sample_frames_operator(self, spark):
+        import pandas as pd
+
+        payloads = [
+            (1, multimodal.make_avi(self._frames(n=7), 10)),
+            (2, multimodal.make_avi(self._frames(n=4, key=99), 10)),
+            (3, b"not an avi"),  # emits zero rows, never errors the scan
+            (4, multimodal.make_avi(self._frames(), 10,
+                                    compression=b"MJPG")),
+        ]
+        df = spark.createDataFrame(
+            pd.DataFrame(payloads, columns=["vid_id", "payload"])
+        )
+        out = multimodal.sample_frames(df, every_n=3)
+        rows = {(r["vid_id"], r["frame_idx"]): r for r in out.collect()}
+        assert set(rows) == {(1, 0), (1, 3), (1, 6), (2, 0), (2, 3)}
+        fr0 = self._frames(n=7)[3]
+        means = fr0.reshape(-1, 3).mean(axis=0)
+        assert rows[(1, 3)]["fr_mean_r"] == round(float(means[0]), 6)
+
 
 EVENT_SCHEMA = T.StructType(
     [

@@ -224,33 +224,42 @@ class TestDriverPriorityRegistry:
         the judge's done-criterion for the round-5 reordering."""
         from parquery_spark.queries import DRIVER_PRIORITY
 
+        # Each family lists ALL its registry representatives — the
+        # round-12 full rotation (never-driver-checked complement) means
+        # a family's snapshot member is no longer its round-5 exemplar.
         families = {
             "core": ["q01_", "q02_", "q03_", "q04_", "q05_", "q06_",
                      "q07_", "q08_", "q09_", "q10_"],
-            "joins": ["q20_", "q22_", "q31_", "q32_"],
-            "window": ["q23_"],
-            "topk": ["q25_"],
+            "joins": ["q20_", "q22_", "q31_", "q32_", "q101_", "q145_",
+                      "q191_", "q195_"],
+            "window": ["q23_", "q78_"],
+            "topk": ["q25_", "q114_"],
             "setops": ["q26_"],
             "grouping": ["q92_"],
             "scalar": ["q29_"],
-            "time": ["q30_"],
-            "dedup": ["q40_", "q43_", "q82_", "q102_"],
-            "similarity": ["q45_", "q69_", "q83_", "q167_"],
-            "text": ["q48_"],
-            "multimodal": ["q50_"],
-            "sketch": ["q54_"],
-            "sampling": ["q58_"],
-            "graph": ["q62_", "q132_"],
-            "pii": ["q64_"],
-            "packing": ["q66_"],
-            "sources": ["q67_", "q76_"],
-            "streaming": ["q84_", "q97_", "q157_", "q170_"],
-            "tpch": ["q94_"],
-            "udf": ["q131_", "q149_"],
+            "time": ["q30_", "q115_"],
+            "dedup": ["q40_", "q43_", "q82_", "q102_", "q147_", "q159_",
+                      "q178_"],
+            "similarity": ["q45_", "q69_", "q83_", "q167_", "q116_",
+                           "q161_", "q185_", "q188_", "q211_", "q218_"],
+            "text": ["q48_", "q73_", "q205_", "q214_"],
+            "multimodal": ["q50_", "q232_", "q233_"],
+            "sketch": ["q54_", "q118_", "q164_", "q174_", "q194_"],
+            "sampling": ["q58_", "q146_"],
+            "graph": ["q62_", "q132_", "q158_"],
+            "pii": ["q64_", "q182_"],
+            "packing": ["q66_", "q168_"],
+            "sources": ["q67_", "q76_", "q98_", "q138_", "q200_"],
+            "streaming": ["q84_", "q97_", "q157_", "q170_", "q85_",
+                          "q96_", "q126_", "q204_"],
+            "tpch": ["q94_", "q95_", "q108_", "q109_", "q110_", "q121_",
+                     "q122_", "q151_", "q152_", "q153_", "q155_",
+                     "q156_", "q193_"],
+            "udf": ["q131_", "q149_", "q133_", "q134_"],
             "maintenance": ["q130_", "q163_"],
-            "sessionize": ["q71_"],
+            "sessionize": ["q71_", "q96_"],
             "skew": ["q90_"],
-            "pipeline": ["q183_"],
+            "pipeline": ["q183_", "q150_"],
         }
         covered = {
             fam
