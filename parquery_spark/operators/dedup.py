@@ -576,6 +576,7 @@ def simhash_candidates(
     bands: int = 4,
     max_hamming: int = 3,
     table: DataFrame | None = None,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """SimHash near-dup candidates: band the ``bits``-bit hash into
     ``bands`` chunks (pigeonhole: hamming ≤ bands-1 ⇒ some band equal),
@@ -584,11 +585,33 @@ def simhash_candidates(
     ``table`` injects a precomputed :func:`simhash_table` relation
     (``(id, sh)``, ~16 bytes/doc) — the stat-keyed storage-artifact form:
     signatures are a pure function of the corpus version, so production
-    computes them once per corpus and probes them per query."""
+    computes them once per corpus and probes them per query.
+
+    ``max_bucket_size`` is the SCALE knob (the
+    :func:`lsh_candidate_pairs` contract, round 12): fixed-width banding
+    has a random-collision floor of ~bands·n²/2^band_bits candidate
+    pairs, and natural-language sign votes SKEW chunks, so a handful of
+    (band, chunk) buckets can hold a large corpus fraction — measured at
+    100× (500k docs): billions of enumerated pairs, a multi-GB shuffle
+    of candidates the hamming verify then rejects.  Buckets larger than
+    the cap are dropped on BOTH join sides (broadcast anti-join on the
+    oversized-bucket list — KBs).  Recall tradeoff: a true near-dup pair
+    whose only shared band lands in a dropped bucket is missed; docs in
+    an oversized bucket still pair through their other bands.  ``None``
+    keeps exact enumeration (fine through ~10× local corpora)."""
     band_bits = bits // bands
     mask = (1 << band_bits) - 1
     if table is None:
         table = simhash_table(df, text_col, id_col, bits)
+    # The signature artifact is ~16 bytes/doc, so even a 500k-doc corpus
+    # lands in 1-3 parquet splits — and the whole explode → band join →
+    # pair dedup chain fuses into the probe side's scan stage, gating a
+    # potentially ~n²/2^band_bits-pair enumeration at 1-3 tasks (found
+    # via jstack at sf10: one 3-task codegen stage running 12+ min).
+    # fan_out repairs the degenerate split count; at cluster scale a
+    # billion-doc signature table is already well-split and this is a
+    # no-op.
+    table = fan_out(table, id_col)
     banded = table.select(
         id_col, "sh",
         F.explode(F.array(*[
@@ -598,6 +621,17 @@ def simhash_candidates(
             ) for b in range(bands)
         ])).alias("bk"),
     ).select(id_col, "sh", "bk.band", "bk.chunk")
+    if max_bucket_size is not None:
+        oversized = (
+            banded.groupBy("band", "chunk")
+            .agg(F.count(F.lit(1)).alias("__bn"))
+            .filter(F.col("__bn") > max_bucket_size)
+            .select("band", "chunk")
+        )
+        # bands x 2^band_bits rows at MOST, usually a handful: broadcast
+        banded = banded.join(
+            F.broadcast(oversized), ["band", "chunk"], "left_anti"
+        )
     # alias self-join (operators/reuse.py) → ReuseExchange unifies the
     # two sides' shuffle subtrees, so the tokenize + 60-vote aggregation
     # executes once and the second side reads the same map output — the

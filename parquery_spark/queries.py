@@ -1023,7 +1023,10 @@ def _sql_minhash_lsh(num_hashes: int, bands: int, shingle_k: int,
     """
 
 
-def _sql_simhash(bits: int, bands: int, max_hamming: int) -> str:
+def _sql_simhash(
+    bits: int, bands: int, max_hamming: int,
+    max_bucket_size: int | None = None,
+) -> str:
     band_bits = bits // bands
     mask = (1 << band_bits) - 1
     sh_expr = " + ".join(
@@ -1035,17 +1038,31 @@ def _sql_simhash(bits: int, bands: int, max_hamming: int) -> str:
         f"SELECT doc_id, sh, {b} AS band, (sh >> {b * band_bits}) & {mask} AS chunk FROM sim"
         for b in range(bands)
     )
+    # the bucket cap mirrors simhash_candidates(max_bucket_size=...):
+    # (band, chunk) buckets larger than the cap are DROPPED before
+    # pairing on both sides, so the oracle reproduces the recall
+    # tradeoff bit-for-bit
+    pair_src = "banded"
+    cap_cte = ""
+    if max_bucket_size is not None:
+        cap_cte = f"""
+    keep AS (
+        SELECT band, chunk FROM banded
+        GROUP BY band, chunk HAVING COUNT(*) <= {max_bucket_size}
+    ),
+    capped AS (SELECT b.* FROM banded b JOIN keep USING (band, chunk)),"""
+        pair_src = "capped"
     hex_chars = 8 if bits <= 32 else 15
     return f"""
     WITH toks AS ({_SQL_TOKS}),
     hh AS (SELECT doc_id, list_transform(w, t ->
            ('0x' || substr(md5(t), 1, {hex_chars}))::BIGINT) AS hs FROM toks),
     sim AS (SELECT doc_id, ({sh_expr}) AS sh FROM hh),
-    banded AS ({band_selects}),
+    banded AS ({band_selects}),{cap_cte}
     pairs AS (
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
                a.sh AS sh_a, b.sh AS sh_b
-        FROM banded a JOIN banded b
+        FROM {pair_src} a JOIN {pair_src} b
           ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id
     )
     SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
@@ -1222,14 +1239,23 @@ def _mh_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(bdir)
 
 
-@query("q44_simhash", _sql_simhash(60, 5, 4))
+@query("q44_simhash", _sql_simhash(60, 5, 4, max_bucket_size=1000))
 def q44_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash(60-bit) near-dup candidates: pigeonhole banding on 12-bit
     chunks (4096 buckets — 16x fewer band collisions than 8-bit chunks on
     a shared-vocabulary corpus), hamming-distance verification ≤ 4.  The
     (id, sh) signature table — ~16 bytes/doc, a pure function of the
     corpus version — is a stat-keyed storage artifact, so the per-query
-    cost is the band explode + chunk self-join."""
+    cost is the band explode + chunk self-join.
+
+    ``max_bucket_size=1000`` (round 12, measured at sf10): sign-vote
+    skew concentrates a large corpus fraction into a few 12-bit chunks,
+    and the uncapped enumeration hit billions of candidate pairs at
+    500k docs (all-32-task shuffle write >30 min before the hamming cut
+    could reject them).  The cap drops those degenerate buckets on both
+    sides — same knob, same recall contract as q43's MinHash-LSH — and
+    the ORACLE applies the identical cap, so the tradeoff is
+    value-gated, not hidden (SCALING.md round-12)."""
     from parquery_spark.operators.dedup import (
         simhash_candidates,
         simhash_table,
@@ -1246,7 +1272,7 @@ def q44_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     sdir = _materialize_once(sdir, _build)
     return simhash_candidates(
         docs, "text", "doc_id", bits=60, bands=5, max_hamming=4,
-        table=spark.read.parquet(sdir),
+        table=spark.read.parquet(sdir), max_bucket_size=1000,
     )
 
 
@@ -13631,6 +13657,118 @@ def q233_video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "width", "height", "n_frames", "duration_ms", "decode_ok",
         "px_ok", "px_mean_r", "px_mean_g", "px_mean_b", "px_min",
         "px_max",
+    )
+
+
+@query(
+    "q234_jpeg_pixel_stats",
+    # The oracle RECONSTRUCTS every 8x8 tile's intensity analytically
+    # from the fixture recipe and aggregates: the fixture images are
+    # block-constant (each 8x8 JPEG block one uniform value), which a
+    # flat quant=1 table encodes LOSSLESSLY — DC = 8*(v-128) exactly,
+    # zero AC — so the decoded pixel mean equals the tile mean with no
+    # quantization error term, and a wrong bit anywhere in the Huffman
+    # entropy decode / dequant / IDCT chain breaks value parity.
+    # doc_id%10==4 files are truncated mid-scan: SOF0 dims still parse
+    # (decode_ok=true) but pixel decode must FAIL CLEANLY (px_ok=false)
+    # — never a prefix decode.  doc_id%10==8 files have their SOF0
+    # marker rewritten to SOF2 (progressive): dims parse, the baseline
+    # decoder refuses rather than guessing at a coding mode it does not
+    # implement.
+    """
+    WITH sel AS (
+        SELECT doc_id,
+               2 + (doc_id * 3) % 5 AS bw,
+               1 + (doc_id * 5) % 4 AS bh,
+               doc_id % 10 = 4 AS torn,
+               doc_id % 10 = 8 AS progressive
+        FROM documents WHERE doc_id < 30
+    ),
+    ty AS (
+        SELECT doc_id, bw, unnest(range(bh)) AS y
+        FROM sel WHERE NOT torn AND NOT progressive
+    ),
+    tx AS (SELECT doc_id, y, unnest(range(bw)) AS x FROM ty),
+    px AS (
+        SELECT doc_id, (x * 5 + y * 9 + doc_id * 13) % 256 AS v FROM tx
+    ),
+    stats AS (
+        SELECT doc_id, ROUND(AVG(v), 6) AS m,
+               MIN(v) AS mn, MAX(v) AS mx
+        FROM px GROUP BY doc_id
+    )
+    SELECT s.doc_id,
+           CAST(s.bw * 8 AS INTEGER) AS width,
+           CAST(s.bh * 8 AS INTEGER) AS height,
+           TRUE AS decode_ok,
+           NOT (s.torn OR s.progressive) AS px_ok,
+           st.m AS px_mean_r,
+           CAST(st.mn AS INTEGER) AS px_min,
+           CAST(st.mx AS INTEGER) AS px_max
+    FROM sel s LEFT JOIN stats st USING (doc_id)
+    """,
+)
+def q234_jpeg_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL JPEG pixel decode end to end (VERDICT r11 #6 — JPEG was
+    dims-only): a stat-keyed fixture of 30 spec-valid baseline-DCT
+    grayscale JPEGs — 8x8-block-constant tile patterns derived from
+    doc_id, encoded by the full pure-stdlib encoder (:func:`make_jpeg_
+    gray`: orthonormal DCT, flat quant, Annex-K Huffman, byte stuffing)
+    — is ingested with the distributed ``binaryFile`` source and
+    pixel-decoded inside the Arrow-batched ``mapInPandas`` kernel via
+    the canonical Huffman + IDCT path (:func:`decode_jpeg_gray`).
+    Grayscale mean and min/max extent are value-gated against the
+    oracle's analytic tile reconstruction.  Truncated-scan and
+    progressive-marker rows gate the FAILURE paths: header dims
+    survive, pixel stats must be null (the q232/q233 codec contract).
+
+    Scale shape: identical to q50/q232/q233 — bounded build-once
+    fixture loop, decode task-parallel over the binaryFile listing,
+    payload bytes dropped before any shuffle."""
+    import numpy as np
+
+    from parquery_spark.operators.multimodal import (
+        extract_media_features,
+        make_jpeg_gray,
+    )
+    from parquery_spark.sources.binary import read_binary_files
+
+    fdir = _stat_dir(sf_dir, "documents", "jpeg-gray-v1", "pqs_jpeggray")
+
+    def _build(t):
+        os.makedirs(t, exist_ok=True)
+        for doc_id in range(30):
+            bw = 2 + (doc_id * 3) % 5
+            bh = 1 + (doc_id * 5) % 4
+            ty = np.arange(bh)[:, None]
+            tx = np.arange(bw)[None, :]
+            tiles = ((tx * 5 + ty * 9 + doc_id * 13) % 256).astype(
+                np.uint8
+            )
+            payload = make_jpeg_gray(np.kron(tiles, np.ones((8, 8),
+                                                            np.uint8)))
+            if doc_id % 10 == 4:  # SOF0 dims survive, the scan does not
+                payload = payload[:120]
+            elif doc_id % 10 == 8:  # rewrite SOF0 -> SOF2 (progressive)
+                p = bytearray(payload)
+                p[payload.index(b"\xff\xc0") + 1] = 0xC2
+                payload = bytes(p)
+            with open(os.path.join(t, f"jpg_{doc_id:06d}.jpg"), "wb") as fh:
+                fh.write(payload)
+        with open(os.path.join(t, "_DONE"), "w") as fh:
+            fh.write("ok")
+
+    fdir = _materialize_once(fdir, _build, marker="_DONE")
+    raw = read_binary_files(
+        spark, fdir, path_glob="jpg_*.jpg", media_type="image"
+    ).select("path", "payload", "media_type")
+    feats = extract_media_features(raw)
+    return feats.select(
+        F.regexp_extract(F.col("path"), r"jpg_(\d+)\.", 1)
+        .cast("long")
+        .alias("doc_id"),
+        "width", "height", "decode_ok", "px_ok", "px_mean_r",
+        "px_min", "px_max",
     )
 
 

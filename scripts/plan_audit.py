@@ -173,6 +173,9 @@ WHITELIST = {
         "q233_video_frame_stats": "mapInPandas AVI raw-RGB frame decode"
         " IS the operator (same codec surface as q50; round-12 real"
         " video path)",
+        "q234_jpeg_pixel_stats": "mapInPandas baseline-JPEG Huffman+IDCT"
+        " decode IS the operator (same codec surface as q50; round-12"
+        " real JPEG pixel path)",
         "q228_mmr_diversity_rerank": "Arrow-batched MMR selection kernel"
         " over bounded (≤pool-row) rerank windows IS the operator — the"
         " iterative argmax is sequential per window by definition; the"

@@ -69,10 +69,15 @@ def main() -> None:
         ADVICE: a bare count() lets Catalyst drop unreferenced
         expressions).  Returns (row_count, drain_mode)."""
         try:
+            # bit_xor, NOT sum: xxhash64 values span the full signed-64
+            # range, so a running sum overflows under ANSI mode (learned
+            # live: the overflow aborts the job AFTER a full execution,
+            # then the count() fallback re-executes — double-measuring
+            # the query); xor is closed over int64
             row = df.select(
                 F.xxhash64(*[F.col(c) for c in df.columns]).alias("__h")
             ).agg(
-                F.count("__h").alias("n"), F.sum("__h").alias("s")
+                F.count("__h").alias("n"), F.bit_xor("__h").alias("x")
             ).collect()[0]
             return row["n"], "xxhash64"
         except Exception:  # unhashable schema (map cols) — prunes!

@@ -336,6 +336,100 @@ class TestAviVideoCodec:
         assert rows[(1, 3)]["fr_mean_r"] == round(float(means[0]), 6)
 
 
+class TestJpegGrayCodec:
+    """Real baseline-DCT grayscale JPEG decode (round-12 closure of the
+    dims-only gap): lossless roundtrip on block-constant images, ±1
+    bound on arbitrary images (IDCT float rounding), and the torn-scan /
+    progressive / color rejection paths q234's oracle gate relies on."""
+
+    def _tiles(self, bh=3, bw=4, key=13):
+        import numpy as np
+
+        ty = np.arange(bh)[:, None]
+        tx = np.arange(bw)[None, :]
+        return ((tx * 5 + ty * 9 + key) % 256).astype(np.uint8)
+
+    def _img(self, **kw):
+        import numpy as np
+
+        return np.kron(self._tiles(**kw), np.ones((8, 8), np.uint8))
+
+    def test_block_constant_is_lossless(self):
+        img = self._img()
+        out = multimodal.decode_jpeg_gray(multimodal.make_jpeg_gray(img))
+        assert out.shape == img.shape and (out == img).all()
+
+    def test_arbitrary_image_within_one(self):
+        import numpy as np
+
+        rng = np.random.default_rng(3)
+        img = rng.integers(0, 256, (24, 31), np.uint8)  # w % 8 != 0
+        out = multimodal.decode_jpeg_gray(multimodal.make_jpeg_gray(img))
+        assert out.shape == img.shape
+        assert np.abs(out.astype(int) - img.astype(int)).max() <= 1
+
+    def test_extreme_values_roundtrip(self):
+        import numpy as np
+
+        img = np.kron(
+            np.array([[0, 255], [255, 0]], np.uint8),
+            np.ones((8, 8), np.uint8),
+        )
+        out = multimodal.decode_jpeg_gray(multimodal.make_jpeg_gray(img))
+        assert (out == img).all()  # clip path exercised at both rails
+
+    def test_dims_parse_agrees(self):
+        payload = multimodal.make_jpeg_gray(self._img(bh=2, bw=5))
+        assert multimodal.parse_image_dims(payload) == (40, 16)
+
+    def test_torn_scan_fails_cleanly(self):
+        payload = multimodal.make_jpeg_gray(self._img())
+        for cut in (120, len(payload) // 2, len(payload) - 3):
+            torn = payload[:cut]
+            assert multimodal.parse_image_dims(torn) == (32, 24)
+            assert multimodal.decode_jpeg_gray(torn) is None
+            rec = multimodal._decode_stub(torn, "image")
+            assert rec["decode_ok"] is True and rec["px_ok"] is False
+
+    def test_progressive_marker_refused(self):
+        payload = bytearray(multimodal.make_jpeg_gray(self._img()))
+        payload[bytes(payload).index(b"\xff\xc0") + 1] = 0xC2
+        payload = bytes(payload)
+        assert multimodal.parse_image_dims(payload) == (32, 24)
+        assert multimodal.decode_jpeg_gray(payload) is None
+
+    def test_header_only_jpeg_still_refused(self):
+        # make_jpeg writes SOI+SOF0 only (no DHT/SOS): dims-only payload
+        payload = multimodal.make_jpeg(100, 50)
+        assert multimodal.parse_image_dims(payload) == (100, 50)
+        assert multimodal.decode_jpeg_gray(payload) is None
+
+    def test_stats_match_numpy(self):
+        import numpy as np
+
+        img = self._img()
+        rec = multimodal._decode_stub(
+            multimodal.make_jpeg_gray(img), "image"
+        )
+        assert rec["px_ok"] is True
+        assert rec["px_mean_r"] == round(float(
+            img.astype(np.int64).mean()), 6)
+        assert rec["px_mean_g"] is None  # grayscale: PNG ctype-0 parity
+        assert rec["px_min"] == int(img.min())
+        assert rec["px_max"] == int(img.max())
+
+    def test_quant_table_respected(self):
+        import numpy as np
+
+        # a smooth ramp at quant=4 must come back close (dequant path);
+        # a decoder ignoring the DQT values would be off by ~4x on AC
+        img = np.tile(np.linspace(40, 200, 32).astype(np.uint8), (16, 1))
+        out = multimodal.decode_jpeg_gray(
+            multimodal.make_jpeg_gray(img, quant=4)
+        )
+        assert np.abs(out.astype(int) - img.astype(int)).max() <= 3
+
+
 EVENT_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
@@ -652,6 +746,76 @@ class TestTransformWithState:
             pytest.skip("protobuf present — covered by live runs")
         with pytest.raises(NotImplementedError, match="protobuf"):
             purchase_totals_transform_with_state(stream)
+
+    def test_sessionize_twin_gated_on_protobuf(self, spark, tmp_path):
+        """The sessionize twin (VERDICT r11 #8) carries the same
+        environment gate: a clear diagnosis pointing at the
+        applyInPandasWithState implementation, never a worker crash."""
+        import pytest
+
+        from parquery_spark.streaming.events import (
+            sessionize_transform_with_state,
+        )
+
+        stream = spark.readStream.schema(EVENT_SCHEMA).parquet(
+            str(tmp_path)
+        )
+        try:
+            import google.protobuf  # noqa: F401
+        except ImportError:
+            with pytest.raises(NotImplementedError, match="protobuf"):
+                sessionize_transform_with_state(stream)
+            return
+        pytest.skip("protobuf present — parity test below runs instead")
+
+    def test_sessionize_twin_matches_old_api(
+        self, spark, event_dir, tmp_path
+    ):
+        """DIFFERENTIAL parity (VERDICT r11 #8 done-criterion): the
+        transformWithStateInPandas sessionizer and the
+        applyInPandasWithState one drain the SAME micro-batches and
+        must emit identical session rows.  Runs only where
+        google.protobuf is installed (not this sandbox); here the
+        environment gate above pins the refusal path instead."""
+        import pytest
+
+        try:
+            import google.protobuf  # noqa: F401
+        except ImportError:
+            pytest.skip(
+                "transformWithStateInPandas needs protobuf — gate "
+                "asserted by test_sessionize_twin_gated_on_protobuf"
+            )
+
+        from parquery_spark.streaming.events import (
+            sessionize_stream,
+            sessionize_transform_with_state,
+        )
+
+        def drain(df, name):
+            q = (
+                df.writeStream.format("memory").queryName(name)
+                .outputMode("append").trigger(availableNow=True).start()
+            )
+            q.awaitTermination(120)
+            if q.exception() is not None:
+                raise q.exception()
+            return {
+                (r["user_id"], r["session_start"], r["session_end"],
+                 r["n_events"])
+                for r in spark.table(name).collect()
+            }
+
+        old = drain(
+            sessionize_stream(spark, event_dir, EVENT_SCHEMA), "sess_old"
+        )
+        new_stream = spark.readStream.schema(EVENT_SCHEMA).parquet(
+            event_dir
+        )
+        new = drain(
+            sessionize_transform_with_state(new_stream), "sess_new"
+        )
+        assert old == new
 
 
 class TestMidStreamKillResume:

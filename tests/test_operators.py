@@ -174,6 +174,35 @@ class TestDedup:
         ham_far = bin(out[1] ^ out[6]).count("1")
         assert ham_near < ham_far
 
+    def test_simhash_bucket_cap_drops_degenerate_buckets(self, spark):
+        """The scale knob (round 12): identical docs all collide in every
+        band, so an identical-content flood forms one oversized bucket
+        per band.  With the cap below the flood size those buckets drop
+        and the flood pairs vanish; a distinct near-dup pair in its own
+        small buckets survives; uncapped enumeration still sees both."""
+        flood = [(i, "aurora borealis quantum zephyr") for i in range(12)]
+        near = [  # exact dup: hamming 0 by construction, bucket of 2
+            (100, "velvet marmot citadel orchard plume"),
+            (101, "velvet marmot citadel orchard plume"),
+        ]
+        docs = spark.createDataFrame(flood + near, ["doc_id", "text"])
+        kw = dict(bits=60, bands=5, max_hamming=4)
+        uncapped = {
+            (r["id_a"], r["id_b"])
+            for r in dedup.simhash_candidates(
+                docs, "text", "doc_id", **kw
+            ).collect()
+        }
+        assert (100, 101) in uncapped
+        assert ((0, 1) in uncapped and len(uncapped) >= 66 + 1)
+        capped = {
+            (r["id_a"], r["id_b"])
+            for r in dedup.simhash_candidates(
+                docs, "text", "doc_id", max_bucket_size=8, **kw
+            ).collect()
+        }
+        assert capped == {(100, 101)}  # flood buckets (12 > 8) dropped
+
     def test_simhash_bits_bounds(self, docs):
         # md5-derived 64-bit base provides only 60 usable bits; 64 would
         # also overflow LongType via 1 << 63.
