@@ -103,13 +103,25 @@ def dot_literal(vec: Column, q: list[float]) -> Column:
     literal + fused zip_with/aggregate loop — NOT an unrolled 64-term sum,
     which would blow past Janino's method-size limit and knock the whole
     stage out of codegen."""
-    arr = F.array(*[F.lit(float(x)) for x in q])
-    return dot(_as_double(vec), arr)
+    return dot(_as_double(vec), _lit_array(q))
 
 
 def _lit_array(vals) -> Column:
-    """Constant ``array<double>`` literal (constant-folded by Catalyst)."""
-    return F.array(*[F.lit(float(v)) for v in vals])
+    """Constant ``array<double>`` literal (constant-folded by Catalyst).
+
+    Built as ONE parsed expression string instead of per-element ``F.lit``
+    py4j calls (round 12): a 64-dim query vector cost ~64 gateway round
+    trips (~60 ms of driver time) per literal, multiplied by planes/queries
+    in every ANN plan; the SQL parser builds the identical foldable array
+    in one call.  ``repr(float)`` is shortest-round-trip decimal, which
+    Catalyst's double parser maps back to the identical bits — pinned by
+    ``tests/test_operators.py``."""
+    vals = list(vals)
+    if not vals:  # array() parses as array<null>; keep the typed empty
+        return F.array().cast("array<double>")
+    return F.expr(
+        "array(" + ",".join(f"{float(v)!r}D" for v in vals) + ")"
+    )
 
 
 def _explode_sums(

@@ -10,6 +10,17 @@ from pyspark.sql import functions as F
 #: worker spin-up for Pandas-UDF consumers)
 _MIN_FAN_OUT_BYTES = 128 << 10
 
+_BYTE_SUFFIX = {"k": 10, "m": 20, "g": 30, "t": 40}
+
+
+def _parse_bytes(v: str) -> int:
+    """Spark byte-size conf string ("134217728", "134217728b", "128m",
+    "1g") to bytes."""
+    s = str(v).strip().lower().removesuffix("b")
+    if s and s[-1] in _BYTE_SUFFIX:
+        return int(s[:-1]) << _BYTE_SUFFIX[s[-1]]
+    return int(s)
+
 
 def fan_out(df: DataFrame, *key_cols: str | Column) -> DataFrame:
     """Ensure expensive NARROW per-row compute downstream runs on all
@@ -36,7 +47,22 @@ def fan_out(df: DataFrame, *key_cols: str | Column) -> DataFrame:
     size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
     if size < _MIN_FAN_OUT_BYTES:
         return df
-    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+    # Estimated split count from the optimizer's size and the session's
+    # split size (round 12): the former ``df.rdd.getNumPartitions()`` probe
+    # forced a full physical-planning + file-split-enumeration pass on the
+    # DRIVER per call (~80 ms, paid by every fan_out caller on every query
+    # invocation).  For the scan-rooted inputs every caller passes, bytes /
+    # maxPartitionBytes is the same decision boundary Spark's own split
+    # packing uses — under-split small corpora estimate below parallelism
+    # and get spread; a well-split cluster-scale input estimates far above
+    # it and the function stays a no-op, without the planning pass.
+    max_split = _parse_bytes(
+        df.sparkSession.conf.get(
+            "spark.sql.files.maxPartitionBytes", "134217728"
+        )
+    )
+    est_splits = max(1, size // max(1, max_split))
+    if est_splits < sc.defaultParallelism:
         # the partition count MUST be explicit: AQE coalesces a bare
         # repartition(col) back to one partition when the bytes are small,
         # but bytes are the wrong yardstick here — the downstream compute

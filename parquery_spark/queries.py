@@ -96,6 +96,19 @@ def _path(sf_dir: str, table: str) -> str:
     return os.path.join(sf_dir, f"{table}.parquet")
 
 
+def _artifact_relation(spark: SparkSession, path: str) -> DataFrame:
+    """A parquet dir (usually a stat-keyed artifact) as a lazy relation
+    through the per-session analyzed-plan cache (round 12): building
+    ``spark.read.parquet`` costs ~90 ms of driver listing/footer work per
+    call regardless of size; the plan object is immutable for a given
+    ``_SUCCESS`` version, so reuse it.  Nothing is persisted — pruning,
+    PushedFilters and AQE behave exactly as with a fresh read; a rewritten
+    artifact (new ``_SUCCESS`` stat) gets a fresh listing."""
+    from parquery_spark.operators.util import index_relation
+
+    return index_relation(spark, path)
+
+
 def _materialize_once(final_dir: str, build, marker: str = "_SUCCESS") -> str:
     """Publish a stat-keyed fixture directory ATOMICALLY: build into a
     private tmp root, then one ``os.rename`` to the final path.
@@ -1184,7 +1197,7 @@ def _verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).write.mode("overwrite").parquet(t)
 
     pdir = _materialize_once(pdir, _build)
-    return spark.read.parquet(pdir)
+    return _artifact_relation(spark, pdir)
 
 
 @query("q42_jaccard_pairs", _sql_lsh_verified(15, 5, 2, 1000, 0.5))
@@ -1236,7 +1249,7 @@ def _mh_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).write.mode("overwrite").parquet(t)
 
     bdir = _materialize_once(bdir, _build)
-    return spark.read.parquet(bdir)
+    return _artifact_relation(spark, bdir)
 
 
 @query("q44_simhash", _sql_simhash(60, 5, 4, max_bucket_size=1000))
@@ -1272,7 +1285,7 @@ def q44_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     sdir = _materialize_once(sdir, _build)
     return simhash_candidates(
         docs, "text", "doc_id", bits=60, bands=5, max_hamming=4,
-        table=spark.read.parquet(sdir), max_bucket_size=1000,
+        table=_artifact_relation(spark, sdir), max_bucket_size=1000,
     )
 
 
@@ -1396,7 +1409,7 @@ def q47_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dup_pairs(
         load(spark, sf_dir, "embeddings"),
         threshold=0.3, num_planes=4, seed=7, dim=64,
-        bucketed=spark.read.parquet(bdir),
+        bucketed=_artifact_relation(spark, bdir),
     )
 
 
@@ -3987,7 +4000,7 @@ def q100_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.bit_xor(hash64(row_str)).alias("checksum"),
         ).write.parquet(t)
 
-    return spark.read.parquet(_materialize_once(cdir, _build))
+    return _artifact_relation(spark, _materialize_once(cdir, _build))
 
 
 @query(
@@ -4604,7 +4617,7 @@ def _winnow_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).write.parquet(t)
 
     wdir = _materialize_once(wdir, _build)
-    return spark.read.parquet(wdir)
+    return _artifact_relation(spark, wdir)
 
 
 # ===========================================================================
@@ -5061,7 +5074,7 @@ def q118_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     hdir = _materialize_once(hdir, _build_hist)
-    hist = spark.read.parquet(hdir)
+    hist = _artifact_relation(spark, hdir)
 
     def bucket(r):
         return (hash64(F.col("token"), seed=f"cms{r}") % _CMS_WIDTH).alias(
@@ -5215,7 +5228,7 @@ def q119_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     gdir = _materialize_once(gdir, _build_grams)
-    sh = spark.read.parquet(gdir)
+    sh = _artifact_relation(spark, gdir)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     inter = (
         self_join_reusing(
@@ -5287,7 +5300,7 @@ def q120_compaction_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = _materialize_once(
         root, _build_compacted, marker=os.path.join("compacted", "_SUCCESS")
     )
-    li = spark.read.parquet(os.path.join(root, "compacted"))
+    li = _artifact_relation(spark, os.path.join(root, "compacted"))
     row_str = F.concat_ws(
         "|",
         F.col("l_orderkey").cast("string"),
@@ -5624,7 +5637,7 @@ def q126_streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             if state["cur"] is None:
                 new = latest
             else:
-                cur = spark.read.parquet(state["cur"])
+                cur = _artifact_relation(spark, state["cur"])
                 new = upsert(cur, latest, ["user_id"])
             out = os.path.join(t, f"v{batch_id}")
             new.write.mode("overwrite").parquet(out)
@@ -5650,7 +5663,7 @@ def q126_streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = _materialize_once(base, _build_supsert, marker="FINAL")
     with open(os.path.join(base, "FINAL")) as f:
         snap_dir = os.path.join(base, f.read().strip())
-    snap = spark.read.parquet(snap_dir)
+    snap = _artifact_relation(spark, snap_dir)
     return snap.select(
         "user_id",
         F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
@@ -6041,7 +6054,7 @@ def q132_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).write.parquet(t)
 
     adir = _materialize_once(adir, _build_edges)
-    edges = spark.read.parquet(adir)
+    edges = _artifact_relation(spark, adir)
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
     nn = deg.count()  # scalar: node count (driver-side by design)
     r = deg.select(
@@ -6201,7 +6214,7 @@ def q135_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             n_files=8,
         ),
     )
-    li = spark.read.parquet(zdir)
+    li = _artifact_relation(spark, zdir)
     return li.where(
         F.col("l_partkey").between(100, 300)
         & F.col("l_suppkey").between(10, 40)
@@ -6421,8 +6434,8 @@ def q138_schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = _materialize_once(
         base, _build_generations, marker=os.path.join("v2", "_SUCCESS")
     )
-    v1 = spark.read.parquet(os.path.join(base, "v1"))
-    v2 = spark.read.parquet(os.path.join(base, "v2"))
+    v1 = _artifact_relation(spark, os.path.join(base, "v1"))
+    v2 = _artifact_relation(spark, os.path.join(base, "v2"))
     unioned = v1.unionByName(v2, allowMissingColumns=True)
     return unioned.groupBy(
         F.coalesce(F.col("channel"), F.lit("<pre-schema>")).alias("channel")
@@ -7697,7 +7710,7 @@ def q158_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     edir = _materialize_once(edir, _build_edges)
     from parquery_spark.operators.graph import triangle_stats
 
-    return triangle_stats(spark.read.parquet(edir))
+    return triangle_stats(_artifact_relation(spark, edir))
 
 
 @query(
@@ -8246,7 +8259,7 @@ def q167_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         trained.unpersist()  # artifact now lives on disk
 
     adir = _materialize_once(adir, _build_assign)
-    assign = spark.read.parquet(adir)
+    assign = _artifact_relation(spark, adir)
 
     # the prune set is ALSO corpus-pure (embeddings + pinned params), so
     # it is staged the same way: semdedup materializes it in-session to
@@ -8269,7 +8282,7 @@ def q167_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         pruned.unpersist()
 
     pdir = _materialize_once(pdir, _build_prune)
-    return spark.read.parquet(pdir)
+    return _artifact_relation(spark, pdir)
 
 
 @query(
@@ -8589,7 +8602,7 @@ def q171_dynamic_partition_overwrite(
         open(os.path.join(t, "_done"), "w").close()
 
     base = _materialize_once(base, _build_dpo, marker="_done")
-    out = spark.read.parquet(os.path.join(base, "daily"))
+    out = _artifact_relation(spark, os.path.join(base, "daily"))
     return out.select(
         F.unix_micros(F.col("day").cast("timestamp")).alias("day_us"),
         "event_type",
@@ -9530,7 +9543,7 @@ def q185_item_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     bdir = _materialize_once(bdir, _build_baskets)
-    bi = spark.read.parquet(bdir)
+    bi = _artifact_relation(spark, bdir)
     cnt = bi.groupBy("item").agg(F.count(F.lit(1)).alias("c"))
     co = (
         self_join_reusing(
@@ -9856,7 +9869,7 @@ def q188_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).write.parquet(t)
 
     sdir = _materialize_once(sdir, _build_stats)
-    docs = spark.read.parquet(sdir)
+    docs = _artifact_relation(spark, sdir)
     n = docs.count()
     SHIFT = F.lit(4294967296)
 
@@ -9944,7 +9957,7 @@ def q189_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     vdir = _materialize_once(vdir, _build_vocab)
-    vocab = spark.read.parquet(vdir)
+    vocab = _artifact_relation(spark, vdir)
     total = vocab.agg(F.sum("c").alias("total"))
     # rank key: descending count, ascending term — encode as a single
     # orderable string key so the range partitioner sorts once
@@ -10093,8 +10106,8 @@ def q191_runtime_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         open(os.path.join(t, "_done"), "w").close()
 
     base = _materialize_once(base, _build_star, marker="_done")
-    fact = spark.read.parquet(os.path.join(base, "fact"))
-    dim = spark.read.parquet(os.path.join(base, "dim")).where(
+    fact = _artifact_relation(spark, os.path.join(base, "fact"))
+    dim = _artifact_relation(spark, os.path.join(base, "dim")).where(
         F.dayofmonth("d") <= 5
     )
     j = fact.join(dim, F.col("day") == F.col("d"))
@@ -11642,8 +11655,8 @@ def q211_pq_adc_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     adir = _materialize_once(
         adir, _build_pq, marker=os.path.join("codebook", "_SUCCESS")
     )
-    codes = spark.read.parquet(os.path.join(adir, "codes"))
-    codebook = spark.read.parquet(os.path.join(adir, "codebook"))
+    codes = _artifact_relation(spark, os.path.join(adir, "codes"))
+    codebook = _artifact_relation(spark, os.path.join(adir, "codebook"))
 
     n = emb.count()
     shortlist = max(50, n // 20)
@@ -11876,7 +11889,7 @@ def _word_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("c")
         ).write.parquet(t)
 
-    return spark.read.parquet(_materialize_once(hdir, _build))
+    return _artifact_relation(spark, _materialize_once(hdir, _build))
 
 
 @query(
@@ -12700,7 +12713,7 @@ def _substr_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).write.mode("overwrite").parquet(t)
 
     sdir = _materialize_once(sdir, _build)
-    return spark.read.parquet(sdir)
+    return _artifact_relation(spark, sdir)
 
 # shared CTE chain for the exact-substring family (q223/q224): tokenize →
 # positional grams → stop-gram cap → gram self-join → diagonal islands.
@@ -13075,7 +13088,7 @@ def q227_streaming_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx_root = _materialize_once(
         idx_root, _build_idx, marker=os.path.join("index", "_SUCCESS")
     )
-    index_df = spark.read.parquet(os.path.join(idx_root, "index"))
+    index_df = _artifact_relation(spark, os.path.join(idx_root, "index"))
     # phase 2: tertile 3 under a FRESH checkpoint (state evicted) —
     # prior-corpus minima come only from the compacted index
     stream2 = minhash_dedup_stream(

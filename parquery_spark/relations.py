@@ -84,6 +84,48 @@ _relations: "OrderedDict[tuple, _Entry]" = OrderedDict()
 #: path-set -> last seen stat-key (to detect replaced files)
 _by_paths: dict[tuple, tuple] = {}
 
+#: (session id, stat-key) -> LAZY analyzed relation (round 12).  Building a
+#: ``spark.read.parquet(path)`` costs ~90 ms of driver work (file listing,
+#: footer/schema decode, py4j round-trips) REGARDLESS of file size, paid on
+#: every call even though the resulting plan object is immutable for a given
+#: file version.  This cache reuses the analyzed DataFrame by stat identity:
+#: nothing is persisted (no executor memory, no TableCacheQueryStage — AQE
+#: exchange reuse is unaffected), PushedFilters/pruning stay per-query, and
+#: a replaced file gets a fresh relation through the stat key exactly like
+#: the persisted cache above.  At cluster scale this is the guide-§6
+#: file-listing-cache advice applied at the engine layer: re-listing a
+#: heavily partitioned table per query is minutes of driver time.
+_lazy_relations: "OrderedDict[tuple, DataFrame]" = OrderedDict()
+_MAX_LAZY_RELATIONS = int(
+    os.environ.get("PARQUERY_SPARK_LAZY_RELATION_ENTRIES", "512")
+)
+_LAZY_ENABLED = os.environ.get(
+    "PARQUERY_SPARK_LAZY_RELATION_CACHE", "1"
+) not in ("0", "false")
+
+
+def _lazy_read(spark: SparkSession, path_list: Sequence[str]) -> DataFrame:
+    """``_read`` through the lazy analyzed-relation cache (plan reuse only,
+    never data).  Falls back to a fresh read when stat identity is
+    unavailable (remote URI without a metadata backend)."""
+    if not _LAZY_ENABLED:
+        return _read(spark, path_list)
+    try:
+        key = (id(spark), _stat_key(path_list))
+    except OSError:
+        return _read(spark, path_list)
+    with _lock:
+        df = _lazy_relations.get(key)
+        if df is not None:
+            _lazy_relations.move_to_end(key)
+            return df
+    df = _read(spark, path_list)
+    with _lock:
+        _lazy_relations[key] = df
+        while len(_lazy_relations) > _MAX_LAZY_RELATIONS:
+            _lazy_relations.popitem(last=False)
+    return df
+
 
 #: (abspath, mtime_ns, size) -> frozenset of column names; footer schema is
 #: immutable for a given file version, so pre-flight checks skip the disk
@@ -321,7 +363,7 @@ def get_relation(
 
         raise MissingInputError(f"no files match: {paths}")
     if not (_ENABLED and cache):
-        return _read(spark, path_list)
+        return _lazy_read(spark, path_list)
     try:
         total = sum(fs.getsize(p) for p in path_list)
     except OSError:
@@ -329,7 +371,7 @@ def get_relation(
         # straight to the lazy uncached scan — the scale path
         return _read(spark, path_list)
     if total >= MAX_CACHED_INPUT_BYTES:
-        return _read(spark, path_list)
+        return _lazy_read(spark, path_list)
 
     try:
         key = _stat_key(path_list)
