@@ -140,6 +140,19 @@ def word_shingles(text: Column | str, k: int = 3) -> Column:
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
+
+def _est_jaccard(num_hashes: int) -> "Column":
+    """``round(#equal sig positions / num_hashes, 6)`` over ``sig_a`` /
+    ``sig_b`` — one parsed expression (the per-position Column chain cost
+    ~16 py4j round trips per position; round 12)."""
+    eq = " + ".join(
+        f"cast(element_at(sig_a, {i + 1}) = element_at(sig_b, {i + 1})"
+        " as int)"
+        for i in range(num_hashes)
+    )
+    return F.expr(f"round(({eq}) / {float(num_hashes)!r}D, 6)")
+
+
 def minhash_signature(
     text: Column | str, num_hashes: int = 16, shingle_k: int = 3
 ) -> Column:
@@ -240,11 +253,12 @@ def minhash_signatures(
         F.col(id_col),
         (hash32(F.col("__shingle")) % F.lit(MINHASH_P)).alias("__h"),
     )
+    # one parsed expression per seed (the Column chain cost ~6 py4j round
+    # trips per seed; round 12) — literals are < 2^31 so the parser types
+    # them INT exactly like F.lit, and INT * BIGINT promotes identically
     mins = exploded.groupBy(id_col).agg(
         *[
-            F.min((F.lit(a) * F.col("__h") + F.lit(b)) % F.lit(MINHASH_P)).alias(
-                f"__h{i}"
-            )
+            F.expr(f"min(({a} * __h + {b}) % {MINHASH_P}) AS __h{i}")
             for i, (a, b) in enumerate(coeffs)
         ]
     )
@@ -359,13 +373,8 @@ def lsh_candidate_pairs(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    n_eq = sum(
-        (F.element_at("sig_a", i + 1) == F.element_at("sig_b", i + 1)).cast("int")
-        for i in range(num_hashes)
-    )
     return pairs.select(
-        "id_a", "id_b",
-        F.round(n_eq / F.lit(float(num_hashes)), 6).alias("est_jaccard"),
+        "id_a", "id_b", _est_jaccard(num_hashes).alias("est_jaccard")
     )
 
 
@@ -779,13 +788,8 @@ def lsh_join(
         .select("new_id", "corpus_id", "sig_a", "sig_b")
         .dropDuplicates(["new_id", "corpus_id"])
     )
-    n_eq = sum(
-        (F.element_at("sig_a", i + 1) == F.element_at("sig_b", i + 1)).cast("int")
-        for i in range(num_hashes)
-    )
     return pairs.select(
-        "new_id", "corpus_id",
-        F.round(n_eq / F.lit(float(num_hashes)), 6).alias("est_jaccard"),
+        "new_id", "corpus_id", _est_jaccard(num_hashes).alias("est_jaccard")
     )
 
 
@@ -807,21 +811,23 @@ def band_keys(
     sigs = minhash_signatures(
         df, text_col, id_col, num_hashes, shingle_k, sets=sets
     )
+    # the band-struct array as ONE parsed expression (the nested
+    # struct/md5/concat Column tree cost ~50 py4j round trips; round 12);
+    # named_struct fields type exactly like F.struct(F.lit(b), md5(...))
+    bands_sql = ",".join(
+        "named_struct('band', {b}, 'band_key', md5(concat_ws(',', {c})))".format(
+            b=b,
+            c=",".join(
+                f"cast(element_at(sig, {b * rows + r + 1}) as string)"
+                for r in range(rows)
+            ),
+        )
+        for b in range(bands)
+    )
     return sigs.select(
         id_col,
         "sig",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(b).alias("band"),
-                    F.md5(F.concat_ws(",", *[
-                        F.element_at("sig", b * rows + r + 1).cast("string")
-                        for r in range(rows)
-                    ])).alias("band_key"),
-                )
-                for b in range(bands)
-            ])
-        ).alias("bk"),
+        F.expr(f"explode(array({bands_sql}))").alias("bk"),
     ).select(id_col, "sig", "bk.band", "bk.band_key")
 
 
@@ -918,13 +924,20 @@ def lsh_join_indexed(
         by_band.setdefault(r["band"], set()).add(r["bk_prefix"])
     # one IN-list per band (flat, ≤ bands OR terms) — a per-(band,prefix)
     # OR chain would nest one node per pair and overflow the expression
-    # converter for realistic probe sets
-    pred = None
-    for band, prefixes in sorted(by_band.items()):
-        clause = (F.col("band") == band) & F.col("bk_prefix").isin(
-            sorted(prefixes)
+    # converter for realistic probe sets.  Built as ONE parsed expression:
+    # the per-prefix ``isin`` literals cost a py4j round trip each (~0.7 s
+    # for 4 bands × ~250 prefixes; round 12).  Prefixes are md5 hex chars,
+    # but quote-escape anyway — never trust a value into SQL text.
+    def _q(v: str) -> str:
+        return "'" + str(v).replace("'", "''") + "'"
+
+    clauses = [
+        "(band = {b} AND bk_prefix IN ({lst}))".format(
+            b=int(band), lst=",".join(_q(p) for p in sorted(prefixes))
         )
-        pred = clause if pred is None else (pred | clause)
+        for band, prefixes in sorted(by_band.items())
+    ]
+    pred = F.expr(" OR ".join(clauses)) if clauses else None
 
     from parquery_spark.operators.util import index_relation
 
@@ -951,13 +964,8 @@ def lsh_join_indexed(
         .select("new_id", "corpus_id", "sig_a", "sig_b")
         .dropDuplicates(["new_id", "corpus_id"])
     )
-    n_eq = sum(
-        (F.element_at("sig_a", i + 1) == F.element_at("sig_b", i + 1)).cast("int")
-        for i in range(num_hashes)
-    )
     return pairs.select(
-        "new_id", "corpus_id",
-        F.round(n_eq / F.lit(float(num_hashes)), 6).alias("est_jaccard"),
+        "new_id", "corpus_id", _est_jaccard(num_hashes).alias("est_jaccard")
     )
 
 def fuzzy_join(

@@ -106,6 +106,16 @@ def dot_literal(vec: Column, q: list[float]) -> Column:
     return dot(_as_double(vec), _lit_array(q))
 
 
+def _lit_array_sql(vals) -> str:
+    """SQL text of a constant ``array<double>`` literal.  ``repr(float)``
+    is shortest-round-trip decimal, which Catalyst's double parser maps
+    back to the identical bits — pinned by ``tests/test_operators.py``."""
+    vals = list(vals)
+    if not vals:  # array() parses as array<null>; keep the typed empty
+        return "cast(array() as array<double>)"
+    return "array(" + ",".join(f"{float(v)!r}D" for v in vals) + ")"
+
+
 def _lit_array(vals) -> Column:
     """Constant ``array<double>`` literal (constant-folded by Catalyst).
 
@@ -113,15 +123,14 @@ def _lit_array(vals) -> Column:
     py4j calls (round 12): a 64-dim query vector cost ~64 gateway round
     trips (~60 ms of driver time) per literal, multiplied by planes/queries
     in every ANN plan; the SQL parser builds the identical foldable array
-    in one call.  ``repr(float)`` is shortest-round-trip decimal, which
-    Catalyst's double parser maps back to the identical bits — pinned by
-    ``tests/test_operators.py``."""
-    vals = list(vals)
-    if not vals:  # array() parses as array<null>; keep the typed empty
-        return F.array().cast("array<double>")
-    return F.expr(
-        "array(" + ",".join(f"{float(v)!r}D" for v in vals) + ")"
-    )
+    in one call."""
+    return F.expr(_lit_array_sql(vals))
+
+
+def _dot_term_sql(vals) -> str:
+    """SQL text of the per-element dot-product term against a constant
+    vector, for :func:`_explode_sums`: ``x * element_at(const, pos+1)``."""
+    return f"__x * element_at({_lit_array_sql(vals)}, __p + 1)"
 
 
 def _explode_sums(
@@ -138,13 +147,23 @@ def _explode_sums(
     at cluster scale the exploded shuffle is why the partitioned ANN index
     (:func:`write_ann_index`) is the preferred probe path.  Ids with empty
     vectors produce no rows (a 0-dim embedding has no defined direction).
+
+    Term values are SQL TEXT over the exploded columns ``__x`` (element,
+    double) and ``__p`` (0-based position) — one parser call each, where
+    the former ``lambda(x, p)`` Column trees cost dozens of py4j round
+    trips per term (round 12; measured ~0.4 s of driver time per 13-term
+    call).  Legacy callables are still accepted.
     """
     pos = fan_out(df, id_col).select(
         F.col(id_col), F.posexplode(_as_double(vec_col)).alias("__p", "__x")
     )
     x, p = F.col("__x"), F.col("__p")
     return pos.groupBy(id_col).agg(
-        *[F.sum(make(x, p)).alias(name) for name, make in terms.items()]
+        *[
+            F.sum(make(x, p)).alias(name) if callable(make)
+            else F.expr(f"sum({make}) AS {name}")
+            for name, make in terms.items()
+        ]
     )
 
 
@@ -163,13 +182,9 @@ def cosine_topk(
     merge of k rows — no full sort even at 10^10 rows).
     """
     qn = float(np.linalg.norm(query))
-    qlit = _lit_array(query)
     sums = _explode_sums(
         df, vec_col, id_col,
-        {
-            "__dot": lambda x, p: x * F.element_at(qlit, p + 1),
-            "__nn": lambda x, p: x * x,
-        },
+        {"__dot": _dot_term_sql(query), "__nn": "__x * __x"},
     )
     sim = F.round(
         F.col("__dot") / (F.sqrt(F.col("__nn")) * F.lit(qn)), digits
@@ -203,11 +218,13 @@ def lsh_bucket(vec: Column | str, planes: np.ndarray) -> Column:
 
 
 def _bucket_from_sums(num_planes: int) -> Column:
-    return sum(
-        F.when(F.col(f"__d{j}") > 0, F.lit(1 << j).cast("long")).otherwise(
-            F.lit(0).cast("long")
+    # one parsed expression — the former per-plane Column chain cost
+    # ~0.5 s of py4j round trips for 12 planes (round 12)
+    return F.expr(
+        " + ".join(
+            f"(CASE WHEN __d{j} > 0 THEN {1 << j}L ELSE 0L END)"
+            for j in range(num_planes)
         )
-        for j in range(num_planes)
     )
 
 
@@ -221,14 +238,9 @@ def lsh_bucket_table(
     then every plane's dot is a codegen ``SUM(x * element_at(plane, pos))``
     partial aggregation — ~1000× less per-row interpreter overhead than
     evaluating ``num_planes`` HOF folds per vector."""
-
-    def term(plane):
-        lit = _lit_array(plane)
-        return lambda x, p: x * F.element_at(lit, p + 1)
-
     sums = _explode_sums(
         df, vec_col, id_col,
-        {f"__d{j}": term(plane) for j, plane in enumerate(planes)},
+        {f"__d{j}": _dot_term_sql(plane) for j, plane in enumerate(planes)},
     )
     return sums.select(
         F.col(id_col), _bucket_from_sums(len(planes)).alias("bucket")
@@ -293,13 +305,8 @@ def near_dup_bucket_table(
             )
         dim = len(first[0])
     planes = hyperplanes(dim, num_planes, seed)
-
-    def term(plane):
-        lit = _lit_array(plane)
-        return lambda x, p: x * F.element_at(lit, p + 1)
-
-    terms = {f"__d{j}": term(plane) for j, plane in enumerate(planes)}
-    terms["__nn"] = lambda x, p: x * x
+    terms = {f"__d{j}": _dot_term_sql(plane) for j, plane in enumerate(planes)}
+    terms["__nn"] = "__x * __x"
     sums = _explode_sums(df, vec_col, id_col, terms)
     return sums.select(
         F.col(id_col),
@@ -518,12 +525,8 @@ def ann_join(
     planes = hyperplanes_for(queries, corpus, vec_col, num_planes, seed)
 
     def side(df, prefix):
-        def term(plane):
-            lit = _lit_array(plane)
-            return lambda x, p: x * F.element_at(lit, p + 1)
-
-        terms = {f"__d{j}": term(pl) for j, pl in enumerate(planes)}
-        terms["__nn"] = lambda x, p: x * x
+        terms = {f"__d{j}": _dot_term_sql(pl) for j, pl in enumerate(planes)}
+        terms["__nn"] = "__x * __x"
         sums = _explode_sums(df, vec_col, id_col, terms)
         return sums.select(
             F.col(id_col).alias(f"{prefix}_id"),
@@ -543,13 +546,12 @@ def ann_join(
     masks = [
         m for m in range(1 << num_planes) if bin(m).count("1") <= probe_hamming
     ]
+    # one parsed explode over the whole hamming ball — the per-mask
+    # Column chain cost ~0.4 s of py4j round trips for 79 masks (round 12)
+    ball = ",".join(f"(q_bucket ^ {m})" for m in masks)
     probed = q.select(
         "q_id", "q_nrm", "q_v",
-        F.explode(
-            F.array(*[
-                F.col("q_bucket").bitwiseXOR(F.lit(m)) for m in masks
-            ])
-        ).alias("c_bucket"),
+        F.expr(f"explode(array({ball}))").alias("c_bucket"),
     )
     sim = F.round(
         dot(F.col("q_v"), F.col("c_v")) / (F.col("q_nrm") * F.col("c_nrm")),

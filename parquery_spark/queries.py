@@ -7710,6 +7710,11 @@ def q158_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     edir = _materialize_once(edir, _build_edges)
     from parquery_spark.operators.graph import triangle_stats
 
+    # round 12 note: deriving the edge count from parquet footers and
+    # passing it as a literal (skipping triangle_stats' count() job)
+    # measured SLOWER (2.27 -> 2.73 s min-of-5): the count job doubles as
+    # the cheap materialization of the persisted edge relation, which the
+    # summary job's branches otherwise race to build.  Kept as-is.
     return triangle_stats(_artifact_relation(spark, edir))
 
 
@@ -11769,6 +11774,78 @@ def q212_rag_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sliding_chunks(docs, "doc_id", "w", size=64, stride=32)
 
 
+def _matryoshka_topk_parts(
+    emb: DataFrame, qrows, k: int = 10, trunc_dim: int = 16
+) -> tuple[DataFrame, DataFrame]:
+    """The shared full-vs-truncated top-k lists of q213/q216 from ONE
+    explode pass (round 12): the former shape built 8 independent
+    ``cosine_topk`` plans (4 probe queries × full/truncated), each with
+    its own fan_out/posexplode/aggregate over the same corpus — 8 scans
+    and ~1 s of driver plan-building per call.  Here one
+    ``_explode_sums`` computes all 8 dots plus both norms (the truncated
+    terms sum the SAME leading elements the sliced-array explode would,
+    via a NULL-outside-prefix CASE — SUM skips NULLs, so the per-id
+    left-to-right accumulation is float-identical to ``cosine_topk`` over
+    ``slice(embedding, 1, 16)``), and the 8 top-k branches share the one
+    aggregated subtree through ReuseExchange.  Ranking, rounding and
+    tie-breaks are unchanged, so results are identical row-for-row."""
+    import numpy as np
+
+    from parquery_spark.operators.similarity import (
+        _dot_term_sql,
+        _explode_sums,
+        _lit_array_sql,
+    )
+
+    terms = {
+        "__nn": "__x * __x",
+        "__nnt": f"CASE WHEN __p < {trunc_dim} THEN __x * __x END",
+    }
+    qmeta = []
+    for r in qrows:
+        qid = int(r["vec_id"])
+        qv = [float(x) for x in r["embedding"]]
+        terms[f"__df{qid}"] = _dot_term_sql(qv)
+        terms[f"__dt{qid}"] = (
+            f"CASE WHEN __p < {trunc_dim} THEN __x * "
+            f"element_at({_lit_array_sql(qv[:trunc_dim])}, __p + 1) END"
+        )
+        qmeta.append((
+            qid,
+            float(np.linalg.norm(qv)),
+            float(np.linalg.norm(qv[:trunc_dim])),
+        ))
+    sums = _explode_sums(emb, "embedding", "vec_id", terms)
+
+    def topk(qid: int, dot_col: str, nn_col: str, qn: float) -> DataFrame:
+        sim = F.round(
+            F.col(dot_col) / (F.sqrt(F.col(nn_col)) * F.lit(qn)), 6
+        )
+        return (
+            sums.select(F.col("vec_id"), sim.alias("cosine_sim"))
+            .orderBy(F.col("cosine_sim").desc(), F.col("vec_id"))
+            .limit(k)
+            .select(
+                F.lit(qid).cast("long").alias("query_id"),
+                "vec_id",
+                "cosine_sim",
+            )
+        )
+
+    import functools
+
+    full = functools.reduce(
+        DataFrame.unionByName,
+        [topk(qid, f"__df{qid}", "__nn", qnf) for qid, qnf, _ in qmeta],
+    )
+    trunc = functools.reduce(
+        DataFrame.unionByName,
+        [topk(qid, f"__dt{qid}", "__nnt", qnt) for qid, _, qnt in qmeta],
+    )
+    return full, trunc
+
+
+
 @query(
     "q213_matryoshka_eval",
     # fully hash-matched (unlike the q83/q211 recall booleans): BOTH
@@ -11820,29 +11897,13 @@ def q213_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Every ranking is brute-force-exact (q45's explode-shaped cosine,
     TakeOrderedAndProject top-k per query — no window over the corpus),
-    so the whole output hash-matches the oracle; integers only."""
-    from parquery_spark.operators.similarity import cosine_topk
-
+    so the whole output hash-matches the oracle; integers only.  All 8
+    rankings come from one fused explode pass
+    (:func:`_matryoshka_topk_parts`)."""
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    emb16 = emb.select("vec_id", F.slice("embedding", 1, 16).alias("embedding"))
     qids = [0, 1, 2, 3]
     qrows = emb.filter(F.col("vec_id").isin(qids)).collect()
-
-    import functools
-
-    def tag(df: DataFrame, qid: int) -> DataFrame:
-        return df.select(
-            F.lit(qid).cast("long").alias("query_id"), "vec_id", "cosine_sim"
-        )
-
-    full_parts, trunc_parts = [], []
-    for r in qrows:
-        qid = int(r["vec_id"])
-        qv = [float(x) for x in r["embedding"]]
-        full_parts.append(tag(cosine_topk(emb, qv, 10), qid))
-        trunc_parts.append(tag(cosine_topk(emb16, qv[:16], 10), qid))
-    full = functools.reduce(DataFrame.unionByName, full_parts)
-    trunc = functools.reduce(DataFrame.unionByName, trunc_parts)
+    full, trunc = _matryoshka_topk_parts(emb, qrows, k=10, trunc_dim=16)
 
     f = full.groupBy("query_id").agg(
         F.max_by(
@@ -12103,35 +12164,17 @@ def q216_ranking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: the two top-10 lists come from TakeOrderedAndProject per
     probe query (q213's shape — no corpus-volume window); positions
     are assigned by a window over the 10 SURVIVING rows per query, and
-    the metric reduction is a 10-row aggregate per query."""
-    from pyspark.sql import Window
-
-    from parquery_spark.operators.similarity import cosine_topk
-
-    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    emb16 = emb.select(
-        "vec_id", F.slice("embedding", 1, 16).alias("embedding")
-    )
-    qrows = emb.filter(F.col("vec_id").isin([0, 1, 2, 3])).collect()
-
-    import functools
+    the metric reduction is a 10-row aggregate per query.  All 8
+    rankings come from one fused explode pass
+    (:func:`_matryoshka_topk_parts`)."""
     import math
 
+    from pyspark.sql import Window
+
     idcg = sum(1.0 / math.log2(i + 1) for i in range(1, 11))
-
-    def tag(df: DataFrame, qid: int) -> DataFrame:
-        return df.select(
-            F.lit(qid).cast("long").alias("query_id"), "vec_id", "cosine_sim"
-        )
-
-    full_parts, trunc_parts = [], []
-    for r in qrows:
-        qid = int(r["vec_id"])
-        qv = [float(x) for x in r["embedding"]]
-        full_parts.append(tag(cosine_topk(emb, qv, 10), qid))
-        trunc_parts.append(tag(cosine_topk(emb16, qv[:16], 10), qid))
-    full = functools.reduce(DataFrame.unionByName, full_parts)
-    trunc = functools.reduce(DataFrame.unionByName, trunc_parts)
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qrows = emb.filter(F.col("vec_id").isin([0, 1, 2, 3])).collect()
+    full, trunc = _matryoshka_topk_parts(emb, qrows, k=10, trunc_dim=16)
 
     # positions within each 10-row survivor list (window over <=10 rows
     # per query — k-bounded, not corpus-bounded)
