@@ -5757,7 +5757,21 @@ def q128_co_occurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     plans as TakeOrderedAndProject.  The same shape serves term
     co-occurrence (PMI) and co-citation graphs; at 100 TB the join is
     key-co-located (both sides shuffle once on the basket key)."""
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    from parquery_spark.operators.util import fan_out
+
+    # fan_out BEFORE the basket self-join (round 12): the ~11 MB scan
+    # naturally packs into 3 splits, capping the Σn²-pair generation and
+    # partial aggregation at 3 tasks — keying by the join key spreads it
+    # across the machine and the join reuses that exchange (measured
+    # 1.7 s -> 0.95 s noop).  Pair key packed into one int64 before the
+    # exchange (q185's trick, guide §2.3): the pair relation has ~no
+    # map-side reduction, so shuffle width and group-key hashing
+    # dominate; unpack after the top-25.  Requires part ids < 2^32
+    # (q158's wedge-packing bound).
+    li = fan_out(
+        load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey"),
+        "l_orderkey",
+    )
     return (
         self_join_reusing(
             li,
@@ -5765,11 +5779,19 @@ def q128_co_occurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.l_partkey") < F.col("b.l_partkey")),
             a="a", b="b",
         )
-        .groupBy(
-            F.col("a.l_partkey").alias("part_a"),
-            F.col("b.l_partkey").alias("part_b"),
+        .select(
+            (
+                F.col("a.l_partkey") * F.lit(4294967296)
+                + F.col("b.l_partkey")
+            ).alias("pk")
         )
+        .groupBy("pk")
         .agg(F.count(F.lit(1)).alias("support"))
+        .select(
+            F.shiftright("pk", 32).alias("part_a"),
+            F.col("pk").bitwiseAND(F.lit(4294967295)).alias("part_b"),
+            "support",
+        )
         .orderBy(
             F.col("support").desc(), F.col("part_a"), F.col("part_b")
         )
@@ -9548,8 +9570,22 @@ def q185_item_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     bdir = _materialize_once(bdir, _build_baskets)
-    bi = _artifact_relation(spark, bdir)
+    from parquery_spark.operators.util import fan_out
+
+    # fan_out on the self-join key (round 12): the basket artifact reads
+    # as ~3 byte-packed splits, capping the 13M-row pair generation at 3
+    # tasks; cust-keyed spread lets the self-join and its partial
+    # aggregation use the whole machine (q128's measured fix)
+    bi = fan_out(_artifact_relation(spark, bdir), "cust")
     cnt = bi.groupBy("item").agg(F.count(F.lit(1)).alias("c"))
+    # the pair key is PACKED into one int64 before the exchange (round
+    # 12, guide §2.3 "narrower types"): the pair relation is ~13M rows
+    # with ~no map-side reduction (distinct pairs ≈ rows), so the
+    # exchange width and the 12.7M-group hash aggregation dominate —
+    # one long key halves the shuffled key bytes and hashes once.
+    # Requires item ids < 2^32 (same bound as q158's wedge packing);
+    # l_partkey satisfies it at every TPC-H SF this engine targets.
+    # Unpacking after the support cut touches only the few survivors.
     co = (
         self_join_reusing(
             bi,
@@ -9557,24 +9593,33 @@ def q185_item_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("__ia.item") < F.col("__ib.item")),
             a="__ia", b="__ib",
         )
-        .groupBy(
-            F.col("__ia.item").alias("item_a"),
-            F.col("__ib.item").alias("item_b"),
+        .select(
+            (
+                F.col("__ia.item") * F.lit(4294967296) + F.col("__ib.item")
+            ).alias("pk")
         )
+        .groupBy("pk")
         .agg(F.count(F.lit(1)).alias("cab"))
         .where(F.col("cab") >= 3)
+        .select(
+            F.shiftright("pk", 32).alias("item_a"),
+            F.col("pk").bitwiseAND(F.lit(4294967295)).alias("item_b"),
+            "cab",
+        )
     )
-    ca = cnt.select(F.col("item").alias("item_a"), F.col("c").alias("ca"))
-    cb = cnt.select(F.col("item").alias("item_b"), F.col("c").alias("cb"))
+    # both popularity lookups join the SAME broadcast subtree (renames
+    # applied ABOVE the joins, so ReuseExchange builds cnt once — the
+    # former pre-renamed ca/cb sides each paid their own scan+agg)
     sims = (
-        co.join(F.broadcast(ca), "item_a")
-        .join(F.broadcast(cb), "item_b")
+        co.join(F.broadcast(cnt), F.col("item_a") == F.col("item"))
+        .select("item_a", "item_b", "cab", F.col("c").alias("ca"))
+        .join(F.broadcast(cnt), F.col("item_b") == F.col("item"))
         .select(
             "item_a",
             "item_b",
             "cab",
             F.round(
-                F.col("cab") / F.sqrt(F.col("ca") * F.col("cb")), 6
+                F.col("cab") / F.sqrt(F.col("ca") * F.col("c")), 6
             ).alias("cosine"),
         )
     )

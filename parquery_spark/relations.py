@@ -328,24 +328,36 @@ def _read(spark: SparkSession, paths: Sequence[str]) -> DataFrame:
 
 def _plan_slices(paths: Sequence[str]) -> int:
     """Driver-side, footer-only: how many partitions the cached relation
-    should have.  More slices than row groups → repartition once at build.
-    Non-parquet sources have no row metadata; slice by bytes instead
-    (~2 MiB of source text per slice).  Remote inputs keep their natural
-    partitioning (0): the re-slice is a repair for the degenerate
-    local single-row-group layout, not worth a remote footer fetch."""
+    should have.  More slices than the scan would naturally produce →
+    repartition once at build.  Non-parquet sources have no row metadata;
+    slice by bytes instead (~2 MiB of source text per slice).  Remote
+    inputs keep their natural partitioning (0): the re-slice is a repair
+    for the degenerate under-split local layout, not worth a remote
+    footer fetch.
+
+    The natural-parallelism estimate is BYTE-based (round 12): Spark
+    packs files into splits by ``maxPartitionBytes``, NOT by row group —
+    a 20 MB file with 15 row groups still scans as ONE task, so the
+    former row-group comparison left every mid-sized cached table at 1-3
+    partitions and capped heavy downstream work (pair-explode joins,
+    shingling) at that parallelism (measured: q128's basket self-join ran
+    on 3 tasks)."""
     if not all(fs.is_local(p) for p in paths):
         return 0
     if any(format_of(p) != "parquet" for p in paths):
         total = sum(fs.getsize(p) for p in paths)
         return max(1, min(total // (2 << 20), os.cpu_count() or 8))
     rows = 0
-    groups = 0
+    total = 0
     for p in paths:
         md = papq.read_metadata(fs.local_part(p))
         rows += md.num_rows
-        groups += md.num_row_groups
+        total += fs.getsize(p)
     want = max(1, min(rows // ROWS_PER_SLICE, os.cpu_count() or 8))
-    return want if want > groups else 0  # 0 → keep natural partitioning
+    # one split per maxPartitionBytes (default 128 MB) is what the scan
+    # yields; re-slice only when that under-uses the machine
+    natural = max(1, total // (128 << 20))
+    return want if want > natural else 0  # 0 → keep natural partitioning
 
 
 def get_relation(
