@@ -1012,7 +1012,26 @@ def fuzzy_join(
 
     l = keyed(left, left_col, left_id, "__lid")
     r = keyed(right, right_col, right_id, "__rid")
-    cands = l.join(r, "__k").dropDuplicates(["__lid", "__rid"])
+    # round 12 (guide §2.3 "narrower types"): the join key is the 64-bit
+    # HASH of the deletion variant, not the variant string — the
+    # candidate exchange carries 8 bytes of key instead of a ~|s| string
+    # and the join compares longs instead of strings.  Semantics are
+    # unchanged: equal variants hash equal, a hash collision can only
+    # ADD candidate pairs, every candidate still faces the distance
+    # filter, and the SymSpell theorem guarantees every true pair
+    # already shares a REAL key — so the verified result set is
+    # bit-identical (differentially pinned against the string-keyed
+    # naive form in pytest).  Measured in-process A/B at sf0.1 (noop,
+    # min-of-5): 0.76 s -> 0.62 s.  Computing levenshtein BEFORE the
+    # dedup was also tried (narrows the dedup exchange to 3 longs) and
+    # measured SLOWER (0.79/0.84 s): duplicate candidates re-run a
+    # |s|^2 DP per shared variant (~19 variants for identical pairs),
+    # which costs more than the string bytes save.
+    cands = (
+        l.withColumn("__k", F.xxhash64("__k"))
+        .join(r.withColumn("__k", F.xxhash64("__k")), "__k")
+        .dropDuplicates(["__lid", "__rid"])
+    )
     dist = F.levenshtein("__s___lid", "__s___rid")
     return (
         cands.select(

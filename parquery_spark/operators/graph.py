@@ -227,6 +227,16 @@ def triangle_stats(
     )
     e2 = oriented.select(F.col("s").alias("t"), F.col("t").alias("w"))
     pack = (F.col("s").cast("long") * F.lit(4294967296)) + F.col("t")
+    # under the broadcast cap BOTH the wedge join's probe-side copy of
+    # the oriented edges and the closing edge set are broadcast (round
+    # 12, guide §2.4/§3.1): the wedge stream — the m^1.5 intermediate —
+    # is then both GENERATED and CLOSED map-side over the persisted
+    # oriented relation, one stage, zero exchanges (the former shape
+    # sort-merge-joined oriented with itself: two exchanges plus two
+    # sorts of the full edge relation).  Above the cap both joins
+    # degrade to ordinary shuffle joins, same semantics.
+    if m_est <= broadcast_max_edges:
+        e2 = F.broadcast(e2)
     wedges = oriented.join(e2, "t").select(
         (
             (F.col("s").cast("long") * F.lit(4294967296)) + F.col("w")
@@ -238,17 +248,19 @@ def triangle_stats(
     tri = wedges.join(closing, "st").agg(
         F.count(F.lit(1)).alias("n_triangles")
     )
-    n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
     n_wedges = deg.agg(
         F.sum((F.col("d") * (F.col("d") - 1) / 2).cast("long")).alias(
             "n_wedges"
         )
     )
+    # n_edges IS m_est — the count this function already ran to gate the
+    # broadcasts; re-aggregating the persisted relation bought a third
+    # one-row subtree plus its broadcast exchange (round 12, guide §1.2
+    # "don't compute things you throw away")
     summary = (
-        tri.crossJoin(F.broadcast(n_edges))
-        .crossJoin(F.broadcast(n_wedges))
+        tri.crossJoin(F.broadcast(n_wedges))
         .select(
-            "n_edges",
+            F.lit(m_est).cast("long").alias("n_edges"),
             "n_wedges",
             "n_triangles",
             F.round(

@@ -168,6 +168,7 @@ def adc_topk(
     q_vec: str = "q_vec",
     topk: int = 10,
     m: int | None = None,
+    dims: int | None = None,
 ) -> DataFrame:
     """Asymmetric-distance top-k: for each query vector, the ``topk``
     corpus ids by summed subspace table distance.
@@ -176,7 +177,11 @@ def adc_topk(
     distance table — built by joining query components against the
     codebook — is broadcast into the code scan.  Output:
     ``(q_id, id_col, adc_dist, rank)``.
-    """
+
+    ``dims`` (round 12): callers that already hold the probe vectors
+    driver-side pass the vector length and skip the ``take(1)`` probe
+    job this function otherwise runs to discover it.  ``dims=None`` on
+    an empty probe batch keeps the probe-and-empty-result path."""
     def _empty():
         # keep the non-empty path's column types (q_id/id ride through
         # from the inputs; only adc_dist/rank are synthesized)
@@ -194,10 +199,11 @@ def adc_topk(
         if top_sub is None:  # empty codebook (pq_train on an empty corpus)
             return _empty()
         mm = top_sub + 1
-    dim_row = queries.select(F.size(q_vec).alias("d")).take(1)
-    if not dim_row:  # empty probe batch — mirror pq_train's empty path
-        return _empty()
-    dims = dim_row[0]["d"]
+    if dims is None:
+        dim_row = queries.select(F.size(q_vec).alias("d")).take(1)
+        if not dim_row:  # empty probe batch — mirror pq_train's empty path
+            return _empty()
+        dims = dim_row[0]["d"]
     if dims % mm != 0:
         raise ValueError(
             f"query dim {dims} not divisible by m={mm} subspaces"

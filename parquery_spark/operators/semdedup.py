@@ -90,6 +90,64 @@ def _sample_filter(id_col, stride: int):
     return h % stride == 0
 
 
+#: sampled training runs driver-side when the hash-sample holds at most
+#: this many vectors (≈ a few MB of arrays); larger samples keep the
+#: distributed Lloyd loop
+_DRIVER_TRAIN_MAX = 4096
+
+
+def _driver_centroid_update(arrs, assigned, valid, digits):
+    """The DECIMAL-exact centroid update, driver-side, mirroring the SQL
+    ``round(cast(sum(cast(x as decimal(28,12))) as double) / count(1),
+    digits)`` over the exploded (cluster, pos, x) rows digit-for-digit:
+
+    * double → decimal(28,12): Spark casts through the SHORTEST decimal
+      representation (``BigDecimal.valueOf`` = ``Double.toString``) and
+      rounds HALF_UP to 12 places — ``Decimal(repr(x))`` is the same
+      shortest representation, quantized the same way;
+    * the decimal SUM is exact on both sides (order-free);
+    * decimal → double and the final HALF_UP round to ``digits`` are
+      correctly-rounded conversions on both sides.
+
+    A null component inside a vector contributes to the count but not
+    the sum, exactly like ``SUM``/``COUNT(1)`` over the explode.
+    Returns ``[{cluster, pos, c}, ...]`` rows for
+    :func:`_centroid_matrix`."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q12 = Decimal("1E-12")
+    qd = Decimal(1).scaleb(-digits)
+    sums: dict[tuple[int, int], Decimal] = {}
+    counts: dict[tuple[int, int], int] = {}
+    for i in np.nonzero(valid)[0]:
+        c = int(assigned[i])
+        for p, x in enumerate(arrs[i]):
+            key = (c, p)
+            counts[key] = counts.get(key, 0) + 1
+            if x is not None:
+                sums[key] = sums.get(key, Decimal(0)) + Decimal(
+                    repr(float(x))
+                ).quantize(q12, rounding=ROUND_HALF_UP)
+    return [
+        {
+            "cluster": c,
+            "pos": p,
+            # an all-null position yields SQL NULL (the distributed path
+            # would fail _centroid_matrix identically — no silent zero)
+            "c": (
+                float(
+                    Decimal(
+                        repr(float(sums[(c, p)]) / counts[(c, p)])
+                    ).quantize(qd, rounding=ROUND_HALF_UP)
+                )
+                if (c, p) in sums
+                else None
+            ),
+        }
+        for (c, p) in counts
+    ]
+
+
 def _centroid_matrix(cent_rows):
     """(labels, C, clens): cluster labels ascending, the k × dim centroid
     matrix, and each centroid's own position count, from collected
@@ -104,6 +162,49 @@ def _centroid_matrix(cent_rows):
         C[i, p] = float(r["c"])
         clens[i] = max(clens[i], p + 1)
     return np.asarray(labels, dtype=np.int64), C, clens
+
+
+def _nearest(arrs, labels, C, clens):
+    """The assignment kernel's math, shared verbatim by the distributed
+    pandas_udf pass and the driver-side sampled-training loop (round 12)
+    so both produce bit-identical clusters by construction: distances
+    accumulate ``(x_p - c_p)²`` position-by-position left-to-right in
+    float64, ties break to the smallest cluster label, positions beyond
+    either side's length contribute nothing.  ``arrs`` is a sequence of
+    per-row vectors (None/empty = no assignment); returns ``(out,
+    valid)`` int64/bool arrays."""
+    k, d = C.shape
+    uniform = bool((clens == d).all())
+    n_rows = len(arrs)
+    out = np.zeros(n_rows, dtype=np.int64)
+    valid = np.zeros(n_rows, dtype=bool)
+    lens = np.fromiter(
+        (0 if a is None else len(a) for a in arrs),
+        dtype=np.int64, count=n_rows,
+    )
+    for ln in np.unique(lens):
+        if ln == 0:
+            continue
+        ix = np.nonzero(lens == ln)[0]
+        X = np.empty((len(ix), ln), dtype=np.float64)
+        for row, i in enumerate(ix):
+            # float32 → float64 widening BEFORE arithmetic (exact),
+            # the pinned CAST-to-DOUBLE discipline
+            X[row, :] = np.asarray(arrs[i], dtype=np.float64)
+        span = min(int(ln), d)
+        acc = np.zeros((len(ix), k), dtype=np.float64)
+        for p in range(span):
+            diff = X[:, p, None] - C[None, :, p]
+            sq = diff * diff
+            if not uniform:
+                # a centroid shorter than p has no pos-p row in the
+                # SQL join: zero its contribution (×0.0 and +0.0 are
+                # bit-exact identities on the non-negative acc)
+                sq *= (p < clens)[None, :]
+            acc += sq
+        out[ix] = labels[np.argmin(acc, axis=1)]
+        valid[ix] = True
+    return out, valid
 
 
 def _assign_with(emb: DataFrame, id_col: str, vec_col: str,
@@ -129,38 +230,7 @@ def _assign_with(emb: DataFrame, id_col: str, vec_col: str,
     @pandas_udf("bigint")
     def _assign(v: pd.Series) -> pd.Series:
         labs, cents, cl = bc.value
-        k, d = cents.shape
-        uniform = bool((cl == d).all())
-        arrs = v.to_numpy()
-        n_rows = len(arrs)
-        out = np.zeros(n_rows, dtype=np.int64)
-        valid = np.zeros(n_rows, dtype=bool)
-        lens = np.fromiter(
-            (0 if a is None else len(a) for a in arrs),
-            dtype=np.int64, count=n_rows,
-        )
-        for ln in np.unique(lens):
-            if ln == 0:
-                continue
-            ix = np.nonzero(lens == ln)[0]
-            X = np.empty((len(ix), ln), dtype=np.float64)
-            for row, i in enumerate(ix):
-                # float32 → float64 widening BEFORE arithmetic (exact),
-                # the pinned CAST-to-DOUBLE discipline
-                X[row, :] = np.asarray(arrs[i], dtype=np.float64)
-            span = min(int(ln), d)
-            acc = np.zeros((len(ix), k), dtype=np.float64)
-            for p in range(span):
-                diff = X[:, p, None] - cents[None, :, p]
-                sq = diff * diff
-                if not uniform:
-                    # a centroid shorter than p has no pos-p row in the
-                    # SQL join: zero its contribution (×0.0 and +0.0 are
-                    # bit-exact identities on the non-negative acc)
-                    sq *= (p < cl)[None, :]
-                acc += sq
-            out[ix] = labs[np.argmin(acc, axis=1)]
-            valid[ix] = True
+        out, valid = _nearest(v.to_numpy(), labs, cents, cl)
         res = pd.Series(out).astype("Int64")
         res[~valid] = pd.NA
         return res
@@ -198,6 +268,7 @@ def kmeans_assign(
     sample_rows: int | None = DEFAULT_SAMPLE_ROWS,
     _expl: DataFrame | None = None,
     materialize: bool = True,
+    n: int | None = None,
 ) -> DataFrame:
     """Deterministic, oracle-exact Lloyd assignment: ``(id_col, cluster)``
     one row per vector.  This IS the trained model artifact — persist it
@@ -223,9 +294,18 @@ def kmeans_assign(
     unpersists it.  When this function owns its intermediates it
     materializes the returned assignment (persisted MEMORY_AND_DISK) and
     releases them before returning — callers ``unpersist()`` the result
-    when done with the model artifact."""
+    when done with the model artifact.
+
+    ``n`` (round 12): callers that already know the corpus cardinality —
+    a parquet footer count for a single-file relation — pass it and skip
+    the ``count()`` job.  The training-sample count job is gone too: the
+    seed ``limit(k)`` collect doubles as the sample probe (an empty
+    collect IS the pathological-void signal, and a sample smaller than
+    ``k`` simply returns every sample row — the same seed set the
+    explicit count produced)."""
     spark = emb.sparkSession
-    n = emb.count()
+    if n is None:
+        n = emb.count()
     if n == 0:
         return spark.createDataFrame([], f"{id_col} long, cluster long")
 
@@ -234,29 +314,64 @@ def kmeans_assign(
     if sample_rows is not None and n > sample_rows:
         stride = math.ceil(n / sample_rows)
     train = emb
-    n_train = n
     if stride > 1:
         train = emb.where(_sample_filter(F.col(id_col), stride))
-        n_train = train.count()
-        if n_train == 0:  # pathological hash void on a tiny corpus
-            train, n_train, stride = emb, n, 1
-    k = min(choose_k(n, target_cell, k), max(n_train, 2))
+    k = choose_k(n, target_cell, k)
 
     # deterministic seeds: the k smallest TRAINING ids
     # (TakeOrderedAndProject — k rows, never a global sort); seed id
     # doubles as the cluster label.  Seed vectors come back whole — the
     # k × dim matrix is the same driver-side index metadata every later
     # round ships, no explode involved.
-    seed_rows = (
-        train.select(
-            F.col(id_col).cast("long").alias("__id"),
-            F.col(vec_col).cast("array<double>").alias("v"),
+    def _seed_collect(src):
+        return (
+            src.select(
+                F.col(id_col).cast("long").alias("__id"),
+                F.col(vec_col).cast("array<double>").alias("v"),
+            )
+            .orderBy("__id")
+            .limit(k)
+            .collect()
         )
-        .orderBy("__id")
-        .limit(k)
-        .collect()
-    )
-    seed_rows = [r for r in seed_rows if r["v"]]  # empty vector = no cell
+
+    # Driver-side sampled training (round 12, guide §1.2/§5): when the
+    # hash-sample is small enough to hold on the driver, collect it ONCE
+    # and run the whole Lloyd loop locally — the per-iteration
+    # distributed round trips (an Arrow kernel pass + an exploded
+    # aggregation + a collect, each a multi-stage job wave) collapse
+    # into numpy on ≤ _DRIVER_TRAIN_MAX vectors.  Bit-identity holds by
+    # construction: assignment calls the SAME :func:`_nearest` kernel
+    # the executors run, and the centroid update mirrors the SQL's
+    # decimal semantics digit-for-digit (cast-to-decimal(28,12) via the
+    # shortest-repr string, exact decimal sum, correctly-rounded back-
+    # conversion, HALF_UP round — pinned by a pytest differential
+    # against the distributed update).  The final full-corpus pass stays
+    # distributed, unchanged.
+    sample = None
+    if stride > 1 and iters > 1 and n // stride <= _DRIVER_TRAIN_MAX:
+        sample = (
+            train.select(
+                F.col(id_col).cast("long").alias("__id"),
+                F.col(vec_col).cast("array<double>").alias("v"),
+            )
+            .collect()
+        )
+        if not sample:
+            sample = None  # hash void: fall through to the full fallback
+        else:
+            sample.sort(key=lambda r: r["__id"])
+            raw_seeds = sample[:k]
+
+    if sample is None:
+        raw_seeds = _seed_collect(train)
+        if not raw_seeds and stride > 1:
+            # pathological hash void on a tiny corpus: train on
+            # everything (the former explicit sample-count probe's
+            # fallback, now reached only when the seed collect itself
+            # comes back empty)
+            train, stride = emb, 1
+            raw_seeds = _seed_collect(train)
+    seed_rows = [r for r in raw_seeds if r["v"]]  # empty vector = no cell
     if not seed_rows:
         return spark.createDataFrame([], f"{id_col} long, cluster long")
     labels = np.asarray([int(r["__id"]) for r in seed_rows], dtype=np.int64)
@@ -267,11 +382,24 @@ def kmeans_assign(
         C[i, : len(r["v"])] = np.asarray(r["v"], dtype=np.float64)
         clens[i] = len(r["v"])
 
+    if sample is not None:
+        arrs = np.empty(len(sample), dtype=object)
+        for i, r in enumerate(sample):
+            arrs[i] = r["v"]
+        for _ in range(iters - 1):
+            out_l, valid = _nearest(arrs, labels, C, clens)
+            cent_rows = _driver_centroid_update(
+                arrs, out_l, valid, digits
+            )
+            if not cent_rows:  # every training vector lost its assignment
+                break
+            labels, C, clens = _centroid_matrix(cent_rows)
+
     # exploded TRAINING relation — needed only for the DECIMAL-exact
     # centroid updates between rounds (bounded by the sample budget)
     owns_texpl = False
     texpl = None
-    if iters > 1:
+    if iters > 1 and sample is None:
         if _expl is not None and stride == 1:
             texpl = _expl
         else:
@@ -280,7 +408,7 @@ def kmeans_assign(
 
     spent_bc = []
     try:
-        for _ in range(iters - 1):
+        for _ in range(iters - 1 if sample is None else 0):
             assign_t, bc = _assign_with(train, id_col, vec_col,
                                         labels, C, clens)
             # registered BEFORE the collect so a failed round still

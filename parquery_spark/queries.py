@@ -96,6 +96,18 @@ def _path(sf_dir: str, table: str) -> str:
     return os.path.join(sf_dir, f"{table}.parquet")
 
 
+def _footer_rows(path: str) -> int:
+    """Exact row count of a local parquet file from its footer — the
+    driver-side replacement for a ``df.count()`` job when the relation
+    is an unfiltered single-file scan (round 12, guide §5 "the driver
+    should do almost no data work" cuts both ways: a count JOB for a
+    number the footer already holds is a scheduler round-trip wasted).
+    Same metadata source as ``relations._plan_slices``."""
+    import pyarrow.parquet as papq
+
+    return papq.read_metadata(path).num_rows
+
+
 def _artifact_relation(spark: SparkSession, path: str) -> DataFrame:
     """A parquet dir (usually a stat-keyed artifact) as a lazy relation
     through the per-session analyzed-plan cache (round 12): building
@@ -8275,7 +8287,7 @@ def q167_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _build_assign(t):
         trained = kmeans_assign(
             emb, id_col="vec_id", vec_col="embedding", iters=3,
-            target_cell=64,
+            target_cell=64, n=_footer_rows(_path(sf_dir, "embeddings")),
             # the DuckDB oracle always trains full-corpus; pinning
             # sample_rows=None keeps the gate honest at ANY SF instead of
             # relying on test corpora staying under the default budget
@@ -11708,7 +11720,10 @@ def q211_pq_adc_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes = _artifact_relation(spark, os.path.join(adir, "codes"))
     codebook = _artifact_relation(spark, os.path.join(adir, "codebook"))
 
-    n = emb.count()
+    # row count from the parquet footer (round 12): the corpus relation
+    # is the unfiltered single-file scan, so its cardinality is driver
+    # metadata, not a Spark job
+    n = _footer_rows(src)
     shortlist = max(50, n // 20)
     qids = [0, 1, 2, 3]
     qrows = emb.filter(F.col("vec_id").isin(qids)).collect()
@@ -11717,7 +11732,8 @@ def q211_pq_adc_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q_id long, q_vec array<double>",
     )
     short = adc_topk(
-        codes, codebook, queries, topk=shortlist, m=8
+        codes, codebook, queries, topk=shortlist, m=8,
+        dims=len(qrows[0]["embedding"]) if qrows else None,
     ).select("q_id", "vec_id")
 
     # exact-distance fold per query (left-to-right, the oracle's
@@ -11754,21 +11770,37 @@ def q211_pq_adc_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             .drop("__rk")
         )
 
+    # ONE aggregation wave instead of two-aggregates-plus-a-join (round
+    # 12): the exact top-10 rows and the re-ranked top-10 rows union into
+    # a single flagged stream and one groupBy computes top-1, the exact
+    # id set and the shortlist id set together — the former shape paid a
+    # window wave, an agg wave and a broadcast PER SIDE before the final
+    # join.  Both windows keep their shapes (the exact side's rk<=10
+    # filter still plans as WindowGroupLimit, so no task sorts
+    # corpus-sized data; the re-rank window's input is already bounded
+    # by the shortlist).  Inner-join parity: the shortlist is non-empty
+    # for every probe whenever the corpus is (adc_topk emits top-k per
+    # query), so every query carries rows on both flags.
     exact = topk_all(emb.crossJoin(F.broadcast(queries)))
     rerank = topk_all(
         short.join(F.broadcast(queries), "q_id").join(emb, "vec_id")
     )
-
-    e = exact.groupBy("query_id").agg(
-        F.min_by("vec_id", F.struct("d2", "vec_id")).alias("top1_id"),
-        F.min("d2").alias("top1_d2"),
-        F.collect_set("vec_id").alias("exact_ids"),
+    u = exact.withColumn("is_exact", F.lit(True)).unionByName(
+        rerank.withColumn("is_exact", F.lit(False))
     )
-    a = rerank.groupBy("query_id").agg(
-        F.collect_set("vec_id").alias("pq_ids")
-    )
+    top1 = F.min(F.when(F.col("is_exact"), F.struct("d2", "vec_id")))
     return (
-        e.join(F.broadcast(a), "query_id")
+        u.groupBy("query_id")
+        .agg(
+            top1.getField("vec_id").alias("top1_id"),
+            top1.getField("d2").alias("top1_d2"),
+            F.collect_set(F.when(F.col("is_exact"), F.col("vec_id"))).alias(
+                "exact_ids"
+            ),
+            F.collect_set(
+                F.when(~F.col("is_exact"), F.col("vec_id"))
+            ).alias("pq_ids"),
+        )
         .withColumn(
             "recall_ok",
             (
@@ -12629,6 +12661,9 @@ def q221_kmeans_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     assign = kmeans_assign(
         emb, id_col="vec_id", vec_col="embedding", k=4, iters=3,
         sample_rows=128, materialize=False,
+        # cardinality from the footer — the unfiltered single-file scan's
+        # count is driver metadata, not a Spark job (round 12)
+        n=_footer_rows(_path(sf_dir, "embeddings")),
     )
     return assign.groupBy("cluster").agg(
         F.count(F.lit(1)).alias("n"),

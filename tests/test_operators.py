@@ -742,6 +742,40 @@ class TestRound5Operators:
         pruned.unpersist()
         assert n_persisted() == base
 
+    def test_driver_sampled_training_matches_distributed(
+        self, spark, monkeypatch
+    ):
+        """The round-12 driver-side sampled Lloyd loop (sample collected
+        once, assignment via the shared _nearest kernel, centroid update
+        via the decimal-semantics mirror) must produce EXACTLY the
+        distributed loop's assignments — same sample predicate, same
+        seeds, same rounded centroids each round.  Forcing the
+        distributed path via _DRIVER_TRAIN_MAX=0 on the identical input
+        is the differential."""
+        from parquery_spark.operators import semdedup as sd
+
+        rows = [
+            (i, [float((i * 7 + p * 3) % 11) / 7.0 for p in range(8)])
+            for i in range(400)
+        ]
+        rows[13] = (13, [])  # empty vector: no assignment row
+        rows[17] = (17, [0.25, 0.5])  # short vector
+        corpus = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+        # sample_rows=64 -> stride > 1 at n=400: the sampled path fires
+        driver = sd.kmeans_assign(
+            corpus, k=4, iters=3, sample_rows=64, materialize=False
+        )
+        got_driver = sorted(map(tuple, driver.collect()))
+        monkeypatch.setattr(sd, "_DRIVER_TRAIN_MAX", 0)
+        dist = sd.kmeans_assign(
+            corpus, k=4, iters=3, sample_rows=64, materialize=False
+        )
+        got_dist = sorted(map(tuple, dist.collect()))
+        assert got_driver == got_dist
+        assert len(got_driver) == 399  # every non-empty vector assigned
+
     def test_adc_topk_empty_codebook_and_queries(self, spark):
         """Empty codebook (trained on an empty corpus) or an empty probe
         batch returns an empty result instead of crashing — mirroring
