@@ -879,6 +879,12 @@ def write_minhash_index(
     return write_partitioned(bk, path, ["band", "bk_prefix"], mode=mode)
 
 
+#: banded batches at or under this many (id, band, band_key, sig) rows
+#: re-enter the indexed probe join as a collected local relation (one
+#: banding pass instead of two); larger batches keep the lazy recompute
+_LOCAL_BATCH_MAX_ROWS = 50_000
+
+
 def lsh_join_indexed(
     spark,
     index_path: str,
@@ -906,13 +912,16 @@ def lsh_join_indexed(
     Returns ``(new_id, corpus_id, est_jaccard)`` — same contract and same
     results as :func:`lsh_join` with the same parameters.
 
-    The batch's band keys are computed twice — once eagerly for the
-    driver-side probe enumeration, once lazily in the returned join plan.
-    That is the deliberate zero-cache trade: the NEW side is a small
-    arriving batch by definition (the index side is where the corpus
-    lives), so re-minhashing it costs one narrow map over the batch,
-    while a persist here would pin one leaked cache per ingest call in a
-    long-lived session."""
+    The batch's band keys are computed ONCE (round 12): the probe
+    enumeration must run eagerly anyway, so while the banded batch stays
+    under :data:`_LOCAL_BATCH_MAX_ROWS` rows the whole ``(id, band,
+    band_key, sig)`` relation is collected with it and re-enters the
+    join as a LOCAL relation — the former shape re-minhashed the batch
+    a second time inside the lazy join plan (one narrow map over the
+    batch, twice per ingest).  Nothing is persisted, so the
+    zero-session-cache contract holds; an oversized batch falls back to
+    the original enumerate-then-recompute shape (bounded driver memory
+    wins over the duplicate map at that size)."""
     left = band_keys(
         new_df, text_col, id_col, num_hashes, bands, shingle_k
     ).withColumn(
@@ -920,8 +929,14 @@ def lsh_join_indexed(
     )
 
     by_band: dict[int, set[str]] = {}
-    for r in left.select("band", "bk_prefix").distinct().collect():
-        by_band.setdefault(r["band"], set()).add(r["bk_prefix"])
+    head = left.limit(_LOCAL_BATCH_MAX_ROWS + 1).collect()
+    if len(head) <= _LOCAL_BATCH_MAX_ROWS:
+        for r in head:
+            by_band.setdefault(r["band"], set()).add(r["bk_prefix"])
+        left = spark.createDataFrame(head, left.schema)
+    else:
+        for r in left.select("band", "bk_prefix").distinct().collect():
+            by_band.setdefault(r["band"], set()).add(r["bk_prefix"])
     # one IN-list per band (flat, ≤ bands OR terms) — a per-(band,prefix)
     # OR chain would nest one node per pair and overflow the expression
     # converter for realistic probe sets.  Built as ONE parsed expression:

@@ -38,7 +38,14 @@ from __future__ import annotations
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import NumericType
+from pyspark.sql.types import NumericType, StructField, StructType
+
+
+#: pair sets at or under this size resolve by driver-side union-find;
+#: above it the distributed label-propagation loop runs.  LSH band caps
+#: bound candidate volume independent of corpus size, so real dedup
+#: graphs sit far below this at any SF.
+_DRIVER_CC_MAX_PAIRS = 200_000
 
 
 def connected_components(
@@ -56,7 +63,57 @@ def connected_components(
     Raises ``RuntimeError`` if ``max_iter`` rounds don't converge — that
     means a pathological similarity chain, and silently returning
     half-merged clusters would corrupt the dedup downstream.
+
+    Round 12 (guide §1.2 — fix the algorithm before the stages): a pair
+    set that fits on the driver resolves by union-find in microseconds,
+    so up to :data:`_DRIVER_CC_MAX_PAIRS` edges the closure is computed
+    locally and returned as a small local relation (downstream joins
+    against it broadcast).  A bounded-candidate dedup — which is what
+    every LSH band-cap produces, at any corpus size — lives under this
+    ceiling by construction; only an unbounded pair graph pays the
+    distributed label-propagation loop (2 job waves per round).  The
+    limit+collect probe is the size gate: ``limit(N+1)`` either proves
+    the set small (and IS the edge list) or costs one truncated scan.
     """
+    edges_head = pairs.select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    ).limit(_DRIVER_CC_MAX_PAIRS + 1).collect()
+    if len(edges_head) <= _DRIVER_CC_MAX_PAIRS:
+        spark = pairs.sparkSession
+        vtype = pairs.schema[id_a].dataType
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] is not r and parent[r] != r:
+                r = parent[r]
+            while parent[x] is not r and parent[x] != r:
+                parent[x], x = r, parent[x]
+            return r
+
+        for row in edges_head:
+            a, b = row["src"], row["dst"]
+            if a is None or b is None:
+                continue
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[rb] = ra
+        mins: dict = {}
+        for v in parent:
+            r = find(v)
+            m = mins.get(r)
+            mins[r] = v if m is None or v < m else m
+        rows = [(v, mins[find(v)]) for v in sorted(parent)]
+        out_schema = StructType(
+            [
+                StructField("v", vtype, True),
+                StructField("cluster_id", vtype, True),
+            ]
+        )
+        return spark.createDataFrame(rows, out_schema)
+
     edges = pairs.select(
         F.col(id_a).alias("src"), F.col(id_b).alias("dst")
     )

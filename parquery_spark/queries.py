@@ -3172,22 +3172,45 @@ def q83_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             for q in _Q83_QUERY_IDS
         ],
     )
-    e = exact.groupBy("query_id").agg(
-        F.max_by("vec_id", F.struct("cosine_sim", (-F.col("vec_id")).alias("t")))
-        .alias("top1_id"),
-        F.max("cosine_sim").alias("top1_sim"),
-        F.collect_set("vec_id").alias("exact_ids"),
+    # ONE aggregation wave (round 12, the q211 shape): exact and IVF
+    # top-k rows union into a flagged stream; a single groupBy yields
+    # top-1 (a struct max over the exact rows — same (sim desc, id asc)
+    # order as the former max_by) and both id sets.  The IVF side emits
+    # top-k rows for every probe whenever its cells are non-empty, so
+    # the former inner join's both-sides-present invariant carries over.
+    u = exact.withColumn("is_exact", F.lit(True)).unionByName(
+        approx.withColumn("is_exact", F.lit(False))
     )
-    a = approx.groupBy("query_id").agg(
-        F.collect_set("vec_id").alias("ivf_ids")
+    top1 = F.max(
+        F.when(
+            F.col("is_exact"),
+            F.struct(
+                "cosine_sim",
+                (-F.col("vec_id")).alias("t"),
+                F.col("vec_id").alias("v"),
+            ),
+        )
     )
     recall = (
         F.size(F.array_intersect("exact_ids", "ivf_ids"))
         / F.lit(float(topk))
     )
-    return e.join(a, "query_id").select(
-        "query_id", "top1_id", "top1_sim",
-        (recall >= F.lit(0.5)).alias("recall_ok"),
+    return (
+        u.groupBy("query_id")
+        .agg(
+            top1.getField("v").alias("top1_id"),
+            top1.getField("cosine_sim").alias("top1_sim"),
+            F.collect_set(F.when(F.col("is_exact"), F.col("vec_id"))).alias(
+                "exact_ids"
+            ),
+            F.collect_set(
+                F.when(~F.col("is_exact"), F.col("vec_id"))
+            ).alias("ivf_ids"),
+        )
+        .select(
+            "query_id", "top1_id", "top1_sim",
+            (recall >= F.lit(0.5)).alias("recall_ok"),
+        )
     )
 
 
@@ -4796,15 +4819,31 @@ def q114_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     terms = ["join", "filter", "vector"]
-    toks = docs.select("doc_id", shingle_tokens("text").alias("w"))
-    dl = toks.select("doc_id", F.size("w").cast("long").alias("dl"))
-    stats = dl.agg(
+    # ONE tokenizer pass (round 12): the former shape evaluated the
+    # regex tokenizer in three subtrees (doc lengths, corpus stats, and
+    # the tf explode).  Tokenizing into (doc_id, dl, matching-terms
+    # array) once and spreading through fan_out puts an Exchange above
+    # the tokenize, so ReuseExchange serves every consumer from the one
+    # materialized pass — and carrying dl through the tf groupBy (it is
+    # functionally dependent on doc_id) drops the former per-doc length
+    # join entirely.
+    base = fan_out(
+        docs.select(
+            "doc_id",
+            F.size(shingle_tokens("text")).cast("long").alias("dl"),
+            F.filter(
+                shingle_tokens("text"),
+                lambda t: t.isin(terms),
+            ).alias("mt"),
+        ),
+        "doc_id",
+    )
+    stats = base.agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
     )
     tf = (
-        toks.select("doc_id", F.explode("w").alias("term"))
-        .where(F.col("term").isin(terms))
-        .groupBy("doc_id", "term")
+        base.select("doc_id", "dl", F.explode("mt").alias("term"))
+        .groupBy("doc_id", "dl", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
@@ -4824,7 +4863,6 @@ def q114_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = (
         tf.join(F.broadcast(dfreq), "term")
-        .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
         .groupBy("doc_id")
         .agg(F.sum(contrib).alias("score"))
@@ -5312,7 +5350,17 @@ def q120_compaction_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = _materialize_once(
         root, _build_compacted, marker=os.path.join("compacted", "_SUCCESS")
     )
-    li = _artifact_relation(spark, os.path.join(root, "compacted"))
+    # fan_out before the checksum (round 12): the compacted layout is
+    # ~8 MB files, so the scan packs into a handful of splits and the
+    # per-row md5 — the whole cost of this query — ran on 3-5 tasks;
+    # project to the 4 referenced columns first so the spread exchange
+    # carries nothing else (guide §2.3)
+    li = fan_out(
+        _artifact_relation(spark, os.path.join(root, "compacted")).select(
+            "l_orderkey", "l_linenumber", "l_extendedprice", "l_linestatus"
+        ),
+        "l_orderkey",
+    )
     row_str = F.concat_ws(
         "|",
         F.col("l_orderkey").cast("string"),
@@ -9865,16 +9913,19 @@ def q187_ingestion_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
     new2 = batch2.join(F.broadcast(ledger1), "file_id", "left_anti")
     admitted = ledger1.unionByName(new2)
     ingested = files.join(F.broadcast(admitted), "file_id")
-    total = events.agg(F.count(F.lit(1)).alias("t"))
+    # the raw-source row count is parquet footer metadata (round 12):
+    # the former shape paid a SECOND full events scan plus a broadcast
+    # and a cross join to carry one number the driver already knows
+    total = _footer_rows(_path(sf_dir, "events"))
     return ingested.agg(
         F.count(F.lit(1)).alias("n_rows_ingested"),
         F.countDistinct("file_id").alias("n_files"),
         F.bit_xor("event_id").alias("row_checksum"),
-    ).crossJoin(F.broadcast(total)).select(
+    ).select(
         "n_rows_ingested",
         "n_files",
         "row_checksum",
-        (F.col("n_rows_ingested") == F.col("t")).alias("exactly_once"),
+        (F.col("n_rows_ingested") == F.lit(total)).alias("exactly_once"),
     )
 
 
@@ -10301,23 +10352,30 @@ def q193_tpch_q21_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("l_orderkey", "l_suppkey", "o_orderdate")
     # late feeds its per-order aggregate AND the final join chain from
     # the ONE plan object — exchanges shared via ReuseExchange
-    # per-(order, supplier) flags of OTHER suppliers' presence/lateness:
-    # distinct supplier sets per order, broadcast back as counts
+    # per-(order, supplier) flags of OTHER suppliers' presence/lateness.
+    # The EXISTS tests need only "more than one distinct supplier" /
+    # "exactly one distinct late supplier", and for those min/max are
+    # sufficient statistics: COUNT(DISTINCT) plans as TWO exchange
+    # rounds (distinct-key pre-aggregation, then the group), while
+    # min/max partial-aggregate map-side and exchange ONCE (round 12,
+    # guide §2.4) — n_supp > 1 ⇔ min ≠ max, n_late_supp = 1 ⇔ min = max.
     per_order = li.groupBy("l_orderkey").agg(
-        F.count_distinct("l_suppkey").alias("n_supp")
+        F.min("l_suppkey").alias("supp_lo"),
+        F.max("l_suppkey").alias("supp_hi"),
     )
     late_per_order = late.groupBy(F.col("l_orderkey").alias("lk")).agg(
-        F.count_distinct("l_suppkey").alias("n_late_supp"),
-        F.min("l_suppkey").alias("only_late_supp"),
+        F.min("l_suppkey").alias("late_lo"),
+        F.max("l_suppkey").alias("late_hi"),
     )
     j = (
         late.join(per_order, "l_orderkey")
         .join(late_per_order, F.col("l_orderkey") == F.col("lk"))
         .where(
-            (F.col("n_supp") > 1)  # EXISTS other supplier in the order
+            # EXISTS other supplier in the order
+            (F.col("supp_lo") != F.col("supp_hi"))
             # NOT EXISTS other LATE supplier: this supplier is the only one
-            & (F.col("n_late_supp") == 1)
-            & (F.col("only_late_supp") == F.col("l_suppkey"))
+            & (F.col("late_lo") == F.col("late_hi"))
+            & (F.col("late_lo") == F.col("l_suppkey"))
         )
     )
     return (

@@ -39,12 +39,41 @@ class TestConnectedComponents:
             assert r["cluster_id"] == singleton and r["cluster_size"] == 1
             assert r["is_kept"]
 
-    def test_nonconvergence_raises(self, spark):
+    def test_nonconvergence_raises(self, spark, monkeypatch):
+        # the driver union-find path always converges exactly; the
+        # half-merged-cluster hazard belongs to the DISTRIBUTED loop, so
+        # force it by zeroing the driver-path pair ceiling
+        from parquery_spark.operators import graph
+
+        monkeypatch.setattr(graph, "_DRIVER_CC_MAX_PAIRS", 0)
         pairs = spark.createDataFrame(
             [(i, i + 1) for i in range(20)], ["id_a", "id_b"]
         )
         with pytest.raises(RuntimeError, match="did not converge"):
             connected_components(pairs, max_iter=1)
+
+    def test_driver_union_find_matches_distributed(self, spark, monkeypatch):
+        """Round-12 differential: the driver-side union-find closure and
+        the distributed label-propagation loop agree exactly — labels,
+        vertex set, and min-representative choice — on a graph mixing
+        chains, a dense clique, singleton-free edges and self-loops."""
+        from parquery_spark.operators import graph
+
+        edges = (
+            [(i, i + 1) for i in range(0, 40, 2)]
+            + [(100, 104), (104, 102), (102, 100)]
+            + [(200, 200)]
+            + [(301, 300), (303, 302), (302, 301)]
+        )
+        pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
+        got_driver = sorted(
+            map(tuple, connected_components(pairs).collect())
+        )
+        monkeypatch.setattr(graph, "_DRIVER_CC_MAX_PAIRS", 0)
+        got_dist = sorted(
+            map(tuple, connected_components(pairs).collect())
+        )
+        assert got_driver == got_dist
 
     def test_string_ids_deep_chain(self, spark):
         # string vertex ids: the numeric sum-based convergence test would
