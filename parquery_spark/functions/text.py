@@ -189,33 +189,42 @@ def repetition_profile(
 
     src = fan_out(df.select(F.col(id_col), F.col(text_col)), id_col)
 
-    def gram_stats(gram_col: Column, prefix: str) -> DataFrame:
-        counts = (
-            src.select(F.col(id_col), F.explode(gram_col).alias("__g"))
-            .groupBy(id_col, "__g")
-            .agg(F.count(F.lit(1)).alias("__c"))
-        )
-        return counts.groupBy(id_col).agg(
-            F.sum("__c").alias(f"{prefix}_total"),
-            F.max("__c").alias(f"{prefix}_top"),
-            F.count(F.lit(1)).alias(f"{prefix}_distinct"),
-        )
-
-    uni = gram_stats(shingle_tokens(text_col), "u")
-    big = gram_stats(word_shingles(text_col, 2), "b")
-    return (
-        uni.join(big, id_col, "left")
-        .select(
-            F.col(id_col),
-            F.col("u_total").alias("n_tokens"),
-            F.round(F.col("u_distinct") / F.col("u_total"), 6).alias(
-                "type_token_ratio"
-            ),
-            F.round(F.col("u_top") / F.col("u_total"), 6).alias(
-                "top_unigram_frac"
-            ),
-            F.round(
-                F.coalesce(F.col("b_top") / F.col("b_total"), F.lit(0.0)), 6
-            ).alias("top_bigram_frac"),
-        )
+    # ONE explode pass for both gram orders (round 12): unigrams and
+    # bigrams ride the same stream as (kind, gram) structs, the
+    # (id, kind, gram) count aggregates once, and the per-doc battery
+    # falls out of conditional aggregates — the former shape ran two
+    # tokenize+explode+double-aggregate branches over the same text and
+    # joined them.  The fan_out(id) partitioning still satisfies every
+    # group-by's clustering, so no aggregation exchanges appear (the
+    # plan-shape test pins that).  Docs with a single token contribute
+    # no bigram rows and coalesce to 0 exactly as the former left join.
+    # the gram itself encodes its order: bigrams contain the joining
+    # space, unigrams (split on [^a-z0-9']) never can — no struct
+    # wrapper needed on 2x|tokens| exploded rows
+    grams = F.concat(shingle_tokens(text_col), word_shingles(text_col, 2))
+    counts = (
+        src.select(F.col(id_col), F.explode(grams).alias("__g"))
+        .groupBy(id_col, "__g")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    is_u = ~F.col("__g").contains(" ")
+    per_doc = counts.groupBy(id_col).agg(
+        F.sum(F.when(is_u, F.col("__c"))).alias("u_total"),
+        F.max(F.when(is_u, F.col("__c"))).alias("u_top"),
+        F.count(F.when(is_u, F.lit(1))).alias("u_distinct"),
+        F.sum(F.when(~is_u, F.col("__c"))).alias("b_total"),
+        F.max(F.when(~is_u, F.col("__c"))).alias("b_top"),
+    )
+    return per_doc.where(F.col("u_total").isNotNull()).select(
+        F.col(id_col),
+        F.col("u_total").alias("n_tokens"),
+        F.round(F.col("u_distinct") / F.col("u_total"), 6).alias(
+            "type_token_ratio"
+        ),
+        F.round(F.col("u_top") / F.col("u_total"), 6).alias(
+            "top_unigram_frac"
+        ),
+        F.round(
+            F.coalesce(F.col("b_top") / F.col("b_total"), F.lit(0.0)), 6
+        ).alias("top_bigram_frac"),
     )

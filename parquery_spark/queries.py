@@ -97,14 +97,21 @@ def _path(sf_dir: str, table: str) -> str:
 
 
 def _footer_rows(path: str) -> int:
-    """Exact row count of a local parquet file from its footer — the
-    driver-side replacement for a ``df.count()`` job when the relation
-    is an unfiltered single-file scan (round 12, guide §5 "the driver
-    should do almost no data work" cuts both ways: a count JOB for a
-    number the footer already holds is a scheduler round-trip wasted).
-    Same metadata source as ``relations._plan_slices``."""
+    """Exact row count of a local parquet file or directory layout from
+    its footers — the driver-side replacement for a ``df.count()`` job
+    when the relation is an unfiltered scan (round 12, guide §5 "the
+    driver should do almost no data work" cuts both ways: a count JOB
+    for a number the footers already hold is a scheduler round-trip
+    wasted).  Same metadata source as ``relations._plan_slices``."""
+    import glob as _glob
+
     import pyarrow.parquet as papq
 
+    if os.path.isdir(path):
+        return sum(
+            papq.read_metadata(p).num_rows
+            for p in _glob.glob(os.path.join(path, "*.parquet"))
+        )
     return papq.read_metadata(path).num_rows
 
 
@@ -1657,12 +1664,140 @@ def q51_median_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Beyond-reference aggregates: exact median and interpolated
     percentiles (the reference's op whitelist stops at stddev;
     approx_count_distinct is also registered in _AGG_BUILDERS but has no
-    cross-engine-stable value to oracle-check)."""
+    cross-engine-stable value to oracle-check).
+
+    Round 12 (guide §1.2): ``F.percentile``/``F.median`` plan as
+    ObjectHashAggregate whose partial buffers hold the whole value
+    multiset per group as boxed maps — serialized, shuffled and merged
+    (~1.3 s at sf0.1, invariant to scan parallelism).  Replaced by the
+    textbook two-pass exact selection: pass 1 aggregates a coarse
+    value histogram (map-side reduced, a few thousand rows collected),
+    the driver locates the bucket of each needed rank from cumulative
+    counts, and pass 2 re-scans with a pushed-down ``IN (buckets)``
+    filter to fetch only the handful of values straddling each rank.
+    l_quantity's 50-value domain makes its histogram exact with no
+    second pass.  Interpolation is ``lower + (higher - lower) * frac``
+    on the same IEEE doubles Spark's Percentile evaluates, and the
+    HALF_UP round-6 mirrors ``F.round`` — results are bit-identical
+    (oracle-gated at every SF).  At 100 TB this is two pruned scans and
+    a bounded histogram instead of shuffling every value."""
+    from decimal import ROUND_HALF_UP, Decimal
+
     li = load(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.median("l_extendedprice"), 6).alias("med_price"),
-        F.round(F.percentile("l_quantity", F.lit(0.25)), 6).alias("q25_qty"),
-        F.round(F.percentile("l_quantity", F.lit(0.75)), 6).alias("q75_qty"),
+    bucket = F.floor(F.col("l_extendedprice") / F.lit(4096.0))
+    hist = (
+        li.groupBy(
+            F.col("l_returnflag").alias("flag"),
+            F.lit("p").alias("c"),
+            bucket.alias("k"),
+        )
+        .agg(F.count("l_extendedprice").alias("n"))
+        .unionByName(
+            li.groupBy(
+                F.col("l_returnflag").alias("flag"),
+                F.lit("q").alias("c"),
+                F.col("l_quantity").alias("k"),
+            ).agg(F.count("l_quantity").alias("n"))
+        )
+        .collect()
+    )
+    by_fc: dict[tuple, dict] = {}
+    for r in hist:
+        if r["k"] is not None:
+            by_fc.setdefault((r["flag"], r["c"]), {})[r["k"]] = r["n"]
+
+    def rank_ix(counts: dict, p: float):
+        """(lo_index, hi_index, pos) of percentile p over the sorted
+        multiset described by {key: count} — Spark's Percentile math."""
+        n = sum(counts.values())
+        pos = (n - 1) * p
+        import math as _m
+
+        return int(_m.floor(pos)), int(_m.ceil(pos)), pos
+
+    def interp(v_lo: float, v_hi: float, lo: int, hi: int, pos: float):
+        """Spark Percentile.getPercentile's exact expression:
+        ``(higher - pos) * lower + (pos - lower) * higher`` — mirrored
+        operation-for-operation so the IEEE result is bit-identical."""
+        if hi == lo:
+            return v_lo
+        return (hi - pos) * v_lo + (pos - lo) * v_hi
+
+    def key_at(counts: dict, ix: int):
+        acc = 0
+        for k in sorted(counts):
+            acc += counts[k]
+            if ix < acc:
+                return k
+        raise IndexError(ix)
+
+    def _round6(v: float) -> float:
+        return float(
+            Decimal(repr(float(v))).quantize(
+                Decimal("1E-6"), rounding=ROUND_HALF_UP
+            )
+        )
+
+    flags = sorted({f for f, _ in by_fc})
+    # price: which coarse buckets hold each flag's median ranks
+    need: dict = {}
+    for f in flags:
+        counts = by_fc[(f, "p")]
+        lo, hi, _ = rank_ix(counts, 0.5)
+        need.setdefault(f, set()).update(
+            {key_at(counts, lo), key_at(counts, hi)}
+        )
+    all_buckets = sorted({b for s in need.values() for b in s})
+    vals = (
+        li.select(
+            F.col("l_returnflag").alias("flag"),
+            F.col("l_extendedprice").alias("v"),
+        )
+        .where(
+            F.floor(F.col("v") / F.lit(4096.0)).isin(
+                [int(b) for b in all_buckets]
+            )
+            & F.col("v").isNotNull()
+        )
+        .collect()
+    )
+    in_bucket: dict = {}
+    for r in vals:
+        b = float(r["v"]) // 4096.0
+        if b in need.get(r["flag"], ()):  # noqa: SIM118 — set membership
+            in_bucket.setdefault(r["flag"], []).append(float(r["v"]))
+
+    rows = []
+    for f in flags:
+        pc = by_fc[(f, "p")]
+        lo, hi, pos = rank_ix(pc, 0.5)
+        # global index of the first row in each collected bucket
+        bvals = sorted(in_bucket[f])
+        start = 0
+        first_b = min(need[f])
+        for k in sorted(pc):
+            if k < first_b:
+                start += pc[k]
+        med = interp(bvals[lo - start], bvals[hi - start], lo, hi, pos)
+
+        def q_exact(p: float) -> float:
+            qc = by_fc[(f, "q")]
+            qlo, qhi, qpos = rank_ix(qc, p)
+            a, b = float(key_at(qc, qlo)), float(key_at(qc, qhi))
+            return interp(a, b, qlo, qhi, qpos)
+
+        rows.append(
+            (
+                f,
+                _round6(med),
+                _round6(q_exact(0.25)),
+                _round6(q_exact(0.75)),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "l_returnflag string, med_price double, "
+        "q25_qty double, q75_qty double",
     )
 
 
@@ -2184,13 +2319,31 @@ def q65_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_distinct").alias("n_distinct_est"),
         "min_num", "max_num", "min_str", "max_str",
     )
-    exacts = functools.reduce(
-        DataFrame.unionByName,
-        [
-            orders.agg(F.count_distinct(F.col(c)).alias("n_distinct"))
-            .select(F.lit(c).alias("column"), "n_distinct")
-            for c in cols
-        ],
+    # exact distincts from ONE scan (round 12): stack the k columns into
+    # (column, value-string) pairs and run a single two-phase distinct
+    # aggregate — still no Expand anywhere (one distinct per group plans
+    # as plain partial/final aggregation), but the former k independent
+    # scan+aggregate subtrees (k job waves, k fact-table passes at
+    # scale) collapse into one.  The string cast is injective per column
+    # type, so the distinct count is unchanged; count_distinct drops
+    # NULLs on both shapes.
+    exacts = (
+        orders.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(c).alias("column"),
+                            F.col(c).cast("string").alias("v"),
+                        )
+                        for c in cols
+                    ]
+                )
+            ).alias("p")
+        )
+        .select("p.column", "p.v")
+        .groupBy("column")
+        .agg(F.count_distinct("v").alias("n_distinct"))
     )
     rel_err = 5 * 0.05  # 5 sigma at approx_count_distinct's default rsd
     return prof.join(F.broadcast(exacts), "column").select(
@@ -9983,7 +10136,8 @@ def q188_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sdir = _materialize_once(sdir, _build_stats)
     docs = _artifact_relation(spark, sdir)
-    n = docs.count()
+    # cardinality from the artifact's footers, not a count() job (r12)
+    n = _footer_rows(sdir)
     SHIFT = F.lit(4294967296)
 
     def pct_rank(df, value_col, out):
