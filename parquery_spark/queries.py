@@ -115,6 +115,26 @@ def _footer_rows(path: str) -> int:
     return papq.read_metadata(path).num_rows
 
 
+def _probe_rows(sf_dir: str, ids) -> list[dict]:
+    """The handful of probe/query vectors the ANN-family queries anchor
+    on, read DRIVER-SIDE from the embeddings parquet (round 12, guide
+    §5): each former ``emb.filter(vec_id IN ...).collect()`` paid a full
+    Spark job round-trip for ≤4 rows of an unfiltered single-file scan.
+    The pushed-down pyarrow read returns the identical values (float32 →
+    double widening is exact on both paths) in the identical order (the
+    fixture is written vec_id-ascending, which both the file-order
+    collect and this read preserve); rows are dicts, a drop-in for the
+    ``r["vec_id"]`` / ``r["embedding"]`` / ``r["label"]`` access pattern
+    of the Row objects they replace."""
+    import pyarrow.parquet as papq
+
+    tbl = papq.read_table(
+        _path(sf_dir, "embeddings"),
+        filters=[("vec_id", "in", [int(i) for i in ids])],
+    )
+    return tbl.to_pylist()
+
+
 def _artifact_relation(spark: SparkSession, path: str) -> DataFrame:
     """A parquet dir (usually a stat-keyed artifact) as a lazy relation
     through the per-session analyzed-plan cache (round 12): building
@@ -3274,7 +3294,7 @@ def q83_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     qvecs = {
         r["vec_id"]: list(r["embedding"])
-        for r in emb.filter(F.col("vec_id").isin(list(_Q83_QUERY_IDS))).collect()
+        for r in _probe_rows(sf_dir, _Q83_QUERY_IDS)
     }
 
     def tag_q(df, qid):
@@ -11938,7 +11958,7 @@ def q211_pq_adc_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = _footer_rows(src)
     shortlist = max(50, n // 20)
     qids = [0, 1, 2, 3]
-    qrows = emb.filter(F.col("vec_id").isin(qids)).collect()
+    qrows = _probe_rows(sf_dir, qids)
     queries = spark.createDataFrame(
         [(int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in qrows],
         "q_id long, q_vec array<double>",
@@ -12191,7 +12211,7 @@ def q213_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     (:func:`_matryoshka_topk_parts`)."""
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     qids = [0, 1, 2, 3]
-    qrows = emb.filter(F.col("vec_id").isin(qids)).collect()
+    qrows = _probe_rows(sf_dir, qids)
     full, trunc = _matryoshka_topk_parts(emb, qrows, k=10, trunc_dim=16)
 
     f = full.groupBy("query_id").agg(
@@ -12462,7 +12482,7 @@ def q216_ranking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     idcg = sum(1.0 / math.log2(i + 1) for i in range(1, 11))
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    qrows = emb.filter(F.col("vec_id").isin([0, 1, 2, 3])).collect()
+    qrows = _probe_rows(sf_dir, [0, 1, 2, 3])
     full, trunc = _matryoshka_topk_parts(emb, qrows, k=10, trunc_dim=16)
 
     # positions within each 10-row survivor list (window over <=10 rows
@@ -12597,7 +12617,7 @@ def q218_multivector_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from parquery_spark.operators.similarity import dot_literal, norm
 
     emb = load(spark, sf_dir, "embeddings")
-    qrows = emb.filter(F.col("vec_id").isin([0, 1, 2, 3])).collect()
+    qrows = _probe_rows(sf_dir, [0, 1, 2, 3])
 
     import functools
 
@@ -12752,7 +12772,7 @@ def q220_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     from parquery_spark.operators.similarity import dot_literal, norm
 
     emb = load(spark, sf_dir, "embeddings")
-    qrows = emb.filter(F.col("vec_id").isin([0, 1, 2, 3])).collect()
+    qrows = _probe_rows(sf_dir, [0, 1, 2, 3])
 
     import functools
 
@@ -13513,10 +13533,8 @@ def q228_mmr_diversity_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load(spark, sf_dir, "embeddings")
     probes = sorted(
-        (int(r[0]), [float(x) for x in r[1]])
-        for r in emb.filter(F.col("vec_id") < 4)
-        .select("vec_id", "embedding")
-        .collect()
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in _probe_rows(sf_dir, [0, 1, 2, 3])
     )
     return mmr_rerank(emb, probes, k=10, pool=25, lam=0.7, mu=0.3)
 
