@@ -12126,30 +12126,52 @@ def _matryoshka_topk_parts(
         ))
     sums = _explode_sums(emb, "embedding", "vec_id", terms)
 
-    def topk(qid: int, dot_col: str, nn_col: str, qn: float) -> DataFrame:
-        sim = F.round(
-            F.col(dot_col) / (F.sqrt(F.col(nn_col)) * F.lit(qn)), 6
-        )
-        return (
-            sums.select(F.col("vec_id"), sim.alias("cosine_sim"))
-            .orderBy(F.col("cosine_sim").desc(), F.col("vec_id"))
-            .limit(k)
-            .select(
-                F.lit(qid).cast("long").alias("query_id"),
-                "vec_id",
-                "cosine_sim",
+    # ONE ranking pass for all 8 lists (round 12, guide §2.4): the former
+    # shape unioned 8 orderBy+limit branches over the shared subtree — 8
+    # reads of the reused exchange (8 × 32 reduction tasks) and 8× the
+    # Catalyst analysis per call.  Each corpus row now explodes into its
+    # 8 (query_id, kind, sim) scores and one rank-filtered window ranks
+    # them all; the row_number ≤ k filter plans as WindowGroupLimit, so
+    # each map partition forwards at most k rows per (query, kind) group
+    # into the single exchange — the same partial-top-k pruning
+    # TakeOrderedAndProject did, at any corpus size.  Sim expressions,
+    # rounding and the (sim DESC, vec_id) tie-break are unchanged, so
+    # the selected rows are identical; both consumers aggregate these
+    # lists order-insensitively.
+    from pyspark.sql import Window
+
+    branches = []
+    for qid, qnf, qnt in qmeta:
+        for kind, dot_col, nn_col, qn in (
+            (0, f"__df{qid}", "__nn", qnf),
+            (1, f"__dt{qid}", "__nnt", qnt),
+        ):
+            branches.append(
+                F.struct(
+                    F.lit(qid).cast("long").alias("query_id"),
+                    F.lit(kind).alias("kind"),
+                    F.round(
+                        F.col(dot_col) / (F.sqrt(F.col(nn_col)) * F.lit(qn)),
+                        6,
+                    ).alias("cosine_sim"),
+                )
             )
-        )
-
-    import functools
-
-    full = functools.reduce(
-        DataFrame.unionByName,
-        [topk(qid, f"__df{qid}", "__nn", qnf) for qid, qnf, _ in qmeta],
+    scored = sums.select(
+        "vec_id", F.explode(F.array(*branches)).alias("s")
+    ).select("vec_id", "s.query_id", "s.kind", "s.cosine_sim")
+    w = Window.partitionBy("query_id", "kind").orderBy(
+        F.col("cosine_sim").desc(), "vec_id"
     )
-    trunc = functools.reduce(
-        DataFrame.unionByName,
-        [topk(qid, f"__dt{qid}", "__nnt", qnt) for qid, _, qnt in qmeta],
+    top = (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= k)
+        .drop("__rk")
+    )
+    full = top.where(F.col("kind") == 0).select(
+        "query_id", "vec_id", "cosine_sim"
+    )
+    trunc = top.where(F.col("kind") == 1).select(
+        "query_id", "vec_id", "cosine_sim"
     )
     return full, trunc
 
