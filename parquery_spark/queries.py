@@ -6859,29 +6859,29 @@ def q141_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     means are computed in DECIMAL (order-independent) and rounded to 6
     digits, so both engines feed bit-identical centroids into each
     assignment; assignments are then integers, gated by member checksums.
-    Shapes: the exploded vector relation persists once and co-partitions
-    every iteration's join on pos/vec_id; distances partial-aggregate
-    map-side; no crossJoin (the centroid side is |k x dim|, broadcast).
-    Same pattern at 100 TB with k=65k IVF cells — assignment via the
-    vectorized pandas_udf path (operators/ivf.py) instead of the
-    explode join."""
+    Shapes (round 12): ONE explicit vec_id exchange above the exploded
+    relation satisfies every iteration's distance aggregation
+    (ClusteredDistribution(vec_id, cluster)), argmin, and update join —
+    the unrolled loop adds no further exchange of vector data, only the
+    |k x dim| centroid aggregates and their broadcasts; the argmin is
+    ``min(struct(d, cluster))`` (identical (d, cluster) lexicographic
+    choice) instead of a per-iteration row_number window, dropping the
+    window sorts.  Same pattern at 100 TB with k=65k IVF cells —
+    assignment via the vectorized pandas_udf path (operators/ivf.py)
+    instead of the explode join."""
     emb = load(spark, sf_dir, "embeddings")
     expl = emb.select(
         "vec_id",
         F.posexplode(F.col("embedding").cast("array<double>")).alias(
             "pos", "x"
         ),
-    )  # scan + posexplode: recomputed per unrolled-iteration reference —
-    # cheap columnar rescans beat a session-lived exploded cache (q221 is
-    # the budget-bounded scale path; this query pins the EXACT recipe)
+    ).repartition(F.col("vec_id"))
     cents = (
         expl.where(F.col("vec_id") < 4)
         .select(
             F.col("vec_id").alias("cluster"), "pos", F.col("x").alias("c")
         )
     )
-
-    from pyspark.sql import Window
 
     assign = None
     for _ in range(3):
@@ -6894,11 +6894,12 @@ def q141_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("d")
             )
         )
-        w = Window.partitionBy("vec_id").orderBy("d", "cluster")
         assign = (
-            d.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
-            .select("vec_id", "cluster")
+            d.groupBy("vec_id")
+            .agg(F.min(F.struct("d", "cluster")).alias("m"))
+            .select(
+                "vec_id", F.col("m").getField("cluster").alias("cluster")
+            )
         )
         cents = (
             expl.join(assign, "vec_id")
