@@ -6278,12 +6278,14 @@ def q132_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     gets a value-matched gate.  The edge relation is a stat-keyed
     STORAGE artifact (pure function of lineitem — built once per corpus
     version, restart-surviving, exactly how a cluster deployment would
-    stage a derived graph next to the data); every iteration is one join
-    + one aggregate shuffled on the same key (the co-partitioning a
-    deployment would pin with bucketing), and lineage stays flat because
-    each iteration re-reads the edge parquet, not the previous plan —
-    nothing persisted in-session."""
-    adir = _stat_dir(sf_dir, "lineitem", "pagerank-edges-v1", "pqs_pr")
+    stage a derived graph next to the data); round 12 folds the source
+    DEGREE into the artifact (src, dst, d — denormalized exactly like a
+    deployment would), so every iteration is ONE join + one aggregate
+    instead of two joins, and one explicit src repartition above the
+    artifact scan is the exchange all three iterations reuse.  Lineage
+    stays flat because each iteration re-reads the edge parquet, not the
+    previous plan — nothing persisted in-session."""
+    adir = _stat_dir(sf_dir, "lineitem", "pagerank-edges-v2", "pqs_pr")
 
     def _build_edges(t):
         li = load(spark, sf_dir, "lineitem").select(
@@ -6304,22 +6306,23 @@ def q132_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(F.col("cnt") >= 2)
             .select("pa", "pb")
         )
-        pairs.selectExpr("pa AS src", "pb AS dst").unionAll(
+        und = pairs.selectExpr("pa AS src", "pb AS dst").unionAll(
             pairs.selectExpr("pb AS src", "pa AS dst")
-        ).write.parquet(t)
+        )
+        deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+        und.join(deg, "src").write.parquet(t)
 
     adir = _materialize_once(adir, _build_edges)
-    edges = _artifact_relation(spark, adir)
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
-    nn = deg.count()  # scalar: node count (driver-side by design)
-    r = deg.select(
+    ewd = _artifact_relation(spark, adir).repartition(F.col("src"))
+    nn = (  # scalar: node count (driver-side by design)
+        ewd.select("src").distinct().count()
+    )
+    r = ewd.select("src").distinct().select(
         F.col("src").alias("v"), (F.lit(1.0) / F.lit(nn)).alias("r")
     )
     for _ in range(3):
-        contrib = (
-            edges.join(r, edges["src"] == r["v"])
-            .join(deg, "src")
-            .select("dst", (F.col("r") / F.col("d")).alias("c"))
+        contrib = ewd.join(r, ewd["src"] == r["v"]).select(
+            "dst", (F.col("r") / F.col("d")).alias("c")
         )
         r = contrib.groupBy("dst").agg(
             (F.lit(0.15) / F.lit(nn) + F.lit(0.85) * F.sum("c")).alias("r")
