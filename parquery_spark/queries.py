@@ -10447,7 +10447,10 @@ def q192_tpch_q2_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate relation feeds both roles through ReuseExchange in the
     final adaptive plan — NO persist, per the registry-wide cache
     contract; every dimension broadcasts; the supplies derivation is
-    the only fact-sized shuffle."""
+    the only fact-sized operation, and (round 12) a broadcast semi-join
+    on the filtered part keys runs BELOW the distinct, so the one
+    remaining shuffle carries only lines of qualifying parts
+    (distinct-then-filter == filter-then-distinct)."""
     li = load(spark, sf_dir, "lineitem")
     part = load(spark, sf_dir, "part").where(
         (F.col("p_size") == 15) & (F.col("p_type") == "ECONOMY")
@@ -10455,9 +10458,16 @@ def q192_tpch_q2_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = load(spark, sf_dir, "supplier")
     nation = load(spark, sf_dir, "nation")
     region = load(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
-    supplies = li.select(
-        F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
-    ).distinct()
+    supplies = (
+        li.select(
+            F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
+        )
+        .join(
+            F.broadcast(part.select(F.col("p_partkey").alias("pk"))),
+            "pk", "semi",
+        )
+        .distinct()
+    )
     candidates = (
         F.broadcast(part)
         .join(supplies, F.col("pk") == F.col("p_partkey"))
