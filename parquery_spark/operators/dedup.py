@@ -357,7 +357,14 @@ def lsh_candidate_pairs(
     # leak per call.  Only the bucket-count window above the reused
     # exchange runs per side — a sort+count over already-shuffled
     # compact rows.
-    pairs = (
+    # est_jaccard is computed BEFORE the cross-band pair dedup: it is a
+    # pure function of the two signatures, so every duplicate (id_a,
+    # id_b) row carries bit-identical values and distinct over the three
+    # narrow columns returns exactly the former first()-through-dedup
+    # rows — but the dedup exchange ships 24 bytes/pair instead of two
+    # num_hashes-long arrays, and the aggregate plans hash-partial
+    # map-side instead of SortAggregate-with-first over array buffers.
+    return (
         self_join_reusing(
             sized,
             (F.col("__la.band") == F.col("__lb.band"))
@@ -371,10 +378,8 @@ def lsh_candidate_pairs(
             F.col("__la.sig").alias("sig_a"),
             F.col("__lb.sig").alias("sig_b"),
         )
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    return pairs.select(
-        "id_a", "id_b", _est_jaccard(num_hashes).alias("est_jaccard")
+        .select("id_a", "id_b", _est_jaccard(num_hashes).alias("est_jaccard"))
+        .dropDuplicates()
     )
 
 
@@ -783,13 +788,15 @@ def lsh_join(
             F.col(id_col).alias("corpus_id"), F.col("sig").alias("sig_b"),
         )
     )
-    pairs = (
+    # est_jaccard before the pair dedup (see lsh_candidate_pairs): the
+    # dedup exchange carries 24 bytes/pair, not two signature arrays
+    return (
         left.join(right, ["band", "band_key"])
-        .select("new_id", "corpus_id", "sig_a", "sig_b")
-        .dropDuplicates(["new_id", "corpus_id"])
-    )
-    return pairs.select(
-        "new_id", "corpus_id", _est_jaccard(num_hashes).alias("est_jaccard")
+        .select(
+            "new_id", "corpus_id",
+            _est_jaccard(num_hashes).alias("est_jaccard"),
+        )
+        .dropDuplicates()
     )
 
 
@@ -836,11 +843,32 @@ def band_keys(
 # (band, band_key prefix) — the at-scale corpus side of incremental dedup
 # ---------------------------------------------------------------------------
 
-#: hex chars of the band_key used as the partition directory key: 2 chars =
-#: 256 directories per band — coarse enough that a corpus write doesn't
-#: explode into millions of tiny files, fine enough that a small arriving
-#: batch prunes ~99% of the index (its probe set covers few prefixes).
+#: hex chars of the band_key used as the partition directory key at full
+#: scale: 2 chars = 256 directories per band — coarse enough that a corpus
+#: write doesn't explode into millions of tiny files, fine enough that a
+#: small arriving batch prunes ~99% of the index (its probe set covers few
+#: prefixes).
 BAND_PREFIX_CHARS = 2
+
+#: a written index directory should hold at least this many banded rows —
+#: below it, per-file open cost dominates the probe's scan (measured: a
+#: 19k-row corpus split across bands×256 dirs cost ~1.5 s of pure file
+#: opens per probe, the whole query's budget).  The writer drops to a
+#: 1-hex-char prefix (bands×16 dirs) for corpora under the bar; the probe
+#: detects the layout's width from the directory names, so mixed-era
+#: indexes keep working.
+_MIN_ROWS_PER_INDEX_DIR = 1000
+
+
+def _index_prefix_chars(index_path: str) -> int:
+    """Prefix width of an existing index layout, read from its directory
+    names (``bk_prefix=<value>`` under any ``band=*``)."""
+    import glob as _glob
+    import os as _os
+
+    for d in _glob.iglob(_os.path.join(index_path, "band=*", "bk_prefix=*")):
+        return len(_os.path.basename(d).split("=", 1)[1])
+    return BAND_PREFIX_CHARS
 
 
 def write_minhash_index(
@@ -852,6 +880,7 @@ def write_minhash_index(
     bands: int = 4,
     shingle_k: int = 3,
     mode: str = "overwrite",
+    prefix_chars: int | None = None,
 ) -> str:
     """Persist the corpus's banded MinHash signatures hive-partitioned by
     ``(band, bk_prefix)`` — the ingest-time layout :func:`lsh_join`'s
@@ -860,15 +889,34 @@ def write_minhash_index(
     ``.explain``), and never re-minhashes the accumulated corpus.
 
     ``band_key`` itself stays a data column (equi-join key); only its
-    2-hex-char prefix becomes a directory, keeping the file count bounded
-    (bands × 256) while the directory filter still prunes I/O.  Append new
-    batches with ``mode="append"`` after they pass dedup — the layout is
-    stable because a row's partition depends only on its own signature."""
+    hex prefix becomes a directory, keeping the file count bounded
+    (bands × 16^chars) while the directory filter still prunes I/O.  The
+    prefix width is SCALE-ADAPTIVE unless pinned via ``prefix_chars``:
+    2 hex chars (256 dirs/band) once directories would hold at least
+    :data:`_MIN_ROWS_PER_INDEX_DIR` rows each, else 1 (16 dirs/band) —
+    a small corpus across 1024 directories pays more in per-file opens
+    per probe than the whole probe computes.  Append new batches with
+    ``mode="append"`` after they pass dedup — the layout is stable
+    because a row's partition depends only on its own signature (appends
+    to an existing path inherit its width via
+    :func:`_index_prefix_chars`, never re-deciding it)."""
+    import os as _os
+
     from parquery_spark.sources.parquet import write_partitioned
 
+    if prefix_chars is None:
+        if mode == "append" and _os.path.isdir(path):
+            prefix_chars = _index_prefix_chars(path)
+        else:
+            n_banded = corpus_df.count() * bands
+            prefix_chars = (
+                BAND_PREFIX_CHARS
+                if n_banded >= bands * 256 * _MIN_ROWS_PER_INDEX_DIR
+                else 1
+            )
     bk = band_keys(corpus_df, text_col, id_col, num_hashes, bands, shingle_k)
     bk = bk.withColumn(
-        "bk_prefix", F.substring("band_key", 1, BAND_PREFIX_CHARS)
+        "bk_prefix", F.substring("band_key", 1, prefix_chars)
     )
     # co-locate each output directory's rows in one task before the write:
     # without this every task holding any row of a directory opens a file
@@ -925,7 +973,10 @@ def lsh_join_indexed(
     left = band_keys(
         new_df, text_col, id_col, num_hashes, bands, shingle_k
     ).withColumn(
-        "bk_prefix", F.substring("band_key", 1, BAND_PREFIX_CHARS)
+        # the batch's prefixes must be cut at the INDEX's width — read it
+        # from the layout so probes work against either adaptive width
+        "bk_prefix",
+        F.substring("band_key", 1, _index_prefix_chars(index_path)),
     )
 
     by_band: dict[int, set[str]] = {}
@@ -970,17 +1021,19 @@ def lsh_join_indexed(
             F.col(id_col).alias("corpus_id"), F.col("sig").alias("sig_b"),
         )
     )
-    pairs = (
+    # est_jaccard before the pair dedup (see lsh_candidate_pairs): the
+    # dedup exchange carries 24 bytes/pair, not two signature arrays
+    return (
         left.select(
             "band", "band_key",
             F.col(id_col).alias("new_id"), F.col("sig").alias("sig_a"),
         )
         .join(right, ["band", "band_key"])
-        .select("new_id", "corpus_id", "sig_a", "sig_b")
-        .dropDuplicates(["new_id", "corpus_id"])
-    )
-    return pairs.select(
-        "new_id", "corpus_id", _est_jaccard(num_hashes).alias("est_jaccard")
+        .select(
+            "new_id", "corpus_id",
+            _est_jaccard(num_hashes).alias("est_jaccard"),
+        )
+        .dropDuplicates()
     )
 
 def fuzzy_join(

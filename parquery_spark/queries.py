@@ -3198,7 +3198,8 @@ def q82_indexed_dedup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a 5% ingest batch vs a 95% corpus — the realistic ratio where the
     # index pays: the probe set covers few (band, prefix) directories, so
     # partition pruning skips most of the index
-    ident = f"{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}|16|4|2|20"
+    # trailing v2 = adaptive-prefix layout generation (writer logic tag)
+    ident = f"{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}|16|4|2|20|v2"
     tag = hashlib.md5(ident.encode()).hexdigest()[:10]
     idx = os.path.join(tempfile.gettempdir(), f"pqs_mh_idx_{tag}")
     docs = load(spark, sf_dir, "documents")

@@ -162,6 +162,58 @@ class TestDedup:
         got = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in pairs}
         assert got.get((1, 2)) == 1.0
 
+    def test_minhash_index_adaptive_prefix_width(self, docs, tmp_path):
+        """A small corpus writes a 1-hex-char prefix layout (16 dirs per
+        band, not 256 — per-file open cost would dwarf the probe), the
+        probe detects the width from the directory names, appends inherit
+        it, and an explicit prefix_chars pin still wins."""
+        import glob
+        import os
+
+        idx = str(tmp_path / "idx")
+        dedup.write_minhash_index(docs, idx, "text", "doc_id", num_hashes=8)
+        widths = {
+            len(os.path.basename(d).split("=", 1)[1])
+            for d in glob.glob(os.path.join(idx, "band=*", "bk_prefix=*"))
+        }
+        assert widths == {1}
+        assert dedup._index_prefix_chars(idx) == 1
+
+        # append keeps the existing layout's width, never re-decides it
+        dedup.write_minhash_index(
+            docs.filter("doc_id = 5"), idx, "text", "doc_id",
+            num_hashes=8, mode="append",
+        )
+        widths = {
+            len(os.path.basename(d).split("=", 1)[1])
+            for d in glob.glob(os.path.join(idx, "band=*", "bk_prefix=*"))
+        }
+        assert widths == {1}
+
+        # probe against the adaptive layout matches the unindexed join
+        new = docs.filter("doc_id = 2")
+        corpus = docs.filter("doc_id != 2")
+        idx2 = str(tmp_path / "idx2")
+        dedup.write_minhash_index(corpus, idx2, "text", "doc_id", num_hashes=8)
+        got = sorted(
+            tuple(r) for r in dedup.lsh_join_indexed(
+                docs.sparkSession, idx2, new, "text", "doc_id", num_hashes=8
+            ).collect()
+        )
+        want = sorted(
+            tuple(r) for r in dedup.lsh_join(
+                new, corpus, "text", "doc_id", num_hashes=8
+            ).collect()
+        )
+        assert got == want and got
+
+        # an explicit pin overrides the size rule
+        idx3 = str(tmp_path / "idx3")
+        dedup.write_minhash_index(
+            docs, idx3, "text", "doc_id", num_hashes=8, prefix_chars=2
+        )
+        assert dedup._index_prefix_chars(idx3) == 2
+
     def test_simhash_near_for_near_text(self, docs):
         out = {
             r["doc_id"]: r["sh"]
