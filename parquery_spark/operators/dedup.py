@@ -651,7 +651,18 @@ def simhash_candidates(
     # executes once and the second side reads the same map output — the
     # zero-cache replacement for the MEMORY_AND_DISK persist this
     # operator used to leak per call (see lsh_candidate_pairs)
-    pairs = (
+    # hamming is a pure function of the two signatures, so the verify
+    # filter runs BEFORE the cross-band pair dedup: the dedup exchange
+    # carries only verified pairs (candidates the hamming cut rejects —
+    # the overwhelming majority under banding's random-collision floor —
+    # never shuffle), and distinct over the three narrow columns returns
+    # exactly the former filter-after-dedup rows.
+    hamming = (
+        F.bit_count(
+            F.col("__ha.sh").bitwiseXOR(F.col("__hb.sh"))
+        ).cast("long")
+    )
+    return (
         self_join_reusing(
             banded,
             (F.col("__ha.band") == F.col("__hb.band"))
@@ -662,15 +673,10 @@ def simhash_candidates(
         .select(
             F.col(f"__ha.{id_col}").alias("id_a"),
             F.col(f"__hb.{id_col}").alias("id_b"),
-            F.col("__ha.sh").alias("sh_a"),
-            F.col("__hb.sh").alias("sh_b"),
+            hamming.alias("hamming"),
         )
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("long")
-    return (
-        pairs.select("id_a", "id_b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates()
     )
 
 
