@@ -1,7 +1,9 @@
 # Round-close ritual: everything the round's artifacts depend on, in the
 # order that keeps them consistent with the code they vouch for.
 #
-#   make test        - full pytest
+#   make test        - FULL pytest (incl. slow-marked integration tests;
+#                      a bare `pytest tests/` runs the <5-min fast lane)
+#   make test-fast   - the fast lane explicitly
 #   make gate        - full Spark-vs-DuckDB oracle gate at sf0.01
 #   make gate-all    - gate at all three SFs
 #   make plan-audit  - regenerate PLAN_AUDIT.md (MUST run at round close:
@@ -12,9 +14,12 @@
 
 SF_DIR ?= /root/testdata/sf0.01
 
-.PHONY: test gate gate-all plan-audit bench close
+.PHONY: test test-fast gate gate-all plan-audit bench close
 
 test:
+	PQS_FULL_TESTS=1 python -m pytest tests/ -q
+
+test-fast:
 	python -m pytest tests/ -q
 
 gate:

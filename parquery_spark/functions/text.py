@@ -163,23 +163,36 @@ def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
 
     df = fan_out(df)
     c = F.col(text_col)
+
+    # collision-free staging names: an input that already carries a
+    # column of the same name would make the unqualified references
+    # below ambiguous (AnalysisException) where the former inlined form
+    # worked — suffix until free (round-13 ADVICE)
+    def _fresh(name: str) -> str:
+        while name in df.columns:
+            name += "_"
+        return name
+
+    col_tok = _fresh("__n_tok")
+    col_punct = _fresh("__n_punct")
+    col_chars = _fresh("__tok_chars")
     raw = df.select(
         "*",
-        F.regexp_count(c, F.lit(TOKEN_RE)).alias("__n_tok"),
+        F.regexp_count(c, F.lit(TOKEN_RE)).alias(col_tok),
         (
             F.length(c)
             - F.length(F.regexp_replace(c, r"[!-/:-@\[-`{-~]", ""))
-        ).alias("__n_punct"),
+        ).alias(col_punct),
         F.length(
             F.regexp_replace(c, r"[^A-Za-z0-9_']+", "")
-        ).alias("__tok_chars"),
+        ).alias(col_chars),
     )
-    n = F.col("__n_tok")
+    n = F.col(col_tok)
     n_long = n.cast("long")
     praw = F.when(
-        F.length(c) > 0, F.col("__n_punct") / F.length(c)
+        F.length(c) > 0, F.col(col_punct) / F.length(c)
     ).otherwise(F.lit(0.0))
-    mwl = F.when(n > 0, F.col("__tok_chars") / n).otherwise(F.lit(0.0))
+    mwl = F.when(n > 0, F.col(col_chars) / n).otherwise(F.lit(0.0))
     len_ok = F.when(
         (n_long >= 10) & (n_long <= 100_000), F.lit(1.0)
     ).otherwise(n_long / F.lit(10.0))

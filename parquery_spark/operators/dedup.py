@@ -866,15 +866,49 @@ BAND_PREFIX_CHARS = 2
 _MIN_ROWS_PER_INDEX_DIR = 1000
 
 
-def _index_prefix_chars(index_path: str) -> int:
+def _index_prefix_chars(index_path: str, spark=None) -> int:
     """Prefix width of an existing index layout, read from its directory
-    names (``bk_prefix=<value>`` under any ``band=*``)."""
+    names (``bk_prefix=<value>`` under any ``band=*``).
+
+    Local paths list driver-side (one glob).  A NON-local layout
+    (``s3a://``, ``hdfs://``…) cannot be globbed with ``os`` primitives —
+    the former silent fallthrough to the default width made a probe
+    against a width-1 remote index prune to zero directories and admit
+    every duplicate (round-13 ADVICE).  With a session at hand the width
+    is read from ONE row of the layout itself (the partition column is
+    part of every row); without one this raises instead of guessing."""
+    w = _index_prefix_chars_or_none(index_path, spark)
+    return BAND_PREFIX_CHARS if w is None else w
+
+
+def _index_prefix_chars_or_none(index_path: str, spark=None) -> int | None:
+    """:func:`_index_prefix_chars` without the default: ``None`` when the
+    layout holds no partition directory to read a width from."""
     import glob as _glob
     import os as _os
 
-    for d in _glob.iglob(_os.path.join(index_path, "band=*", "bk_prefix=*")):
-        return len(_os.path.basename(d).split("=", 1)[1])
-    return BAND_PREFIX_CHARS
+    from parquery_spark import fs as _fs
+
+    if _fs.is_local(index_path):
+        base = _fs.local_part(index_path)
+        for d in _glob.iglob(_os.path.join(base, "band=*", "bk_prefix=*")):
+            return len(_os.path.basename(d).split("=", 1)[1])
+        return None
+    if spark is not None:
+        rows = (
+            spark.read.parquet(index_path)
+            .select(F.length(F.col("bk_prefix").cast("string")).alias("w"))
+            .limit(1)
+            .collect()
+        )
+        if rows and rows[0]["w"] is not None:
+            return int(rows[0]["w"])
+        return None
+    raise ValueError(
+        f"cannot detect the bk_prefix width of non-local index "
+        f"{index_path!r} without a SparkSession; pass prefix_chars "
+        "explicitly or provide spark"
+    )
 
 
 def write_minhash_index(
@@ -906,19 +940,38 @@ def write_minhash_index(
     because a row's partition depends only on its own signature (appends
     to an existing path inherit its width via
     :func:`_index_prefix_chars`, never re-deciding it)."""
-    import os as _os
-
+    from parquery_spark import fs as _fs
     from parquery_spark.sources.parquet import write_partitioned
 
+    existing = _fs.exists(path)
     if prefix_chars is None:
-        if mode == "append" and _os.path.isdir(path):
-            prefix_chars = _index_prefix_chars(path)
-        else:
+        if mode == "append" and existing:
+            prefix_chars = _index_prefix_chars_or_none(
+                path, spark=corpus_df.sparkSession
+            )
+        if prefix_chars is None:
+            # NB: with prefix_chars unset this count() is an extra eager
+            # action — an expensive unpersisted corpus pipeline executes
+            # twice (count + write).  Callers with such inputs should
+            # pass prefix_chars (or count once themselves and pin it).
             n_banded = corpus_df.count() * bands
             prefix_chars = (
                 BAND_PREFIX_CHARS
                 if n_banded >= bands * 256 * _MIN_ROWS_PER_INDEX_DIR
                 else 1
+            )
+    elif mode == "append" and existing:
+        # an explicit pin that disagrees with the existing layout would
+        # write a MIXED-width index whose probes silently miss every
+        # partition of the other width (round-13 ADVICE) — fail loud
+        have = _index_prefix_chars_or_none(
+            path, spark=corpus_df.sparkSession
+        )
+        if have is not None and have != prefix_chars:
+            raise ValueError(
+                f"write_minhash_index(mode='append'): prefix_chars="
+                f"{prefix_chars} conflicts with the existing layout's "
+                f"width {have} at {path!r}"
             )
     bk = band_keys(corpus_df, text_col, id_col, num_hashes, bands, shingle_k)
     bk = bk.withColumn(
@@ -981,8 +1034,9 @@ def lsh_join_indexed(
     ).withColumn(
         # the batch's prefixes must be cut at the INDEX's width — read it
         # from the layout so probes work against either adaptive width
+        # (spark handle: non-local layouts read the width from one row)
         "bk_prefix",
-        F.substring("band_key", 1, _index_prefix_chars(index_path)),
+        F.substring("band_key", 1, _index_prefix_chars(index_path, spark)),
     )
 
     by_band: dict[int, set[str]] = {}

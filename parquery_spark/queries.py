@@ -1694,7 +1694,10 @@ def q51_median_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     value histogram (map-side reduced, a few thousand rows collected),
     the driver locates the bucket of each needed rank from cumulative
     counts, and pass 2 re-scans with a pushed-down ``IN (buckets)``
-    filter to fetch only the handful of values straddling each rank.
+    filter and aggregates ``(flag, value) → count`` over the straddling
+    buckets — driver memory is bounded by the buckets' DISTINCT-value
+    count, never their row count (round 13: the former raw-value collect
+    was unbounded under a skewed distribution).
     l_quantity's 50-value domain makes its histogram exact with no
     second pass.  Interpolation is ``lower + (higher - lower) * frac``
     on the same IEEE doubles Spark's Percentile evaluates, and the
@@ -1768,6 +1771,12 @@ def q51_median_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             {key_at(counts, lo), key_at(counts, hi)}
         )
     all_buckets = sorted({b for s in need.values() for b in s})
+    # pass 2 aggregates (flag, value) -> count instead of collecting raw
+    # values (round 13, VERDICT r12 #3): a skewed distribution can put
+    # billions of ROWS in one 4096-wide bucket, but the driver only needs
+    # the bucket's value MULTISET, which groupBy bounds at its distinct-
+    # value count (map-side-reduced like pass 1).  The multiset — and
+    # therefore the rank arithmetic below — is identical.
     vals = (
         li.select(
             F.col("l_returnflag").alias("flag"),
@@ -1779,26 +1788,33 @@ def q51_median_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             & F.col("v").isNotNull()
         )
+        .groupBy("flag", "v")
+        .agg(F.count(F.lit(1)).alias("n"))
         .collect()
     )
     in_bucket: dict = {}
     for r in vals:
         b = float(r["v"]) // 4096.0
         if b in need.get(r["flag"], ()):  # noqa: SIM118 — set membership
-            in_bucket.setdefault(r["flag"], []).append(float(r["v"]))
+            in_bucket.setdefault(r["flag"], {})[float(r["v"])] = r["n"]
 
     rows = []
     for f in flags:
         pc = by_fc[(f, "p")]
         lo, hi, pos = rank_ix(pc, 0.5)
-        # global index of the first row in each collected bucket
-        bvals = sorted(in_bucket[f])
+        # global index of the first row in each collected bucket; the
+        # bucket multiset is a {value: count} dict, indexed by cumulative
+        # count (key_at) — same element as the former sorted raw list
         start = 0
         first_b = min(need[f])
         for k in sorted(pc):
             if k < first_b:
                 start += pc[k]
-        med = interp(bvals[lo - start], bvals[hi - start], lo, hi, pos)
+        med = interp(
+            float(key_at(in_bucket[f], lo - start)),
+            float(key_at(in_bucket[f], hi - start)),
+            lo, hi, pos,
+        )
 
         def q_exact(p: float) -> float:
             qc = by_fc[(f, "q")]
@@ -2339,32 +2355,48 @@ def q65_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_distinct").alias("n_distinct_est"),
         "min_num", "max_num", "min_str", "max_str",
     )
-    # exact distincts from ONE scan (round 12): stack the k columns into
-    # (column, value-string) pairs and run a single two-phase distinct
+    # exact distincts, SIZE-GATED between two oracle-identical shapes
+    # (round 13, VERDICT r12 #4).  Above the gate: stack the k columns
+    # into (column, value-string) pairs and run ONE two-phase distinct
     # aggregate — still no Expand anywhere (one distinct per group plans
-    # as plain partial/final aggregation), but the former k independent
-    # scan+aggregate subtrees (k job waves, k fact-table passes at
-    # scale) collapse into one.  The string cast is injective per column
-    # type, so the distinct count is unchanged; count_distinct drops
-    # NULLs on both shapes.
-    exacts = (
-        orders.select(
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(c).alias("column"),
-                            F.col(c).cast("string").alias("v"),
-                        )
-                        for c in cols
-                    ]
-                )
-            ).alias("p")
+    # as plain partial/final aggregation), and the former k independent
+    # fact-table passes collapse into one scan, which dominates at
+    # corpus scale.  Below it: k separate single-column distinct
+    # aggregates over the (hot-cached) relation — at sf0.1 the stacked
+    # shape's k×rows exploded exchange costs MORE than the five saved
+    # ~11 MB scans (measured +41% in the committed r12 bench), exactly
+    # the adaptive-path rule the round's other gates follow (union-find
+    # ≤200k edges, driver Lloyd ≤4096 vectors).  The string cast is
+    # injective per column type, so the distinct count is unchanged;
+    # count_distinct drops NULLs on both shapes.
+    if os.path.getsize(_path(sf_dir, "orders")) >= (1 << 30):
+        exacts = (
+            orders.select(
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(c).alias("column"),
+                                F.col(c).cast("string").alias("v"),
+                            )
+                            for c in cols
+                        ]
+                    )
+                ).alias("p")
+            )
+            .select("p.column", "p.v")
+            .groupBy("column")
+            .agg(F.count_distinct("v").alias("n_distinct"))
         )
-        .select("p.column", "p.v")
-        .groupBy("column")
-        .agg(F.count_distinct("v").alias("n_distinct"))
-    )
+    else:
+        exacts = functools.reduce(
+            DataFrame.unionByName,
+            [
+                orders.agg(F.count_distinct(F.col(c)).alias("n_distinct"))
+                .select(F.lit(c).alias("column"), "n_distinct")
+                for c in cols
+            ],
+        )
     rel_err = 5 * 0.05  # 5 sigma at approx_count_distinct's default rsd
     return prof.join(F.broadcast(exacts), "column").select(
         "column", "n_rows", "n_null", "n_distinct",

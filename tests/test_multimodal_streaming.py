@@ -5,6 +5,9 @@ import os
 import time
 
 import pytest
+
+# streaming-engine lifecycle integration (checkpoint restart, soak, kill/resume) — full-suite lane only (see conftest fast lane)
+pytestmark = pytest.mark.slow
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 

@@ -764,6 +764,7 @@ class TestRound5Operators:
         codes, book = pq_train(empty, m=4, k=4, iters=1)
         assert codes.count() == 0 and book.count() == 0
 
+    @pytest.mark.slow  # >20 s of Spark jobs — full lane only
     def test_pq_train_and_semdedup_release_caches(self, spark):
         """pq_train/semdedup/kmeans_assign must not pin per-call
         intermediates (exploded relations, assignments) for the session
@@ -794,6 +795,7 @@ class TestRound5Operators:
         pruned.unpersist()
         assert n_persisted() == base
 
+    @pytest.mark.slow  # >20 s of Spark jobs — full lane only
     def test_driver_sampled_training_matches_distributed(
         self, spark, monkeypatch
     ):
@@ -828,6 +830,7 @@ class TestRound5Operators:
         assert got_driver == got_dist
         assert len(got_driver) == 399  # every non-empty vector assigned
 
+    @pytest.mark.slow  # >20 s of Spark jobs — full lane only
     def test_adc_topk_empty_codebook_and_queries(self, spark):
         """Empty codebook (trained on an empty corpus) or an empty probe
         batch returns an empty result instead of crashing — mirroring
@@ -924,6 +927,7 @@ class TestSubstringSpans:
             (11, 11, 8),
         ]
 
+    @pytest.mark.slow  # >20 s of Spark jobs — full lane only
     def test_stop_gram_cap_drops_boilerplate(self, spark):
         from parquery_spark.operators.dedup import substring_spans
 
@@ -1012,6 +1016,7 @@ class TestSubstringDedupStats:
         assert out[2].removed_tokens == 8
 
 
+@pytest.mark.slow  # runs all 218 queries twice (~11 min) — full lane only
 class TestCacheContract:
     """The release contract, REGISTRY-WIDE as of round 9: no query — and
     no operator a query calls — leaks a persisted relation into the

@@ -5,6 +5,9 @@ reference lacked entirely (SURVEY.md §5: "No property-based testing")."""
 
 import duckdb
 import pytest
+
+# property/differential sweeps (many randomized Spark jobs per test) — full-suite lane only (see conftest fast lane)
+pytestmark = pytest.mark.slow
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 

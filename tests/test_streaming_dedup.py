@@ -12,6 +12,9 @@ from __future__ import annotations
 import os
 
 import pytest
+
+# streaming state-store integration (micro-batch drains, checkpoint recovery) — full-suite lane only (see conftest fast lane)
+pytestmark = pytest.mark.slow
 from pyspark.sql import functions as F
 
 
