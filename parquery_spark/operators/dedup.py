@@ -58,6 +58,29 @@ def hash32(c: Column) -> Column:
 MINHASH_P = (1 << 31) - 1
 
 
+#: parsed-Column cache for the wide MinHash/banding expression trees,
+#: keyed on (SparkContext id, recipe params) — round 13, VERDICT r12 #7:
+#: probes re-parsed the identical ``num_hashes``-wide trees on every
+#: call (~0.3 s of py4j/parse per q82 probe).  Unresolved Columns are
+#: immutable and safe to reuse across plans within one JVM; keying on
+#: the context id drops entries from a stopped session.  Plan objects
+#: only, never data.
+_EXPR_CACHE: dict[tuple, object] = {}
+
+
+def _cached_exprs(kind: str, params: tuple, build):
+    from pyspark import SparkContext
+
+    sc = SparkContext._active_spark_context
+    key = (id(sc), kind, params)
+    hit = _EXPR_CACHE.get(key)
+    if hit is None:
+        if len(_EXPR_CACHE) > 256:  # bounded: recipes are few
+            _EXPR_CACHE.clear()
+        hit = _EXPR_CACHE[key] = build()
+    return hit
+
+
 def minhash_coefficients(num_hashes: int, seed: int = 9) -> list[tuple[int, int]]:
     """Deterministic (a, b) pairs for the affine hash family
     ``h_i(x) = (a_i * x + b_i) mod P`` over the base md5 hash.  One md5 per
@@ -145,12 +168,15 @@ def _est_jaccard(num_hashes: int) -> "Column":
     """``round(#equal sig positions / num_hashes, 6)`` over ``sig_a`` /
     ``sig_b`` — one parsed expression (the per-position Column chain cost
     ~16 py4j round trips per position; round 12)."""
-    eq = " + ".join(
-        f"cast(element_at(sig_a, {i + 1}) = element_at(sig_b, {i + 1})"
-        " as int)"
-        for i in range(num_hashes)
-    )
-    return F.expr(f"round(({eq}) / {float(num_hashes)!r}D, 6)")
+    def build():
+        eq = " + ".join(
+            f"cast(element_at(sig_a, {i + 1}) = element_at(sig_b, {i + 1})"
+            " as int)"
+            for i in range(num_hashes)
+        )
+        return F.expr(f"round(({eq}) / {float(num_hashes)!r}D, 6)")
+
+    return _cached_exprs("est_jaccard", (num_hashes,), build)
 
 
 def minhash_signature(
@@ -207,9 +233,21 @@ def gram_sets(
     heterogeneous consumers stages them to storage (or passes a
     caller-OWNED persisted handle via the ``sets`` parameters) — the
     operators here deliberately persist nothing themselves."""
+    # the zip_with shingle tree costs ~15 py4j calls to build; parse once
+    # per (column name, k) and reuse across probes (_EXPR_CACHE, round 13)
     grams = (
-        word_shingles(text_col, shingle_k) if shingle_k > 1
-        else shingle_tokens(text_col)
+        _cached_exprs(
+            "shingles", (text_col, shingle_k),
+            lambda: (
+                word_shingles(text_col, shingle_k) if shingle_k > 1
+                else shingle_tokens(text_col)
+            ),
+        )
+        if isinstance(text_col, str)
+        else (
+            word_shingles(text_col, shingle_k) if shingle_k > 1
+            else shingle_tokens(text_col)
+        )
     )
     src = df.select(F.col(id_col), F.col(text_col))
     if partition_by_id:
@@ -255,17 +293,24 @@ def minhash_signatures(
     )
     # one parsed expression per seed (the Column chain cost ~6 py4j round
     # trips per seed; round 12) — literals are < 2^31 so the parser types
-    # them INT exactly like F.lit, and INT * BIGINT promotes identically
-    mins = exploded.groupBy(id_col).agg(
-        *[
+    # them INT exactly like F.lit, and INT * BIGINT promotes identically.
+    # The whole per-seed list and the sig-array column parse once per
+    # (num_hashes) and are reused across probes (_EXPR_CACHE, round 13).
+    min_exprs = _cached_exprs(
+        "minhash_mins", (num_hashes,),
+        lambda: [
             F.expr(f"min(({a} * __h + {b}) % {MINHASH_P}) AS __h{i}")
             for i, (a, b) in enumerate(coeffs)
-        ]
+        ],
     )
-    return mins.select(
-        F.col(id_col),
-        F.array(*[f"__h{i}" for i in range(num_hashes)]).alias("sig"),
+    sig_expr = _cached_exprs(
+        "minhash_sig", (num_hashes,),
+        lambda: F.array(
+            *[f"__h{i}" for i in range(num_hashes)]
+        ).alias("sig"),
     )
+    mins = exploded.groupBy(id_col).agg(*min_exprs)
+    return mins.select(F.col(id_col), sig_expr)
 
 
 
@@ -782,17 +827,10 @@ def lsh_join(
     if corpus_banded is not None:
         _check_injected_banding(corpus_banded, num_hashes, bands,
                                 "lsh_join(corpus_banded=)")
-    right = (
-        (banded(corpus_df) if corpus_banded is None else corpus_banded)
-        .withColumn(
-            "bucket_n",
-            F.count(F.lit(1)).over(Window.partitionBy("band", "band_key")),
-        )
-        .filter(F.col("bucket_n") <= max_bucket_size)
-        .select(
-            F.col("band"), F.col("band_key"),
-            F.col(id_col).alias("corpus_id"), F.col("sig").alias("sig_b"),
-        )
+    src = banded(corpus_df) if corpus_banded is None else corpus_banded
+    right = _drop_oversized_buckets(src, max_bucket_size).select(
+        F.col("band"), F.col("band_key"),
+        F.col(id_col).alias("corpus_id"), F.col("sig").alias("sig_b"),
     )
     # est_jaccard before the pair dedup (see lsh_candidate_pairs): the
     # dedup exchange carries 24 bytes/pair, not two signature arrays
@@ -803,6 +841,36 @@ def lsh_join(
             _est_jaccard(num_hashes).alias("est_jaccard"),
         )
         .dropDuplicates()
+    )
+
+
+def _drop_oversized_buckets(
+    banded: DataFrame, max_bucket_size: int
+) -> DataFrame:
+    """Degenerate-bucket cap WITHOUT shuffling the banded rows: a narrow
+    two-column aggregate finds the (band, band_key) buckets over the cap
+    (map-side partial agg — the exchange carries per-bucket counts, not
+    rows) and a broadcast ANTI-join drops their rows map-side.
+
+    The former shape — ``count() over Window(band, band_key)`` — paid a
+    full Exchange + Sort of the banded CORPUS per ingest batch purely to
+    compute the cap, while the candidate join itself was broadcast and
+    never reused that partitioning (round 13, guide §2.3/§2.4).  Here
+    the corpus is scanned twice, but the second pass reads only the two
+    key columns and degenerate buckets are rare by construction, so the
+    broadcast side is ~empty.  Equivalent row-for-row: band_key is an
+    md5 hex string (never NULL), so anti-join semantics match the
+    window filter exactly.  The SELF-join path (lsh_candidate_pairs)
+    keeps its window — there the window's exchange doubles as the join
+    exchange and is shared via ReuseExchange."""
+    oversized = (
+        banded.groupBy("band", "band_key")
+        .agg(F.count(F.lit(1)).alias("bucket_n"))
+        .filter(F.col("bucket_n") > max_bucket_size)
+        .select("band", "band_key")
+    )
+    return banded.join(
+        F.broadcast(oversized), ["band", "band_key"], "left_anti"
     )
 
 
@@ -824,24 +892,30 @@ def band_keys(
     sigs = minhash_signatures(
         df, text_col, id_col, num_hashes, shingle_k, sets=sets
     )
+
     # the band-struct array as ONE parsed expression (the nested
     # struct/md5/concat Column tree cost ~50 py4j round trips; round 12);
-    # named_struct fields type exactly like F.struct(F.lit(b), md5(...))
-    bands_sql = ",".join(
-        "named_struct('band', {b}, 'band_key', md5(concat_ws(',', {c})))".format(
-            b=b,
-            c=",".join(
-                f"cast(element_at(sig, {b * rows + r + 1}) as string)"
-                for r in range(rows)
-            ),
+    # named_struct fields type exactly like F.struct(F.lit(b), md5(...)).
+    # Parsed once per (num_hashes, bands) and reused across probes
+    # (_EXPR_CACHE, round 13).
+    def build():
+        bands_sql = ",".join(
+            "named_struct('band', {b}, "
+            "'band_key', md5(concat_ws(',', {c})))".format(
+                b=b,
+                c=",".join(
+                    f"cast(element_at(sig, {b * rows + r + 1}) as string)"
+                    for r in range(rows)
+                ),
+            )
+            for b in range(bands)
         )
-        for b in range(bands)
+        return F.expr(f"explode(array({bands_sql}))").alias("bk")
+
+    bk_expr = _cached_exprs("band_structs", (num_hashes, bands), build)
+    return sigs.select(id_col, "sig", bk_expr).select(
+        id_col, "sig", "bk.band", "bk.band_key"
     )
-    return sigs.select(
-        id_col,
-        "sig",
-        F.expr(f"explode(array({bands_sql}))").alias("bk"),
-    ).select(id_col, "sig", "bk.band", "bk.band_key")
 
 
 # ---------------------------------------------------------------------------
@@ -1070,16 +1144,13 @@ def lsh_join_indexed(
     index = index_relation(spark, index_path)
     if pred is not None:
         index = index.filter(pred)
-    right = (
-        index.withColumn(
-            "bucket_n",
-            F.count(F.lit(1)).over(Window.partitionBy("band", "band_key")),
-        )
-        .filter(F.col("bucket_n") <= max_bucket_size)
-        .select(
-            "band", "band_key",
-            F.col(id_col).alias("corpus_id"), F.col("sig").alias("sig_b"),
-        )
+    # pruning keeps buckets whole (every row of a band_key shares its
+    # prefix), so capped counts over the PRUNED index equal lsh_join's;
+    # the agg+anti-join shape drops the index-side Exchange+Sort the
+    # window form paid (see _drop_oversized_buckets)
+    right = _drop_oversized_buckets(index, max_bucket_size).select(
+        "band", "band_key",
+        F.col(id_col).alias("corpus_id"), F.col("sig").alias("sig_b"),
     )
     # est_jaccard before the pair dedup (see lsh_candidate_pairs): the
     # dedup exchange carries 24 bytes/pair, not two signature arrays

@@ -270,6 +270,13 @@ def triangle_stats(
     )
     du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
     dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    # round-13 measured-and-REJECTED: broadcasting deg for the two
+    # orientation lookups (the same size class as the closing set).
+    # Alternating A/B min-of-7 at sf0.1: shuffle joins 2.06 s vs
+    # broadcast 2.70 s end-to-end — the broadcast-build jobs (driver
+    # collect + hash relation per lookup) cost more than the 32-way
+    # shuffle of the 1.2M-edge relation they replace, and deg must
+    # materialize for the build anyway.  Kept as shuffle joins.
     u_first = (F.col("du") < F.col("dv")) | (
         (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
     )

@@ -10011,10 +10011,18 @@ def q186_incremental_sessionize(
 
     head = events.where(F.col("ts") < cutoff)
     tail = events.where(F.col("ts") >= cutoff)
-    # open_state and closed_head are two filters over the ONE
-    # head_sessions plan — its sessionize window/agg exchange is shared
-    # via ReuseExchange, nothing persisted
-    head_sessions = sessionize(head)
+    # open_state and closed_head both consume head_sessions; as two lazy
+    # branches of one plan the whole head pipeline (scan → exchange →
+    # sort → 2 windows → agg) planned and ran TWICE — only the exchange
+    # was shared (round 13, guide §5: localCheckpoint cuts the duplicate
+    # subtree).  The checkpoint holds SESSION rows (one per head
+    # session, not per event), materializes inside this one query's
+    # action, and its RDD blocks are context-cleaner-reaped — never a
+    # CacheManager entry, never cross-call state.  A/B min-of-7:
+    # 2.01 → 1.61 s at sf0.1; at scale it removes the second sort of
+    # half the log.  (On a cluster prefer a reliable checkpoint dir —
+    # the graph-loop precedent in SCALING.md.)
+    head_sessions = sessionize(head).localCheckpoint(eager=False)
     # open = sessions still inside the idle window at the cutoff
     open_state = head_sessions.where(
         F.unix_micros(cutoff) - F.unix_micros(F.col("session_end"))
@@ -13817,6 +13825,12 @@ def q231_streaming_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         "window_start_us long, event_type string, bin long, n long",
     )
     wcounts.createOrReplaceTempView("q231_wcounts")
+    # gcounts stays a LAZY view although the scoring SQL references it
+    # twice (gtot, spine): the two references are the identical subtree,
+    # so ReuseExchange already computes the reference aggregation once —
+    # landing it driver-side was measured SLOWER (profile min-of-7
+    # 1.79 → 2.53 s: the extra toPandas job wave costs more than the
+    # nothing it deduplicates; round 13).
     gcounts.createOrReplaceTempView("q231_gcounts")
     return spark.sql("""
         WITH wtot AS (
